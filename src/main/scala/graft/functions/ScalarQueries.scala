@@ -1,0 +1,147 @@
+package graft.functions
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function coverage (SURVEY.md §2.8): datetime, conditional,
+  * string, JSON, decimal arithmetic, and the one generator the reference
+  * uses (`explode(sequence(...))` calendar build, silver_to_gold.py:44-64).
+  *
+  * Cross-engine gotchas handled here:
+  *  - Spark `dayofweek` is 1=Sunday..7; DuckDB `dayofweek` is 0=Sunday..6.
+  *  - Spark `year()/month()` return INT; DuckDB EXTRACT returns BIGINT —
+  *    oracles cast to INTEGER.
+  *  - weekend test uses dayofweek, NOT locale-dependent date_format("E")
+  *    (fixes reference defect SURVEY §2.14-3).
+  */
+object ScalarQueries extends QueryModule {
+
+  import Tables._
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // Calendar dimension via explode(sequence(...)) generator.
+    "q23_calendar_gen" -> QueryDef(
+      fn = (s, d) =>
+        s.sql("SELECT explode(sequence(DATE'2024-01-01', DATE'2024-12-31')) AS cal_date")
+          .select(
+            col("cal_date"),
+            year(col("cal_date")).as("cal_year"),
+            month(col("cal_date")).as("cal_month"),
+            dayofmonth(col("cal_date")).as("cal_day"),
+            quarter(col("cal_date")).as("cal_quarter"),
+            (dayofweek(col("cal_date")) - 1).as("dow_sun0"),
+            dayofweek(col("cal_date")).isin(1, 7).as("is_weekend")
+          ),
+      oracle = Some("""
+        SELECT CAST(d AS DATE) AS cal_date,
+               CAST(EXTRACT(year FROM d) AS INTEGER) AS cal_year,
+               CAST(EXTRACT(month FROM d) AS INTEGER) AS cal_month,
+               CAST(EXTRACT(day FROM d) AS INTEGER) AS cal_day,
+               CAST(EXTRACT(quarter FROM d) AS INTEGER) AS cal_quarter,
+               CAST(DAYOFWEEK(CAST(d AS DATE)) AS INTEGER) AS dow_sun0,
+               DAYOFWEEK(CAST(d AS DATE)) IN (0, 6) AS is_weekend
+        FROM (SELECT UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS d)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Datetime kitchen-sink: extracts, date arithmetic, datediff.
+    "q24_datetime" -> QueryDef(
+      fn = (s, d) =>
+        orders(s, d)
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .withColumn("order_day", to_date(col("o_orderdate")))
+          .withColumn("ship_day", to_date(col("l_shipdate")))
+          .withColumn("lead_days", datediff(col("ship_day"), col("order_day")))
+          .groupBy(
+            year(col("o_orderdate")).as("o_year"),
+            quarter(col("o_orderdate")).as("o_quarter")
+          )
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("lead_days").cast("long")).as("total_lead_days"),
+            max(col("lead_days")).as("max_lead_days")
+          ),
+      oracle = Some("""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+               COUNT(*) AS n_lines,
+               CAST(SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_lead_days,
+               CAST(MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_lead_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // String functions: concat/upper/substring/length/trim/replace.
+    "q25_string_funcs" -> QueryDef(
+      fn = (s, d) =>
+        part(s, d)
+          .withColumn("brand_code", upper(substring(col("p_brand"), 7, 2)))
+          .withColumn("label", concat(col("p_brand"), lit(":"), col("p_type")))
+          .withColumn("name_len", length(col("p_name")))
+          .withColumn("type_nospace", regexp_replace(col("p_type"), " ", "_"))
+          .groupBy(col("brand_code"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("name_len").cast("long")).as("total_name_len"),
+            max(col("label")).as("max_label"),
+            max(col("type_nospace")).as("max_type")
+          ),
+      oracle = Some("""
+        SELECT UPPER(SUBSTRING(p_brand, 7, 2)) AS brand_code,
+               COUNT(*) AS n,
+               CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_name_len,
+               MAX(p_brand || ':' || p_type) AS max_label,
+               MAX(REPLACE(p_type, ' ', '_')) AS max_type
+        FROM part GROUP BY 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // JSON: parse the events.props payload (from_json/get_json_object —
+    // stream_to_bronze.py:58-60 pattern).
+    "q26_json_extract" -> QueryDef(
+      fn = (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k").cast("long")).as("k_sum"),
+            max(col("k")).as("k_max"),
+            count(col("k")).as("k_cnt")
+          ),
+      oracle = Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+               CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max,
+               COUNT(CAST(props->>'$.k' AS INTEGER)) AS k_cnt
+        FROM events GROUP BY event_type""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Exact decimal money math (P4; DECIMAL(12,2)/(5,4) parity —
+    // SURVEY §7 "hard parts" (b)). Exact per-row decimal product, cast to
+    // double only at the end; row-level output.
+    "q27_decimal_money" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .where(col("l_orderkey") % 100 === 0)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1).cast(DecimalType(5, 4)) - col("l_discount").cast(DecimalType(5, 4))) *
+              (lit(1).cast(DecimalType(5, 4)) + col("l_tax").cast(DecimalType(5, 4))))
+              .cast("double")
+              .as("charge")
+          ),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                    * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))) AS DOUBLE) AS charge
+        FROM lineitem WHERE l_orderkey % 100 = 0""")
+    )
+  )
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Verifiable queries exercising the DML kernel (SURVEY.md §2.9 M1-M5,
+  * §2.3 J1) against the test corpus. Each builds deterministic
+  * "target"/"source" slices from the same tables so the DuckDB oracle can
+  * reconstruct the exact same semantics in ANSI SQL.
+  */
+object DmlQueries extends QueryModule {
+
+  import Tables._
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // J1: SCD2 changed-row detection. "fresh" = customers with balance
+    // bumped 10% where custkey%5=0; "dim" = customers as-is. Changed rows
+    // are exactly the bumped ones with non-zero balance (plus none new).
+    "q17_scd2_detect" -> QueryDef(
+      fn = (s, d) => {
+        val dim = customer(s, d)
+        val fresh = dim.withColumn(
+          "c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 1.1)
+            .otherwise(col("c_acctbal"))
+        )
+        Scd2
+          .detectChanges(fresh, dim, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+          .select(col("c_custkey"), col("c_acctbal"), col("change_type"))
+      },
+      oracle = Some("""
+        SELECT f.c_custkey, f.c_acctbal, 'changed' AS change_type
+        FROM (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer
+        ) f
+        LEFT JOIN customer o ON f.c_custkey = o.c_custkey
+        WHERE f.c_acctbal <> o.c_acctbal OR f.c_mktsegment <> o.c_mktsegment""")
+    ),
+
+    // ----------------------------------------------------------------
+    // M1: insert-only merge. target = orders before 1998; source = orders
+    // from 1997-07 on (overlaps target). Merged = target + source keys not
+    // already present. Aggregated so the check is compact.
+    "q18_merge_insert_only" -> QueryDef(
+      fn = (s, d) => {
+        val o      = orders(s, d)
+        val target = o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val source = o.where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
+        MergeInto
+          .insertOnly(target, source, Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum")
+          )
+      },
+      oracle = Some("""
+        WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+             source AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+             merged AS (
+               SELECT * FROM target
+               UNION ALL
+               SELECT * FROM source s WHERE NOT EXISTS
+                 (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+             )
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM merged GROUP BY o_orderstatus""")
+    ),
+
+    // ----------------------------------------------------------------
+    // M2: conditional newer-wins upsert. Both sides deduped to latest per
+    // (user_id,event_type); source overwrites target only when strictly
+    // newer (ties keep target). Equivalent to a global argmax with
+    // target-preferred tie-break, which the oracle reproduces.
+    "q19_merge_upsert" -> QueryDef(
+      fn = (s, d) => {
+        val e      = events(s, d)
+        val target = e.where(col("event_id") % 2 === 0)
+        val source = e.where(col("event_id") % 2 === 1)
+        def latest(df: org.apache.spark.sql.DataFrame) = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          df.withColumn("__r", row_number().over(w)).where(col("__r") === 1).drop("__r")
+        }
+        MergeInto
+          .upsert(
+            latest(target).select("user_id", "event_type", "ts", "event_id", "value"),
+            latest(source).select("user_id", "event_type", "ts", "event_id", "value"),
+            Seq("user_id", "event_type"),
+            "ts"
+          )
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      },
+      oracle = Some("""
+        WITH latest_t AS (
+          SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS r
+                 FROM events WHERE event_id % 2 = 0) WHERE r = 1),
+        latest_s AS (
+          SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS r
+                 FROM events WHERE event_id % 2 = 1) WHERE r = 1),
+        tagged AS (
+          SELECT user_id, event_type, ts, event_id, value, 1 AS is_target FROM latest_t
+          UNION ALL
+          SELECT user_id, event_type, ts, event_id, value, 0 AS is_target FROM latest_s)
+        SELECT user_id, event_type, ts, event_id, value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, is_target DESC) AS rn
+          FROM tagged
+        ) WHERE rn = 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SCD2 history build: orders as a per-customer attribute change log
+    // (attr = o_orderpriority, effective from o_orderdate). Consecutive
+    // identical values collapse; each version gets valid_from/valid_to/
+    // is_current.
+    "q20_scd2_history" -> QueryDef(
+      fn = (s, d) =>
+        Scd2
+          .buildHistory(
+            orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+            keys = Seq("o_custkey"),
+            orderCols = Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+            attrs = Seq("o_orderpriority"),
+            validFromCol = "o_orderdate"
+          )
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+            col("valid_from"), col("valid_to"), col("is_current")
+          ),
+      oracle = Some("""
+        WITH log AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                 LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_attr
+          FROM orders),
+        changed AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority FROM log
+          WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority)
+        SELECT o_custkey, o_orderkey, o_orderpriority,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
+        FROM changed""")
+    ),
+
+    // ----------------------------------------------------------------
+    // M4: UPDATE ... SET ... WHERE emulation (status flip). Old orders
+    // marked archived; aggregate of the updated table.
+    "q21_update_where" -> QueryDef(
+      fn = (s, d) =>
+        UpdateWhere(
+          orders(s, d),
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+            col("o_orderstatus") === "F",
+          Map("o_orderstatus" -> lit("A"), "o_orderpriority" -> lit("9-ARCHIVED"))
+        ).groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")),
+      oracle = Some("""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND o_orderstatus = 'F'
+                    THEN 'A' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND o_orderstatus = 'F'
+                    THEN '9-ARCHIVED' ELSE o_orderpriority END AS o_orderpriority,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Quality-score fold (bronze_to_silver.py:23-33): rule list over
+    // lineitem, score 100 - sum(penalties), dq flags; aggregated per flag.
+    "q22_quality_score" -> QueryDef(
+      fn = (s, d) => {
+        val checks = Seq(
+          QualityScore.Check("qty_positive", col("l_quantity") > 0, 20),
+          QualityScore.Check("price_positive", col("l_extendedprice") > 0, 20),
+          QualityScore.Check("discount_range", col("l_discount").between(0.0, 0.08), 15),
+          QualityScore.Check("tax_range", col("l_tax") <= 0.06, 10),
+          QualityScore.Check("shipped", col("l_shipdate").isNotNull, 25)
+        )
+        QualityScore
+          .withScore(lineitem(s, d), checks)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("data_quality_score").cast("long")).cast("double")
+              ./(count(lit(1))).as("avg_score"),
+            sum(when(col("dq_check_discount_range"), 0).otherwise(1)).as("n_bad_discount"),
+            sum(when(col("dq_check_tax_range"), 0).otherwise(1)).as("n_bad_tax"),
+            count(lit(1)).as("n")
+          )
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(score AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_score,
+               CAST(SUM(CASE WHEN ok_discount THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_discount,
+               CAST(SUM(CASE WHEN ok_tax THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_tax,
+               COUNT(*) AS n
+        FROM (
+          SELECT l_returnflag,
+                 COALESCE(l_discount BETWEEN 0.0 AND 0.08, FALSE) AS ok_discount,
+                 COALESCE(l_tax <= 0.06, FALSE) AS ok_tax,
+                 GREATEST(100
+                   - (CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 20 END)
+                   - (CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 20 END)
+                   - (CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.08, FALSE) THEN 0 ELSE 15 END)
+                   - (CASE WHEN COALESCE(l_tax <= 0.06, FALSE) THEN 0 ELSE 10 END)
+                   - (CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 25 END), 0) AS score
+          FROM lineitem
+        ) GROUP BY l_returnflag""")
+    )
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Window-function coverage (SURVEY.md §2.5 W1-W5) over the events/orders
+  * test tables, each with a DuckDB oracle.
+  *
+  * Every window partitions by a real key (user_id / event_type) — the
+  * reference's *global* `Window.orderBy(id)` surrogate-key windows
+  * (silver_to_gold.py:158) are deliberately NOT reproduced for fact-scale
+  * data: a global window is a single-partition shuffle, which dies at
+  * 100 TB. Dimension-scale key minting lives in [[Scd2.applyChanges]].
+  *
+  * Moving sums/averages keep the accumulator in DECIMAL inside the frame
+  * and only divide at the end, so results hash-match DuckDB bit-for-bit.
+  */
+object WindowQueries extends QueryModule {
+
+  import Tables._
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // W1: row_number for per-key sequence numbers (transaction_sequence,
+    // silver_to_gold.py:315). First 3 events per user.
+    "q13_window_rownum" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .withColumn("seq", row_number().over(w))
+          .where(col("seq") <= 3)
+          .select(col("user_id"), col("seq"), col("event_id"), col("event_type"))
+      },
+      oracle = Some("""
+        SELECT user_id, CAST(seq AS INTEGER) AS seq, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq
+          FROM events
+        ) WHERE seq <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W2: lead() next-event lookahead -> gap between consecutive events
+    // (operational-hours sessionization, bronze_to_silver.py:193-201).
+    // Gap computed in exact microseconds then one IEEE division.
+    "q14_window_lead" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .where(col("next_ts").isNotNull)
+          .withColumn(
+            "gap_hours",
+            (unix_micros(col("next_ts")) - unix_micros(col("ts"))) / 3.6e9
+          )
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            sum((unix_micros(col("next_ts")) - unix_micros(col("ts"))))
+              .as("total_gap_micros")
+          )
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_gaps,
+               CAST(SUM(gap_micros) AS BIGINT) AS total_gap_micros
+        FROM (
+          SELECT user_id,
+                 DATE_DIFF('microsecond', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_micros
+          FROM events
+        ) WHERE gap_micros IS NOT NULL
+        GROUP BY user_id""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W3: trailing 8-row moving average of daily totals per event_type
+    // (update_ml_features.py:66-71 rowsBetween(-7,0)) + W5 trend class.
+    "q15_window_moving_avg" -> QueryDef(
+      fn = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(28, 2))).as("daily_total"))
+        val w = Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(-7, 0)
+        daily
+          .withColumn(
+            "moving_avg",
+            sum(col("daily_total")).over(w).cast("double") /
+              count(col("daily_total")).over(w)
+          )
+          .withColumn("daily_total", col("daily_total").cast("double"))
+          .withColumn(
+            "trend",
+            when(col("daily_total") > col("moving_avg"), "increasing")
+              .when(col("daily_total") < col("moving_avg"), "decreasing")
+              .otherwise("stable")
+          )
+      },
+      oracle = Some("""
+        SELECT event_type, day,
+               CAST(daily_total AS DOUBLE) AS daily_total,
+               CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(daily_total) OVER w AS moving_avg,
+               CASE WHEN CAST(daily_total AS DOUBLE) > CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(daily_total) OVER w THEN 'increasing'
+                    WHEN CAST(daily_total AS DOUBLE) < CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(daily_total) OVER w THEN 'decreasing'
+                    ELSE 'stable' END AS trend
+        FROM (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(value AS DECIMAL(28,2))) AS daily_total
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        )
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W4: cumulative sum (running operational hours,
+    // update_ml_features.py:190-200). Running decimal total per type.
+    "q16_window_cumsum" -> QueryDef(
+      fn = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(28, 2))).as("daily_total"))
+        val w = Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("running_total", sum(col("daily_total")).over(w).cast("double"))
+          .drop("daily_total")
+      },
+      oracle = Some("""
+        SELECT event_type, day,
+               CAST(SUM(daily_total) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(value AS DECIMAL(28,2))) AS daily_total
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        )""")
+    )
+  )
+}
