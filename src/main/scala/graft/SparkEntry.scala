@@ -15,7 +15,10 @@ object SparkEntry {
     graft.operators.RelationalQueries,
     graft.operators.WindowQueries,
     graft.operators.DmlQueries,
-    graft.functions.ScalarQueries
+    graft.functions.ScalarQueries,
+    graft.functions.TextQueries,
+    graft.functions.DedupQueries,
+    graft.functions.SimilarityQueries
   )
 
   private lazy val all: Map[String, QueryDef] =

@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.plans.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
+  * bucketed variant as the scale path. The dot product is a codegen'd
+  * Catalyst expression ([[graft.plans.DotProductFD]]) — double-precision
+  * ascending accumulation, bit-identical to the oracle's
+  * `SUM((DOUBLE)a[i]*(DOUBLE)b[i])`.
+  *
+  * Scale notes: brute force is O(n²·dim) — correct baseline, usable to
+  * ~10⁵ vectors per partition-group; the LSH variant joins on a bucket
+  * key so candidate generation is linear and shuffles once on the bucket.
+  * An IVF refinement (k-means centroids) would drop in the same shape:
+  * bucket = nearest centroid id.
+  */
+object SimilarityQueries extends QueryModule {
+
+  import Tables._
+
+  private val normSqlFrag =
+    "sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+  private val dotSqlFrag =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // Brute-force cosine top-3 neighbors per vector.
+    "q35_cosine_topk" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val sims = a
+          .crossJoin(b)
+          .where(col("qid") =!= col("nid"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        sims
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM e a, e b WHERE a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Sign-bit LSH ANN: bucket on the sign pattern of the first 8
+    // coordinates (axis-aligned hyperplanes); exact cosine re-rank within
+    // bucket only. Recall < 1 by construction; candidate generation is
+    // linear (one shuffle on the bucket key).
+    "q36_ann_sign_lsh" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val bucket = (1 to 8)
+          .map(i => when(element_at(col("embedding"), i) >= 0f, 1 << (i - 1)).otherwise(0))
+          .reduce(_ + _)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .withColumn("bucket", bucket)
+        val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val sims = a
+          .join(b, "bucket")
+          .where(col("qid") =!= col("nid"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        sims
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm,
+                 $bucketSql AS bucket
+          FROM embeddings WHERE $normSqlFrag > 0),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    )
+  )
+}
