@@ -18,7 +18,9 @@ object SparkEntry {
     graft.functions.ScalarQueries,
     graft.functions.TextQueries,
     graft.functions.DedupQueries,
-    graft.functions.SimilarityQueries
+    graft.functions.SimilarityQueries,
+    graft.streaming.StreamingQueries,
+    graft.sources.Multimodal
   )
 
   private lazy val all: Map[String, QueryDef] =

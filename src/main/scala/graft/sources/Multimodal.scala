@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB (byte histogram standing in for
+  * "decode then featurize"); everything around it — schema, typed
+  * Dataset, per-partition batching, partition-count preservation — is the
+  * real Spark plumbing a production decoder drops into. At 100 TB the
+  * mapPartitions boundary is where a JNI/FFI decoder amortizes its init
+  * cost across a whole partition instead of per row.
+  */
+object Multimodal extends QueryModule {
+
+  /** A media row: opaque bytes + metadata the pipeline can route on. */
+  final case class MediaRecord(
+      doc_id: Long,
+      content: Array[Byte],
+      mime: String,
+      n_bytes: Long
+  )
+
+  /** Extracted features: fixed-width vector per media item. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      energy: Double,
+      histogram: Array[Double]
+  )
+
+  /** Wrap the documents table as a media table (utf-8 bytes as payload —
+    * the same plumbing carries jpeg/wav/mp4 bytes unchanged).
+    */
+  def asMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("content"),
+        lit("text/plain").as("mime"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes")
+      )
+      .as[MediaRecord]
+  }
+
+  /** Batch "decode": per-partition iteration so a real decoder initializes
+    * once per partition. STUB kernel — a real build would replace
+    * `fakeDecode` with an image/audio codec call; the 16-bin byte
+    * histogram keeps the output deterministic and testable.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // decoder init would happen HERE, once per partition
+      it.map { m =>
+        val (hist, energy) = fakeDecode(m.content)
+        MediaFeatures(m.doc_id, m.n_bytes, energy, hist)
+      }
+    }
+  }
+
+  /** STUB for media decode: deterministic 16-bin byte histogram
+    * (normalized) + mean byte "energy". Replace with a real codec.
+    */
+  private def fakeDecode(bytes: Array[Byte]): (Array[Double], Double) = {
+    val hist = new Array[Double](16)
+    var sum  = 0L
+    var i    = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) % 16) += 1.0
+      sum += (bytes(i) & 0xff)
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    (hist.map(_ / n), sum.toDouble / n)
+  }
+
+  /** STUB frame sampler: every `stride`-th byte window as a "frame". */
+  def frameSample(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .flatMap { m =>
+        m.content.grouped(stride).zipWithIndex.map { case (frame, idx) =>
+          (m.doc_id, idx, frame.length.toLong)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  override def queries: Map[String, QueryDef] = Map(
+    // Metadata path: typed binary column + portable fingerprint. Oracle-
+    // checkable because md5/octet_length agree across engines on the
+    // identical bytes.
+    "q38_multimodal_meta" -> QueryDef(
+      fn = (s, d) =>
+        asMediaTable(s, d).toDF()
+          .select(
+            col("doc_id"),
+            col("mime"),
+            col("n_bytes"),
+            md5(col("content")).as("content_md5")
+          ),
+      oracle = Some("""
+        SELECT doc_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents""")
+    ),
+
+    // Feature-extraction path through mapPartitions (typed Dataset). The
+    // histogram/energy kernel is the documented stub; per-source energy
+    // averages are exact-decimal so the run is reproducible. Rows-only
+    // check (no portable SQL for the kernel by design).
+    "q39_multimodal_features" -> QueryDef(
+      fn = (s, d) =>
+        decodeFeatures(asMediaTable(s, d)).toDF()
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            round(col("energy"), 4).as("energy_r"),
+            round(element_at(col("histogram"), 1), 4).as("hist0")
+          ),
+      oracle = None
+    )
+  )
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Verifiable streaming query: the events table replayed through a real
+  * Structured-Streaming file source into a tumbling-window aggregation.
+  * `processAllAvailable` drains the stream synchronously, so the result
+  * is deterministic and comparable to a batch oracle — the point being
+  * that the *same* windowed plan runs incrementally per micro-batch in
+  * production.
+  */
+object StreamingQueries extends QueryModule {
+
+  override def queries: Map[String, QueryDef] = Map(
+    // Tumbling 1-day window over the event stream, complete mode into a
+    // memory sink. Epoch-aligned windows == DuckDB date_trunc('day').
+    "q37_stream_window_agg" -> QueryDef(
+      fn = (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)
+        ))
+        // the file source requires a *directory*; stage a symlink dir
+        // pointing at the events file (read-only testdata stays untouched)
+        val stageDir = java.nio.file.Paths.get(
+          "/tmp/graft_stream_events_" + math.abs(d.hashCode).toString
+        )
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link,
+            java.nio.file.Paths.get(s"$d/events.parquet")
+          )
+        val stream = s.readStream
+          .schema(schema)
+          .parquet(stageDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = stream
+          .withWatermark("ts", "48 hours")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total")
+          )
+          .select(
+            col("window.start").as("day_start"),
+            col("event_type"), col("n"), col("total")
+          )
+        val q = agg.writeStream
+          .format("memory")
+          .queryName("q37_out")
+          .outputMode("complete")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table("q37_out")
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2""")
+    )
+  )
+}
