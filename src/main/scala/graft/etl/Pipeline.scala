@@ -1,0 +1,160 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-process pipeline runner replacing the reference's Airflow DAGs
+  * (SURVEY.md §2.11 G1-G5): ordered stages, a quality gate between
+  * layers, processed-key ledgers, and a per-table count report.
+  *
+  * The run is incremental-by-construction: each cycle processes only
+  * bronze rows absent from the ledger, merges idempotently into silver,
+  * and rebuilds gold from silver — re-running a cycle adds zero rows.
+  */
+final class Pipeline(wh: Warehouse) {
+
+  private def spark: SparkSession = wh.spark
+
+  /** G5 — seed bronze from the deterministic generators. */
+  def initBronze(nSales: Long, nInventory: Long, nEquipment: Long, nFeedback: Long): Unit = {
+    wh.overwrite(Generators.salesEvents(spark, nSales), "bronze", "sales_events")
+    wh.overwrite(Generators.inventoryUpdates(spark, nInventory), "bronze", "inventory_updates")
+    wh.overwrite(Generators.equipmentMetrics(spark, nEquipment), "bronze", "equipment_metrics")
+    wh.overwrite(Generators.customerFeedback(spark, nFeedback), "bronze", "customer_feedback")
+  }
+
+  /** G1 stage 2 — Bronze→Silver with ledger-based incrementality and
+    * late-data reconciliation.
+    */
+  def bronzeToSilver(): Unit = {
+    runDomain("sales_events", "event_id", BronzeToSilver.sales)
+    runDomain("inventory_updates", "update_id", BronzeToSilver.inventory)
+    runDomain("equipment_metrics", "metric_id", BronzeToSilver.equipment)
+    runDomain("feedback", "feedback_id", BronzeToSilver.feedback,
+      bronzeTable = "customer_feedback")
+    // T5: reconcile late-arriving inventory into silver, newest wins
+    val silverInv = wh.load("silver", "inventory_updates")
+    val late = BronzeToSilver
+      .inventory(wh.load("bronze", "inventory_updates"))
+      .where(col("late_arrival_hours") > 0)
+    wh.overwrite(
+      BronzeToSilver.reconcileLate(silverInv, late, "update_id"),
+      "silver", "inventory_updates")
+  }
+
+  private def runDomain(
+      name: String,
+      keyCol: String,
+      transform: DataFrame => DataFrame,
+      bronzeTable: String = ""
+  ): Unit = {
+    val src    = if (bronzeTable.nonEmpty) bronzeTable else name
+    val bronze = wh.load("bronze", src)
+    val ledgerPath = s"ledger_$name"
+    val ledger = wh.loadOr("silver", ledgerPath,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("processed_at", org.apache.spark.sql.types.TimestampType))))
+    val batch  = transform(StatusLedger.pending(bronze, ledger, keyCol))
+    if (!batch.isEmpty) {
+      if (wh.exists("silver", name)) {
+        val merged = graft.operators.MergeInto.insertOnly(
+          wh.load("silver", name), batch.select(wh.load("silver", name).columns.map(col).toSeq: _*),
+          Seq(keyCol))
+        wh.overwrite(merged, "silver", name)
+      } else wh.overwrite(batch, "silver", name)
+      wh.append(StatusLedger.markProcessed(batch, keyCol), "silver", ledgerPath)
+    }
+  }
+
+  /** G3 — quality gate: average silver quality score must clear the
+    * threshold before gold builds (bakery_batch_etl.py:54-62; threshold
+    * 80 in the reference, configurable here).
+    */
+  def qualityGate(threshold: Double = 50.0): Double = {
+    val avgScore = wh
+      .load("silver", "sales_events")
+      .agg(avg(col("data_quality_score")))
+      .first()
+      .getDouble(0)
+    require(avgScore >= threshold,
+      f"quality gate failed: avg sales quality $avgScore%.1f < $threshold%.1f")
+    avgScore
+  }
+
+  /** G1 stage 3 — Silver→Gold star schema + ML features. */
+  def silverToGold(asOf: java.sql.Date): Unit = {
+    val silverSales = wh.load("silver", "sales_events")
+    val dimProduct = SilverToGold.dimProduct(spark,
+      if (wh.exists("gold", "dim_product")) Some(wh.load("gold", "dim_product")) else None)
+    wh.overwrite(dimProduct, "gold", "dim_product")
+
+    val dimStore = SilverToGold.dimStoreScd2(spark,
+      if (wh.exists("gold", "dim_store")) Some(wh.load("gold", "dim_store")) else None, asOf)
+    wh.overwrite(dimStore, "gold", "dim_store")
+
+    val dimPricing = SilverToGold.dimPricingScd2(silverSales,
+      if (wh.exists("gold", "dim_pricing")) Some(wh.load("gold", "dim_pricing")) else None, asOf)
+    wh.overwrite(dimPricing, "gold", "dim_pricing")
+
+    wh.overwrite(SilverToGold.dimCustomer(silverSales,
+      if (wh.exists("gold", "dim_customer")) Some(wh.load("gold", "dim_customer")) else None),
+      "gold", "dim_customer")
+    wh.overwrite(SilverToGold.dimEquipment(spark), "gold", "dim_equipment")
+
+    val (minD, maxD) = {
+      val r = silverSales.agg(min(col("date")), max(col("date"))).first()
+      (r.getDate(0).toString, r.getDate(1).toString)
+    }
+    wh.overwrite(SilverToGold.dimCalendar(spark, minD, maxD), "gold", "dim_calendar")
+
+    wh.overwrite(SilverToGold.factSales(silverSales, dimProduct), "gold", "fact_sales")
+    wh.overwrite(SilverToGold.factInventory(wh.load("silver", "inventory_updates")),
+      "gold", "fact_inventory")
+    wh.overwrite(SilverToGold.factEquipment(wh.load("silver", "equipment_metrics")),
+      "gold", "fact_equipment_performance")
+
+    wh.overwrite(MlFeatures.productDemand(wh.load("gold", "fact_sales")),
+      "gold", "product_demand_features")
+    wh.overwrite(MlFeatures.equipmentHealth(wh.load("gold", "fact_equipment_performance")),
+      "gold", "equipment_health_features")
+    wh.overwrite(MlFeatures.productionBatches(spark,
+      wh.load("gold", "dim_product"), wh.load("gold", "dim_equipment")),
+      "gold", "production_batch_features")
+  }
+
+  /** G2/G5 — count report across all layers (bakery_csv_etl_pipeline.py:
+    * 380-416).
+    */
+  def report(): DataFrame = {
+    val tables = Seq(
+      "bronze" -> "sales_events", "bronze" -> "inventory_updates",
+      "bronze" -> "equipment_metrics", "bronze" -> "customer_feedback",
+      "silver" -> "sales_events", "silver" -> "inventory_updates",
+      "silver" -> "equipment_metrics", "silver" -> "feedback",
+      "gold" -> "dim_product", "gold" -> "dim_store", "gold" -> "dim_pricing",
+      "gold" -> "dim_customer", "gold" -> "dim_calendar", "gold" -> "dim_equipment",
+      "gold" -> "fact_sales", "gold" -> "fact_inventory",
+      "gold" -> "fact_equipment_performance",
+      "gold" -> "product_demand_features", "gold" -> "equipment_health_features",
+      "gold" -> "production_batch_features"
+    )
+    tables
+      .filter { case (l, t) => wh.exists(l, t) }
+      .map { case (l, t) =>
+        wh.load(l, t)
+          .agg(count(lit(1)).as("row_count"))
+          .select(lit(l).as("layer"), lit(t).as("table_name"), col("row_count"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("layer"), col("table_name"))
+  }
+
+  /** Full cycle (G1): ingest → silver → gate → gold → report. */
+  def runAll(asOf: java.sql.Date): DataFrame = {
+    bronzeToSilver()
+    qualityGate()
+    silverToGold(asOf)
+    report()
+  }
+}

@@ -1,0 +1,23 @@
+package graft.etl
+
+import graft.GraftSession
+
+/** CLI entry point for the medallion pipeline (SURVEY.md §7 step 8):
+  * seeds bronze with the deterministic generators, runs
+  * bronze→silver→gold with the quality gate, prints the count report.
+  *
+  * Usage: runMain graft.etl.RunPipeline <warehouseDir> [nSales]
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val whDir  = args.headOption.getOrElse("/tmp/graft_warehouse")
+    val nSales = args.lift(1).map(_.toLong).getOrElse(10000L)
+    val spark  = GraftSession.getOrCreate()
+    val wh     = new Warehouse(spark, whDir)
+    val pipe   = new Pipeline(wh)
+    pipe.initBronze(nSales, nSales / 4, nSales / 2, nSales / 10)
+    val report = pipe.runAll(java.sql.Date.valueOf("2025-06-20"))
+    report.show(50, truncate = false)
+    spark.stop()
+  }
+}

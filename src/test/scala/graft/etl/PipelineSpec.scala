@@ -1,0 +1,95 @@
+package graft.etl
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end medallion pipeline on deterministic generated data
+  * (SURVEY.md §5 rebuild test plan items 1-3).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val wh: Warehouse = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    new Warehouse(spark, root)
+  }
+  private lazy val pipeline = new Pipeline(wh)
+  private val asOf = java.sql.Date.valueOf("2025-06-20")
+
+  test("full pipeline runs bronze -> silver -> gold with nonempty outputs") {
+    pipeline.initBronze(nSales = 3000, nInventory = 800, nEquipment = 2000, nFeedback = 300)
+    val report = pipeline.runAll(asOf)
+    val counts = report.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("bronze", "sales_events")) == 3000)
+    assert(counts(("silver", "sales_events")) == 3000) // all statuses normalize to pending
+    assert(counts(("gold", "dim_product")) == 10)
+    assert(counts(("gold", "dim_store")) == 5)
+    assert(counts(("gold", "dim_equipment")) == 7)
+    assert(counts(("gold", "fact_sales")) > 0)
+    assert(counts(("gold", "fact_inventory")) > 0)
+    assert(counts(("gold", "fact_equipment_performance")) > 0)
+    assert(counts(("gold", "product_demand_features")) > 0)
+  }
+
+  test("second cycle is idempotent: no new silver rows, gate still passes") {
+    val before = wh.load("silver", "sales_events").count()
+    pipeline.bronzeToSilver()
+    assert(wh.load("silver", "sales_events").count() == before)
+    assert(pipeline.qualityGate() >= 50.0)
+  }
+
+  test("silver inventory preserves the derived-measure identities") {
+    val inv = wh.load("silver", "inventory_updates")
+    val bad = inv.where(
+      col("closing_stock") =!=
+        (col("beginning_stock") + col("restocked_quantity")
+          - col("sold_quantity") - col("waste_quantity"))
+    )
+    assert(bad.count() == 0)
+    val badRatio = inv.where(col("waste_ratio") < 0 || col("waste_ratio") > 1)
+    assert(badRatio.count() == 0)
+  }
+
+  test("quality scores are within [0,100]") {
+    val s = wh.load("silver", "sales_events")
+    assert(s.where(col("data_quality_score") < 0 || col("data_quality_score") > 100).count() == 0)
+  }
+
+  test("SCD2 dims: at most one current row per business key") {
+    val store = wh.load("gold", "dim_store")
+    val dup = store.where(col("is_current_record"))
+      .groupBy(col("store_id")).count().where(col("count") > 1)
+    assert(dup.count() == 0)
+    val pricing = wh.load("gold", "dim_pricing")
+    val dupP = pricing.where(col("is_current_record"))
+      .groupBy(col("product_id")).count().where(col("count") > 1)
+    assert(dupP.count() == 0)
+  }
+
+  test("fact_sales measures are consistent and quality-gated") {
+    val fs = wh.load("gold", "fact_sales")
+    assert(fs.where(col("data_quality_score") < 50).count() == 0)
+    val bad = fs.where(
+      col("gross_amount") =!= (col("quantity") * col("unit_price")).cast(Schemas.Money))
+    assert(bad.count() == 0)
+    // transaction sequence is dense per (store, date)
+    val seqCheck = fs.groupBy(col("store_id"), col("date"))
+      .agg(count(lit(1)).as("n"), max(col("transaction_sequence")).as("mx"))
+      .where(col("n") =!= col("mx"))
+    assert(seqCheck.count() == 0)
+  }
+
+  test("late-data reconcile keeps one row per update_id (newest wins)") {
+    val inv = wh.load("silver", "inventory_updates")
+    val dup = inv.groupBy(col("update_id")).count().where(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+
+  test("feedback silver carries rule-based sentiment") {
+    val fb = wh.load("silver", "feedback")
+    assert(fb.where(col("sentiment_category").isNull).count() == 0)
+    val wrong = fb.where(col("rating") >= 4 && col("sentiment_category") =!= "POSITIVE")
+    assert(wrong.count() == 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest through the real file-source path (SURVEY.md §5 item
+  * 4): JSON lines -> explicit-schema decode -> watermark -> partitioned
+  * parquet sink with checkpoint.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("file JSON stream ingests to date-partitioned parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val in   = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val out  = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val lines = (0 until 50).map { i =>
+      val day = 10 + (i % 3)
+      s"""{"value": "{\\"event_id\\": \\"E$i\\", \\"event_time\\": \\"2025-06-$day 08:0${i % 10}:00\\", \\"product_id\\": ${i % 10 + 1}, \\"quantity\\": ${i % 3 + 1}}"}"""
+    }
+    java.nio.file.Files.write(in.resolve("batch1.json"),
+      String.join("\n", lines: _*).getBytes)
+
+    val schema = StructType(Seq(
+      StructField("event_id", StringType),
+      StructField("event_time", TimestampType),
+      StructField("product_id", IntegerType),
+      StructField("quantity", IntegerType)
+    ))
+    val raw     = StreamingIngest.FileJsonSource(in.toString).stream(spark)
+    val decoded = StreamingIngest.decode(raw, schema)
+    val q = StreamingIngest.startIngest(
+      decoded, "event_time", "48 hours", out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 50)
+    assert(result.select(countDistinct(col("date"))).head().getLong(0) == 3)
+    assert(result.where(col("quantity").isNull).count() == 0)
+  }
+}
