@@ -40,9 +40,11 @@ object DedupQueries extends QueryModule {
     WHERE len(w) >= 3"""
 
   /** Spark side: distinct (doc_id, shingle) pairs. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+  }
 
   override def queries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
@@ -80,7 +82,9 @@ object DedupQueries extends QueryModule {
           .agg(count(lit(1)).as("dfreq"))
           .where(col("dfreq") <= DfCap)
           .select(col("shingle"))
-        val rareSh = sh.join(rare, "shingle")
+        // rareSh feeds three consumers (sizes + both join sides) —
+        // persist so the explode/normalize pipeline runs once
+        val rareSh = sh.join(rare, "shingle").persist()
         val sizes  = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = rareSh
           .as("a")
@@ -131,6 +135,7 @@ object DedupQueries extends QueryModule {
         val mh = sh
           .groupBy(col("doc_id"))
           .agg(mhCols.head, mhCols.tail: _*)
+          .persist() // read once per band instead of re-hashing 4x
         val r = K / Bands
         val bands = (0 until Bands)
           .map { b =>
@@ -206,6 +211,7 @@ object DedupQueries extends QueryModule {
         val keyed = sig
           .withColumn("hi", shiftright(col("simhash"), 8))
           .withColumn("lo", col("simhash").bitwiseAND(lit(255)))
+          .persist() // tiny (one row per doc); joined four ways below
         val byHi = keyed.as("a")
           .join(keyed.as("b"), col("a.hi") === col("b.hi") && col("a.doc_id") < col("b.doc_id"))
           .select(

@@ -37,6 +37,7 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
+          .persist() // both sides of the pair join reuse the norms
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val sims = a
@@ -81,6 +82,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .withColumn("bucket", bucket)
+          .persist()
         val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val sims = a

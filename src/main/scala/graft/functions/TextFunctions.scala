@@ -51,11 +51,20 @@ object TextFunctions {
   /** Heuristic language ID: argmax of marker-word hit counts, 'zh' if CJK
     * characters present, 'und' when nothing matches. Ties resolve in
     * `langMarkers` declaration order.
+    *
+    * Marker counting is ONE regexp split per language (matches counted as
+    * `size(split(padded, m1|m2|..)) - 1`), not one replace per marker —
+    * the per-marker formulation expanded to an expression too large for
+    * whole-stage codegen (janino 64KB method limit), forcing interpreted
+    * evaluation and a ~20x slowdown at scan time. Alternatives at a given
+    * position are disjoint (distinct space-delimited words), so
+    * leftmost-first vs leftmost-longest regex semantics agree and the
+    * count is engine-portable.
     */
   def langId(c: Column): Column = {
     val padded = concat(lit(" "), normalizeText(c), lit(" "))
     val counts = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+      lang -> (size(split(padded, ms.mkString("|"))) - 1)
     }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     val hasCjk = length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
@@ -93,28 +102,14 @@ object TextFunctions {
     )
   }
 
-  /** Rolling (polynomial) content-defined fingerprint over word 3-gram
-    * shingles: the shingle set itself, exposed for dedup operators.
-    * Returns an array of distinct shingle strings.
+  /** Distinct word 3-gram shingles over normalized text, exposed for the
+    * dedup operators. Backed by the one-pass [[graft.plans.WordShingles]]
+    * expression (see its scaladoc for why the higher-order-function
+    * formulation is O(words²) and ~50x slower); callers must have run
+    * [[graft.plans.VectorFunctions.register]] on the session.
     */
-  def shingles3(c: Column): Column = {
-    val words = split(normalizeText(c), " ")
-    array_distinct(
-      when(
-        size(words) >= 3,
-        transform(
-          sequence(lit(1), size(words) - 2),
-          i =>
-            concat_ws(
-              " ",
-              element_at(words, i),
-              element_at(words, i + 1),
-              element_at(words, i + 2)
-            )
-        )
-      ).otherwise(array().cast("array<string>"))
-    )
-  }
+  def shingles3(c: Column): Column =
+    call_function("word_shingles3", normalizeText(c))
 
   implicit final class ColumnPipe(private val c: Column) extends AnyVal {
     def pipe(f: Column => Column): Column = f(c)

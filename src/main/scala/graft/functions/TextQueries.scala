@@ -54,7 +54,7 @@ object TextQueries extends QueryModule {
       oracle = Some {
         val padded = "(' ' || t || ' ')"
         val cnts = TextFunctions.langMarkers.map { case (lang, ms) =>
-          lang -> ms.map(m => occSql(padded, m)).mkString("(", " + ", ")")
+          lang -> s"(len(regexp_split_to_array($padded, '${ms.mkString("|")}')) - 1)"
         }
         val best = cnts.map(_._2).reduceLeft((a, b) => s"GREATEST($a, $b)")
         // fold in declaration order: later whens win only on earlier langs,

@@ -73,14 +73,19 @@ case class DotProductFD(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
-/** Session-scoped registration of the vector expressions, exposing them to
-  * both the Column API (via `call_function`) and SQL.
+/** Session-scoped registration of the custom expressions, exposing them
+  * to both the Column API (via `call_function`) and SQL.
   */
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => DotProductFD(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles3",
+      exprs => WordShingles(exprs.head, 3),
       "built-in"
     )
   }
