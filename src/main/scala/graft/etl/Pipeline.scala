@@ -23,6 +23,25 @@ final class Pipeline(wh: Warehouse) {
     wh.overwrite(Generators.customerFeedback(spark, nFeedback), "bronze", "customer_feedback")
   }
 
+  /** G2 — seed bronze by demultiplexing a reference-shaped combined CSV
+    * (the CSV-pipeline DAG path, `bakery_csv_etl_pipeline.py`). The sales
+    * slice drops the transient raw_payload (its fields live in the JSON
+    * column) to match the generator-shaped bronze schema.
+    */
+  def initBronzeFromCsv(csvPath: String): Unit = {
+    import graft.sources.CsvDemux
+    val raw = CsvDemux.readCombined(spark, csvPath)
+    // literal "null" strings -> real nulls (reference CSV convention)
+    val combined = raw.select(raw.columns.map(c =>
+      when(col(s"`$c`") === "null", lit(null)).otherwise(col(s"`$c`")).as(c)).toSeq: _*)
+    wh.overwrite(
+      CsvDemux.sales(combined).select(Schemas.bronzeSales.fieldNames.map(col).toSeq: _*),
+      "bronze", "sales_events")
+    wh.overwrite(CsvDemux.inventory(combined), "bronze", "inventory_updates")
+    wh.overwrite(CsvDemux.equipment(combined), "bronze", "equipment_metrics")
+    wh.overwrite(CsvDemux.feedback(combined), "bronze", "customer_feedback")
+  }
+
   /** G1 stage 2 — Bronze→Silver with ledger-based incrementality and
     * late-data reconciliation.
     */

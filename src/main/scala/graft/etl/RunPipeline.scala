@@ -11,11 +11,15 @@ import graft.GraftSession
 object RunPipeline {
   def main(args: Array[String]): Unit = {
     val whDir  = args.headOption.getOrElse("/tmp/graft_warehouse")
-    val nSales = args.lift(1).map(_.toLong).getOrElse(10000L)
     val spark  = GraftSession.getOrCreate()
     val wh     = new Warehouse(spark, whDir)
     val pipe   = new Pipeline(wh)
-    pipe.initBronze(nSales, nSales / 4, nSales / 2, nSales / 10)
+    args.lift(1) match {
+      case Some(csv) if csv.endsWith(".csv") => pipe.initBronzeFromCsv(csv)
+      case other =>
+        val nSales = other.map(_.toLong).getOrElse(10000L)
+        pipe.initBronze(nSales, nSales / 4, nSales / 2, nSales / 10)
+    }
     val report = pipe.runAll(java.sql.Date.valueOf("2025-06-20"))
     report.show(50, truncate = false)
     spark.stop()
