@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Physical-plan audit: asserts the optimizer properties the engine's
+  * scale story depends on (SURVEY.md §4) actually hold — filters reach
+  * the parquet scan, scans are column-pruned, dim joins broadcast, the
+  * hot paths stay inside whole-stage codegen, and no fact-scale operator
+  * degenerates to a single-partition global window.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  * Exits non-zero if any assertion fails.
+  */
+object PlanAudit {
+
+  final case class Audit(query: String, mustContain: Seq[String], mustNotContain: Seq[String] = Nil)
+
+  val audits: Seq[Audit] = Seq(
+    // column pruning (ReadSchema lists only the 5 referenced lineitem
+    // columns) + whole-stage codegen ("*(n)" stage markers)
+    Audit("q01_agg",
+      mustContain = Seq("ReadSchema: struct<l_quantity", "*(1)")),
+    // filter pushdown into the parquet scan (PushedFilters string is
+    // truncated in toString, so assert the scan-level DataFilters too)
+    Audit("q09_range_predicate",
+      mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate)", "> 0.05)")),
+    // explicit dim broadcast survives planning
+    Audit("q06_join_broadcast_dim",
+      mustContain = Seq("BroadcastHashJoin", "BroadcastExchange")),
+    // small dims auto/hint broadcast in the 5-way join; no cartesian
+    Audit("q05_join_multiway",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")),
+    // partitioned window, not a global one
+    Audit("q13_window_rownum",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("SinglePartition")),
+    // anti-join based merge stays a join, never a driver loop
+    Audit("q18_merge_insert_only",
+      mustContain = Seq("LeftAnti")),
+    // codegen'd custom expression present in the similarity plan
+    Audit("q35_cosine_topk",
+      mustContain = Seq("vec_dot")),
+    // top-k uses TakeOrderedAndProject (no full global sort at scale)
+    Audit("q11_sort_limit",
+      mustContain = Seq("TakeOrderedAndProject"))
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.getOrCreate()
+    val qs    = SparkEntry.queries
+    var failed = 0
+    audits.foreach { a =>
+      val df = qs(a.query)(spark, sfDir)
+      df.collect() // finalize the adaptive plan before inspecting it
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = a.mustContain.filterNot(plan.contains)
+      val present = a.mustNotContain.filter(plan.contains)
+      if (missing.isEmpty && present.isEmpty)
+        println(s"[plan-audit] PASS ${a.query}")
+      else {
+        failed += 1
+        println(s"[plan-audit] FAIL ${a.query}: missing=${missing.mkString("; ")} " +
+          s"unexpected=${present.mkString("; ")}")
+        println(plan.linesIterator.take(40).mkString("\n"))
+      }
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+    println(s"[plan-audit] all ${audits.size} plan assertions hold")
+  }
+}
