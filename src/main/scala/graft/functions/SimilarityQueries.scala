@@ -116,6 +116,40 @@ object SimilarityQueries extends QueryModule {
           FROM pairs
         ) WHERE rank <= 3"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // Embedding-cosine near-duplicate pairs (the fifth dedup modality):
+    // unordered pairs above a similarity threshold. Exact formulation
+    // here; at scale the same threshold filter runs on the sign-LSH
+    // bucketed candidates instead of the full cross product.
+    "q41_cosine_neardup" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .persist()
+        val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb"))
+        a.crossJoin(b)
+          .where(col("ida") < col("idb"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          .where(col("sim") >= 0.4)
+          .select(col("ida"), col("idb"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0)
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               $dotSqlFrag / (a.nrm * b.nrm) AS sim
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND $dotSqlFrag / (a.nrm * b.nrm) >= 0.4""")
     )
   )
 }

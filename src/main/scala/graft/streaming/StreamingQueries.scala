@@ -68,6 +68,63 @@ object StreamingQueries extends QueryModule {
                event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Batch sessionization (the lag + running-flag-sum formulation) —
+    // same session semantics as the stateful streaming operator
+    // [[Sessionize]], expressed relationally so it oracle-checks: a new
+    // session starts after > 30 event-time minutes of per-user silence.
+    "q40_sessionize_batch" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        graft.Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_session",
+            when(
+              col("prev_ts").isNull ||
+                (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000,
+              1
+            ).otherwise(0)
+          )
+          .withColumn(
+            "session_seq",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          )
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total_value")
+          )
+      },
+      oracle = Some("""
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                          OR DATE_DIFF('microsecond', prev_ts, ts) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+              SELECT user_id, event_id, ts, value,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events
+            )
+          )
+        ) GROUP BY user_id, session_seq""")
     )
   )
 }
