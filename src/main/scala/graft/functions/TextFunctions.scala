@@ -50,30 +50,13 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of marker-word hit counts, 'zh' if CJK
     * characters present, 'und' when nothing matches. Ties resolve in
-    * `langMarkers` declaration order.
-    *
-    * Marker counting is ONE regexp split per language (matches counted as
-    * `size(split(padded, m1|m2|..)) - 1`), not one replace per marker —
-    * the per-marker formulation expanded to an expression too large for
-    * whole-stage codegen (janino 64KB method limit), forcing interpreted
-    * evaluation and a ~20x slowdown at scan time. Alternatives at a given
-    * position are disjoint (distinct space-delimited words), so
-    * leftmost-first vs leftmost-longest regex semantics agree and the
-    * count is engine-portable.
+    * `langMarkers` declaration order. Backed by the one-pass
+    * [[graft.plans.LangId]] expression (composable argmax-of-counts
+    * formulations re-evaluate the count subexpressions per CASE branch
+    * whenever codegen falls back to interpreted mode); callers must have
+    * run [[graft.plans.VectorFunctions.register]] on the session.
     */
-  def langId(c: Column): Column = {
-    val padded = concat(lit(" "), normalizeText(c), lit(" "))
-    val counts = langMarkers.map { case (lang, ms) =>
-      lang -> (size(split(padded, ms.mkString("|"))) - 1)
-    }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    val hasCjk = length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
-    counts.reverse
-      .foldLeft(lit("und")) { case (acc, (lang, cnt)) =>
-        when(cnt === best && best > 0, lang).otherwise(acc)
-      }
-      .pipe(base => when(hasCjk, "zh").otherwise(base))
-  }
+  def langId(c: Column): Column = call_function("lang_id", c)
 
   /** Document quality score in [0,100]: rewards reasonable length and
     * stopword presence, penalizes punctuation/digit excess. Mirrors the

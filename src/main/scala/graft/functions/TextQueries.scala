@@ -46,11 +46,13 @@ object TextQueries extends QueryModule {
     // Language ID: marker-word argmax heuristic + CJK check, counted per
     // (predicted, labeled) pair — the confusion matrix of the heuristic.
     "q29_lang_id" -> QueryDef(
-      fn = (s, d) =>
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
         documents(s, d)
           .withColumn("predicted", langId(col("text")))
           .groupBy(col("predicted"), col("lang"))
-          .agg(count(lit(1)).as("n")),
+          .agg(count(lit(1)).as("n"))
+      },
       oracle = Some {
         val padded = "(' ' || t || ' ')"
         val cnts = TextFunctions.langMarkers.map { case (lang, ms) =>

@@ -88,5 +88,10 @@ object VectorFunctions {
       exprs => WordShingles(exprs.head, 3),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id",
+      exprs => LangId(exprs.head, graft.functions.TextFunctions.langMarkers),
+      "built-in"
+    )
   }
 }
