@@ -150,6 +150,53 @@ object SimilarityQueries extends QueryModule {
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
           AND $dotSqlFrag / (a.nrm * b.nrm) >= 0.4""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Same result as q35 through a typed Aggregator (UDAF) instead of a
+    // window: partial aggregation truncates to k rows inside each map
+    // task, so the shuffle carries O(k x groups) rows instead of every
+    // candidate pair — the formulation that survives 100 TB. Shares
+    // q35's oracle: both plans must produce identical rows.
+    "q44_topk_aggregator" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        import graft.operators.TopKAggregator
+        val tk = udaf(TopKAggregator.topK(3), org.apache.spark.sql.Encoders.product[TopKAggregator.Scored])
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .persist()
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        a.crossJoin(b)
+          .where(col("qid") =!= col("nid"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          .groupBy(col("qid"))
+          .agg(tk(col("nid"), col("sim")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "n")))
+          .select(
+            col("qid"),
+            col("n.id").as("nid"),
+            (col("pos") + 1).as("rank"),
+            col("n.score").as("sim")
+          )
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM e a, e b WHERE a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3""")
     )
   )
 }
