@@ -22,6 +22,16 @@ object RunPipeline {
     }
     val report = pipe.runAll(java.sql.Date.valueOf("2025-06-20"))
     report.show(50, truncate = false)
+    println("=== dashboard KPIs (SURVEY §2.12) ===")
+    DashboardQueries.revenueKpis(wh.load("gold", "fact_sales")).show(truncate = false)
+    DashboardQueries
+      .inventoryHealth(wh.load("gold", "fact_inventory"))
+      .orderBy("health")
+      .show(truncate = false)
+    DashboardQueries
+      .wasteByCategory(wh.load("gold", "fact_inventory"), wh.load("gold", "dim_product"))
+      .orderBy("category")
+      .show(truncate = false)
     spark.stop()
   }
 }

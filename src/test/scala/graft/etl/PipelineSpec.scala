@@ -86,6 +86,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(dup.count() == 0)
   }
 
+  test("dashboard KPI queries answer off the gold layer") {
+    val fs  = wh.load("gold", "fact_sales")
+    val fi  = wh.load("gold", "fact_inventory")
+    val dp  = wh.load("gold", "dim_product")
+    val pdf = wh.load("gold", "product_demand_features")
+
+    val kpis = DashboardQueries.revenueKpis(fs).head()
+    assert(kpis.getAs[java.math.BigDecimal]("total_revenue").signum() > 0)
+    assert(kpis.getAs[Long]("n_days") > 0)
+
+    val slice = DashboardQueries.revenueBy(fs,
+      java.sql.Date.valueOf("2025-06-01"), java.sql.Date.valueOf("2025-06-30"))
+    assert(slice.count() > 0)
+
+    val health = DashboardQueries.inventoryHealth(fi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(health.values.sum == fi.count())
+
+    val waste = DashboardQueries.wasteByCategory(fi, dp)
+    assert(waste.where(col("category").isNull).count() == 0)
+
+    assert(DashboardQueries.demandVsForecast(pdf).count() > 0)
+  }
+
   test("feedback silver carries rule-based sentiment") {
     val fb = wh.load("silver", "feedback")
     assert(fb.where(col("sentiment_category").isNull).count() == 0)
