@@ -153,6 +153,74 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // IVF-style ANN: a fixed, deterministic codebook (the 16 lowest
+    // vec_ids stand in for k-means centroids — same plan shape, seedable
+    // training is orthogonal), every vector assigned to its nearest
+    // centroid, exact top-3 within each inverted list only. Candidate
+    // generation is one broadcast join against the codebook + one shuffle
+    // on the centroid id — linear, and the standard recall/latency knob
+    // (n_probe) would just union the next-nearest centroid lists.
+    "q45_ann_ivf" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .persist()
+        val centroids = e
+          .where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        // assign: nearest centroid by cosine, tie-break lowest cid
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+        val assigned = e
+          .crossJoin(broadcast(centroids))
+          .withColumn(
+            "csim",
+            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+          )
+          .withColumn("r", row_number().over(wAssign))
+          .where(col("r") === 1)
+          .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+          .persist()
+        val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        a.join(b, "cid")
+          .where(col("qid") =!= col("nid"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+        assigned AS (
+          SELECT cid, vec_id, embedding, nrm FROM (
+            SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.embedding, c.ce),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * c.cn) DESC,
+                     c.cid ASC) AS r
+            FROM e CROSS JOIN c
+          ) WHERE r = 1),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS sim
+          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
     // Same result as q35 through a typed Aggregator (UDAF) instead of a
     // window: partial aggregation truncates to k rows inside each map
     // task, so the shuffle carries O(k x groups) rows instead of every

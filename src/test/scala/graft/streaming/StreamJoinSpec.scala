@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+// top-level so Spark can build encoders without an outer-instance scope
+final case class Click(click_id: Long, user: Long, click_ts: java.sql.Timestamp)
+final case class Buy(buy_id: Long, buyer: Long, buy_ts: java.sql.Timestamp)
+
+/** Streaming semantics beyond the reference's surface: watermarked
+  * stream-stream inner join and streaming deduplication — both stateful,
+  * both with state bounded by the watermark.
+  */
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2025-06-01 10:$minute%02d:00")
+
+  test("watermarked stream-stream join pairs clicks with purchases in the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys   = MemoryStream[Buy]
+
+    val joined = clicks.toDS()
+      .withWatermark("click_ts", "30 minutes")
+      .join(
+        buys.toDS().withWatermark("buy_ts", "30 minutes"),
+        expr("""
+          user = buyer AND
+          buy_ts >= click_ts AND
+          buy_ts <= click_ts + INTERVAL 15 MINUTES""")
+      )
+      .select(col("click_id"), col("buy_id"), col("user"))
+
+    val q = joined.writeStream
+      .format("memory").queryName("stream_join_out").outputMode("append").start()
+    try {
+      clicks.addData(Click(1, 100, ts(0)), Click(2, 200, ts(5)))
+      buys.addData(Buy(10, 100, ts(10)), Buy(20, 200, ts(45))) // 20 outside window
+      q.processAllAvailable()
+      val rows = spark.table("stream_join_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 10L, 100L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates suppresses repeated event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val deduped = input.toDS()
+      .withWatermark("click_ts", "1 hour")
+      .dropDuplicates("click_id")
+      .select(col("click_id"), col("user"))
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup_out").outputMode("append").start()
+    try {
+      input.addData(Click(1, 100, ts(0)), Click(1, 100, ts(0)), Click(2, 200, ts(1)))
+      q.processAllAvailable()
+      input.addData(Click(2, 200, ts(1)), Click(3, 300, ts(2))) // 2 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}
