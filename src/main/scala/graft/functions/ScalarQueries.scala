@@ -142,6 +142,56 @@ object ScalarQueries extends QueryModule {
                     * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
                     * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))) AS DOUBLE) AS charge
         FROM lineitem WHERE l_orderkey % 100 = 0""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Null handling + math scalars: coalesce/nullif/greatest/least/abs/
+    // round/sign (update_ml_features.py:126,147,264; silver_to_gold.py:
+    // 211,393). acctbal has negatives, exercising abs/sign/clamps.
+    "q46_null_math" -> QueryDef(
+      fn = (s, d) =>
+        customer(s, d)
+          .withColumn("bal_nonzero", nullif(col("c_acctbal"), lit(0.0)))
+          .withColumn("bal_or_default", coalesce(col("bal_nonzero"), lit(-1.0)))
+          .withColumn("bal_clamped", least(greatest(col("c_acctbal"), lit(0.0)), lit(5000.0)))
+          .withColumn("bal_abs_r", round(abs(col("c_acctbal")), 1))
+          .withColumn("bal_sign", signum(col("c_acctbal")).cast("int"))
+          .groupBy(col("bal_sign"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("bal_clamped").cast(DecimalType(28, 2))).cast("double").as("sum_clamped"),
+            sum(col("bal_abs_r").cast(DecimalType(28, 2))).cast("double").as("sum_abs_r"),
+            sum(when(col("bal_or_default") === -1.0, 1).otherwise(0)).as("n_zero_bal")
+          ),
+      oracle = Some("""
+        SELECT CAST(SIGN(c_acctbal) AS INTEGER) AS bal_sign,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, 0.0), 5000.0) AS DECIMAL(28,2))) AS DOUBLE) AS sum_clamped,
+               CAST(SUM(CAST(ROUND(ABS(c_acctbal), 1) AS DECIMAL(28,2))) AS DOUBLE) AS sum_abs_r,
+               CAST(SUM(CASE WHEN COALESCE(NULLIF(c_acctbal, 0.0), -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_bal
+        FROM customer GROUP BY 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Deterministic hash sampling: the scale-safe replacement for
+    // rand()-based sampling (SURVEY §2.8 "rand must be seeded") — the
+    // sample is a pure function of the key (md5 prefix), so it is
+    // reproducible across engines, runs, and partitionings.
+    "q47_hash_sample" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .where(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 2) === "00")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sum_qty")
+          ),
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) = '00'
+        GROUP BY l_returnflag""")
     )
   )
 }
