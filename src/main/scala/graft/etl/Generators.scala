@@ -22,14 +22,23 @@ object Generators {
     * constrained timestamps, catalog prices, 15% discounted rows,
     * 30%/70% new/returning customers, mixed-case statuses reproducing the
     * reference's CSV/producer mismatch (SURVEY.md §1.4).
+    *
+    * `baseTs`/`idOffset` let callers generate disjoint later batches
+    * (new event ids, new dates) for incremental-processing tests.
     */
-  def salesEvents(spark: SparkSession, n: Long, days: Int = 14): DataFrame = {
+  def salesEvents(
+      spark: SparkSession,
+      n: Long,
+      days: Int = 14,
+      baseTs: String = BaseTs,
+      idOffset: Long = 0L
+  ): DataFrame = {
     val priceCase = Schemas.products
       .foldLeft(lit(null).cast(Schemas.Money)) { case (acc, (pid, _, _, price)) =>
         when(col("product_id") === pid, lit(price).cast(Schemas.Money)).otherwise(acc)
       }
     spark
-      .range(n)
+      .range(idOffset, idOffset + n)
       .withColumn("product_id", (draw(col("id"), 1, 10) + 1).cast("int"))
       .withColumn("store_id", (draw(col("id"), 2, 5) + 1).cast("int"))
       .withColumn("day_off", draw(col("id"), 3, days))
@@ -37,7 +46,7 @@ object Generators {
       .withColumn("minute", draw(col("id"), 5, 60))
       .withColumn(
         "event_time",
-        to_timestamp(lit(BaseTs)) +
+        to_timestamp(lit(baseTs)) +
           make_dt_interval(col("day_off"), col("hour"), col("minute"), lit(0))
       )
       .withColumn("ingestion_time", col("event_time") + expr("INTERVAL 5 MINUTES"))

@@ -16,6 +16,16 @@ object RunPipeline {
     val pipe   = new Pipeline(wh)
     args.lift(1) match {
       case Some(csv) if csv.endsWith(".csv") => pipe.initBronzeFromCsv(csv)
+      case Some("increment") =>
+        // a later producer window: append, process deltas, extend the fact
+        pipe.appendBronzeSales(
+          Generators.salesEvents(spark, 2000, baseTs = "2025-07-01 00:00:00", idOffset = 5000000L))
+        pipe.bronzeToSilver()
+        val added = pipe.factSalesIncremental()
+        println(s"[pipeline] incremental fact_sales rows appended: $added")
+        pipe.report().show(50, truncate = false)
+        spark.stop()
+        return
       case other =>
         val nSales = other.map(_.toLong).getOrElse(10000L)
         pipe.initBronze(nSales, nSales / 4, nSales / 2, nSales / 10)

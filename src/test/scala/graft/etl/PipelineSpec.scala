@@ -110,6 +110,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(DashboardQueries.demandVsForecast(pdf).count() > 0)
   }
 
+  test("incremental fact build appends only new-date partitions and is idempotent") {
+    val before = wh.load("gold", "fact_sales").count()
+    // a later producer window: disjoint event ids AND disjoint dates
+    pipeline.appendBronzeSales(
+      Generators.salesEvents(spark, 500, baseTs = "2025-07-01 00:00:00", idOffset = 1000000L))
+    pipeline.bronzeToSilver() // ledger picks up only the new event ids
+    val added = pipeline.factSalesIncremental()
+    val after = wh.load("gold", "fact_sales").count()
+    assert(added > 0 && after == before + added)
+    // old partitions untouched: all pre-existing rows still present
+    assert(wh.load("gold", "fact_sales")
+      .where(col("date") < java.sql.Date.valueOf("2025-07-01")).count() == before)
+    // re-running the increment adds nothing
+    assert(pipeline.factSalesIncremental() == 0L)
+    assert(wh.load("gold", "fact_sales").count() == after)
+  }
+
   test("feedback silver carries rule-based sentiment") {
     val fb = wh.load("silver", "feedback")
     assert(fb.where(col("sentiment_category").isNull).count() == 0)
