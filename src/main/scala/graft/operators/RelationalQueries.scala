@@ -270,6 +270,26 @@ object RelationalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // ROLLUP: multi-level subtotals in one pass (absent from the
+    // reference — SURVEY §2.4 "not present" — but table stakes for a
+    // reporting layer; Spark expands it to a grouping-sets aggregate,
+    // still a single shuffle).
+    "q48_rollup" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n")
+          ),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+    ),
+
+    // ----------------------------------------------------------------
     // P4/P6: CASE bucketing + casts (silver_to_gold.py:178-182 price
     // tier CASE; :57-63 calendar flags).
     "q12_case_bucket" -> QueryDef(
