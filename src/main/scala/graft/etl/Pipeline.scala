@@ -127,7 +127,10 @@ final class Pipeline(wh: Warehouse) {
     }
     wh.overwrite(SilverToGold.dimCalendar(spark, minD, maxD), "gold", "dim_calendar")
 
-    wh.overwrite(SilverToGold.factSales(silverSales, dimProduct), "gold", "fact_sales")
+    // reload after the swap: dimProduct's plan pinned the PRE-overwrite
+    // file listing of gold/dim_product, which no longer exists
+    wh.overwrite(SilverToGold.factSales(silverSales, wh.load("gold", "dim_product")),
+      "gold", "fact_sales")
     wh.overwrite(SilverToGold.factInventory(wh.load("silver", "inventory_updates")),
       "gold", "fact_inventory")
     wh.overwrite(SilverToGold.factEquipment(wh.load("silver", "equipment_metrics")),

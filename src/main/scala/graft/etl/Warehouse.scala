@@ -12,11 +12,20 @@ import org.apache.spark.sql.functions._
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
 
+  import org.apache.hadoop.fs.Path
+
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
-  def exists(layer: String, table: String): Boolean =
-    new java.io.File(s"${path(layer, table)}/_SUCCESS").exists() ||
-      new java.io.File(path(layer, table)).exists()
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hadoop FileSystem check so the warehouse root can be local, hdfs://
+    * or s3a:// alike (a `java.io.File` probe breaks on object storage).
+    */
+  def exists(layer: String, table: String): Boolean = {
+    val p = new Path(path(layer, table))
+    fs(p).exists(p)
+  }
 
   def load(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
@@ -30,11 +39,35 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Full overwrite (dims) or dynamic partition overwrite (facts with a
     * `date` column + partitionOverwriteMode=dynamic from GraftSession).
+    *
+    * Non-partitioned (static) overwrite deletes the target directory
+    * BEFORE the write job runs, so a df derived from the target itself —
+    * the SCD2 dim-evolution path, which reads the current dim and writes
+    * the merged dim back — would read a deleted input mid-job. For that
+    * case the write is staged to a sibling directory and swapped in with
+    * two renames (atomic per rename on HDFS/local; last-writer-wins on
+    * object stores). Dynamic partition overwrite has no such hazard: it
+    * stages files and only swaps partition contents at job commit.
     */
   def overwrite(df: DataFrame, layer: String, table: String): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (df.columns.contains("date")) w.partitionBy("date") else w)
-      .parquet(path(layer, table))
+    val target = new Path(path(layer, table))
+    if (df.columns.contains("date")) {
+      df.write.mode("overwrite").partitionBy("date").parquet(target.toString)
+    } else {
+      val filesystem = fs(target)
+      if (!filesystem.exists(target)) {
+        df.write.mode("overwrite").parquet(target.toString)
+      } else {
+        val stage = new Path(target.getParent, target.getName + ".__stage__")
+        val old   = new Path(target.getParent, target.getName + ".__old__")
+        filesystem.delete(stage, true)
+        filesystem.delete(old, true)
+        df.write.mode("overwrite").parquet(stage.toString)
+        filesystem.rename(target, old)
+        filesystem.rename(stage, target)
+        filesystem.delete(old, true)
+      }
+    }
   }
 
   /** Load-or-empty with the given schema (first pipeline run). */

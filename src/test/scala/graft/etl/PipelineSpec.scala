@@ -127,6 +127,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(wh.load("gold", "fact_sales").count() == after)
   }
 
+  test("re-running the full pipeline over an existing warehouse keeps dims intact") {
+    // Regression: static (non-partitioned) overwrite used to delete the dim
+    // directory before the write job read it, destroying every gold dim on
+    // the second silverToGold() over the same warehouse.
+    val dimBefore  = wh.load("gold", "dim_product").count()
+    val factBefore = wh.load("gold", "fact_sales").count()
+    pipeline.runAll(java.sql.Date.valueOf("2025-07-05"))
+    assert(wh.load("gold", "dim_product").count() == dimBefore)
+    assert(wh.load("gold", "dim_store").where(col("is_current_record")).count() == 5)
+    assert(wh.load("gold", "dim_pricing").count() > 0)
+    assert(wh.load("gold", "dim_customer").count() > 0)
+    // the re-run rebuilds fact_sales from full silver: nothing lost
+    assert(wh.load("gold", "fact_sales").count() >= factBefore)
+  }
+
   test("feedback silver carries rule-based sentiment") {
     val fb = wh.load("silver", "feedback")
     assert(fb.where(col("sentiment_category").isNull).count() == 0)
