@@ -26,6 +26,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Typed Aggregators (top-k, KMV bottom-k) run through
+      // ObjectHashAggregateExec, which falls back to SORT-BASED
+      // aggregation after 128 distinct keys per task — re-introducing
+      // exactly the O(n log n) candidate sort those map-side-truncating
+      // sketches exist to avoid. Their buffers are k<=64 rows, so a much
+      // larger in-memory hash map is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.compression.codec", "snappy")

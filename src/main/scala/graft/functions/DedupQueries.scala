@@ -28,6 +28,16 @@ object DedupQueries extends QueryModule {
   private val K            = 12   // minhash permutations
   private val Bands        = 4    // LSH bands (rows per band = K/Bands)
   private val HammingMax   = 3    // simhash near-dup radius
+  private val SimBits      = 60   // simhash signature width (60-bit: md5 prefix fits a signed 64-bit int)
+  private val SimBands     = 4    // 4 bands x 15 bits: any <=3-bit corruption leaves >=1 clean band
+
+  /** Universal-hash permutation constants for minhash: h_i = (A_i*h0 + B_i) mod P.
+    * h0 is a 32-bit md5 prefix and A_i < 2^30, so A_i*h0 + B_i < 2^63 — no
+    * overflow on either engine (both Spark ANSI and DuckDB check bigint ops).
+    */
+  private val MhP = 4294967311L // smallest prime > 2^32
+  private val MhA = (0 until K).map(i => (((i + 1) * 2654435761L + 1013904223L) % 1073741789L) | 1L)
+  private val MhB = (0 until K).map(i => ((i + 1) * 3266489917L + 374761393L) % MhP)
 
   private val normSql =
     "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
@@ -124,26 +134,33 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // MinHash + LSH: K md5-minhashes per doc, grouped into Bands band
-    // keys; candidate pairs share >= 1 band key. Linear in corpus size.
+    // MinHash + LSH: ONE md5 per shingle, K permutations derived
+    // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
+    // the per-shingle aggregation does K cheap bigint ops instead of K
+    // independent md5s — the difference between 1 and K hash passes over
+    // every shingle at 100 TB. Band keys group the K mins; candidate
+    // pairs share >= 1 band key. Linear in corpus size.
     "q33_dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => {
         val sh = shingleDf(s, d)
-        val mhCols = (0 until K).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i")
+        val withH = sh.withColumn(
+          "h0",
+          conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
         )
-        val mh = sh
+        val mhCols = (0 until K).map(i =>
+          min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
+        )
+        val mh = withH
           .groupBy(col("doc_id"))
           .agg(mhCols.head, mhCols.tail: _*)
-          .persist() // read once per band instead of re-hashing 4x
+          .persist() // tiny (one row per doc); read once per band + both join sides
         val r = K / Bands
         val bands = (0 until Bands)
           .map { b =>
             mh.select(
               col("doc_id"),
               lit(b).as("band"),
-              md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).cast("binary"))
-                .as("band_key")
+              concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
             )
           }
           .reduce(_ unionByName _)
@@ -161,17 +178,19 @@ object DedupQueries extends QueryModule {
       oracle = Some {
         val r = K / Bands
         val mins = (0 until K)
-          .map(i => s"MIN(md5('$i:' || shingle)) AS h$i")
+          .map(i => s"MIN((${MhA(i)} * h0 + ${MhB(i)}) % $MhP) AS h$i")
           .mkString(", ")
         val bandSelects = (0 until Bands)
           .map { b =>
-            val keyExpr = (0 until r).map(j => s"h${b * r + j}").mkString(" || '|' || ")
-            s"SELECT doc_id, $b AS band, md5($keyExpr) AS band_key FROM mh"
+            val keyExpr = (0 until r).map(j => s"h${b * r + j}").mkString(", ")
+            s"SELECT doc_id, $b AS band, concat_ws('|', $keyExpr) AS band_key FROM mh"
           }
           .mkString(" UNION ALL ")
         s"""
         WITH sh AS ($shingleSql),
-        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        hashed AS (
+          SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0 FROM sh),
+        mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
         bands AS ($bandSelects)
         SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared_bands
         FROM bands a
@@ -182,20 +201,26 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // SimHash: 16-bit signature from per-token md5 parity bits; near-dup
-    // pairs found via byte-banding (share hi or lo byte), hamming <= 3.
+    // SimHash: 60-bit signature from per-token md5-prefix bits, banded
+    // into 4 x 15-bit keys. 2^15 buckets per band keeps candidate
+    // fan-out ~n²/32768 per band (vs n²/256 for a byte-banded 16-bit
+    // signature), and with 4 bands any hamming <= 3 pair has >= 1 band
+    // where all corrupted bits fall outside it — the recall guarantee a
+    // 2-band scheme only gives for hamming <= 1.
     "q34_dedup_simhash" -> QueryDef(
       fn = (s, d) => {
-        val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
         val toks = documents(s, d)
           .select(
             col("doc_id"),
             explode(array_distinct(split(normalizeText(col("text")), " "))).as("tok")
           )
-          .withColumn("h", md5(col("tok").cast("binary")))
-        val bitCols = (0 until 16).map(j =>
+          .withColumn(
+            "h60",
+            conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+          )
+        val bitCols = (0 until SimBits).map(j =>
           sum(
-            when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)
+            when(shiftright(col("h60"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
           ).as(s"s$j")
         )
         val sums = toks
@@ -203,55 +228,66 @@ object DedupQueries extends QueryModule {
           .agg(bitCols.head, bitCols.tail: _*)
         val sig = sums.select(
           col("doc_id"),
-          (0 until 16)
-            .map(j => when(col(s"s$j") > 0, 1 << (15 - j)).otherwise(0))
+          (0 until SimBits)
+            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
             .reduce(_ + _)
             .as("simhash")
         )
-        val keyed = sig
-          .withColumn("hi", shiftright(col("simhash"), 8))
-          .withColumn("lo", col("simhash").bitwiseAND(lit(255)))
-          .persist() // tiny (one row per doc); joined four ways below
-        val byHi = keyed.as("a")
-          .join(keyed.as("b"), col("a.hi") === col("b.hi") && col("a.doc_id") < col("b.doc_id"))
+        val bandBits = SimBits / SimBands
+        val mask     = (1L << bandBits) - 1
+        val keyed = sig.persist() // tiny (one row per doc); feeds all bands
+        val bands = (0 until SimBands)
+          .map { b =>
+            keyed.select(
+              col("doc_id"),
+              col("simhash"),
+              lit(b).as("band"),
+              shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("band_key")
+            )
+          }
+          .reduce(_ unionByName _)
+        bands
+          .as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
           .select(
             col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
             col("a.simhash").as("sa"), col("b.simhash").as("sb")
           )
-        val byLo = keyed.as("a")
-          .join(keyed.as("b"), col("a.lo") === col("b.lo") && col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-            col("a.simhash").as("sa"), col("b.simhash").as("sb")
-          )
-        byHi
-          .unionByName(byLo)
           .distinct()
           .withColumn("hamming", expr("bit_count(sa ^ sb)"))
           .where(col("hamming") <= HammingMax)
           .select(col("ida"), col("idb"), col("hamming"))
       },
       oracle = Some {
-        val oddHex = "('1','3','5','7','9','b','d','f')"
-        val sums = (0 until 16)
-          .map(j => s"SUM(CASE WHEN substring(h, ${j + 1}, 1) IN $oddHex THEN 1 ELSE -1 END) AS s$j")
+        val sums = (0 until SimBits)
+          .map(j => s"SUM(CASE WHEN (h60 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
           .mkString(", ")
-        val sig = (0 until 16)
-          .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << (15 - j)} ELSE 0 END)")
+        val sig = (0 until SimBits)
+          .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
           .mkString(" + ")
+        val bandBits = SimBits / SimBands
+        val mask     = (1L << bandBits) - 1
+        val bandSelects = (0 until SimBands)
+          .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * bandBits}) & $mask AS band_key FROM sig")
+          .mkString(" UNION ALL ")
         s"""
         WITH toks AS (
           SELECT DISTINCT doc_id, md5(tok) AS h
           FROM (SELECT doc_id, UNNEST(string_split(t, ' ')) AS tok FROM ($normSql))),
-        sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST($sig AS INTEGER) AS simhash FROM sums),
-        keyed AS (SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sig),
+        hashed AS (SELECT doc_id, CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h60 FROM toks),
+        sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sig AS simhash FROM sums),
+        bands AS ($bandSelects),
         cand AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS sa, b.simhash AS sb
-          FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
-          UNION
-          SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-          FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS sa, b.simhash AS sb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id)
         SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax"""
       }

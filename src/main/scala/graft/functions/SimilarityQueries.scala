@@ -22,6 +22,19 @@ object SimilarityQueries extends QueryModule {
 
   import Tables._
 
+  /** Brute-force all-pairs formulations (q35/q44) are exact BASELINES,
+    * not scale paths: O(n²·dim). The gate makes that contract explicit —
+    * beyond this many vectors the query refuses to run rather than
+    * silently launching a quadratic job; q36 (sign-LSH), q41 (banded
+    * LSH near-dup) and q45 (IVF) are the linear-shaped alternatives.
+    */
+  private val BruteForceMax = 200000L
+
+  private def gateBruteForce(name: String, n: Long): Unit =
+    require(n <= BruteForceMax,
+      s"$name is an exact O(n^2) baseline gated to $BruteForceMax vectors (got $n); " +
+        "use q36_ann_sign_lsh / q45_ann_ivf at scale")
+
   private val normSqlFrag =
     "sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
 
@@ -38,6 +51,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .persist() // both sides of the pair join reuse the norms
+        gateBruteForce("q35_cosine_topk", e.count())
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val sims = a
@@ -120,20 +134,39 @@ object SimilarityQueries extends QueryModule {
 
     // ----------------------------------------------------------------
     // Embedding-cosine near-duplicate pairs (the fifth dedup modality):
-    // unordered pairs above a similarity threshold. Exact formulation
-    // here; at scale the same threshold filter runs on the sign-LSH
-    // bucketed candidates instead of the full cross product.
+    // unordered pairs above a similarity threshold, generated from
+    // 4-band sign-LSH candidates (band b = sign pattern of coordinates
+    // 8b+1..8b+8) — a pair is a candidate when ANY band matches, so
+    // candidate generation is 4 linear bucket joins, never a cross
+    // product. Recall < 1 by construction (a >= 0.4 pair differing in
+    // all four sign bands is missed); SimilaritySpec checks the banded
+    // result against the exact O(n²) formulation on a small corpus.
     "q41_cosine_neardup" -> QueryDef(
       fn = (s, d) => {
         VectorFunctions.register(s)
+        def bandKey(b: Int) = (1 to 8)
+          .map(i => when(element_at(col("embedding"), b * 8 + i) >= 0f, 1 << (i - 1)).otherwise(0))
+          .reduce(_ + _)
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .persist()
-        val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb"))
-        a.crossJoin(b)
-          .where(col("ida") < col("idb"))
+        val bands = (0 until 4)
+          .map(b => e.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key")))
+          .reduce(_ unionByName _)
+        val pairs = bands
+          .as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.vec_id") < col("b.vec_id")
+          )
+          .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+          .distinct()
+        pairs
+          .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na")), "ida")
+          .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb")), "idb")
           .withColumn(
             "sim",
             call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
@@ -141,15 +174,31 @@ object SimilarityQueries extends QueryModule {
           .where(col("sim") >= 0.4)
           .select(col("ida"), col("idb"), col("sim"))
       },
-      oracle = Some(s"""
+      oracle = Some {
+        val bandSelects = (0 until 4)
+          .map { b =>
+            val keySql = (1 to 8)
+              .map(i => s"(CASE WHEN embedding[${b * 8 + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+              .mkString(" + ")
+            s"SELECT vec_id, $b AS band, $keySql AS band_key FROM e"
+          }
+          .mkString(" UNION ALL ")
+        s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0)
-        SELECT a.vec_id AS ida, b.vec_id AS idb,
-               $dotSqlFrag / (a.nrm * b.nrm) AS sim
-        FROM e a, e b
-        WHERE a.vec_id < b.vec_id
-          AND $dotSqlFrag / (a.nrm * b.nrm) >= 0.4""")
+          WHERE $normSqlFrag > 0),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+          FROM bands x
+          JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                      AND x.vec_id < y.vec_id)
+        SELECT ida, idb, $dotSqlFrag / (a.nrm * b.nrm) AS sim
+        FROM pairs
+        JOIN e a ON a.vec_id = ida
+        JOIN e b ON b.vec_id = idb
+        WHERE $dotSqlFrag / (a.nrm * b.nrm) >= 0.4"""
+      }
     ),
 
     // ----------------------------------------------------------------
@@ -235,6 +284,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .persist()
+        gateBruteForce("q44_topk_aggregator", e.count())
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         a.crossJoin(b)

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-aggregate and skew-handling operators.
   *
@@ -23,23 +22,27 @@ object SketchQueries extends QueryModule {
     // ----------------------------------------------------------------
     // KMV distinct-count sketch vs exact COUNT(DISTINCT): estimate =
     // (k-1) / u_k where u_k is the k-th smallest hash mapped to (0,1].
+    // The bottom-k aggregator truncates map-side (buffer <= K rows per
+    // group per task, dedup intrinsic), so the shuffle carries
+    // O(K x groups) rows — not the full distinct hash set a
+    // DISTINCT + row_number() window would sort.
     "q42_kmv_distinct" -> QueryDef(
       fn = (s, d) => {
         val li = lineitem(s, d)
-        val hashed = li
+        val kmv = org.apache.spark.sql.functions.udaf(
+          KmvAggregator.bottomKDistinct(K),
+          org.apache.spark.sql.Encoders.STRING)
+        val stats = li
           .select(
             col("l_returnflag"),
             md5(col("l_orderkey").cast("string").cast("binary")).as("h")
           )
-          .distinct()
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
-        val stats = hashed
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= K)
           .groupBy(col("l_returnflag"))
-          .agg(
-            count(lit(1)).as("n_min"),
-            max(when(col("rn") === K, col("h"))).as("hk")
+          .agg(kmv(col("h")).as("sk"))
+          .select(
+            col("l_returnflag"),
+            col("sk.n_min").as("n_min"),
+            col("sk.hk").as("hk")
           )
         val exact = li
           .groupBy(col("l_returnflag"))

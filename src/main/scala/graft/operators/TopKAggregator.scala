@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed top-k aggregator (`Aggregator[IN, BUF, OUT]`) keeping the k best
@@ -12,29 +13,83 @@ import org.apache.spark.sql.expressions.Aggregator
   * inside each map task (partial aggregation), so the shuffle carries at
   * most k rows per group per mapper — the difference between shuffling
   * O(candidates) and O(k x groups) at 100 TB.
+  *
+  * The buffer is a Catalyst-encoded array of structs (ExpressionEncoder),
+  * not a Kryo-serialized linked list: per-row update deserializes an
+  * UnsafeArrayData instead of running a Kryo round-trip.
   */
 object TopKAggregator {
 
   final case class Scored(id: Long, score: Double)
 
   /** Insertion keeping the buffer sorted desc by (score, -id), max k. */
-  private def insert(buf: List[Scored], s: Scored, k: Int): List[Scored] = {
+  private def insert(buf: Seq[Scored], s: Scored, k: Int): Seq[Scored] = {
+    if (buf.length == k) {
+      val last = buf.last
+      if (s.score < last.score || (s.score == last.score && s.id > last.id))
+        return buf // worse than the current k-th: no allocation
+    }
     val (better, worse) = buf.span(b =>
       b.score > s.score || (b.score == s.score && b.id < s.id))
-    val merged = better ::: (s :: worse)
+    val merged = (better :+ s) ++ worse
     if (merged.length > k) merged.take(k) else merged
   }
 
-  def topK(k: Int): Aggregator[Scored, List[Scored], Seq[Scored]] =
-    new Aggregator[Scored, List[Scored], Seq[Scored]] {
-      override def zero: List[Scored] = Nil
-      override def reduce(b: List[Scored], a: Scored): List[Scored] =
+  def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
+    new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+      override def zero: Seq[Scored] = Vector.empty
+      override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
         insert(b, a, k)
-      override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
+      override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
         b2.foldLeft(b1)((acc, s) => insert(acc, s, k))
-      override def finish(r: List[Scored]): Seq[Scored] = r
-      override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
-      override def outputEncoder: Encoder[Seq[Scored]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+      override def finish(r: Seq[Scored]): Seq[Scored] = r
+      override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+      override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    }
+}
+
+/** Bottom-k DISTINCT hash aggregator — the KMV sketch kernel.
+  *
+  * Keeps the k smallest distinct hash strings per group with map-side
+  * truncation: each map task's buffer never exceeds k rows, so the
+  * shuffle carries O(k x groups) rows. The window formulation it
+  * replaces (`row_number().over(orderBy(h)) <= k` after a DISTINCT)
+  * shuffles and sorts EVERY distinct hash just to discard all but k —
+  * O(n log n) where the sketch needs O(n).
+  *
+  * Dedup is intrinsic: a hash equal to one already buffered is skipped,
+  * so no upstream DISTINCT (a full extra shuffle) is needed.
+  */
+object KmvAggregator {
+
+  /** n_min = number of distinct hashes kept (< k means the group has
+    * fewer than k distinct values and n_min IS the exact count);
+    * hk = the k-th smallest hash, null when n_min < k.
+    */
+  final case class KmvSketch(n_min: Long, hk: String)
+
+  /** Insert keeping buf ascending, distinct, length <= k. */
+  private def insert(buf: Seq[String], h: String, k: Int): Seq[String] = {
+    if (buf.length == k && h >= buf.last) return buf // too big, or dup of last
+    val i = buf.indexWhere(_ >= h)
+    if (i == -1) buf :+ h // buf.length < k here (else caught above)
+    else if (buf(i) == h) buf // duplicate
+    else {
+      val merged = (buf.take(i) :+ h) ++ buf.drop(i)
+      if (merged.length > k) merged.take(k) else merged
+    }
+  }
+
+  def bottomKDistinct(k: Int): Aggregator[String, Seq[String], KmvSketch] =
+    new Aggregator[String, Seq[String], KmvSketch] {
+      override def zero: Seq[String] = Vector.empty
+      override def reduce(b: Seq[String], h: String): Seq[String] =
+        insert(b, h, k)
+      override def merge(b1: Seq[String], b2: Seq[String]): Seq[String] =
+        b2.foldLeft(b1)((acc, h) => insert(acc, h, k))
+      override def finish(r: Seq[String]): KmvSketch =
+        KmvSketch(r.length.toLong, if (r.length == k) r.last else null)
+      override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+      override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
     }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Banded-LSH near-dup vs the exact O(n²) formulation, and the
+  * map-side-truncating sketch aggregators vs sort-based references.
+  */
+class SimilaritySketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.01"
+
+  test("q41 banded LSH near-dup pairs are a subset of exact pairs, with identical sims") {
+    val banded = graft.functions.SimilarityQueries.queries("q41_cosine_neardup").fn(spark, d)
+
+    graft.plans.VectorFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, d)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val exact = a.crossJoin(b)
+      .where(col("ida") < col("idb"))
+      .withColumn("sim", call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"), col("sim"))
+
+    val bRows = banded.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val eRows = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(eRows.nonEmpty, "test corpus has no exact near-dup pairs — threshold too high")
+    assert(bRows.nonEmpty, "banded LSH found no candidates at all")
+    assert(bRows.keySet.subsetOf(eRows.keySet),
+      s"banded produced pairs the exact formulation lacks: ${bRows.keySet.diff(eRows.keySet).take(5)}")
+    bRows.foreach { case (k, sim) => assert(sim == eRows(k)) }
+  }
+
+  test("q41 plans without a CartesianProduct") {
+    val banded = graft.functions.SimilarityQueries.queries("q41_cosine_neardup").fn(spark, d)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("bottom-k distinct aggregator matches the sort-based reference") {
+    import spark.implicits._
+    val k = 4
+    val kmv = udaf(KmvAggregator.bottomKDistinct(k), org.apache.spark.sql.Encoders.STRING)
+    val rows = Seq(
+      // group A: 6 distinct values, each duplicated
+      ("A", "05"), ("A", "05"), ("A", "11"), ("A", "11"), ("A", "03"),
+      ("A", "99"), ("A", "42"), ("A", "42"), ("A", "77"),
+      // group B: 2 distinct values only
+      ("B", "f0"), ("B", "0f"), ("B", "f0")
+    )
+    val got = rows.toDF("g", "h")
+      .repartition(5) // force multiple partial buffers to exercise merge
+      .groupBy("g").agg(kmv(col("h")).as("sk"))
+      .select(col("g"), col("sk.n_min"), col("sk.hk"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    // group A distinct sorted: 03,05,11,42,77,99 → bottom-4 kept, 4th = 42
+    assert(got("A") == ((4L, Some("42"))))
+    // group B has only 2 distinct values: exact count, no k-th hash
+    assert(got("B") == ((2L, None)))
+  }
+
+  test("top-k aggregator keeps k best by (score desc, id asc)") {
+    import spark.implicits._
+    val tk = udaf(TopKAggregator.topK(2),
+      org.apache.spark.sql.Encoders.product[TopKAggregator.Scored])
+    val got = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3)
+    ).toDF("g", "id", "score")
+      .repartition(3)
+      .groupBy("g").agg(tk(col("id"), col("score")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    assert(got(1L) == Seq((11L, 0.9), (12L, 0.9)))
+    assert(got(2L) == Seq((20L, 0.3)))
+  }
+}
