@@ -21,7 +21,8 @@ object SparkEntry {
     graft.functions.DedupQueries,
     graft.functions.SimilarityQueries,
     graft.streaming.StreamingQueries,
-    graft.sources.Multimodal
+    graft.sources.Multimodal,
+    graft.etl.FeatureQueries
   )
 
   private lazy val all: Map[String, QueryDef] =

@@ -71,6 +71,37 @@ object DashboardQueries {
         avg(col("waste_ratio")).cast(Schemas.Ratio).as("avg_waste_ratio")
       )
 
+  /** Sentiment KPI off fact_customer_feedback: per-platform rating and
+    * sentiment mix (the dashboard's customer-satisfaction panel; the
+    * gold fact is init_iceberg_tables.py:423-436).
+    */
+  def sentimentKpis(factCustomerFeedback: DataFrame): DataFrame =
+    factCustomerFeedback
+      .groupBy(col("platform"))
+      .agg(
+        count(lit(1)).as("n_feedback"),
+        avg(col("rating")).as("avg_rating"),
+        sum(when(col("sentiment_category") === "POSITIVE", 1).otherwise(0)).as("n_positive"),
+        sum(when(col("sentiment_category") === "NEGATIVE", 1).otherwise(0)).as("n_negative")
+      )
+      .withColumn(
+        "positive_ratio",
+        col("n_positive").cast("double") / col("n_feedback").cast("double")
+      )
+
+  /** Promotion effectiveness off fact_promotions: measured sales lift by
+    * campaign type (the feature the reference's update_ml_features.py
+    * reads but can never populate — fact_promotions had no writer).
+    */
+  def promoEffectiveness(factPromotions: DataFrame): DataFrame =
+    factPromotions
+      .groupBy(col("promo_type"))
+      .agg(
+        count(lit(1)).as("n_promos"),
+        avg(col("discount_percentage")).as("avg_discount_pct"),
+        avg(col("sales_lift_percentage")).as("avg_sales_lift_pct")
+      )
+
   /** Demand vs forecast: actual daily units against the moving average
     * the feature table carries (app.py:218-241 demand simulation).
     */

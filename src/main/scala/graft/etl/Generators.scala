@@ -198,6 +198,46 @@ object Generators {
       .select(Schemas.bronzeEquipment.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Promotions (init_iceberg_tables.py:101-113 schema): the reference
+    * declares bronze.promotions and reads gold.fact_promotions in its ML
+    * features (update_ml_features.py:100-108) but ships no producer — so
+    * those features silently null out there. This generator closes the
+    * gap: seeded campaigns with 3-10 day windows, typed campaigns, and a
+    * payload carrying target audience + description.
+    */
+  def promotions(spark: SparkSession, n: Long, days: Int = 14): DataFrame =
+    spark
+      .range(n)
+      .withColumn("promo_id", concat(lit("PROMO_"), lpad(col("id").cast("string"), 6, "0")))
+      .withColumn("product_id", (draw(col("id"), 51, 10) + 1).cast("int"))
+      .withColumn(
+        "promo_type",
+        when(draw(col("id"), 52, 4) === 0, "percentage_discount")
+          .when(draw(col("id"), 52, 4) === 1, "bogo")
+          .when(draw(col("id"), 52, 4) === 2, "bundle")
+          .otherwise("seasonal")
+      )
+      .withColumn(
+        "start_date",
+        to_date(to_timestamp(lit(BaseTs)) + make_dt_interval(draw(col("id"), 53, days)))
+      )
+      .withColumn("end_date", date_add(col("start_date"), (draw(col("id"), 54, 8) + 3).cast("int")))
+      .withColumn(
+        "discount_percentage",
+        (draw(col("id"), 55, 26) + 5).cast(Schemas.Score)
+      )
+      .withColumn(
+        "raw_payload",
+        to_json(struct(
+          when(draw(col("id"), 56, 3) === 0, "students")
+            .when(draw(col("id"), 56, 3) === 1, "families")
+            .otherwise("all").as("target_audience"),
+          concat(lit("campaign for product "), col("product_id")).as("description")
+        ))
+      )
+      .withColumn("processing_status", lit("pending"))
+      .select(Schemas.bronzePromotions.fieldNames.map(col).toSeq: _*)
+
   /** Customer feedback (load_bronze_from_csv.py:106-130 shape): rating,
     * platform, payload sentiment — the input to the feedback->silver path
     * the reference declares but never built (SURVEY.md §2.13).

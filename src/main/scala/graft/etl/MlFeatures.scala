@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
 object MlFeatures {
 
   /** product_demand_features: daily sales, 8-day trailing moving average,
-    * trend classification (update_ml_features.py:52-75 + 134-150).
+    * trend classification (update_ml_features.py:52-75 + 134-150), plus
+    * the promotion features the reference assembles from fact_promotions
+    * (update_ml_features.py:100-108, 147-148): promotion_active,
+    * marketing_campaign and the max active discount. Promotions are
+    * expanded to one row per covered (product, date) and pre-aggregated
+    * to that grain BEFORE the join, so the equi-join is broadcastable
+    * and can never fan out the daily rows.
     */
-  def productDemand(factSales: DataFrame): DataFrame = {
+  def productDemand(factSales: DataFrame, factPromotions: DataFrame): DataFrame = {
     val daily = factSales
       .groupBy(col("product_id"), col("store_id"), col("date"))
       .agg(
@@ -26,6 +32,18 @@ object MlFeatures {
       .partitionBy(col("product_id"), col("store_id"))
       .orderBy(col("date"))
       .rowsBetween(-7, 0)
+    val promoByDay = factPromotions
+      .select(
+        col("product_id"),
+        explode(sequence(col("start_date"), col("end_date"))).as("date"),
+        col("promo_type"),
+        col("discount_percentage")
+      )
+      .groupBy(col("product_id"), col("date"))
+      .agg(
+        max(col("promo_type")).as("marketing_campaign"),
+        max(col("discount_percentage")).as("promo_discount_pct")
+      )
     daily
       .withColumn("moving_avg_units",
         (sum(col("daily_units")).over(w) / count(col("daily_units")).over(w)))
@@ -35,10 +53,17 @@ object MlFeatures {
           .when(col("daily_units") < col("moving_avg_units"), "decreasing")
           .otherwise("stable")
       )
+      .join(broadcast(promoByDay), Seq("product_id", "date"), "left")
+      .withColumn("promotion_active", col("marketing_campaign").isNotNull)
   }
 
   /** equipment_health_features: cumulative operational hours (W4), power
-    * stddev, days since maintenance (update_ml_features.py:176-269).
+    * stddev, and the maintenance-recency features from
+    * update_ml_features.py:190-262: last_maintenance_date (running max
+    * of dates with a maintenance event), days_since_maintenance
+    * (datediff, with the reference's coalesce-to-age fallback expressed
+    * as days since first observation), and the reference's banded
+    * maintenance_history_score.
     */
   def equipmentHealth(factEquipment: DataFrame): DataFrame = {
     val wCum = Window
@@ -52,9 +77,29 @@ object MlFeatures {
       .withColumn("avg_power_overall", avg(col("avg_power_kw")).over(wAll))
       .withColumn("power_stddev", stddev(col("avg_power_kw")).over(wAll))
       .withColumn(
+        "last_maintenance_date",
+        max(when(col("maintenance_events") > 0, col("date"))).over(wCum)
+      )
+      .withColumn("first_observed_date", min(col("date")).over(wCum))
+      .withColumn(
+        "days_since_maintenance",
+        coalesce(
+          datediff(col("date"), col("last_maintenance_date")),
+          datediff(col("date"), col("first_observed_date"))
+        )
+      )
+      .withColumn(
+        "maintenance_history_score",
+        when(col("days_since_maintenance") > 90, 0.2)
+          .when(col("days_since_maintenance") > 60, 0.5)
+          .when(col("days_since_maintenance") > 30, 0.8)
+          .otherwise(1.0)
+      )
+      .withColumn(
         "maintenance_alert",
         col("cumulative_hours") > 200.0 || col("error_events") > 0
       )
+      .drop("first_observed_date")
   }
 
   /** production_batch_features: product x oven cross join with a seeded

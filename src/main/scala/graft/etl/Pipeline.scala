@@ -16,11 +16,13 @@ final class Pipeline(wh: Warehouse) {
   private def spark: SparkSession = wh.spark
 
   /** G5 — seed bronze from the deterministic generators. */
-  def initBronze(nSales: Long, nInventory: Long, nEquipment: Long, nFeedback: Long): Unit = {
+  def initBronze(nSales: Long, nInventory: Long, nEquipment: Long, nFeedback: Long,
+      nPromotions: Long = 40): Unit = {
     wh.overwrite(Generators.salesEvents(spark, nSales), "bronze", "sales_events")
     wh.overwrite(Generators.inventoryUpdates(spark, nInventory), "bronze", "inventory_updates")
     wh.overwrite(Generators.equipmentMetrics(spark, nEquipment), "bronze", "equipment_metrics")
     wh.overwrite(Generators.customerFeedback(spark, nFeedback), "bronze", "customer_feedback")
+    wh.overwrite(Generators.promotions(spark, nPromotions), "bronze", "promotions")
   }
 
   /** G2 — seed bronze by demultiplexing a reference-shaped combined CSV
@@ -135,8 +137,14 @@ final class Pipeline(wh: Warehouse) {
       "gold", "fact_inventory")
     wh.overwrite(SilverToGold.factEquipment(wh.load("silver", "equipment_metrics")),
       "gold", "fact_equipment_performance")
+    wh.overwrite(SilverToGold.factPromotions(
+        wh.load("bronze", "promotions"), wh.load("gold", "fact_sales"), asOf),
+      "gold", "fact_promotions")
+    wh.overwrite(SilverToGold.factCustomerFeedback(wh.load("silver", "feedback")),
+      "gold", "fact_customer_feedback")
 
-    wh.overwrite(MlFeatures.productDemand(wh.load("gold", "fact_sales")),
+    wh.overwrite(MlFeatures.productDemand(
+        wh.load("gold", "fact_sales"), wh.load("gold", "fact_promotions")),
       "gold", "product_demand_features")
     wh.overwrite(MlFeatures.equipmentHealth(wh.load("gold", "fact_equipment_performance")),
       "gold", "equipment_health_features")
@@ -181,12 +189,14 @@ final class Pipeline(wh: Warehouse) {
     val tables = Seq(
       "bronze" -> "sales_events", "bronze" -> "inventory_updates",
       "bronze" -> "equipment_metrics", "bronze" -> "customer_feedback",
+      "bronze" -> "promotions",
       "silver" -> "sales_events", "silver" -> "inventory_updates",
       "silver" -> "equipment_metrics", "silver" -> "feedback",
       "gold" -> "dim_product", "gold" -> "dim_store", "gold" -> "dim_pricing",
       "gold" -> "dim_customer", "gold" -> "dim_calendar", "gold" -> "dim_equipment",
       "gold" -> "fact_sales", "gold" -> "fact_inventory",
-      "gold" -> "fact_equipment_performance",
+      "gold" -> "fact_equipment_performance", "gold" -> "fact_promotions",
+      "gold" -> "fact_customer_feedback",
       "gold" -> "product_demand_features", "gold" -> "equipment_health_features",
       "gold" -> "production_batch_features"
     )

@@ -75,6 +75,21 @@ object Schemas {
     StructField("processing_status", StringType)
   ))
 
+  /** bronze.promotions (init_iceberg_tables.py:101-113) — declared in the
+    * reference DDL but never written by any job there (SURVEY.md §2.13);
+    * here the generator populates it and fact_promotions consumes it.
+    */
+  val bronzePromotions: StructType = StructType(Seq(
+    StructField("promo_id", StringType, nullable = false),
+    StructField("product_id", IntegerType),
+    StructField("promo_type", StringType),
+    StructField("start_date", DateType),
+    StructField("end_date", DateType),
+    StructField("discount_percentage", Score),
+    StructField("raw_payload", StringType),
+    StructField("processing_status", StringType)
+  ))
+
   /** Seed product catalog (silver_to_gold.py:74-87). */
   val products: Seq[(Int, String, String, java.math.BigDecimal)] = Seq(
     (1, "Sourdough Loaf", "bread", bd("4.50")),

@@ -159,6 +159,69 @@ object SilverToGold {
       )
   }
 
+  /** fact_promotions (init_iceberg_tables.py:409-420): bronze promotions
+    * enriched with payload attributes, an is_active flag as of the run
+    * date, and a MEASURED sales-lift percentage — avg daily units sold
+    * inside the promo window vs the product's overall avg — computed
+    * with one broadcast range-join against daily sales. The reference
+    * declares sales_lift_percentage but never populates it (no job
+    * writes fact_promotions at all, SURVEY.md §2.13).
+    */
+  def factPromotions(
+      bronzePromotions: DataFrame,
+      factSales: DataFrame,
+      asOf: java.sql.Date
+  ): DataFrame = {
+    val dailyUnits = factSales
+      .groupBy(col("product_id"), col("date"))
+      .agg(sum(col("quantity")).as("units"))
+    val overall = dailyUnits
+      .groupBy(col("product_id"))
+      .agg(avg(col("units")).as("overall_avg_units"))
+    // promotions are dim-sized: broadcast both range-join sides derived
+    // from them, shuffle only the daily aggregate
+    val inPromo = dailyUnits
+      .join(
+        broadcast(bronzePromotions.select(
+          col("promo_id"), col("product_id"), col("start_date"), col("end_date"))),
+        Seq("product_id"))
+      .where(col("date").between(col("start_date"), col("end_date")))
+      .groupBy(col("promo_id"))
+      .agg(avg(col("units")).as("promo_avg_units"))
+    bronzePromotions
+      .join(broadcast(inPromo), Seq("promo_id"), "left")
+      .join(
+        broadcast(overall.withColumnRenamed("product_id", "product_id_o")),
+        col("product_id") === col("product_id_o"), "left")
+      .withColumn("is_active", lit(asOf).between(col("start_date"), col("end_date")))
+      .withColumn("target_audience", get_json_object(col("raw_payload"), "$.target_audience"))
+      .withColumn("description", get_json_object(col("raw_payload"), "$.description"))
+      .withColumn(
+        "sales_lift_percentage",
+        ((col("promo_avg_units") / col("overall_avg_units") - 1.0) * 100.0).cast(Schemas.Score)
+      )
+      .select(
+        col("promo_id"), col("product_id"), col("promo_type"),
+        col("start_date"), col("end_date"), col("is_active"),
+        col("discount_percentage"), col("target_audience"),
+        col("sales_lift_percentage"), col("description")
+      )
+  }
+
+  /** fact_customer_feedback (init_iceberg_tables.py:423-436): gold fact
+    * from the silver feedback (which already carries rule-based
+    * sentiment). The reference's surrogate customer_key is replaced by
+    * the business customer_id — dim_customer here is keyed by it.
+    */
+  def factCustomerFeedback(silverFeedback: DataFrame): DataFrame =
+    silverFeedback
+      .where(col("rating").isNotNull && col("product_id").isNotNull)
+      .select(
+        col("feedback_id"), col("customer_id"), col("product_id"),
+        col("platform"), col("rating"), col("review_text"),
+        col("sentiment_category"), col("date")
+      )
+
   /** fact_inventory (silver_to_gold.py:335-365). */
   def factInventory(silverInventory: DataFrame): DataFrame =
     silverInventory
@@ -181,6 +244,7 @@ object SilverToGold {
         sum(col("operational_hours")).cast(Schemas.Score).as("total_operational_hours"),
         avg(col("power_consumption")).cast(Schemas.Power).as("avg_power_kw"),
         sum(when(col("operational_status") === "error", 1).otherwise(0)).as("error_events"),
+        sum(when(col("operational_status") === "maintenance", 1).otherwise(0)).as("maintenance_events"),
         count(lit(1)).as("n_readings")
       )
       .withColumn(
