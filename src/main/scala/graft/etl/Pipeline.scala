@@ -53,14 +53,27 @@ final class Pipeline(wh: Warehouse) {
     runDomain("equipment_metrics", "metric_id", BronzeToSilver.equipment)
     runDomain("feedback", "feedback_id", BronzeToSilver.feedback,
       bronzeTable = "customer_feedback")
-    // T5: reconcile late-arriving inventory into silver, newest wins
+    // T5: reconcile late-arriving inventory into silver, newest wins.
+    // Bounded: only candidates STRICTLY NEWER than their silver version
+    // survive (version probe against silver's key projection), and only
+    // the date partitions those rows touch are merged and dynamically
+    // overwritten — O(late batch) work per cycle, not O(full history).
     val silverInv = wh.load("silver", "inventory_updates")
-    val late = BronzeToSilver
+    val newer = BronzeToSilver
       .inventory(wh.load("bronze", "inventory_updates"))
       .where(col("late_arrival_hours") > 0)
-    wh.overwrite(
-      BronzeToSilver.reconcileLate(silverInv, late, "update_id"),
-      "silver", "inventory_updates")
+      .join(
+        silverInv.select(col("update_id"), col("ingestion_time").as("__cur_ingest")),
+        Seq("update_id"), "left")
+      .where(col("__cur_ingest").isNull || col("ingestion_time") > col("__cur_ingest"))
+      .drop("__cur_ingest")
+    if (!newer.isEmpty) {
+      val affected = silverInv
+        .join(newer.select(col("date")).distinct(), Seq("date"), "left_semi")
+      wh.overwrite(
+        BronzeToSilver.reconcileLate(affected, newer, "update_id"),
+        "silver", "inventory_updates")
+    }
   }
 
   private def runDomain(

@@ -34,13 +34,14 @@ object Scd2 {
       (keys.map(col) ++ attrs.map(a => col(a).as(s"__old_$a"))): _*
     )
     val joined   = fresh.join(old, keys, "left")
-    val isNew    = col(s"__old_${attrs.head}").isNull &&
-      keys.map(k => col(k).isNotNull).reduce(_ && _)
     val differs  = attrs
       .map { a =>
         relativeTolerance.get(a) match {
           case Some(tol) =>
-            abs(col(a) - col(s"__old_$a")) / col(s"__old_$a") > tol
+            // multiplied form: no division, so old = 0 needs no special
+            // case (|new - 0| > tol*0 detects any nonzero new) and a
+            // negative old can't flip the predicate's sign
+            abs(col(a) - col(s"__old_$a")) > lit(tol) * abs(col(s"__old_$a"))
           case None => col(a) =!= col(s"__old_$a")
         }
       }

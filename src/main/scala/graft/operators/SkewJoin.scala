@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   * The skewed (large) side gets a random-but-deterministic salt in
   * [0, buckets); the build (small-ish) side is replicated `buckets`
   * times; the join key becomes (key, salt). Row multiplicity is
-  * preserved exactly — each large-side row joins exactly one replica.
+  * preserved exactly for large-side-preserving join types — each
+  * large-side row joins exactly one replica. Right/full-outer joins are
+  * rejected: every unmatched small-side key would surface once per
+  * replica (`buckets` null-extended copies), silently multiplying rows.
   */
 object SkewJoin {
+
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
 
   def saltedJoin(
       large: DataFrame,
@@ -24,6 +30,11 @@ object SkewJoin {
       joinType: String = "inner"
   ): DataFrame = {
     require(buckets > 0)
+    require(
+      SupportedJoinTypes.contains(joinType.toLowerCase.replaceAll("[_ ]", "")),
+      s"saltedJoin does not preserve multiplicity for '$joinType': " +
+        "unmatched small-side keys would emit one row per salt replica. " +
+        "Use inner/left/left_semi/left_anti.")
     // deterministic salt: hash of the large side's whole row would be
     // ideal; hashing key + a per-row uniquifier keeps it cheap. Using
     // monotonically_increasing_id is safe because the salt only needs
