@@ -114,19 +114,37 @@ object Multimodal extends QueryModule {
     ),
 
     // Feature-extraction path through mapPartitions (typed Dataset). The
-    // histogram/energy kernel is the documented stub; per-source energy
-    // averages are exact-decimal so the run is reproducible. Rows-only
-    // check (no portable SQL for the kernel by design).
+    // histogram/energy kernel is the documented stub. The projection
+    // multiplies the kernel's normalized outputs back by n_bytes and
+    // rounds to long: energy*n recovers the exact byte sum and hist[0]*n
+    // the exact mod-16==0 count (error < 0.5 ulp for sums < 2^53), which
+    // makes the mapPartitions path fully oracle-checkable — DuckDB
+    // recomputes both from the utf-8 bytes (corpus is ASCII, so
+    // ord(char) == byte).
     "q39_multimodal_features" -> QueryDef(
       fn = (s, d) =>
         decodeFeatures(asMediaTable(s, d)).toDF()
           .select(
             col("doc_id"),
             col("n_bytes"),
-            round(col("energy"), 4).as("energy_r"),
-            round(element_at(col("histogram"), 1), 4).as("hist0")
+            round(col("energy") * col("n_bytes")).cast("long").as("byte_sum"),
+            round(element_at(col("histogram"), 1) * col("n_bytes"))
+              .cast("long").as("hist0_cnt")
           ),
-      oracle = None
+      oracle = Some("""
+        WITH codes AS (
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 ord(substr(text,
+                   CAST(unnest(range(1, length(text) + 1)) AS INT), 1)) AS c
+          FROM documents
+        )
+        SELECT doc_id, n_bytes,
+               CAST(SUM(c) AS BIGINT) AS byte_sum,
+               CAST(SUM(CASE WHEN c % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hist0_cnt
+        FROM codes
+        GROUP BY doc_id, n_bytes""")
     )
   )
 }
