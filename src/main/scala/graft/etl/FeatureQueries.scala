@@ -195,6 +195,130 @@ object FeatureQueries extends QueryModule {
                          ELSE 1.0 END AS DOUBLE) AS maintenance_history_score,
                a.n_events
         FROM agg a LEFT JOIN last ON a.l_suppkey = last.l_suppkey""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Seasonality index (update_ml_features.py:122-131): per-(product,
+    // season) avg daily demand relative to the product's overall avg.
+    // The reference computes it for ONE season via a driver-side
+    // `first()` scalar; here the totals come from windows over the
+    // tiny (product, season) aggregate, so every season of every
+    // product is indexed in one distributed pass. Totals accumulate in
+    // DECIMAL (order-independent) and only the final ratio is double.
+    "q52_seasonality_index" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = lineitem(s, d)
+          .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("units"))
+          .withColumn(
+            "season",
+            when(month(col("ship_date")).between(3, 5), "Spring")
+              .when(month(col("ship_date")).between(6, 8), "Summer")
+              .when(month(col("ship_date")).between(9, 11), "Fall")
+              .otherwise("Winter"))
+        val agg = daily
+          .groupBy(col("l_partkey"), col("season"))
+          .agg(sum(col("units")).as("su"), count(lit(1)).as("n_days"))
+        val wProd = Window.partitionBy(col("l_partkey"))
+        agg
+          .withColumn("total_su", sum(col("su")).over(wProd))
+          .withColumn("total_days", sum(col("n_days")).over(wProd))
+          .select(
+            col("l_partkey"), col("season"), col("n_days"),
+            (col("su").cast("double") / col("n_days")).as("season_avg_units"),
+            ((col("su").cast("double") / col("n_days")) /
+              (col("total_su").cast("double") / col("total_days")))
+              .as("seasonality_index"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT l_partkey, CAST(l_shipdate AS DATE) AS ship_date,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS units
+          FROM lineitem GROUP BY 1, 2),
+        seas AS (
+          SELECT l_partkey, units,
+                 CASE WHEN EXTRACT(month FROM ship_date) BETWEEN 3 AND 5 THEN 'Spring'
+                      WHEN EXTRACT(month FROM ship_date) BETWEEN 6 AND 8 THEN 'Summer'
+                      WHEN EXTRACT(month FROM ship_date) BETWEEN 9 AND 11 THEN 'Fall'
+                      ELSE 'Winter' END AS season
+          FROM daily),
+        agg AS (
+          SELECT l_partkey, season, SUM(units) AS su, COUNT(*) AS n_days
+          FROM seas GROUP BY 1, 2)
+        SELECT l_partkey, season, n_days,
+               CAST(su AS DOUBLE) / n_days AS season_avg_units,
+               (CAST(su AS DOUBLE) / n_days) /
+                 (CAST(SUM(su) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   / SUM(n_days) OVER (PARTITION BY l_partkey)) AS seasonality_index
+        FROM agg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Weather-impact feature (dim_weather DDL init_iceberg_tables.py:
+    // 332-342; update_ml_features.py:152 stubs weather_impact_score to
+    // 0.0 — here it is computed): a (store, date)-keyed weather dim is
+    // joined to daily sales and demand is indexed per condition. The
+    // dim derives deterministically from the day number so both engines
+    // generate identical weather.
+    "q53_weather_impact" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = lineitem(s, d)
+          .groupBy(
+            (col("l_suppkey") % 5).cast("int").as("store_id"),
+            to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("units"))
+        val weather = daily
+          .select(col("store_id"), col("ship_date"))
+          .distinct()
+          .withColumn("__day", datediff(col("ship_date"), to_date(lit("1970-01-01"))))
+          .withColumn("cond_code", (col("__day") * 7 + col("store_id") * 3) % 10)
+          .withColumn(
+            "weather_condition",
+            when(col("cond_code") < 4, "sunny")
+              .when(col("cond_code") < 7, "cloudy")
+              .when(col("cond_code") < 9, "rainy")
+              .otherwise("stormy"))
+          .select(col("store_id"), col("ship_date"), col("weather_condition"))
+        val byCond = daily
+          .join(weather, Seq("store_id", "ship_date"))
+          .groupBy(col("weather_condition"))
+          .agg(sum(col("units")).as("su"), count(lit(1)).as("n_store_days"))
+        val wAll = Window.partitionBy(lit(1))
+        byCond
+          .withColumn("total_su", sum(col("su")).over(wAll))
+          .withColumn("total_days", sum(col("n_store_days")).over(wAll))
+          .select(
+            col("weather_condition"), col("n_store_days"),
+            (col("su").cast("double") / col("n_store_days")).as("avg_daily_units"),
+            ((col("su").cast("double") / col("n_store_days")) /
+              (col("total_su").cast("double") / col("total_days")))
+              .as("impact_index"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(l_suppkey % 5 AS INTEGER) AS store_id,
+                 CAST(l_shipdate AS DATE) AS ship_date,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS units
+          FROM lineitem GROUP BY 1, 2),
+        weather AS (
+          SELECT store_id, ship_date,
+                 CASE WHEN ((ship_date - DATE '1970-01-01') * 7 + store_id * 3) % 10 < 4 THEN 'sunny'
+                      WHEN ((ship_date - DATE '1970-01-01') * 7 + store_id * 3) % 10 < 7 THEN 'cloudy'
+                      WHEN ((ship_date - DATE '1970-01-01') * 7 + store_id * 3) % 10 < 9 THEN 'rainy'
+                      ELSE 'stormy' END AS weather_condition
+          FROM (SELECT DISTINCT store_id, ship_date FROM daily)),
+        bycond AS (
+          SELECT weather_condition, SUM(units) AS su, COUNT(*) AS n_store_days
+          FROM daily JOIN weather USING (store_id, ship_date)
+          GROUP BY 1)
+        SELECT weather_condition, n_store_days,
+               CAST(su AS DOUBLE) / n_store_days AS avg_daily_units,
+               (CAST(su AS DOUBLE) / n_store_days) /
+                 (CAST(SUM(su) OVER () AS DOUBLE) / SUM(n_store_days) OVER ())
+                 AS impact_index
+        FROM bycond""")
     )
   )
 }

@@ -238,6 +238,92 @@ object Generators {
       .withColumn("processing_status", lit("pending"))
       .select(Schemas.bronzePromotions.fieldNames.map(col).toSeq: _*)
 
+  /** Weather observations (init_iceberg_tables.py:115-125 schema): one
+    * row per (store, day), condition drawn deterministically, payload
+    * carrying the humidity/wind measures gold.dim_weather parses out.
+    * The reference declares bronze.weather_data but ships no producer.
+    */
+  def weatherData(spark: SparkSession, days: Int = 14, stores: Int = 5): DataFrame =
+    spark
+      .range(days.toLong * stores)
+      .withColumn("store_id", (col("id") % stores + 1).cast("int"))
+      .withColumn("day_off", (col("id") / stores).cast("int"))
+      .withColumn("date", to_date(to_timestamp(lit(BaseTs)) + make_dt_interval(col("day_off"))))
+      .withColumn(
+        "weather_id",
+        concat(lit("WX_"), col("store_id"), lit("_"), date_format(col("date"), "yyyyMMdd"))
+      )
+      .withColumn("cond_draw", draw(col("id"), 61, 10))
+      .withColumn(
+        "weather_condition",
+        when(col("cond_draw") < 4, "sunny")
+          .when(col("cond_draw") < 7, "cloudy")
+          .when(col("cond_draw") < 9, "rainy")
+          .otherwise("stormy")
+      )
+      .withColumn(
+        "raw_payload",
+        to_json(struct(
+          ((draw(col("id"), 62, 600) + 300) / 10.0).as("humidity"),
+          ((draw(col("id"), 63, 400)) / 10.0).as("wind_speed")
+        ))
+      )
+      .withColumn("processing_status", lit("pending"))
+      .select(Schemas.bronzeWeather.fieldNames.map(col).toSeq: _*)
+
+  /** Marketing events (gold.dim_marketing_events DDL,
+    * init_iceberg_tables.py:345-357): seeded campaigns with budgets,
+    * channels, audiences, and a comma-joined affected-product list —
+    * the declared-but-unwritten gold dim (SURVEY.md §2.13).
+    */
+  def marketingEvents(spark: SparkSession, n: Long, days: Int = 14): DataFrame =
+    spark
+      .range(n)
+      .withColumn("event_id", concat(lit("MKT_"), lpad(col("id").cast("string"), 5, "0")))
+      .withColumn(
+        "event_name",
+        concat(
+          when(draw(col("id"), 71, 3) === 0, "Spring")
+            .when(draw(col("id"), 71, 3) === 1, "Summer")
+            .otherwise("Holiday"),
+          lit(" campaign "), col("id").cast("string"))
+      )
+      .withColumn(
+        "start_date",
+        to_date(to_timestamp(lit(BaseTs)) + make_dt_interval(draw(col("id"), 72, days)))
+      )
+      .withColumn("end_date", date_add(col("start_date"), (draw(col("id"), 73, 14) + 7).cast("int")))
+      .withColumn(
+        "affected_products",
+        concat_ws(",",
+          (draw(col("id"), 74, 10) + 1).cast("string"),
+          (draw(col("id"), 75, 10) + 1).cast("string"),
+          (draw(col("id"), 76, 10) + 1).cast("string"))
+      )
+      .withColumn("discount_percentage", (draw(col("id"), 77, 31) + 5).cast(Schemas.Score))
+      .withColumn(
+        "campaign_budget",
+        ((draw(col("id"), 78, 9500) + 500) * 1.0).cast(Schemas.Money)
+      )
+      .withColumn(
+        "target_audience",
+        when(draw(col("id"), 79, 3) === 0, "students")
+          .when(draw(col("id"), 79, 3) === 1, "families")
+          .otherwise("all")
+      )
+      .withColumn(
+        "channel",
+        when(draw(col("id"), 80, 4) === 0, "social")
+          .when(draw(col("id"), 80, 4) === 1, "email")
+          .when(draw(col("id"), 80, 4) === 2, "in_store")
+          .otherwise("radio")
+      )
+      .select(
+        col("event_id"), col("event_name"), col("start_date"), col("end_date"),
+        col("affected_products"), col("discount_percentage"),
+        col("campaign_budget"), col("target_audience"), col("channel")
+      )
+
   /** Customer feedback (load_bronze_from_csv.py:106-130 shape): rating,
     * platform, payload sentiment — the input to the feedback->silver path
     * the reference declares but never built (SURVEY.md §2.13).

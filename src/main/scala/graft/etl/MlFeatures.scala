@@ -12,16 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object MlFeatures {
 
-  /** product_demand_features: daily sales, 8-day trailing moving average,
-    * trend classification (update_ml_features.py:52-75 + 134-150), plus
-    * the promotion features the reference assembles from fact_promotions
-    * (update_ml_features.py:100-108, 147-148): promotion_active,
-    * marketing_campaign and the max active discount. Promotions are
-    * expanded to one row per covered (product, date) and pre-aggregated
-    * to that grain BEFORE the join, so the equi-join is broadcastable
-    * and can never fan out the daily rows.
+  /** product_demand_features — the reference's full feature assembly
+    * (update_ml_features.py:52-160) at daily grain: daily sales, 8-day
+    * trailing moving average + trend class, date-RANGE trailing 7/30-day
+    * sums, promotion features from fact_promotions (:100-108),
+    * inventory level + waste ratio from fact_inventory (:80-88), current
+    * price from the pricing SCD2 (:90-97), calendar enrichments
+    * (:110-119), a per-(product, season) seasonality index (:122-131 —
+    * computed distributively with windows, not the reference's
+    * driver-side `first()` scalar), and a weather impact score (the
+    * reference stubs it to 0.0 at :152; here dim_weather is real, so
+    * it's condition-derived).
+    *
+    * Join shapes, in 100 TB order: the daily aggregate is the only big
+    * relation; everything joined to it is dim-sized and broadcast.
+    * Promotions are pre-aggregated to (product, date) grain BEFORE the
+    * join so they can never fan out the daily rows; windows are all
+    * partitioned by business key.
     */
-  def productDemand(factSales: DataFrame, factPromotions: DataFrame): DataFrame = {
+  def productDemand(
+      factSales: DataFrame,
+      factPromotions: DataFrame,
+      factInventory: DataFrame,
+      dimPricing: DataFrame,
+      dimCalendar: DataFrame,
+      dimWeather: DataFrame
+  ): DataFrame = {
     val daily = factSales
       .groupBy(col("product_id"), col("store_id"), col("date"))
       .agg(
@@ -32,6 +48,16 @@ object MlFeatures {
       .partitionBy(col("product_id"), col("store_id"))
       .orderBy(col("date"))
       .rowsBetween(-7, 0)
+    // date-RANGE frames over a day number: calendar-window sums stay
+    // correct across gaps (a ROWS frame would not)
+    val wDay7 = Window
+      .partitionBy(col("product_id"), col("store_id"))
+      .orderBy(col("__day"))
+      .rangeBetween(-6, 0)
+    val wDay30 = Window
+      .partitionBy(col("product_id"), col("store_id"))
+      .orderBy(col("__day"))
+      .rangeBetween(-29, 0)
     val promoByDay = factPromotions
       .select(
         col("product_id"),
@@ -44,6 +70,29 @@ object MlFeatures {
         max(col("promo_type")).as("marketing_campaign"),
         max(col("discount_percentage")).as("promo_discount_pct")
       )
+    val invByDay = factInventory
+      .groupBy(col("product_id"), col("store_id"), col("date"))
+      .agg(
+        avg(col("closing_stock")).cast("double").as("inventory_level"),
+        avg(col("waste_ratio")).cast("double").as("waste_ratio")
+      )
+    val currentPrice = dimPricing
+      .where(col("is_current_record"))
+      .select(col("product_id"), col("avg_price").as("price"))
+    val calendar = dimCalendar.select(
+      col("date"), col("day_name").as("day_of_week"),
+      col("is_holiday"), col("holiday_name"), col("season")
+    )
+    val weather = dimWeather.select(
+      col("store_id"), col("date"), col("weather_condition"),
+      when(col("weather_condition") === "sunny", 1.0)
+        .when(col("weather_condition") === "cloudy", 0.9)
+        .when(col("weather_condition") === "rainy", 0.7)
+        .otherwise(0.5)
+        .as("weather_impact_score")
+    )
+    val wSeason = Window.partitionBy(col("product_id"), col("season"))
+    val wProd   = Window.partitionBy(col("product_id"))
     daily
       .withColumn("moving_avg_units",
         (sum(col("daily_units")).over(w) / count(col("daily_units")).over(w)))
@@ -53,8 +102,27 @@ object MlFeatures {
           .when(col("daily_units") < col("moving_avg_units"), "decreasing")
           .otherwise("stable")
       )
+      .withColumn("__day", datediff(col("date"), to_date(lit("1970-01-01"))))
+      .withColumn("sales_last_7_days", sum(col("daily_units")).over(wDay7))
+      .withColumn("sales_last_30_days", sum(col("daily_units")).over(wDay30))
+      .withColumn(
+        "avg_daily_sales",
+        sum(col("daily_units")).over(wDay30).cast("double") /
+          count(col("daily_units")).over(wDay30)
+      )
       .join(broadcast(promoByDay), Seq("product_id", "date"), "left")
       .withColumn("promotion_active", col("marketing_campaign").isNotNull)
+      .join(broadcast(invByDay), Seq("product_id", "store_id", "date"), "left")
+      .join(broadcast(currentPrice), Seq("product_id"), "left")
+      .join(broadcast(calendar), Seq("date"), "left")
+      .join(broadcast(weather), Seq("store_id", "date"), "left")
+      .withColumn("weather_impact_score",
+        coalesce(col("weather_impact_score"), lit(1.0)))
+      .withColumn(
+        "seasonality_index",
+        avg(col("daily_units")).over(wSeason) / avg(col("daily_units")).over(wProd)
+      )
+      .drop("__day")
   }
 
   /** equipment_health_features: cumulative operational hours (W4), power

@@ -23,6 +23,7 @@ final class Pipeline(wh: Warehouse) {
     wh.overwrite(Generators.equipmentMetrics(spark, nEquipment), "bronze", "equipment_metrics")
     wh.overwrite(Generators.customerFeedback(spark, nFeedback), "bronze", "customer_feedback")
     wh.overwrite(Generators.promotions(spark, nPromotions), "bronze", "promotions")
+    wh.overwrite(Generators.weatherData(spark), "bronze", "weather_data")
   }
 
   /** G2 — seed bronze by demultiplexing a reference-shaped combined CSV
@@ -141,6 +142,10 @@ final class Pipeline(wh: Warehouse) {
       (r.getDate(0).toString, r.getDate(1).toString)
     }
     wh.overwrite(SilverToGold.dimCalendar(spark, minD, maxD), "gold", "dim_calendar")
+    if (wh.exists("bronze", "weather_data"))
+      wh.overwrite(SilverToGold.dimWeather(wh.load("bronze", "weather_data")),
+        "gold", "dim_weather")
+    wh.overwrite(Generators.marketingEvents(spark, 12), "gold", "dim_marketing_events")
 
     // reload after the swap: dimProduct's plan pinned the PRE-overwrite
     // file listing of gold/dim_product, which no longer exists
@@ -157,7 +162,12 @@ final class Pipeline(wh: Warehouse) {
       "gold", "fact_customer_feedback")
 
     wh.overwrite(MlFeatures.productDemand(
-        wh.load("gold", "fact_sales"), wh.load("gold", "fact_promotions")),
+        wh.load("gold", "fact_sales"), wh.load("gold", "fact_promotions"),
+        wh.load("gold", "fact_inventory"), wh.load("gold", "dim_pricing"),
+        wh.load("gold", "dim_calendar"),
+        if (wh.exists("gold", "dim_weather")) wh.load("gold", "dim_weather")
+        else SilverToGold.dimWeather(
+          Generators.weatherData(spark).limit(0))),
       "gold", "product_demand_features")
     wh.overwrite(MlFeatures.equipmentHealth(wh.load("gold", "fact_equipment_performance")),
       "gold", "equipment_health_features")
@@ -202,11 +212,12 @@ final class Pipeline(wh: Warehouse) {
     val tables = Seq(
       "bronze" -> "sales_events", "bronze" -> "inventory_updates",
       "bronze" -> "equipment_metrics", "bronze" -> "customer_feedback",
-      "bronze" -> "promotions",
+      "bronze" -> "promotions", "bronze" -> "weather_data",
       "silver" -> "sales_events", "silver" -> "inventory_updates",
       "silver" -> "equipment_metrics", "silver" -> "feedback",
       "gold" -> "dim_product", "gold" -> "dim_store", "gold" -> "dim_pricing",
       "gold" -> "dim_customer", "gold" -> "dim_calendar", "gold" -> "dim_equipment",
+      "gold" -> "dim_weather", "gold" -> "dim_marketing_events",
       "gold" -> "fact_sales", "gold" -> "fact_inventory",
       "gold" -> "fact_equipment_performance", "gold" -> "fact_promotions",
       "gold" -> "fact_customer_feedback",

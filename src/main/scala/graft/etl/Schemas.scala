@@ -90,6 +90,19 @@ object Schemas {
     StructField("processing_status", StringType)
   ))
 
+  /** bronze.weather_data (init_iceberg_tables.py:115-125) — declared in
+    * the reference DDL, never written there; the generator populates it
+    * and gold.dim_weather parses the payload (SURVEY.md §2.13).
+    */
+  val bronzeWeather: StructType = StructType(Seq(
+    StructField("weather_id", StringType, nullable = false),
+    StructField("date", DateType),
+    StructField("store_id", IntegerType),
+    StructField("weather_condition", StringType),
+    StructField("raw_payload", StringType),
+    StructField("processing_status", StringType)
+  ))
+
   /** Seed product catalog (silver_to_gold.py:74-87). */
   val products: Seq[(Int, String, String, java.math.BigDecimal)] = Seq(
     (1, "Sourdough Loaf", "bread", bd("4.50")),

@@ -28,7 +28,24 @@ object SilverToGold {
         quarter(col("date")).as("cal_quarter"),
         date_format(col("date"), "MMMM").as("month_name"),
         date_format(col("date"), "EEEE").as("day_name"),
-        dayofweek(col("date")).isin(1, 7).as("is_weekend")
+        dayofweek(col("date")).isin(1, 7).as("is_weekend"),
+        // holiday columns per the DDL (init_iceberg_tables.py:325-326).
+        // The reference stubs is_holiday=false pending "a holiday API"
+        // (silver_to_gold.py:58-59); fixed-date holidays are knowable
+        // offline, so mark the big ones instead of stubbing.
+        (month(col("date")) === 1 && dayofmonth(col("date")) === 1 ||
+          month(col("date")) === 7 && dayofmonth(col("date")) === 4 ||
+          month(col("date")) === 12 && dayofmonth(col("date")) === 25)
+          .as("is_holiday"),
+        when(month(col("date")) === 1 && dayofmonth(col("date")) === 1, "New Year's Day")
+          .when(month(col("date")) === 7 && dayofmonth(col("date")) === 4, "Independence Day")
+          .when(month(col("date")) === 12 && dayofmonth(col("date")) === 25, "Christmas Day")
+          .as("holiday_name"),
+        when(month(col("date")).between(3, 5), "Spring")
+          .when(month(col("date")).between(6, 8), "Summer")
+          .when(month(col("date")).between(9, 11), "Fall")
+          .otherwise("Winter")
+          .as("season")
       )
 
   /** dim_product from the seed catalog, insert-only merge so re-runs are
@@ -134,6 +151,17 @@ object SilverToGold {
     import spark.implicits._
     Schemas.equipment.toDF("equipment_id", "equipment_type", "rated_power_kw")
   }
+
+  /** dim_weather (init_iceberg_tables.py:332-342): bronze weather rows
+    * with humidity/wind parsed from the payload into the DDL's
+    * DECIMAL(5,2) columns. One row per (store, date) by construction.
+    */
+  def dimWeather(bronzeWeather: DataFrame): DataFrame =
+    bronzeWeather.select(
+      col("weather_id"), col("date"), col("store_id"), col("weather_condition"),
+      get_json_object(col("raw_payload"), "$.humidity").cast(Schemas.Score).as("humidity"),
+      get_json_object(col("raw_payload"), "$.wind_speed").cast(Schemas.Score).as("wind_speed")
+    )
 
   /** fact_sales (silver_to_gold.py:295-327): quality gate >= 50, current-
     * version dim lookups (broadcast — dims are small by construction),

@@ -144,6 +144,53 @@ object WindowQueries extends QueryModule {
                  SUM(CAST(value AS DECIMAL(28,2))) AS daily_total
           FROM events GROUP BY event_type, CAST(ts AS DATE)
         )""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W6: date-RANGE frames — trailing 7/30 *calendar-day* sums over a
+    // day-number ordering (update_ml_features.py:52-63's
+    // sales_last_7_days / sales_last_30_days). A ROWS frame silently
+    // miscounts across date gaps; RANGE over the day number is the
+    // correct operator and a distinct physical frame type from
+    // q15/q16's ROWS frames. Accumulators stay DECIMAL inside the
+    // frame; cast to double at the end (oracle parity).
+    "q54_window_range_frame" -> QueryDef(
+      fn = (s, d) => {
+        val daily = lineitem(s, d)
+          .where(col("l_partkey") % 10 === 0)
+          .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("units"))
+          .withColumn("day_num",
+            datediff(col("ship_date"), to_date(lit("1970-01-01"))))
+        val w7 = Window
+          .partitionBy(col("l_partkey")).orderBy(col("day_num"))
+          .rangeBetween(-6, 0)
+        val w30 = Window
+          .partitionBy(col("l_partkey")).orderBy(col("day_num"))
+          .rangeBetween(-29, 0)
+        daily
+          .withColumn("units_7d", sum(col("units")).over(w7).cast("double"))
+          .withColumn("units_30d", sum(col("units")).over(w30).cast("double"))
+          .select(
+            col("l_partkey"), col("ship_date"),
+            col("units").cast("double").as("units_d"),
+            col("units_7d"), col("units_30d"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT l_partkey, CAST(l_shipdate AS DATE) AS ship_date,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS units,
+                 CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day_num
+          FROM lineitem WHERE l_partkey % 10 = 0
+          GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+        )
+        SELECT l_partkey, ship_date,
+               CAST(units AS DOUBLE) AS units_d,
+               CAST(SUM(units) OVER (PARTITION BY l_partkey ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS units_7d,
+               CAST(SUM(units) OVER (PARTITION BY l_partkey ORDER BY day_num
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS units_30d
+        FROM daily""")
     )
   )
 }

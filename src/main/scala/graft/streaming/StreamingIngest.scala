@@ -32,6 +32,44 @@ object StreamingIngest {
         .json(dir)
   }
 
+  /** S1 — real Kafka source (stream_to_bronze.py:36-50): same `value`
+    * contract as [[FileJsonSource]], so every downstream plan is
+    * source-agnostic. Resolved by name at runtime — on a cluster with
+    * the spark-sql-kafka artifact this streams from the topic; in the
+    * zero-egress sandbox constructing the plan fails at `load()` with
+    * Spark's missing-data-source error (spec-asserted), which is the
+    * correct offline behavior for an optional connector.
+    */
+  final case class KafkaJsonSource(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest"
+  ) extends SourceProvider {
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** S10 — CSV→Kafka replay producer (`streaming/producers/
+    * csv_kafka_producer.py`): serialize each row to a JSON `value` and
+    * write to the topic. Batch (not streaming) write, matching the
+    * reference's replay semantics; needs the same optional artifact as
+    * [[KafkaJsonSource]] at runtime.
+    */
+  def replayToKafka(rows: DataFrame, bootstrapServers: String, topic: String): Unit =
+    rows
+      .select(to_json(struct(rows.columns.map(col).toSeq: _*)).as("value"))
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
   /** S2 — decode a JSON `value` column against an explicit schema and
     * flatten (`from_json` + `select("data.*")`, stream_to_bronze.py:58-60).
     */

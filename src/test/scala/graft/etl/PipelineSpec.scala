@@ -148,4 +148,50 @@ class PipelineSpec extends AnyFunSuite {
     val wrong = fb.where(col("rating") >= 4 && col("sentiment_category") =!= "POSITIVE")
     assert(wrong.count() == 0)
   }
+
+  test("weather and marketing dims exist with the DDL shape") {
+    val wx = wh.load("gold", "dim_weather")
+    assert(wx.count() == 14L * 5) // one row per (store, day)
+    assert(wx.where(col("humidity").isNull || col("wind_speed").isNull).count() == 0)
+    assert(wx.groupBy(col("store_id"), col("date")).count()
+      .where(col("count") > 1).count() == 0)
+    val mkt = wh.load("gold", "dim_marketing_events")
+    assert(mkt.count() == 12)
+    assert(mkt.where(col("end_date") < col("start_date")).count() == 0)
+    assert(mkt.columns.toSet == Set("event_id", "event_name", "start_date",
+      "end_date", "affected_products", "discount_percentage",
+      "campaign_budget", "target_audience", "channel"))
+  }
+
+  test("demand features carry the reference's full feature vector") {
+    val pdf = wh.load("gold", "product_demand_features")
+    val expected = Seq("sales_last_7_days", "sales_last_30_days",
+      "avg_daily_sales", "price", "inventory_level", "waste_ratio",
+      "day_of_week", "is_holiday", "season", "seasonality_index",
+      "promotion_active", "weather_impact_score")
+    assert(expected.forall(pdf.columns.contains),
+      s"missing: ${expected.filterNot(pdf.columns.contains)}")
+    // range frames: 7-day sum is bounded by the 30-day sum, both >= daily
+    assert(pdf.where(col("sales_last_7_days") > col("sales_last_30_days")).count() == 0)
+    assert(pdf.where(col("daily_units") > col("sales_last_7_days")).count() == 0)
+    // joins filled: every row has a season + calendar day + weather score
+    assert(pdf.where(col("season").isNull || col("day_of_week").isNull).count() == 0)
+    assert(pdf.where(col("weather_impact_score").isNull).count() == 0)
+    assert(pdf.where(col("price").isNull).count() == 0)
+    // seasonality index averages to ~1 over a product's seasons weighted
+    // by rows; here just bound it away from degenerate values
+    assert(pdf.where(col("seasonality_index") <= 0).count() == 0)
+  }
+
+  test("calendar dim carries holiday + season enrichments") {
+    val cal = wh.load("gold", "dim_calendar")
+    assert(cal.where(col("season").isNull).count() == 0)
+    // generated dates are June-July -> all Summer
+    assert(cal.where(col("season") =!= "Summer").count() == 0)
+    assert(cal.where(col("is_holiday")).count() ==
+      cal.where(col("holiday_name").isNotNull).count())
+    // July 4 inside the second-cycle window
+    assert(cal.where(col("date") === java.sql.Date.valueOf("2025-07-04"))
+      .select(col("is_holiday")).head().getBoolean(0))
+  }
 }
