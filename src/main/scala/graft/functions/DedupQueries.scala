@@ -218,18 +218,36 @@ object DedupQueries extends QueryModule {
             "h60",
             conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
           )
-        val bitCols = (0 until SimBits).map(j =>
+        // Lane-packed bit tallies: 60 per-bit counters would need 60
+        // aggregate buffers (the generated aggregate class dominated the
+        // query's wall time via codegen/JIT compile). Instead pack 4
+        // counters of 16 bits into each of 15 longs — safe while a doc
+        // has < 2^16 distinct tokens — and recover bit j's majority vote
+        // as ((word >> 16*lane) & 0xFFFF) * 2 > n_tokens (identical to
+        // the +1/-1 sum being > 0; ties stay 0 in both forms).
+        val Lanes = 4
+        val wordCols = (0 until SimBits / Lanes).map { w =>
           sum(
-            when(shiftright(col("h60"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-          ).as(s"s$j")
-        )
+            (0 until Lanes).map { l =>
+              val j = w * Lanes + l
+              shiftright(col("h60"), j).bitwiseAND(lit(1L)) * lit(1L << (16 * l))
+            }.reduce(_ + _)
+          ).as(s"w$w")
+        }
         val sums = toks
           .groupBy(col("doc_id"))
-          .agg(bitCols.head, bitCols.tail: _*)
+          .agg(count(lit(1)).as("n_toks"), wordCols: _*)
         val sig = sums.select(
           col("doc_id"),
           (0 until SimBits)
-            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .map { j =>
+              val (w, l) = (j / Lanes, j % Lanes)
+              when(
+                shiftright(col(s"w$w"), 16 * l).bitwiseAND(lit(0xFFFFL)) * 2 >
+                  col("n_toks"),
+                lit(1L << j)
+              ).otherwise(lit(0L))
+            }
             .reduce(_ + _)
             .as("simhash")
         )
@@ -264,11 +282,21 @@ object DedupQueries extends QueryModule {
           .select(col("ida"), col("idb"), col("hamming"))
       },
       oracle = Some {
-        val sums = (0 until SimBits)
-          .map(j => s"SUM(CASE WHEN (h60 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        val lanes = 4
+        val sums = (0 until SimBits / lanes)
+          .map { w =>
+            val terms = (0 until lanes).map { l =>
+              val j = w * lanes + l
+              s"((h60 >> $j) & 1) * ${1L << (16 * l)}"
+            }.mkString(" + ")
+            s"CAST(SUM($terms) AS BIGINT) AS w$w"
+          }
           .mkString(", ")
         val sig = (0 until SimBits)
-          .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+          .map { j =>
+            val (w, l) = (j / lanes, j % lanes)
+            s"(CASE WHEN ((w$w >> ${16 * l}) & 65535) * 2 > n_toks THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+          }
           .mkString(" + ")
         val bandBits = SimBits / SimBands
         val mask     = (1L << bandBits) - 1
@@ -280,7 +308,7 @@ object DedupQueries extends QueryModule {
           SELECT DISTINCT doc_id, md5(tok) AS h
           FROM (SELECT doc_id, UNNEST(string_split(t, ' ')) AS tok FROM ($normSql))),
         hashed AS (SELECT doc_id, CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h60 FROM toks),
-        sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+        sums AS (SELECT doc_id, COUNT(*) AS n_toks, $sums FROM hashed GROUP BY doc_id),
         sig AS (SELECT doc_id, $sig AS simhash FROM sums),
         bands AS ($bandSelects),
         cand AS (
