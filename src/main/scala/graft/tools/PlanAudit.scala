@@ -43,7 +43,24 @@ object PlanAudit {
       mustContain = Seq("vec_dot")),
     // top-k uses TakeOrderedAndProject (no full global sort at scale)
     Audit("q11_sort_limit",
-      mustContain = Seq("TakeOrderedAndProject"))
+      mustContain = Seq("TakeOrderedAndProject")),
+    // promo range-join feature: the dim side broadcasts; the fact is
+    // never cartesian-joined
+    Audit("q49_promo_range_feature",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")),
+    // date-RANGE frames run as partitioned windows, not SinglePartition
+    Audit("q54_window_range_frame",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("SinglePartition")),
+    // LSH-banded near-dup generates candidates via equi-join buckets
+    Audit("q41_cosine_neardup",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct")),
+    // seasonality windows partition by product key
+    Audit("q52_seasonality_index",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct"))
   )
 
   def main(args: Array[String]): Unit = {
