@@ -20,6 +20,37 @@ object TextQueries extends QueryModule {
   private def occSql(expr: String, sub: String): String =
     s"CAST(length($expr) - length(replace($expr, '$sub', '')) AS DOUBLE) / ${sub.length}"
 
+  // Shared oracle fragments (the SQL mirrors of langId/qualityScore),
+  // used by q29/q30 and recomposed by the q59 corpus selection.
+  private val paddedSql = "(' ' || t || ' ')"
+  private lazy val markerCntsSql = TextFunctions.langMarkers.map { case (lang, ms) =>
+    lang -> s"(len(regexp_split_to_array($paddedSql, '${ms.mkString("|")}')) - 1)"
+  }
+  private lazy val bestCntSql =
+    markerCntsSql.map(_._2).reduceLeft((a, b) => s"GREATEST($a, $b)")
+  // fold in declaration order: later whens win only on earlier langs,
+  // mirroring the Scala foldLeft over reversed markers
+  private lazy val langCaseSql =
+    markerCntsSql.reverse.foldLeft("'und'") { case (acc, (lang, c)) =>
+      s"CASE WHEN $c = best_cnt AND best_cnt > 0 THEN '$lang' ELSE $acc END"
+    }
+  private lazy val predictedSql =
+    s"CASE WHEN length(regexp_replace(t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 " +
+      s"THEN 'zh' ELSE $langCaseSql END"
+  private lazy val stopsSql = TextFunctions.langMarkers
+    .find(_._1 == "en").get._2
+    .map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
+  private lazy val qualitySql =
+    s"""GREATEST(LEAST(
+              (CASE WHEN length(t) BETWEEN 200 AND 4000 THEN 40
+                    WHEN length(t) BETWEEN 50 AND 199 THEN 25 ELSE 10 END)
+              + (CASE WHEN $stopsSql >= 3 THEN 30 WHEN $stopsSql >= 1 THEN 20 ELSE 5 END)
+              + 30
+              - LEAST(length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 2, 20)
+              - LEAST(length(regexp_replace(t, '[^0-9]', '', 'g')), 10), 100), 0)"""
+  private lazy val tokenCountSql =
+    "CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS INTEGER)"
+
   override def queries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Token count + char stats + md5 fingerprint per document.
@@ -53,25 +84,11 @@ object TextQueries extends QueryModule {
           .groupBy(col("predicted"), col("lang"))
           .agg(count(lit(1)).as("n"))
       },
-      oracle = Some {
-        val padded = "(' ' || t || ' ')"
-        val cnts = TextFunctions.langMarkers.map { case (lang, ms) =>
-          lang -> s"(len(regexp_split_to_array($padded, '${ms.mkString("|")}')) - 1)"
-        }
-        val best = cnts.map(_._2).reduceLeft((a, b) => s"GREATEST($a, $b)")
-        // fold in declaration order: later whens win only on earlier langs,
-        // mirroring the Scala foldLeft over reversed markers
-        val caseExpr = cnts.reverse.foldLeft("'und'") { case (acc, (lang, c)) =>
-          s"CASE WHEN $c = best_cnt AND best_cnt > 0 THEN '$lang' ELSE $acc END"
-        }
-        s"""
+      oracle = Some(s"""
         SELECT predicted, lang, COUNT(*) AS n FROM (
-          SELECT lang,
-                 CASE WHEN length(regexp_replace(t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
-                      THEN 'zh' ELSE $caseExpr END AS predicted
-          FROM (SELECT *, $best AS best_cnt FROM ($normSql))
-        ) GROUP BY predicted, lang"""
-      }
+          SELECT lang, $predictedSql AS predicted
+          FROM (SELECT *, $bestCntSql AS best_cnt FROM ($normSql))
+        ) GROUP BY predicted, lang""")
     ),
 
     // ----------------------------------------------------------------
@@ -88,29 +105,62 @@ object TextQueries extends QueryModule {
             max(col("q")).as("max_quality"),
             count(lit(1)).as("n_docs")
           ),
-      oracle = Some {
-        val padded = "(' ' || t || ' ')"
-        val stops = TextFunctions.langMarkers
-          .find(_._1 == "en").get._2
-          .map(m => occSql(padded, m)).mkString("(", " + ", ")")
-        s"""
+      oracle = Some(s"""
         SELECT source,
                CAST(SUM(CAST(q AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_quality,
                CAST(MIN(q) AS INTEGER) AS min_quality,
                CAST(MAX(q) AS INTEGER) AS max_quality,
                COUNT(*) AS n_docs
         FROM (
-          SELECT source,
-            GREATEST(LEAST(
-              (CASE WHEN length(t) BETWEEN 200 AND 4000 THEN 40
-                    WHEN length(t) BETWEEN 50 AND 199 THEN 25 ELSE 10 END)
-              + (CASE WHEN $stops >= 3 THEN 30 WHEN $stops >= 1 THEN 20 ELSE 5 END)
-              + 30
-              - LEAST(length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 2, 20)
-              - LEAST(length(regexp_replace(t, '[^0-9]', '', 'g')), 10), 100), 0) AS q
+          SELECT source, $qualitySql AS q
           FROM ($normSql)
-        ) GROUP BY source"""
-      }
+        ) GROUP BY source""")
+    ),
+
+    // ----------------------------------------------------------------
+    // The composed training-corpus selection a data pipeline actually
+    // runs before tokenization: quality floor + language filter + token
+    // band + exact dedup (keep the lowest doc_id per fingerprint), then
+    // per-source acceptance stats. One pass for the scoring (all four
+    // scores are column functions over the same normalized text), a
+    // hash-agg for the dedup winners, a LEFT SEMI join to keep them —
+    // every stage linear and shuffle-bounded at 100 TB.
+    "q59_corpus_select" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val scored = documents(s, d).select(
+          col("doc_id"), col("source"),
+          qualityScore(col("text")).as("q"),
+          langId(col("text")).as("predicted"),
+          tokenCount(col("text")).as("n_tokens"),
+          fingerprint(col("text")).as("fp"))
+        val cand = scored.where(
+          col("q") >= 60 && col("predicted") === "en" &&
+            col("n_tokens").between(20, 1000))
+        val keep = cand.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        cand
+          .join(keep, Seq("fp", "doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 $qualitySql AS q,
+                 $predictedSql AS predicted,
+                 $tokenCountSql AS n_tokens,
+                 md5(t) AS fp
+          FROM (SELECT *, $bestCntSql AS best_cnt FROM ($normSql))),
+        cand AS (
+          SELECT * FROM scored
+          WHERE q >= 60 AND predicted = 'en' AND n_tokens BETWEEN 20 AND 1000),
+        keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM cand GROUP BY fp)
+        SELECT c.source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(c.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+        FROM cand c JOIN keep k ON c.fp = k.fp AND c.doc_id = k.doc_id
+        GROUP BY c.source""")
     )
   )
 }

@@ -290,6 +290,79 @@ object RelationalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // PIVOT: long→wide reshaping with an EXPLICIT value list — the
+    // Seq("F","O") matters at scale: without it Spark collects the
+    // distinct pivot values to the driver first (an extra job over the
+    // full fact). Absent from the reference but standard reporting
+    // surface; one shuffle, same as a grouped CASE aggregate.
+    "q56_pivot" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast("decimal(28,2)")))
+          .select(
+            col("l_returnflag"),
+            col("F").cast("double").as("qty_f"),
+            col("O").cast("double").as("qty_o")),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_f,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_o
+        FROM lineitem GROUP BY l_returnflag""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CUBE + grouping_id: all 2^k subtotal combinations in one
+    // grouping-sets aggregate (single shuffle), with the bitmask
+    // disambiguating "NULL because higher-level subtotal" from a real
+    // NULL group value.
+    "q57_cube" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().cast("int").as("gid")
+          ),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // U4: INTERSECT / EXCEPT (both DISTINCT semantics, matching ANSI).
+    // Customers who ordered, split by membership in the BUILDING
+    // segment — each branch is a distinct-set op, stacked with the tag.
+    "q58_intersect_except" -> QueryDef(
+      fn = (s, d) => {
+        val ordered = orders(s, d).select(col("o_custkey").as("custkey"))
+        val building = customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        ordered.intersect(building).withColumn("tag", lit("building"))
+          .unionByName(
+            ordered.except(building).withColumn("tag", lit("other")))
+      },
+      oracle = Some("""
+        SELECT custkey, 'building' AS tag FROM (
+          SELECT o_custkey AS custkey FROM orders
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT custkey, 'other' AS tag FROM (
+          SELECT o_custkey AS custkey FROM orders
+          EXCEPT
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")
+    ),
+
+    // ----------------------------------------------------------------
     // P4/P6: CASE bucketing + casts (silver_to_gold.py:178-182 price
     // tier CASE; :57-63 calendar flags).
     "q12_case_bucket" -> QueryDef(

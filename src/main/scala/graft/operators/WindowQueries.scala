@@ -191,6 +191,43 @@ object WindowQueries extends QueryModule {
                CAST(SUM(units) OVER (PARTITION BY l_partkey ORDER BY day_num
                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS units_30d
         FROM daily""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W7: rank-family windows — ntile quartiles, percent_rank,
+    // cume_dist (the distributional stats a data-quality report puts on
+    // every numeric column). Partitioned by return flag — never a
+    // global ordering at fact scale — with a unique (units, orderkey)
+    // sort so every rank is deterministic.
+    "q55_window_rank_dist" -> QueryDef(
+      fn = (s, d) => {
+        val perOrder = lineitem(s, d)
+          .where(col("l_orderkey") % 7 === 0)
+          .groupBy(col("l_returnflag"), col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("units"))
+        val w = Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("units"), col("l_orderkey"))
+        perOrder.select(
+          col("l_returnflag"), col("l_orderkey"),
+          col("units").cast("double").as("units_d"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume_d"))
+      },
+      oracle = Some("""
+        WITH per_order AS (
+          SELECT l_returnflag, l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS units
+          FROM lineitem WHERE l_orderkey % 7 = 0
+          GROUP BY l_returnflag, l_orderkey)
+        SELECT l_returnflag, l_orderkey,
+               CAST(units AS DOUBLE) AS units_d,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_d
+        FROM per_order
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY units, l_orderkey)""")
     )
   )
 }

@@ -106,7 +106,21 @@ final class Babysitter(spark: SparkSession, maxRestarts: Int = 3) {
         if (q != null && q.isActive) { if (n > 0) "restarted" else "running" }
         else if (n >= maxRestarts) "dead"
         else "stopped"
-      val p = Option(q).flatMap(x => Option(progress.get(x.id)))
+      // the listener bus is async: if this run's event hasn't been
+      // delivered yet, fall back to the query's own lastProgress (the
+      // engine updates it synchronously with the batch commit)
+      val p = Option(q)
+        .flatMap(x => Option(progress.get(x.id)))
+        .orElse(Option(q).flatMap(x => Option(x.lastProgress)).map { lp =>
+          Progress(
+            batchId = lp.batchId,
+            inputRows = lp.numInputRows,
+            inputRowsPerSec = orZero(lp.inputRowsPerSecond),
+            processedRowsPerSec = orZero(lp.processedRowsPerSecond),
+            triggerMs = Option(lp.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(0L)
+          )
+        })
       Health(
         name = name,
         status = status,
