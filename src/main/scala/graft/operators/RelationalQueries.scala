@@ -363,6 +363,40 @@ object RelationalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // AS-OF join (point-in-time lookup): each purchase event picks up
+    // the value of the user's latest view event at or before it —
+    // union-and-carry-forward, one shuffle, no row amplification (see
+    // [[AsOfJoin]]). Oracle is DuckDB's native ASOF LEFT JOIN. The
+    // right side is pre-aggregated to unique (user, ts) so the carried
+    // value is deterministic in both engines.
+    "q60_asof_join" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev
+          .where(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("last_view_value"))
+        AsOfJoin
+          .asOf(purchases, views, Seq("user_id"), "ts", "ts",
+            Seq("last_view_value"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("last_view_value"))
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, ts AS rts, MAX(value) AS last_view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT l.user_id, l.event_id, l.ts, r.last_view_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.rts""")
+    ),
+
+    // ----------------------------------------------------------------
     // P4/P6: CASE bucketing + casts (silver_to_gold.py:178-182 price
     // tier CASE; :57-63 calendar flags).
     "q12_case_bucket" -> QueryDef(
