@@ -67,4 +67,23 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-static broadcast join enriches events with a dim, unmatched kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (200L, "silver")).toDF("user", "tier")
+    val input = MemoryStream[Click]
+    val enriched = input.toDS()
+      .join(broadcast(dim), Seq("user"), "left")
+      .select(col("click_id"), col("user"), col("tier"))
+    val q = enriched.writeStream
+      .format("memory").queryName("stream_static_out").outputMode("append").start()
+    try {
+      input.addData(Click(1, 100, ts(0)), Click(2, 300, ts(1))) // 300 not in dim
+      q.processAllAvailable()
+      val rows = spark.table("stream_static_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None), rows.toString)
+    } finally q.stop()
+  }
 }
