@@ -263,7 +263,6 @@ object FeatureQueries extends QueryModule {
     // generate identical weather.
     "q53_weather_impact" -> QueryDef(
       fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val daily = lineitem(s, d)
           .groupBy(
             (col("l_suppkey") % 5).cast("int").as("store_id"),
@@ -285,10 +284,13 @@ object FeatureQueries extends QueryModule {
           .join(weather, Seq("store_id", "ship_date"))
           .groupBy(col("weather_condition"))
           .agg(sum(col("units")).as("su"), count(lit(1)).as("n_store_days"))
-        val wAll = Window.partitionBy(lit(1))
+        // global totals as a broadcast 1-row join, not a SinglePartition
+        // window — same exact decimal totals, no degenerate exchange
+        val totals = byCond.agg(
+          sum(col("su")).as("total_su"),
+          sum(col("n_store_days")).as("total_days"))
         byCond
-          .withColumn("total_su", sum(col("su")).over(wAll))
-          .withColumn("total_days", sum(col("n_store_days")).over(wAll))
+          .crossJoin(broadcast(totals))
           .select(
             col("weather_condition"), col("n_store_days"),
             (col("su").cast("double") / col("n_store_days")).as("avg_daily_units"),
