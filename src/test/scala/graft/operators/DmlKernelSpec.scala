@@ -65,6 +65,36 @@ class DmlKernelSpec extends AnyFunSuite {
     assert(newRow.getAs[Long]("sk") > 2L)
   }
 
+  test("Scd2 tolerance detection handles zero and negative baselines") {
+    // old = 0: ANY nonzero new value must register (the divided form
+    // |new-old|/old yielded null here and froze the dim); old < 0: the
+    // unsigned denominator must not flip the predicate.
+    val dim = Seq((1, 0.0), (2, -10.0), (3, 100.0), (4, 100.0))
+      .toDF("id", "price").withColumn("is_current", lit(true))
+    val fresh = Seq(
+      (1, 5.0),    // 0 -> 5: changed (old divided form missed it)
+      (2, -10.2),  // |Δ|=0.2 <= 0.05*10: within tolerance
+      (3, 104.0),  // 4% move: within 5% tolerance
+      (4, 106.0)   // 6% move: changed
+    ).toDF("id", "price")
+    val changed = Scd2
+      .detectChanges(fresh, dim, Seq("id"), Seq("price"),
+        relativeTolerance = Map("price" -> 0.05))
+      .select($"id").as[Int].collect().sorted
+    assert(changed.toSeq == Seq(1, 4), s"got ${changed.toSeq}")
+  }
+
+  test("saltedJoin rejects join types that would duplicate unmatched build rows") {
+    val big   = Seq((1, "x")).toDF("k", "a")
+    val small = Seq((1, "y"), (2, "z")).toDF("k", "b")
+    val ex = intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 4, joinType = "right_outer"))
+    assert(ex.getMessage.contains("multiplicity"))
+    // supported types still work and preserve semantics
+    val inner = SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 4)
+    assert(inner.count() == 1)
+  }
+
   test("quality score stays in [0,100] and equals 100 minus failed penalties") {
     val df = Seq((5, -1.0), (-5, 2.0), (1, 1.0)).toDF("qty", "price")
     val checks = Seq(
