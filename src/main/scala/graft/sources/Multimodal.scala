@@ -145,6 +145,27 @@ object Multimodal extends QueryModule {
                  AS hist0_cnt
         FROM codes
         GROUP BY doc_id, n_bytes""")
+    ),
+
+    // Frame-sampling path: every stride-th byte window of the payload as
+    // a "frame" row (the video/audio sampling shape — a real decoder
+    // emits decoded frames at the same boundaries). Fully
+    // oracle-checkable: frame count and sizes are arithmetic over
+    // octet_length.
+    "q61_frame_sample" -> QueryDef(
+      fn = (s, d) => frameSample(asMediaTable(s, d), stride = 64),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+          FROM documents),
+        f AS (
+          SELECT doc_id, n,
+                 unnest(range(0, CAST(CEIL(CAST(n AS DOUBLE) / 64) AS BIGINT)))
+                   AS frame_idx
+          FROM d)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(LEAST(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes
+        FROM f""")
     )
   )
 }
