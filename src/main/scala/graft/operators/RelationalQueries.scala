@@ -337,6 +337,34 @@ object RelationalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // GROUPING SETS with an explicit (non-rollup, non-cube) set list:
+    // detail + per-flag subtotal + grand total, skipping the per-status
+    // subtotal a CUBE would also produce — one grouping-sets aggregate,
+    // one shuffle, same as q48/q57.
+    "q62_grouping_sets" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .groupingSets(
+            Seq(
+              Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")),
+              Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().cast("int").as("gid")
+          ),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    ),
+
+    // ----------------------------------------------------------------
     // U4: INTERSECT / EXCEPT (both DISTINCT semantics, matching ANSI).
     // Customers who ordered, split by membership in the BUILDING
     // segment — each branch is a distinct-set op, stacked with the tag.
