@@ -228,6 +228,38 @@ object WindowQueries extends QueryModule {
                CUME_DIST() OVER w AS cume_d
         FROM per_order
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY units, l_orderkey)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // W8: first_value / last_value / nth_value with an explicit
+    // whole-partition frame (the default RANGE ... CURRENT ROW frame
+    // makes last_value return the current row — the classic trap; both
+    // engines are given the same UNBOUNDED frame). Per user: first,
+    // latest, and second event values by time.
+    "q63_first_last_value" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val wFull = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev.select(
+            col("user_id"), col("event_id"),
+            first(col("value")).over(wFull).as("first_v"),
+            last(col("value")).over(wFull).as("last_v"),
+            nth_value(col("value"), 2).over(wFull).as("second_v"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+               FIRST_VALUE(value) OVER w AS first_v,
+               LAST_VALUE(value) OVER w AS last_v,
+               NTH_VALUE(value, 2) OVER w AS second_v
+        FROM (SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
     )
   )
 }

@@ -68,6 +68,42 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys   = MemoryStream[Buy]
+
+    val joined = clicks.toDS()
+      .withWatermark("click_ts", "10 minutes")
+      .join(
+        buys.toDS().withWatermark("buy_ts", "10 minutes"),
+        expr("""
+          user = buyer AND
+          buy_ts >= click_ts AND
+          buy_ts <= click_ts + INTERVAL 15 MINUTES"""),
+        "left_outer")
+      .select(col("click_id"), col("buy_id"))
+
+    val q = joined.writeStream
+      .format("memory").queryName("stream_louter_out").outputMode("append").start()
+    try {
+      clicks.addData(Click(1, 100, ts(0)), Click(2, 200, ts(5)))
+      buys.addData(Buy(20, 200, ts(10))) // matches click 2; click 1 never buys
+      q.processAllAvailable()
+      // advance both watermarks far past click 1's join window, then let
+      // the next micro-batch evict and emit the unmatched row
+      clicks.addData(Click(99, 900, java.sql.Timestamp.valueOf("2025-06-01 12:00:00")))
+      buys.addData(Buy(98, 901, java.sql.Timestamp.valueOf("2025-06-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("stream_louter_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows.get(2).contains(Some(20L)), s"matched pair missing: $rows")
+      assert(rows.get(1).contains(None), s"unmatched click not emitted: $rows")
+      assert(!rows.contains(99L), s"in-window click emitted early: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with a dim, unmatched kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
