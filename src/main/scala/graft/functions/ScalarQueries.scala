@@ -192,6 +192,68 @@ object ScalarQueries extends QueryModule {
         FROM lineitem
         WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) = '00'
         GROUP BY l_returnflag""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Array surface: collect_list (made deterministic with sort_array),
+    // element_at (1-based, null past the end), and a filter lambda.
+    // Array-valued columns stay internal — outputs are scalars, so the
+    // cross-engine compare is exact. The filter HOF evaluates
+    // interpreted (see SNIPPETS notes) but over per-user arrays of ~15
+    // elements that cost is nil; large-array hot paths belong in custom
+    // expressions like WordShingles.
+    "q64_array_funcs" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d)
+          .where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("value"))).as("l"))
+        ev.select(
+          col("user_id"),
+          size(col("l")).as("n"),
+          element_at(col("l"), 1).as("min_v"),
+          element_at(col("l"), 3).as("third_v"),
+          expr("element_at(l, size(l))").as("max_v"),
+          expr("size(filter(l, x -> x > 90.0))").as("n_high"))
+      },
+      oracle = Some("""
+        SELECT user_id,
+               CAST(len(l) AS INTEGER) AS n,
+               l[1] AS min_v,
+               l[3] AS third_v,
+               l[len(l)] AS max_v,
+               CAST(len(list_filter(l, x -> x > 90.0)) AS INTEGER) AS n_high
+        FROM (SELECT user_id, list(value ORDER BY value) AS l
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Regexp family: capture-group extract (+ '' on no match in both
+    // engines), rlike predicate aggregation, and replace-all masking
+    // (DuckDB needs the explicit 'g' flag to match Spark's
+    // replace-every-occurrence default).
+    "q65_regexp_funcs" -> QueryDef(
+      fn = (s, d) =>
+        events(s, d)
+          .select(
+            col("event_type"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+              .cast("int").as("k_val"),
+            col("props").rlike("[0-9]{2}").as("two_digits"),
+            regexp_replace(col("props"), "[0-9]", "#").as("masked"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k_val").cast("long")).as("k_sum"),
+            sum(when(col("two_digits"), 1).otherwise(0)).cast("long").as("n_two_digit"),
+            max(col("masked")).as("max_masked"),
+            count(lit(1)).as("n")),
+      oracle = Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(SUM(CASE WHEN regexp_matches(props, '[0-9]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS n_two_digit,
+               MAX(regexp_replace(props, '[0-9]', '#', 'g')) AS max_masked,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type""")
     )
   )
 }
