@@ -365,6 +365,40 @@ object RelationalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // UNPIVOT (melt): wide→long — the inverse of q56's PIVOT. Values
+    // are pre-cast to a common double (unpivot requires one type); the
+    // oracle uses the portable stacked-UNION formulation, which is also
+    // exactly the physical shape Spark expands unpivot to (an Expand
+    // node — no shuffle at all).
+    "q66_unpivot" -> QueryDef(
+      fn = (s, d) =>
+        lineitem(s, d)
+          .where(col("l_orderkey") % 500 === 0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"),
+            col("l_discount").cast("double").as("disc"))
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = Array(col("qty"), col("price"), col("disc")),
+            variableColumnName = "metric",
+            valueColumnName = "val"),
+      oracle = Some("""
+        WITH sub AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DOUBLE) AS qty,
+                 CAST(l_extendedprice AS DOUBLE) AS price,
+                 CAST(l_discount AS DOUBLE) AS disc
+          FROM lineitem WHERE l_orderkey % 500 = 0)
+        SELECT l_orderkey, l_linenumber, 'qty' AS metric, qty AS val FROM sub
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', price FROM sub
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', disc FROM sub""")
+    ),
+
+    // ----------------------------------------------------------------
     // U4: INTERSECT / EXCEPT (both DISTINCT semantics, matching ANSI).
     // Customers who ordered, split by membership in the BUILDING
     // segment — each branch is a distinct-set op, stacked with the tag.
