@@ -212,7 +212,9 @@ object ScalarQueries extends QueryModule {
           col("user_id"),
           size(col("l")).as("n"),
           element_at(col("l"), 1).as("min_v"),
-          element_at(col("l"), 3).as("third_v"),
+          // try_ variant: ANSI mode makes element_at THROW past the end;
+          // null is the wanted (and DuckDB's) out-of-bounds semantics
+          try_element_at(col("l"), lit(3)).as("third_v"),
           expr("element_at(l, size(l))").as("max_v"),
           expr("size(filter(l, x -> x > 90.0))").as("n_high"))
       },

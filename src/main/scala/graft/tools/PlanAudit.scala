@@ -60,7 +60,17 @@ object PlanAudit {
     // seasonality windows partition by product key
     Audit("q52_seasonality_index",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("CartesianProduct"))
+      mustNotContain = Seq("CartesianProduct")),
+    // as-of join is the union+window shape: one partitioned window, no
+    // join node at all (a theta-join formulation would show
+    // BroadcastNestedLoopJoin/CartesianProduct)
+    Audit("q60_asof_join",
+      mustContain = Seq("Window", "Union"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // unpivot expands in place — no shuffle of any kind
+    Audit("q66_unpivot",
+      mustContain = Seq("Expand"),
+      mustNotContain = Seq("Exchange"))
   )
 
   def main(args: Array[String]): Unit = {
