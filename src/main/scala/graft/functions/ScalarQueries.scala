@@ -256,6 +256,55 @@ object ScalarQueries extends QueryModule {
                MAX(regexp_replace(props, '[0-9]', '#', 'g')) AS max_masked,
                COUNT(*) AS n
         FROM events GROUP BY event_type""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Calendar arithmetic beyond q23/q24: month truncation, month-end,
+    // add_months (both engines clamp Jan 31 + 1m -> Feb 28), and
+    // days-to-end-of-month.
+    "q67_date_arith" -> QueryDef(
+      fn = (s, d) =>
+        orders(s, d)
+          .where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+          .select(
+            col("o_orderkey"), col("od"),
+            trunc(col("od"), "month").as("month_start"),
+            last_day(col("od")).as("month_end"),
+            add_months(col("od"), 3).as("plus3m"),
+            datediff(last_day(col("od")), col("od")).as("days_to_eom")),
+      oracle = Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                 last_day(CAST(o_orderdate AS DATE))) AS INTEGER) AS days_to_eom
+        FROM orders WHERE o_orderkey % 97 = 0""")
+    ),
+
+    // ----------------------------------------------------------------
+    // String surface beyond q25: pad family, translate, reverse, and
+    // 1-based split_part — identical semantics in both engines.
+    "q68_string_pad" -> QueryDef(
+      fn = (s, d) =>
+        customer(s, d)
+          .where(col("c_custkey") % 37 === 0)
+          .select(
+            col("c_custkey"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+            translate(col("c_name"), "#", "-").as("name_tr"),
+            reverse(col("c_name")).as("name_rev"),
+            expr("split_part(c_name, '#', 2)").as("name_num")),
+      oracle = Some("""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+               rpad(c_mktsegment, 12, '.') AS seg_padded,
+               translate(c_name, '#', '-') AS name_tr,
+               reverse(c_name) AS name_rev,
+               split_part(c_name, '#', 2) AS name_num
+        FROM customer WHERE c_custkey % 37 = 0""")
     )
   )
 }
