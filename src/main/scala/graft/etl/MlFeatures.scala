@@ -24,11 +24,16 @@ object MlFeatures {
     * reference stubs it to 0.0 at :152; here dim_weather is real, so
     * it's condition-derived).
     *
-    * Join shapes, in 100 TB order: the daily aggregate is the only big
-    * relation; everything joined to it is dim-sized and broadcast.
-    * Promotions are pre-aggregated to (product, date) grain BEFORE the
-    * join so they can never fan out the daily rows; windows are all
-    * partitioned by business key.
+    * Join shapes, in 100 TB order: the daily aggregate AND the
+    * inventory aggregate are both fact-grain (product, store, date) —
+    * they shuffle-join on their shared keys (AQE may still pick a
+    * broadcast at small scale, but nothing forces it). Promotions and
+    * weather are date-keyed and grow with history, so they carry no
+    * broadcast hint either. Only the genuinely bounded relations —
+    * current price (one row per product) and the calendar (one row per
+    * day) — are hinted broadcast. Promotions are pre-aggregated to
+    * (product, date) grain BEFORE the join so they can never fan out
+    * the daily rows; windows are all partitioned by business key.
     */
   def productDemand(
       factSales: DataFrame,
@@ -110,12 +115,12 @@ object MlFeatures {
         sum(col("daily_units")).over(wDay30).cast("double") /
           count(col("daily_units")).over(wDay30)
       )
-      .join(broadcast(promoByDay), Seq("product_id", "date"), "left")
+      .join(promoByDay, Seq("product_id", "date"), "left")
       .withColumn("promotion_active", col("marketing_campaign").isNotNull)
-      .join(broadcast(invByDay), Seq("product_id", "store_id", "date"), "left")
+      .join(invByDay, Seq("product_id", "store_id", "date"), "left")
       .join(broadcast(currentPrice), Seq("product_id"), "left")
       .join(broadcast(calendar), Seq("date"), "left")
-      .join(broadcast(weather), Seq("store_id", "date"), "left")
+      .join(weather, Seq("store_id", "date"), "left")
       .withColumn("weather_impact_score",
         coalesce(col("weather_impact_score"), lit(1.0)))
       .withColumn(

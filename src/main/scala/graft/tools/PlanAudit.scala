@@ -73,6 +73,54 @@ object PlanAudit {
       mustNotContain = Seq("Exchange"))
   )
 
+  /** productDemand must never hint-broadcast a fact-grain relation.
+    * With auto-broadcast disabled, the ONLY BroadcastHashJoins left are
+    * the two explicit dim hints (current price, calendar); the
+    * inventory / promo / weather joins must plan as shuffle joins.
+    * Returns 0 on pass, 1 on fail.
+    */
+  private def auditProductDemand(spark: org.apache.spark.sql.SparkSession): Int = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prevT  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAq = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = to_date(lit("2025-06-01"))
+      val factSales = Seq((1, 1, 5L, java.math.BigDecimal.valueOf(10)))
+        .toDF("product_id", "store_id", "quantity", "gross_amount").withColumn("date", d)
+      val factPromos = Seq((1, "SUMMER", 10.0))
+        .toDF("product_id", "promo_type", "discount_percentage")
+        .withColumn("start_date", d).withColumn("end_date", d)
+      val factInv = Seq((1, 1, 100L, 0.05))
+        .toDF("product_id", "store_id", "closing_stock", "waste_ratio").withColumn("date", d)
+      val dimPricing = Seq((1, true, java.math.BigDecimal.valueOf(3)))
+        .toDF("product_id", "is_current_record", "avg_price")
+      val dimCalendar = Seq(("Sunday", false, Option.empty[String], "Summer"))
+        .toDF("day_name", "is_holiday", "holiday_name", "season").withColumn("date", d)
+      val dimWeather = Seq((1, "sunny"))
+        .toDF("store_id", "weather_condition").withColumn("date", d)
+      val df = graft.etl.MlFeatures.productDemand(
+        factSales, factPromos, factInv, dimPricing, dimCalendar, dimWeather)
+      df.collect()
+      // AQE's toString repeats the tree under "== Initial Plan ==" —
+      // count join nodes only in the final section
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      if (nBhj == 2) { println("[plan-audit] PASS productDemand_no_fact_broadcast"); 0 }
+      else {
+        println(s"[plan-audit] FAIL productDemand_no_fact_broadcast: " +
+          s"expected exactly 2 hinted BroadcastHashJoins, saw $nBhj")
+        println(plan.linesIterator.take(60).mkString("\n"))
+        1
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAq)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
@@ -93,8 +141,9 @@ object PlanAudit {
         println(plan.linesIterator.take(40).mkString("\n"))
       }
     }
+    failed += auditProductDemand(spark)
     spark.stop()
     if (failed > 0) sys.exit(1)
-    println(s"[plan-audit] all ${audits.size} plan assertions hold")
+    println(s"[plan-audit] all ${audits.size + 1} plan assertions hold")
   }
 }
