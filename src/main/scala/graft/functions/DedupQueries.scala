@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * xxhash64 (same plan shape, ~4x cheaper hash) — the operators take the
   * hash as a column function so that is a one-line change.
   *
-  * Scale design: no operator ever pairs documents all-vs-all. Exact dedup
-  * is a hash aggregation; Jaccard joins only on shared *rare* shingles
-  * (document-frequency cap drops uninformative shingles, bounding the
-  * per-shingle fan-out); MinHash/LSH and SimHash join on band buckets.
-  * Each is one or two key-hash shuffles — linear, not quadratic.
+  * Scale design: no operator ever pairs documents all-vs-all, and no
+  * stage ever shuffles the full (doc, shingle) relation: every
+  * aggregation is keyed by doc_id, where all of a document's shingles
+  * are already co-located in its input partition, so partial
+  * aggregation collapses them to one row per document BEFORE the
+  * shuffle. Exact dedup is a hash aggregation; Jaccard reranks
+  * minhash-band candidates; MinHash/LSH and SimHash join on band
+  * buckets. Each is one or two doc-grain shuffles — linear, not
+  * quadratic.
   */
 object DedupQueries extends QueryModule {
 
@@ -23,7 +27,6 @@ object DedupQueries extends QueryModule {
   import TextFunctions._
 
   // shared knobs (mirrored into the generated oracle SQL)
-  private val DfCap        = 20   // max document-frequency for a shingle to count
   private val JaccardTau   = 0.12 // near-dup threshold
   private val K            = 12   // minhash permutations
   private val Bands        = 4    // LSH bands (rows per band = K/Bands)
@@ -38,6 +41,22 @@ object DedupQueries extends QueryModule {
   private val MhP = 4294967311L // smallest prime > 2^32
   private val MhA = (0 until K).map(i => (((i + 1) * 2654435761L + 1013904223L) % 1073741789L) | 1L)
   private val MhB = (0 until K).map(i => ((i + 1) * 3266489917L + 374761393L) % MhP)
+
+  /** DuckDB fragments shared by the minhash-banded queries (q32, q33):
+    * the K universal-hash mins over a `hashed(doc_id, h0)` relation, and
+    * the banded key projection over the resulting `mh` relation.
+    */
+  private val mhMinsSql: String =
+    (0 until K).map(i => s"MIN((${MhA(i)} * h0 + ${MhB(i)}) % $MhP) AS h$i").mkString(", ")
+  private val mhBandSelectsSql: String = {
+    val r = K / Bands
+    (0 until Bands)
+      .map { b =>
+        val keyExpr = (0 until r).map(j => s"h${b * r + j}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('|', $keyExpr) AS band_key FROM mh"
+      }
+      .mkString(" UNION ALL ")
+  }
 
   private val normSql =
     "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
@@ -82,55 +101,102 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // N-gram Jaccard near-dup: join docs on shared rare shingles
-    // (df <= DfCap), Jaccard over rare-shingle sets, threshold tau.
+    // N-gram Jaccard near-dup: minhash-band candidate pairs (the q33
+    // LSH machinery), reranked by EXACT Jaccard over the shingle-hash
+    // sets of just the candidate documents. The former formulation
+    // (self-join on shared df-capped shingles) had to shuffle the whole
+    // (doc, shingle) relation by shingle — ~15 MB at sf0.1 and O(corpus)
+    // at 100 TB. Here every aggregation is keyed by doc_id, which
+    // partial-aggregates to one row per document map-side (a document's
+    // shingles all live in its own input partition), and the rerank
+    // scan is pre-filtered to candidate docs by a broadcast semi-join —
+    // so the only shuffled bytes are doc-grain signatures and the
+    // candidates' shingle sets.
     "q32_dedup_ngram_jaccard" -> QueryDef(
       fn = (s, d) => {
-        val sh = shingleDf(s, d)
-        val rare = sh
-          .groupBy(col("shingle"))
-          .agg(count(lit(1)).as("dfreq"))
-          .where(col("dfreq") <= DfCap)
-          .select(col("shingle"))
-        // rareSh feeds three consumers (sizes + both join sides) —
-        // persist so the explode/normalize pipeline runs once
-        val rareSh = sh.join(rare, "shingle").persist()
-        val sizes  = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = rareSh
+        val hashed = shingleDf(s, d)
+          .withColumn(
+            "h0",
+            conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
+          )
+          .select(col("doc_id"), col("h0"))
+        val mhCols = (0 until K).map(i =>
+          min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
+        )
+        val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
+        val r = K / Bands
+        val bands = (0 until Bands)
+          .map { b =>
+            mh.select(
+              col("doc_id"),
+              lit(b).as("band"),
+              concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
+            )
+          }
+          .reduce(_ unionByName _)
+        val cand = bands
           .as("a")
           .join(
-            rareSh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+            bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id")
           )
-          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), "ida")
-          .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), "idb")
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .distinct()
+          .persist() // feeds the candidate-id broadcast and the final join
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .unionByName(cand.select(col("idb").as("doc_id")))
+          .distinct()
+        // Rerank pass: re-derive shingle sets ONLY for candidate docs —
+        // the broadcast semi-join prunes the corpus to a few hundred
+        // rows before any shingling happens, so this pass costs one
+        // column scan, not a second full shingle pipeline.
+        val sets = documents(s, d)
+          .join(broadcast(candIds), "doc_id")
+          .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+          .withColumn(
+            "h0",
+            conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
+          )
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("h0")).as("hs"))
+        cand
+          .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+          .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+          .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
           .withColumn(
             "jac",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+            col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter"))
           )
           .where(col("jac") >= JaccardTau)
           .select(col("ida"), col("idb"), col("inter"), col("jac"))
       },
       oracle = Some(s"""
         WITH sh AS ($shingleSql),
-        rare AS (
-          SELECT s.doc_id, s.shingle FROM sh s
-          JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap) r
-          USING (shingle)),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        hashed AS (
+          SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0
+          FROM sh),
+        mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
+        bands AS ($mhBandSelectsSql),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+        inter AS (
+          SELECT c.ida, c.idb, COUNT(*) AS inter
+          FROM cand c
+          JOIN hashed x ON x.doc_id = c.ida
+          JOIN hashed y ON y.doc_id = c.idb AND y.h0 = x.h0
           GROUP BY 1, 2)
-        SELECT ida, idb, inter,
-               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = ida
-        JOIN sizes sb ON sb.doc_id = idb
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardTau""")
+        SELECT i.ida, i.idb, i.inter,
+               CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jac
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.ida
+        JOIN sizes sb ON sb.doc_id = i.idb
+        WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $JaccardTau""")
     ),
 
     // ----------------------------------------------------------------
@@ -176,22 +242,12 @@ object DedupQueries extends QueryModule {
           .agg(count(lit(1)).as("n_shared_bands"))
       },
       oracle = Some {
-        val r = K / Bands
-        val mins = (0 until K)
-          .map(i => s"MIN((${MhA(i)} * h0 + ${MhB(i)}) % $MhP) AS h$i")
-          .mkString(", ")
-        val bandSelects = (0 until Bands)
-          .map { b =>
-            val keyExpr = (0 until r).map(j => s"h${b * r + j}").mkString(", ")
-            s"SELECT doc_id, $b AS band, concat_ws('|', $keyExpr) AS band_key FROM mh"
-          }
-          .mkString(" UNION ALL ")
         s"""
         WITH sh AS ($shingleSql),
         hashed AS (
           SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0 FROM sh),
-        mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-        bands AS ($bandSelects)
+        mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
+        bands AS ($mhBandSelectsSql)
         SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared_bands
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
