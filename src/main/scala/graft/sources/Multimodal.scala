@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch-decoded per partition.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB (byte histogram standing in for
-  * "decode then featurize"); everything around it — schema, typed
-  * Dataset, per-partition batching, partition-count preservation — is the
-  * real Spark plumbing a production decoder drops into. At 100 TB the
-  * mapPartitions boundary is where a JNI/FFI decoder amortizes its init
-  * cost across a whole partition instead of per row.
+  * The decode kernels for RIFF/WAVE PCM16 audio and 24-bit BMP images
+  * are REAL container parsers — chunk-walking, little-endian field
+  * decoding, row padding, bottom-up pixel order — implemented in plain
+  * JVM arithmetic (neither format needs a codec). Compressed formats
+  * (jpeg/mp3/mp4) would need codecs the container lacks, so payloads
+  * with any other mime fall back to a clearly-marked deterministic STUB
+  * (byte histogram standing in for "decode then featurize"). Everything
+  * around the kernels — schema, typed Dataset, per-partition batching,
+  * partition-count preservation — is the real Spark plumbing a
+  * production codec drops into. At 100 TB the mapPartitions boundary is
+  * where a JNI/FFI decoder amortizes its init cost across a whole
+  * partition instead of per row.
   */
 object Multimodal extends QueryModule {
 
@@ -49,24 +54,48 @@ object Multimodal extends QueryModule {
       .as[MediaRecord]
   }
 
-  /** Batch "decode": per-partition iteration so a real decoder initializes
-    * once per partition. STUB kernel — a real build would replace
-    * `fakeDecode` with an image/audio codec call; the 16-bin byte
-    * histogram keeps the output deterministic and testable.
+  /** Batch decode: per-partition iteration so a real decoder initializes
+    * once per partition. Routes on mime: RIFF/WAVE PCM16 and BMP24 go
+    * through the real container parsers below (energy = RMS sample
+    * amplitude / mean pixel luminance, histogram = 16-bin sample /
+    * luminance distribution); any other mime falls back to the labeled
+    * byte-histogram stub.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // decoder init would happen HERE, once per partition
       it.map { m =>
-        val (hist, energy) = fakeDecode(m.content)
+        val (hist, energy) = m.mime match {
+          case "audio/wav" =>
+            val (_, samples) = parseWavPcm16(m.content)
+            val h = new Array[Double](16)
+            var sumSq = 0.0
+            samples.foreach { s => h((s + 32768) >> 12) += 1.0; sumSq += s.toDouble * s }
+            val n = math.max(samples.length, 1)
+            (h.map(_ / n), math.sqrt(sumSq / n))
+          case "image/bmp" =>
+            val (_, _, pixels) = parseBmp24(m.content)
+            val h = new Array[Double](16)
+            var lumSum = 0.0
+            pixels.foreach { p =>
+              val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              h(lum >> 4) += 1.0
+              lumSum += lum
+            }
+            val n = math.max(pixels.length, 1)
+            (h.map(_ / n), lumSum / n)
+          case _ =>
+            fakeDecode(m.content)
+        }
         MediaFeatures(m.doc_id, m.n_bytes, energy, hist)
       }
     }
   }
 
-  /** STUB for media decode: deterministic 16-bin byte histogram
-    * (normalized) + mean byte "energy". Replace with a real codec.
+  /** STUB for non-parsable mimes: deterministic 16-bin byte histogram
+    * (normalized) + mean byte "energy". A production build routes these
+    * mimes to a codec instead.
     */
   private def fakeDecode(bytes: Array[Byte]): (Array[Double], Double) = {
     val hist = new Array[Double](16)
@@ -79,6 +108,211 @@ object Multimodal extends QueryModule {
     }
     val n = math.max(bytes.length, 1)
     (hist.map(_ / n), sum.toDouble / n)
+  }
+
+  // ------------------------------------------------------------------
+  // RIFF/WAVE PCM16 mono — encode + parse in plain JVM arithmetic.
+
+  /** Standard 44-byte-header mono PCM16 WAV container. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dataSize = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a mono PCM16 RIFF/WAVE payload by walking the chunk list
+    * (word-aligned chunks, not a fixed 44-byte offset, so containers
+    * with extra chunks — LIST/INFO etc. — parse too). Returns
+    * (sampleRate, samples).
+    */
+  def parseWavPcm16(b: Array[Byte]): (Int, Array[Int]) = {
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 | (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+    def u16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE payload")
+    var rate    = 0
+    var samples = Array.empty[Int]
+    var off     = 12
+    while (off + 8 <= b.length) {
+      val id = tag(off)
+      val sz = u32(off + 4).toInt
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1, "only PCM supported")
+        require(u16(off + 10) == 1, "only mono supported")
+        rate = u32(off + 12).toInt
+        require(u16(off + 22) == 16, "only 16-bit samples supported")
+      } else if (id == "data") {
+        val n   = sz / 2
+        val out = new Array[Int](n)
+        var i   = 0
+        while (i < n) {
+          out(i) = (u16(off + 8 + i * 2) << 16) >> 16 // sign-extend LE int16
+          i += 1
+        }
+        samples = out
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    (rate, samples)
+  }
+
+  // ------------------------------------------------------------------
+  // BMP (24-bit uncompressed, bottom-up) — encode + parse.
+
+  /** 24bpp bottom-up BMP with the standard 54-byte header and 4-byte
+    * row padding; `px(x, y)` supplies (r, g, b) for the pixel at (x, y)
+    * in top-down image coordinates.
+    */
+  def encodeBmp24(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowBytes  = width * 3
+    val pad       = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val bb = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0) // BI_RGB, uncompressed
+      .putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = px(x, y)
+        bb.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        x += 1
+      }
+      var k = 0
+      while (k < pad) { bb.put(0.toByte); k += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Parse a 24bpp uncompressed bottom-up BMP payload: honors the
+    * pixel-data offset from the file header and the 4-byte row padding.
+    * Returns (width, height, pixels) with pixels packed r<<16|g<<8|b in
+    * top-down row-major order.
+    */
+  def parseBmp24(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    def i32(o: Int): Int =
+      (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+    def u16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte, "not a BMP payload")
+    val dataOff = i32(10)
+    val width   = i32(18)
+    val height  = i32(22)
+    require(u16(28) == 24, "only 24bpp supported")
+    require(i32(30) == 0, "only uncompressed (BI_RGB) supported")
+    require(height > 0, "top-down (negative-height) BMPs unsupported")
+    val rowBytes = width * 3
+    val pad      = (4 - rowBytes % 4) % 4
+    val pixels   = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var p = dataOff + (height - 1 - y) * (rowBytes + pad) // bottom-up rows
+      var x = 0
+      while (x < width) {
+        pixels(y * width + x) =
+          (b(p + 2) & 0xff) << 16 | (b(p + 1) & 0xff) << 8 | (b(p) & 0xff)
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, pixels)
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic media generators: real WAV/BMP containers whose
+  // samples/pixels derive from closed-form arithmetic over doc_id, so
+  // the DuckDB oracle can recompute the decoded features without
+  // parsing bytes — a hash match proves the encode -> parse round trip
+  // is byte-exact.
+
+  /** One mono PCM16 WAV per document: n = 120 + doc_id % 80 samples,
+    * sample(i) = ((doc_id*7919 + i*104729) % 65536) - 32768, 8 kHz.
+    */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = (120 + id % 80).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort
+      }
+      val bytes = encodeWavPcm16(samples, 8000)
+      MediaRecord(id, bytes, "audio/wav", bytes.length.toLong)
+    }
+  }
+
+  /** One 24bpp BMP per document: (8 + doc_id%8) x (4 + doc_id%4) so the
+    * row padding varies 0-3 bytes across docs, channel(x, y) formulas
+    * below.
+    */
+  def bmpTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val bytes = encodeBmp24(w, h, (x, y) => (
+        ((id * 3 + x + 11L * y) % 256).toInt,
+        ((id * 2 + 5L * x + y) % 256).toInt,
+        ((id + 3L * x + 7L * y) % 256).toInt
+      ))
+      MediaRecord(id, bytes, "image/bmp", bytes.length.toLong)
+    }
+  }
+
+  /** Integer decoded-audio features (exact, oracle-checkable). */
+  final case class WavDecoded(
+      doc_id: Long, sample_rate: Int, n_samples: Long,
+      sample_sum: Long, sample_sumsq: Long)
+
+  /** Integer decoded-image features (exact, oracle-checkable). */
+  final case class BmpDecoded(
+      doc_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decode WAV payloads to exact integer PCM statistics. */
+  def wavFeatures(media: Dataset[MediaRecord]): Dataset[WavDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (rate, samples) = parseWavPcm16(m.content)
+        var sum   = 0L
+        var sumSq = 0L
+        samples.foreach { s => sum += s; sumSq += s.toLong * s }
+        WavDecoded(m.doc_id, rate, samples.length.toLong, sum, sumSq)
+      }
+    }
+  }
+
+  /** Decode BMP payloads to exact integer channel statistics. */
+  def bmpFeatures(media: Dataset[MediaRecord]): Dataset[BmpDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, pixels) = parseBmp24(m.content)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        pixels.foreach { p =>
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        }
+        BmpDecoded(m.doc_id, w.toLong, h.toLong, rs, gs, bs)
+      }
+    }
   }
 
   /** STUB frame sampler: every `stride`-th byte window as a "frame". */
@@ -166,6 +400,48 @@ object Multimodal extends QueryModule {
         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
                CAST(LEAST(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes
         FROM f""")
+    ),
+
+    // Real audio decode: the generator writes genuine RIFF/WAVE PCM16
+    // containers (samples are closed-form arithmetic over doc_id), the
+    // query chunk-walks and sign-extends them back out, and the oracle
+    // recomputes the statistics from the same closed form — a hash
+    // match proves the encode -> parse round trip is byte-exact.
+    "q69_wav_decode" -> QueryDef(
+      fn = (s, d) => wavFeatures(wavTable(s, d)).toDF(),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 120 + doc_id % 80 AS n FROM documents),
+        idx AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        s AS (
+          SELECT doc_id, n,
+                 ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp
+          FROM idx)
+        SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+               CAST(SUM(smp) AS BIGINT) AS sample_sum,
+               CAST(SUM(smp * smp) AS BIGINT) AS sample_sumsq
+        FROM s GROUP BY doc_id, n""")
+    ),
+
+    // Real image decode: genuine 24bpp bottom-up BMPs with per-doc
+    // varying row padding (width % 4 covers all four pad sizes); the
+    // parser honors the header's pixel-data offset, the padding, and
+    // the bottom-up row order, and the oracle recomputes the channel
+    // sums from the pixel formulas.
+    "q70_bmp_decode" -> QueryDef(
+      fn = (s, d) => bmpFeatures(bmpTable(s, d)).toDF(),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        SELECT doc_id, w AS width, h AS height,
+               CAST(SUM((doc_id * 3 + x + 11 * y) % 256) AS BIGINT) AS r_sum,
+               CAST(SUM((doc_id * 2 + 5 * x + y) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS b_sum
+        FROM px GROUP BY doc_id, w, h""")
     )
   )
 }
