@@ -13,8 +13,9 @@ import org.apache.spark.sql.expressions.Window
   * keys as `max_key + row_number()` over a *global* (single-partition)
   * window. This implementation keeps the semantics but stays fully
   * distributed: no driver collect, per-key windows, and key-minting via
-  * a partitioned window offset by the current max (one scalar agg, which
-  * Spark computes as a 1-row exchange — fine at any scale).
+  * a distributed range-sort + zipWithIndex offset by the current max
+  * (one scalar agg, which Spark computes as a 1-row exchange — fine at
+  * any scale; no stage ever sees all keys in one partition).
   */
 object Scd2 {
 
@@ -93,9 +94,10 @@ object Scd2 {
   /** M5 + insert — apply a batch of changed rows to a current dimension:
     * close out the affected current rows (`is_current=false`,
     * `end_date=asOf`) and append the new versions as current. Surrogate
-    * keys for the new rows are minted as max(existing)+dense row_number,
-    * computed distributively (cross-join with a 1-row max aggregate —
-    * Catalyst broadcasts it).
+    * keys for the new rows are minted as max(existing) + a dense global
+    * index in key order, computed distributively (range-sort +
+    * zipWithIndex; the max comes from a 1-row aggregate Catalyst
+    * broadcasts).
     */
   def applyChanges(
       dim: DataFrame,
@@ -121,9 +123,23 @@ object Scd2 {
     val maxKey = dim.agg(
       coalesce(max(col(surrogateKeyCol)), lit(0L)).as("__max_sk")
     )
-    val w = Window.orderBy(keys.map(col): _*) // dim-scale rows: small
-    val newRows = changes
-      .withColumn("__rn", row_number().over(w))
+    // Dense rank in global key order WITHOUT a single-partition window:
+    // range-partition + local sort gives a globally key-ordered layout
+    // (a distributed sort), and zipWithIndex turns partition-local
+    // positions into contiguous global indices via per-partition count
+    // offsets — the same dense, deterministic numbering a
+    // Window.orderBy(keys) would mint, but it survives a 10^8-key dim.
+    val spark  = changes.sparkSession
+    val sorted = changes
+      .repartitionByRange(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val withRn = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add("__rn", org.apache.spark.sql.types.LongType, nullable = false)
+    )
+    val newRows = withRn
       .crossJoin(broadcast(maxKey))
       .withColumn(surrogateKeyCol, (col("__max_sk") + col("__rn")).cast("long"))
       .withColumn(startCol, asOf)
