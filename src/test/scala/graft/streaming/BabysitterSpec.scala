@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * (driver-side) doesn't capture the suite instance.
   */
 object BabysitterSpecState {
-  val failNext = new AtomicBoolean(false)
+  val failNext     = new AtomicBoolean(false)
+  val failNextLoop = new AtomicBoolean(false)
 }
 
 /** G4 babysitter: kill a query (foreachBatch throws), observe the health
@@ -86,5 +87,61 @@ class BabysitterSpec extends AnyFunSuite {
       val r2 = sitter.checkOnce() // budget exhausted -> dead, no restart
       assert(r2.map(h => (h.status, h.restarts)) == Seq(("dead", 1)))
     } finally sitter.shutdown()
+  }
+
+  test("superviseLoop restarts a mid-loop death on its own and exits when all queries are dead") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src    = MemoryStream[Long]
+    val sitter = new Babysitter(spark, maxRestarts = 1)
+
+    def start(): StreamingQuery =
+      src.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+          if (BabysitterSpecState.failNextLoop.compareAndSet(true, false))
+            throw new RuntimeException("boom: mid-loop failure")
+          batch.count(); ()
+        }
+        .start()
+
+    def await(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+
+    val q1 = sitter.register("looped", () => start())
+    val loop = new Thread(() => sitter.superviseLoop(intervalMs = 100), "babysitter-loop")
+    try {
+      loop.start()
+
+      // kill the query mid-loop; the LOOP must notice and restart it --
+      // no manual checkOnce anywhere in this test
+      BabysitterSpecState.failNextLoop.set(true)
+      src.addData(1L, 2L)
+      await("loop-driven restart") {
+        val q = sitter.query("looped")
+        q != null && q.id != q1.id && q.isActive
+      }
+      assert(loop.isAlive, "loop must keep polling while its query runs")
+
+      // the restarted query processes new data normally
+      val q2 = sitter.query("looped")
+      src.addData(3L, 4L)
+      q2.processAllAvailable()
+      assert(sitter.report().head.status == "restarted")
+
+      // stop the restarted query: budget is exhausted, so the next poll
+      // declares it dead and the loop must exit on its own
+      q2.stop()
+      await("loop exit after all queries dead") { !loop.isAlive }
+      assert(sitter.report().map(h => (h.status, h.restarts)) == Seq(("dead", 1)))
+    } finally {
+      loop.interrupt()
+      loop.join(5000)
+      sitter.shutdown()
+    }
   }
 }
