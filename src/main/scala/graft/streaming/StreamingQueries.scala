@@ -28,17 +28,21 @@ object StreamingQueries extends QueryModule {
           StructField("props", StringType)
         ))
         // the file source requires a *directory*; stage a symlink dir
-        // pointing at the events file (read-only testdata stays untouched)
-        val stageDir = java.nio.file.Paths.get(
-          "/tmp/graft_stream_events_" + math.abs(d.hashCode).toString
-        )
+        // pointing at the events file (read-only testdata stays
+        // untouched). Keyed by an md5 of the normalized corpus path —
+        // hashCode could collide two corpora into one staging dir — and
+        // re-linked unconditionally so a corpus swapped in at the same
+        // path is never read through a stale link.
+        val src = java.nio.file.Paths.get(d, "events.parquet")
+          .toAbsolutePath.normalize
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(src.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val stageDir = java.nio.file.Paths.get("/tmp/graft_stream_events_" + key)
         java.nio.file.Files.createDirectories(stageDir)
         val link = stageDir.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(
-            link,
-            java.nio.file.Paths.get(s"$d/events.parquet")
-          )
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, src)
         val stream = s.readStream
           .schema(schema)
           .parquet(stageDir.toString)
