@@ -26,12 +26,38 @@ final class Pipeline(wh: Warehouse) {
     wh.overwrite(Generators.weatherData(spark), "bronze", "weather_data")
   }
 
+  /** Bronze tables the pipeline manages, in load order. */
+  private val bronzeTables = Seq(
+    "sales_events", "inventory_updates", "equipment_metrics",
+    "customer_feedback", "promotions", "weather_data")
+
+  /** CTAS-style bronze backup (reference `bakery_csv_etl_pipeline.py:
+    * 260-262` creates `<table>_backup_<ds>` copies before the day's
+    * load). Snapshots every existing bronze table into the backup layer
+    * as `<table>_<yyyymmdd>`; re-running the same day's backup
+    * overwrites the same snapshot (idempotent). Returns the snapshot
+    * names written.
+    */
+  def backupBronze(asOf: java.sql.Date): Seq[String] = {
+    val stamp = asOf.toString.replace("-", "")
+    bronzeTables
+      .filter(wh.exists("bronze", _))
+      .map { t =>
+        val snapshot = s"${t}_$stamp"
+        wh.overwrite(wh.load("bronze", t), "backup", snapshot)
+        snapshot
+      }
+  }
+
   /** G2 — seed bronze by demultiplexing a reference-shaped combined CSV
     * (the CSV-pipeline DAG path, `bakery_csv_etl_pipeline.py`). The sales
     * slice drops the transient raw_payload (its fields live in the JSON
-    * column) to match the generator-shaped bronze schema.
+    * column) to match the generator-shaped bronze schema. Mirroring the
+    * reference DAG's stage order, an `asOf` date triggers the
+    * backup-before-load step for any bronze tables already present.
     */
-  def initBronzeFromCsv(csvPath: String): Unit = {
+  def initBronzeFromCsv(csvPath: String, backupAsOf: Option[java.sql.Date] = None): Unit = {
+    backupAsOf.foreach(backupBronze)
     import graft.sources.CsvDemux
     val raw = CsvDemux.readCombined(spark, csvPath)
     // literal "null" strings -> real nulls (reference CSV convention)

@@ -183,6 +183,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pdf.where(col("seasonality_index") <= 0).count() == 0)
   }
 
+  test("bronze backup snapshots every table before a reload (CTAS backup stage)") {
+    val day   = java.sql.Date.valueOf("2025-07-06")
+    val before = Seq("sales_events", "inventory_updates", "promotions")
+      .map(t => t -> wh.load("bronze", t).count()).toMap
+    val snaps = pipeline.backupBronze(day)
+    assert(snaps.contains("sales_events_20250706"))
+    before.foreach { case (t, n) =>
+      assert(wh.load("backup", s"${t}_20250706").count() == n,
+        s"backup of $t must capture the pre-load row count")
+    }
+    // same-day re-run overwrites the same snapshot, not a second copy
+    assert(pipeline.backupBronze(day) == snaps)
+    assert(wh.load("backup", "sales_events_20250706").count() == before("sales_events"))
+  }
+
   test("calendar dim carries holiday + season enrichments") {
     val cal = wh.load("gold", "dim_calendar")
     assert(cal.where(col("season").isNull).count() == 0)
