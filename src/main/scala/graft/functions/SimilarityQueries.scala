@@ -15,8 +15,8 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes: brute force is O(n²·dim) — correct baseline, usable to
   * ~10⁵ vectors per partition-group; the LSH variant joins on a bucket
   * key so candidate generation is linear and shuffles once on the bucket.
-  * An IVF refinement (k-means centroids) would drop in the same shape:
-  * bucket = nearest centroid id.
+  * The IVF variant trains its codebook with seeded Lloyd iterations
+  * (linear passes) and buckets on the nearest centroid id.
   */
 object SimilarityQueries extends QueryModule {
 
@@ -202,27 +202,31 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // IVF-style ANN: a fixed, deterministic codebook (the 16 lowest
-    // vec_ids stand in for k-means centroids — same plan shape, seedable
-    // training is orthogonal), every vector assigned to its nearest
-    // centroid, exact top-3 within each inverted list only. Candidate
-    // generation is one broadcast join against the codebook + one shuffle
-    // on the centroid id — linear, and the standard recall/latency knob
-    // (n_probe) would just union the next-nearest centroid lists.
+    // IVF ANN with a TRAINED codebook: seeded k-means (deterministic
+    // init = the 16 lowest vec_ids, 2 Lloyd iterations, cosine
+    // assignment with lowest-cid tie-break), every vector assigned to
+    // its nearest trained centroid, exact top-3 within each inverted
+    // list only. Centroid means are decimal-exact (order-independent
+    // sums, so Spark's parallel aggregation and DuckDB's sequential one
+    // agree bit-for-bit) then narrowed double -> float on both engines.
+    // Each Lloyd pass is one broadcast join + one doc-grain aggregation
+    // — linear; candidate generation afterwards is one broadcast join
+    // against the codebook + one shuffle on the centroid id, and the
+    // standard recall/latency knob (n_probe) would just union the
+    // next-nearest centroid lists.
     "q45_ann_ivf" -> QueryDef(
       fn = (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.types.DecimalType
         VectorFunctions.register(s)
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .persist()
-        val centroids = e
-          .where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        // assign: nearest centroid by cosine, tie-break lowest cid
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-        val assigned = e
-          .crossJoin(broadcast(centroids))
+        // nearest centroid by cosine, tie-break lowest cid
+        def assign(cent: DataFrame): DataFrame = e
+          .crossJoin(broadcast(cent))
           .withColumn(
             "csim",
             call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
@@ -230,7 +234,25 @@ object SimilarityQueries extends QueryModule {
           .withColumn("r", row_number().over(wAssign))
           .where(col("r") === 1)
           .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-          .persist()
+        // Lloyd update: element-wise member mean per centroid, summed in
+        // DECIMAL (exact, order-independent) and narrowed back to float
+        def retrain(assigned: DataFrame): DataFrame = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(
+            (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).cast("float").as("cv")
+          )
+          .groupBy(col("cid"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+          .select(col("cid"), expr("transform(pv, x -> x.cv)").as("ce"))
+          .withColumn("cn", sqrt(call_function("vec_dot", col("ce"), col("ce"))))
+          .where(col("cn") > 0)
+        val init = e
+          .where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val trained  = retrain(assign(retrain(assign(init))))
+        val assigned = assign(trained).persist()
         val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -244,20 +266,43 @@ object SimilarityQueries extends QueryModule {
           .where(col("rank") <= 3)
           .select(col("qid"), col("nid"), col("rank"), col("sim"))
       },
-      oracle = Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0),
-        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
-        assigned AS (
+      oracle = Some {
+        val dotEC =
+          "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        def ceNorm(col: String) =
+          s"sqrt(list_sum(list_transform($col, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        def assignCte(name: String, centCte: String) = s"""
+        $name AS (
           SELECT cid, vec_id, embedding, nrm FROM (
             SELECT c.cid, e.vec_id, e.embedding, e.nrm,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_sum(list_transform(list_zip(e.embedding, c.ce),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * c.cn) DESC,
-                     c.cid ASC) AS r
-            FROM e CROSS JOIN c
-          ) WHERE r = 1),
+                     $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+            FROM e CROSS JOIN $centCte c
+          ) WHERE r = 1)"""
+        def retrainCtes(from: String, name: String) = s"""
+        ${name}_i AS (
+          SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM $from),
+        ${name}_v AS (
+          SELECT cid, CAST(i AS INT) AS i,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
+        ${name}_m AS (
+          SELECT cid, i,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS cv
+          FROM ${name}_v GROUP BY cid, i),
+        $name AS (
+          SELECT cid, ce, ${ceNorm("ce")} AS cn FROM (
+            SELECT cid, list(cv ORDER BY i) AS ce FROM ${name}_m GROUP BY cid)
+          WHERE ${ceNorm("ce")} > 0)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+        ${assignCte("a1", "c0")},
+        ${retrainCtes("a1", "c1")},
+        ${assignCte("a2", "c1")},
+        ${retrainCtes("a2", "c2")},
+        ${assignCte("assigned", "c2")},
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid,
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -266,7 +311,8 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
           FROM pairs
-        ) WHERE rank <= 3""")
+        ) WHERE rank <= 3"""
+      }
     ),
 
     // ----------------------------------------------------------------
