@@ -27,8 +27,51 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     fs(p).exists(p)
   }
 
-  def load(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
+  def load(layer: String, table: String): DataFrame = {
+    val name = catalogName(layer, table)
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(path(layer, table))
+  }
+
+  /** Session catalog database backing this warehouse's BUCKETED tables
+    * (bucket metadata lives in the catalog, not in parquet footers).
+    * Data files stay under the same `root` as path-based tables; in a
+    * fresh session the catalog is empty and [[load]] degrades to the
+    * plain parquet read — same rows, just without the bucket-join
+    * optimization until the table is re-registered.
+    */
+  private lazy val catalogDb: String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val db = s"graft_wh_$key"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$root'")
+    db
+  }
+
+  private def catalogName(layer: String, table: String): String =
+    s"$catalogDb.${layer}__$table"
+
+  /** Opt-in bucketed overwrite for fact tables: hash-bucketed (and
+    * locally sorted) on the join keys, so recurring fact⋈fact joins and
+    * key-grain aggregations plan with NO shuffle exchange — at 100 TB
+    * this converts the daily feature build's widest shuffle into a
+    * local merge. Full-table overwrite (bucketed tables trade dynamic
+    * partition overwrite for co-location; use the path-based
+    * [[overwrite]] where partition-scoped rewrite matters more).
+    */
+  def overwriteBucketed(
+      df: DataFrame,
+      layer: String,
+      table: String,
+      bucketKeys: Seq[String],
+      buckets: Int = 32
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path(layer, table))
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(catalogName(layer, table))
 
   /** Append, date-partitioned when the schema carries `date`. */
   def append(df: DataFrame, layer: String, table: String): Unit = {
