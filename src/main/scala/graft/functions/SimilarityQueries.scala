@@ -203,7 +203,8 @@ object SimilarityQueries extends QueryModule {
 
     // ----------------------------------------------------------------
     // IVF ANN with a TRAINED codebook: seeded k-means (deterministic
-    // init = the 16 lowest vec_ids, 2 Lloyd iterations, cosine
+    // init = the 16 lowest vec_ids, 2 Lloyd iterations over a
+    // deterministic 25% sample — the standard IVF recipe — cosine
     // assignment with lowest-cid tie-break), every vector assigned to
     // its nearest trained centroid, exact top-3 within each inverted
     // list only. Centroid means are decimal-exact (order-independent
@@ -225,7 +226,7 @@ object SimilarityQueries extends QueryModule {
           .persist()
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
         // nearest centroid by cosine, tie-break lowest cid
-        def assign(cent: DataFrame): DataFrame = e
+        def assign(src: DataFrame, cent: DataFrame): DataFrame = src
           .crossJoin(broadcast(cent))
           .withColumn(
             "csim",
@@ -234,6 +235,11 @@ object SimilarityQueries extends QueryModule {
           .withColumn("r", row_number().over(wAssign))
           .where(col("r") === 1)
           .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        // train on a deterministic 25% sample (the standard IVF recipe:
+        // Lloyd passes over a sample, one assignment pass over the full
+        // corpus — training cost stays a fraction of assignment cost at
+        // any scale)
+        val eTrain = e.where(col("vec_id") % 4 === 0)
         // Lloyd update: element-wise member mean per centroid, summed in
         // DECIMAL (exact, order-independent) and narrowed back to float
         def retrain(assigned: DataFrame): DataFrame = assigned
@@ -251,8 +257,8 @@ object SimilarityQueries extends QueryModule {
         val init = e
           .where(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val trained  = retrain(assign(retrain(assign(init))))
-        val assigned = assign(trained).persist()
+        val trained  = retrain(assign(eTrain, retrain(assign(eTrain, init))))
+        val assigned = assign(e, trained).persist()
         val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -271,13 +277,13 @@ object SimilarityQueries extends QueryModule {
           "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
         def ceNorm(col: String) =
           s"sqrt(list_sum(list_transform($col, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-        def assignCte(name: String, centCte: String) = s"""
+        def assignCte(name: String, srcCte: String, centCte: String) = s"""
         $name AS (
           SELECT cid, vec_id, embedding, nrm FROM (
             SELECT c.cid, e.vec_id, e.embedding, e.nrm,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                      $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
-            FROM e CROSS JOIN $centCte c
+            FROM $srcCte e CROSS JOIN $centCte c
           ) WHERE r = 1)"""
         def retrainCtes(from: String, name: String) = s"""
         ${name}_i AS (
@@ -297,12 +303,13 @@ object SimilarityQueries extends QueryModule {
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
           WHERE $normSqlFrag > 0),
+        es AS (SELECT * FROM e WHERE vec_id % 4 = 0),
         c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
-        ${assignCte("a1", "c0")},
+        ${assignCte("a1", "es", "c0")},
         ${retrainCtes("a1", "c1")},
-        ${assignCte("a2", "c1")},
+        ${assignCte("a2", "es", "c1")},
         ${retrainCtes("a2", "c2")},
-        ${assignCte("assigned", "c2")},
+        ${assignCte("assigned", "e", "c2")},
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid,
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
