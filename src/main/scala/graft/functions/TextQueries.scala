@@ -161,6 +161,58 @@ object TextQueries extends QueryModule {
                CAST(SUM(CAST(c.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
         FROM cand c JOIN keep k ON c.fp = k.fp AND c.doc_id = k.doc_id
         GROUP BY c.source""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Winnowing fingerprints (the MOSS rolling-hash scheme): base-33
+    // polynomial hash over character 8-grams, minimum of each 4-wide
+    // hash window, deduplicated per document. The one-pass expression
+    // emits each doc's fingerprint set in place, so the only shuffle is
+    // the doc-grain aggregate — the oracle replays the identical
+    // arithmetic with window functions (base powers are exact BIGINT
+    // multiply-adds, no modulus, so both engines agree bit-for-bit).
+    "q71_winnow_fingerprint" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            explode(call_function("winnow_fp", normalizeText(col("text")))).as("fp")
+          )
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_fp"),
+            min(col("fp")).as("min_fp"),
+            max(col("fp")).as("max_fp"),
+            sum(col("fp")).as("fp_sum")
+          )
+      },
+      oracle = Some {
+        val k = 8; val w = 4; val b = 33L
+        val pows = (0 until k).map(j => { var p = 1L; (0 until (k - 1 - j)).foreach(_ => p *= b); p })
+        val hashExpr = (0 until k)
+          .map(j => s"CAST(ord(substr(s, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}")
+          .mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+          FROM documents),
+        pos AS (
+          SELECT doc_id, s, unnest(range(1, length(s) - $k + 2)) AS i
+          FROM t WHERE length(s) >= $k),
+        kg AS (SELECT doc_id, i, $hashExpr AS h FROM pos),
+        win AS (
+          SELECT doc_id, h,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+                 COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn
+          FROM kg),
+        sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE wn = $w)
+        SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+               CAST(SUM(fp) AS BIGINT) AS fp_sum
+        FROM sel GROUP BY doc_id"""
+      }
     )
   )
 }

@@ -60,3 +60,67 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  * scheme) in one pass per row: polynomial rolling hash over character
+  * k-grams, then the minimum hash of each w-wide window of consecutive
+  * k-gram hashes, deduplicated — the classic near-copy detector whose
+  * fingerprint density is ~2/(w+1) of the k-gram count regardless of
+  * document length.
+  *
+  * Arithmetic is chosen to be EXACT in both engines with no modulus:
+  * with base 33, k = 8 and 16-bit character codes the largest k-gram
+  * hash is < 2^47 and window sums stay far under 2^63, so the DuckDB
+  * oracle reproduces every hash with plain BIGINT multiply-adds
+  * (`ord(substr(...))` times precomputed base powers). Rolling
+  * evaluation here (subtract-top, multiply, add) equals the direct
+  * polynomial exactly in two's-complement long arithmetic.
+  *
+  * Returns the fingerprint set as a sorted array<long>; documents with
+  * fewer than k + w - 1 characters (no full window) return empty.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, b: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s    = input.asInstanceOf[UTF8String].toString
+    val numH = s.length - k + 1
+    if (numH < w) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](numH)
+    var topPow = 1L
+    var j      = 0
+    while (j < k - 1) { topPow *= b; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * b + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < numH) {
+      h = (h - s.charAt(i - 1) * topPow) * b + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]
+    var t = 0
+    while (t + w <= numH) {
+      var m = hashes(t)
+      var x = 1
+      while (x < w) { if (hashes(t + x) < m) m = hashes(t + x); x += 1 }
+      selected.add(m)
+      t += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it  = selected.iterator()
+    var n   = 0
+    while (it.hasNext) { out(n) = it.next().longValue; n += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -93,5 +93,10 @@ object VectorFunctions {
       exprs => LangId(exprs.head, graft.functions.TextFunctions.langMarkers),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp",
+      exprs => WinnowFingerprints(exprs.head, k = 8, w = 4, b = 33L),
+      "built-in"
+    )
   }
 }
