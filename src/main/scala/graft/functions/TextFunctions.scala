@@ -24,6 +24,28 @@ object TextFunctions {
     when(length(t) === 0, 0).otherwise(size(split(t, " ")))
   }
 
+  /** "BPE-ish" token estimate over normalized text: pre-tokenize into
+    * letter runs, digit runs, and single symbols (the GPT-2-style
+    * pre-tokenizer shape, ASCII-simplified — a CJK character counts as
+    * one symbol each), then charge ceil(len/4) subword tokens per run —
+    * the ~4-chars-per-token rule of thumb real tokenizers average out
+    * to. Composable built-ins only, portable to the SQL oracle. The
+    * extract-all result is referenced exactly once (higher-order
+    * functions evaluate interpreted with no CSE).
+    */
+  def tokenCountBpe(c: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(normalizeText(c), lit(BpeChunkPattern), lit(0)),
+        x => ((length(x) + 3) / 4).cast("int")
+      ),
+      lit(0),
+      (acc, x) => acc + x
+    )
+
+  /** Pre-tokenizer chunk pattern shared with the oracle SQL. */
+  val BpeChunkPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   /** Content fingerprint: md5 of normalized text (portable across
     * engines; for a pure-Spark fast path use xxhash64 instead).
     */

@@ -171,6 +171,32 @@ object TextQueries extends QueryModule {
     // the doc-grain aggregate — the oracle replays the identical
     // arithmetic with window functions (base powers are exact BIGINT
     // multiply-adds, no modulus, so both engines agree bit-for-bit).
+    // ----------------------------------------------------------------
+    // BPE-ish token counting next to the whitespace count: GPT-2-style
+    // pre-tokenizer chunks (letter runs / digit runs / single symbols)
+    // charged ceil(len/4) subword tokens each — the estimate a corpus
+    // budget planner runs before real tokenization.
+    "q72_token_count_bpe" -> QueryDef(
+      fn = (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens_ws"),
+          size(regexp_extract_all(
+            normalizeText(col("text")), lit(TextFunctions.BpeChunkPattern), lit(0)))
+            .as("n_chunks"),
+          tokenCountBpe(col("text")).as("n_tokens_bpe")
+        ),
+      oracle = Some(s"""
+        SELECT doc_id,
+               $tokenCountSql AS n_tokens_ws,
+               CAST(len(regexp_extract_all(t, '${TextFunctions.BpeChunkPattern}'))
+                 AS INTEGER) AS n_chunks,
+               CAST(COALESCE(list_sum(list_transform(
+                 regexp_extract_all(t, '${TextFunctions.BpeChunkPattern}'),
+                 x -> (length(x) + 3) // 4)), 0) AS INTEGER) AS n_tokens_bpe
+        FROM ($normSql)""")
+    ),
+
     "q71_winnow_fingerprint" -> QueryDef(
       fn = (s, d) => {
         graft.plans.VectorFunctions.register(s)
