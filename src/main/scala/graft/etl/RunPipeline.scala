@@ -15,7 +15,10 @@ object RunPipeline {
     val wh     = new Warehouse(spark, whDir)
     val pipe   = new Pipeline(wh)
     args.lift(1) match {
-      case Some(csv) if csv.endsWith(".csv") => pipe.initBronzeFromCsv(csv)
+      case Some(csv) if csv.endsWith(".csv") =>
+        // mirror the reference DAG's backup-before-load order on re-runs
+        pipe.initBronzeFromCsv(csv,
+          backupAsOf = Some(java.sql.Date.valueOf("2025-06-20")))
       case Some("increment") =>
         // a later producer window: append, process deltas, extend the fact
         pipe.appendBronzeSales(

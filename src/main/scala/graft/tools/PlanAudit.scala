@@ -70,6 +70,26 @@ object PlanAudit {
     // unpivot expands in place — no shuffle of any kind
     Audit("q66_unpivot",
       mustContain = Seq("Expand"),
+      mustNotContain = Seq("Exchange")),
+    // jaccard rerank rides banded equi-join candidates — never all-pairs
+    Audit("q32_dedup_ngram_jaccard",
+      mustContain = Seq("word_shingles"),
+      mustNotContain = Seq("CartesianProduct")),
+    // IVF assignment is a 16-row broadcast, clustering/rerank equi-joins
+    Audit("q45_ann_ivf",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct")),
+    // winnowing extracts fingerprints in place; only the doc-grain agg
+    // shuffles, and nothing runs through a single-partition window
+    Audit("q71_winnow_fingerprint",
+      mustContain = Seq("winnow_fp"),
+      mustNotContain = Seq("SinglePartition", "CartesianProduct")),
+    // media decode is a typed per-partition map over the scan
+    Audit("q69_wav_decode",
+      mustContain = Seq("MapPartitions")),
+    // token counting is a pure projection — zero shuffles
+    Audit("q72_token_count_bpe",
+      mustContain = Seq("Project"),
       mustNotContain = Seq("Exchange"))
   )
 
