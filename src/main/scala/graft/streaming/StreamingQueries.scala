@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,41 +14,53 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries extends QueryModule {
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** The file source requires a *directory*; stage a symlink dir
+    * pointing at the corpus events file (read-only testdata stays
+    * untouched). Keyed by an md5 of the normalized corpus path —
+    * hashCode could collide two corpora into one staging dir — and
+    * re-linked unconditionally so a corpus swapped in at the same path
+    * is never read through a stale link.
+    */
+  private def stageEventsDir(d: String): String = {
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+      .toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val stageDir = java.nio.file.Paths.get("/tmp/graft_stream_events_" + key)
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, src)
+    stageDir.toString
+  }
+
+  /** Events replayed through the streaming file source, ns→µs converted
+    * the same way DuckDB truncates.
+    */
+  private def eventStream(s: SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .parquet(stageEventsDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   override def queries: Map[String, QueryDef] = Map(
     // Tumbling 1-day window over the event stream, complete mode into a
     // memory sink. Epoch-aligned windows == DuckDB date_trunc('day').
     "q37_stream_window_agg" -> QueryDef(
       fn = (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)
-        ))
-        // the file source requires a *directory*; stage a symlink dir
-        // pointing at the events file (read-only testdata stays
-        // untouched). Keyed by an md5 of the normalized corpus path —
-        // hashCode could collide two corpora into one staging dir — and
-        // re-linked unconditionally so a corpus swapped in at the same
-        // path is never read through a stale link.
-        val src = java.nio.file.Paths.get(d, "events.parquet")
-          .toAbsolutePath.normalize
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(src.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val stageDir = java.nio.file.Paths.get("/tmp/graft_stream_events_" + key)
-        java.nio.file.Files.createDirectories(stageDir)
-        val link = stageDir.resolve("events.parquet")
-        java.nio.file.Files.deleteIfExists(link)
-        java.nio.file.Files.createSymbolicLink(link, src)
-        val stream = s.readStream
-          .schema(schema)
-          .parquet(stageDir.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val agg = stream
+        val agg = eventStream(s, d)
           .withWatermark("ts", "48 hours")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(
@@ -72,6 +85,62 @@ object StreamingQueries extends QueryModule {
                event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Stream-stream interval join through the REAL streaming machinery:
+    // clicks joined to purchases by the same user within 10 event-time
+    // minutes, both sides watermarked (that bounds the join state the
+    // engine must hold — the property that keeps this runnable forever
+    // at production rates). Inner joins emit on match, so draining the
+    // bounded replay yields the complete, deterministic pair set and
+    // the batch oracle is the plain theta join.
+    "q73_stream_stream_join" -> QueryDef(
+      fn = (s, d) => {
+        val clicks = eventStream(s, d)
+          .where(col("event_type") === "click")
+          .select(
+            col("user_id"),
+            col("event_id").as("click_id"),
+            col("ts").as("click_ts")
+          )
+          .withWatermark("click_ts", "48 hours")
+        val purchases = eventStream(s, d)
+          .where(col("event_type") === "purchase")
+          .select(
+            col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")
+          )
+          .withWatermark("purchase_ts", "48 hours")
+        val joined = clicks
+          .join(
+            purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") > col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes")
+          )
+          .select(
+            col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us")
+          )
+        val q = joined.writeStream
+          .format("memory")
+          .queryName("q73_out")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table("q73_out")
+      },
+      oracle = Some("""
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+        FROM events a
+        JOIN events b ON a.user_id = b.user_id
+                     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'""")
     ),
 
     // ----------------------------------------------------------------
