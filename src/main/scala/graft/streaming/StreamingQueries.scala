@@ -55,6 +55,46 @@ object StreamingQueries extends QueryModule {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Body of the stream-stream interval join (see the QueryDef below). */
+  private def q73(s: SparkSession, d: String) = {
+    val clicks = eventStream(s, d)
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts")
+      )
+      .withWatermark("click_ts", "48 hours")
+    val purchases = eventStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts")
+      )
+      .withWatermark("purchase_ts", "48 hours")
+    val joined = clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes")
+      )
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us")
+      )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("q73_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("q73_out")
+  }
+
   override def queries: Map[String, QueryDef] = Map(
     // Tumbling 1-day window over the event stream, complete mode into a
     // memory sink. Epoch-aligned windows == DuckDB date_trunc('day').
@@ -97,42 +137,16 @@ object StreamingQueries extends QueryModule {
     // the batch oracle is the plain theta join.
     "q73_stream_stream_join" -> QueryDef(
       fn = (s, d) => {
-        val clicks = eventStream(s, d)
-          .where(col("event_type") === "click")
-          .select(
-            col("user_id"),
-            col("event_id").as("click_id"),
-            col("ts").as("click_ts")
-          )
-          .withWatermark("click_ts", "48 hours")
-        val purchases = eventStream(s, d)
-          .where(col("event_type") === "purchase")
-          .select(
-            col("user_id").as("p_user_id"),
-            col("event_id").as("purchase_id"),
-            col("ts").as("purchase_ts")
-          )
-          .withWatermark("purchase_ts", "48 hours")
-        val joined = clicks
-          .join(
-            purchases,
-            col("user_id") === col("p_user_id") &&
-              col("purchase_ts") > col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes")
-          )
-          .select(
-            col("user_id"), col("click_id"), col("purchase_id"),
-            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
-              .as("lag_us")
-          )
-        val q = joined.writeStream
-          .format("memory")
-          .queryName("q73_out")
-          .outputMode("append")
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-        s.table("q73_out")
+        // a stream-stream join allocates one state store per shuffle
+        // partition per side; at replay scale the state is tiny, so 32
+        // partitions would spend multiples of the query's runtime on
+        // store setup. Production sizing: partitions ~ state volume /
+        // executor memory, not a fixed 32.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          q73(s, d)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some("""
         SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
