@@ -133,6 +133,90 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Scalar-quantized (int8) ANN: per-dimension min/max over the corpus
+    // maps each float to a centered 8-bit code — the 4x memory/bandwidth
+    // lever that makes a 100 TB vector store scannable — then sign-LSH
+    // bucketed candidates are ranked by the quantized dot product.
+    // Every step is EXACT cross-engine: min/max are order-independent,
+    // the quantizer is one floor() over IEEE double arithmetic with
+    // identical parenthesization in both engines, and the integer dot
+    // products (|code| <= 128, 64 dims => |dot| <= 2^20) accumulate
+    // without rounding — so the ranking needs no float-tolerance story.
+    "q74_ann_int8" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val bucket = (1 to 8)
+          .map(i => when(element_at(col("embedding"), i) >= 0f, 1 << (i - 1)).otherwise(0))
+          .reduce(_ + _)
+        val e = embeddings(s, d).withColumn("bucket", bucket)
+        // per-dimension quantizer params, collected to one broadcast row
+        val stats = e
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("pos"))
+          .agg(
+            min(col("v").cast("double")).as("lo"),
+            max(col("v").cast("double")).as("hi")
+          )
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+          .select(
+            expr("transform(plh, x -> x.lo)").as("los"),
+            expr("transform(plh, x -> CASE WHEN x.hi > x.lo THEN x.hi - x.lo ELSE CAST(1.0 AS DOUBLE) END)")
+              .as("spans")
+          )
+        val coded = e
+          .crossJoin(broadcast(stats))
+          .withColumn(
+            "cf",
+            expr("""transform(sequence(1, size(embedding)), i ->
+              CAST(CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(los, i))
+                / element_at(spans, i) * 255.0D) AS BIGINT) - 128L AS FLOAT))""")
+          )
+          .select(col("bucket"), col("vec_id"), col("cf"))
+          .persist()
+        val a = coded.select(col("bucket"), col("vec_id").as("qid"), col("cf").as("ca"))
+        val b = coded.select(col("bucket"), col("vec_id").as("nid"), col("cf").as("cb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
+        a.join(b, "bucket")
+          .where(col("qid") =!= col("nid"))
+          .withColumn("qdot", call_function("vec_dot", col("ca"), col("cb")).cast("long"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("qdot"))
+      },
+      oracle = Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        ei AS (
+          SELECT vec_id, embedding,
+                 CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i
+          FROM embeddings),
+        ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
+        stats AS (
+          SELECT i, MIN(v) AS lo,
+                 CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
+          FROM ev GROUP BY i),
+        codes AS (
+          SELECT vec_id,
+                 list(CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 ORDER BY i) AS c
+          FROM ev JOIN stats USING (i) GROUP BY vec_id),
+        eb AS (SELECT e.vec_id, e.bucket, c.c FROM e JOIN codes c USING (vec_id)),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 CAST(list_sum(list_transform(list_zip(a.c, b.c), x -> x[1] * x[2]))
+                   AS BIGINT) AS qdot
+          FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, qdot FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Embedding-cosine near-duplicate pairs (the fifth dedup modality):
     // unordered pairs above a similarity threshold, generated from
     // 4-band sign-LSH candidates (band b = sign pattern of coordinates

@@ -90,7 +90,12 @@ object PlanAudit {
     // token counting is a pure projection — zero shuffles
     Audit("q72_token_count_bpe",
       mustContain = Seq("Project"),
-      mustNotContain = Seq("Exchange"))
+      mustNotContain = Seq("Exchange")),
+    // quantized ANN candidates come from the bucket equi-join (the only
+    // nested-loop is the 1-row quantizer-stats broadcast)
+    Audit("q74_ann_int8",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
