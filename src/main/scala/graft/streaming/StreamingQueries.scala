@@ -158,6 +158,34 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Streaming deduplication through the real engine: watermarked
+    // dropDuplicates holds one state row per key and emits each key's
+    // FIRST arrival. Projecting just the keys makes the drained result
+    // deterministic (which physical row carried the key is racy; the
+    // key set is not), so the batch oracle is a plain DISTINCT.
+    "q75_stream_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val deduped = eventStream(s, d)
+            .withWatermark("ts", "48 hours")
+            .dropDuplicates("user_id", "event_type")
+            .select(col("user_id"), col("event_type"))
+          val q = deduped.writeStream
+            .format("memory")
+            .queryName("q75_out")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q75_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("SELECT DISTINCT user_id, event_type FROM events")
+    ),
+
+    // ----------------------------------------------------------------
     // Batch sessionization (the lag + running-flag-sum formulation) —
     // same session semantics as the stateful streaming operator
     // [[Sessionize]], expressed relationally so it oracle-checks: a new
