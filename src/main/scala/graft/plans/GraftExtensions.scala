@@ -36,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           LangId(exprs.head, graft.functions.TextFunctions.langMarkers)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("winnow_fp"),
+        new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
+        (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head, k = 8, w = 4, b = 33L)
+      )
+    )
   }
 }
