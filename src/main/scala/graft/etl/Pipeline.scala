@@ -44,7 +44,9 @@ final class Pipeline(wh: Warehouse) {
       .filter(wh.exists("bronze", _))
       .map { t =>
         val snapshot = s"${t}_$stamp"
-        wh.overwrite(wh.load("bronze", t), "backup", snapshot)
+        // full replace, NOT the dynamic partition overwrite: a same-day
+        // re-run after bronze changed must not merge the two states
+        wh.replaceSnapshot(wh.load("bronze", t), "backup", snapshot)
         snapshot
       }
   }

@@ -29,7 +29,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def load(layer: String, table: String): DataFrame = {
     val name = catalogName(layer, table)
-    if (spark.catalog.tableExists(name)) spark.table(name)
+    if (catalogEntryExists(name)) spark.table(name)
     else spark.read.parquet(path(layer, table))
   }
 
@@ -38,18 +38,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * Data files stay under the same `root` as path-based tables; in a
     * fresh session the catalog is empty and [[load]] degrades to the
     * plain parquet read — same rows, just without the bucket-join
-    * optimization until the table is re-registered.
+    * optimization until the table is re-registered. The name is a pure
+    * function of the root; the database itself is only created by
+    * [[overwriteBucketed]] — reads never run DDL.
     */
-  private lazy val catalogDb: String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val db = s"graft_wh_$key"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$root'")
-    db
-  }
+  private val catalogDb: String = s"graft_wh_${graft.Digest.md5Hex(root, bytes = 4)}"
 
   private def catalogName(layer: String, table: String): String =
     s"$catalogDb.${layer}__$table"
+
+  private def catalogEntryExists(name: String): Boolean =
+    try spark.catalog.tableExists(name)
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Path-based writes must not leave a stale catalog entry pointing at
+    * files they are about to rewrite with a different layout (a bucketed
+    * relation over re-partitioned files reads garbage).
+    */
+  private def dropCatalogEntry(layer: String, table: String): Unit = {
+    val name = catalogName(layer, table)
+    if (catalogEntryExists(name)) spark.sql(s"DROP TABLE $name")
+  }
 
   /** Opt-in bucketed overwrite for fact tables: hash-bucketed (and
     * locally sorted) on the join keys, so recurring fact⋈fact joins and
@@ -65,16 +74,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       table: String,
       bucketKeys: Seq[String],
       buckets: Int = 32
-  ): Unit =
+  ): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $catalogDb LOCATION '$root'")
     df.write
       .mode("overwrite")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(catalogName(layer, table))
+  }
+
+  /** Full-replace snapshot write: deletes any existing table directory
+    * before writing, so the result is exactly `df` regardless of what
+    * partitions a previous snapshot held (dynamic partition overwrite
+    * would merge instead). Only safe when `df` does not read from the
+    * target path — snapshot targets whose source is another table.
+    */
+  def replaceSnapshot(df: DataFrame, layer: String, table: String): Unit = {
+    dropCatalogEntry(layer, table)
+    val target = new Path(path(layer, table))
+    fs(target).delete(target, true)
+    df.write.mode("overwrite").parquet(target.toString)
+  }
 
   /** Append, date-partitioned when the schema carries `date`. */
   def append(df: DataFrame, layer: String, table: String): Unit = {
+    dropCatalogEntry(layer, table)
     val w = df.write.mode("append")
     (if (df.columns.contains("date")) w.partitionBy("date") else w)
       .parquet(path(layer, table))
@@ -93,6 +118,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * stages files and only swaps partition contents at job commit.
     */
   def overwrite(df: DataFrame, layer: String, table: String): Unit = {
+    dropCatalogEntry(layer, table)
     val target = new Path(path(layer, table))
     if (df.columns.contains("date")) {
       df.write.mode("overwrite").partitionBy("date").parquet(target.toString)

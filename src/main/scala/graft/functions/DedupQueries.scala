@@ -48,15 +48,16 @@ object DedupQueries extends QueryModule {
     */
   private val mhMinsSql: String =
     (0 until K).map(i => s"MIN((${MhA(i)} * h0 + ${MhB(i)}) % $MhP) AS h$i").mkString(", ")
-  private val mhBandSelectsSql: String = {
-    val r = K / Bands
-    (0 until Bands)
+  private def bandSelectsSql(bands: Int): String = {
+    val r = K / bands
+    (0 until bands)
       .map { b =>
         val keyExpr = (0 until r).map(j => s"h${b * r + j}").mkString(", ")
         s"SELECT doc_id, $b AS band, concat_ws('|', $keyExpr) AS band_key FROM mh"
       }
       .mkString(" UNION ALL ")
   }
+  private val mhBandSelectsSql: String = bandSelectsSql(Bands)
 
   private val normSql =
     "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
@@ -101,17 +102,26 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // N-gram Jaccard near-dup: minhash-band candidate pairs (the q33
-    // LSH machinery), reranked by EXACT Jaccard over the shingle-hash
-    // sets of just the candidate documents. The former formulation
-    // (self-join on shared df-capped shingles) had to shuffle the whole
-    // (doc, shingle) relation by shingle — ~15 MB at sf0.1 and O(corpus)
-    // at 100 TB. Here every aggregation is keyed by doc_id, which
-    // partial-aggregates to one row per document map-side (a document's
-    // shingles all live in its own input partition), and the rerank
-    // scan is pre-filtered to candidate docs by a broadcast semi-join —
-    // so the only shuffled bytes are doc-grain signatures and the
-    // candidates' shingle sets.
+    // N-gram Jaccard near-dup: minhash-band candidate pairs, reranked
+    // by EXACT Jaccard over the shingle-hash sets of just the candidate
+    // documents. The former formulation (self-join on shared df-capped
+    // shingles) had to shuffle the whole (doc, shingle) relation by
+    // shingle — ~15 MB at sf0.1 and O(corpus) at 100 TB. Here every
+    // aggregation is keyed by doc_id, which partial-aggregates to one
+    // row per document map-side (a document's shingles all live in its
+    // own input partition), and the rerank scan is pre-filtered to
+    // candidate docs by a broadcast semi-join — so the only shuffled
+    // bytes are doc-grain signatures and the candidates' shingle sets.
+    //
+    // Contract: tau is the PRECISION floor (every returned pair truly
+    // has Jaccard >= tau); recall follows the banding s-curve
+    // P(candidate) = 1 - (1 - j^r)^bands. q32 uses 6 bands x 2 rows
+    // (curve midpoint ~= 0.41, vs ~0.63 for q33's 4x3), trading some
+    // candidate fan-out for recall in the near-dup range. Exact recall
+    // at an arbitrary tau is only possible by shuffling the full
+    // shingle relation (any jac > 0 pair shares a shingle) — the
+    // O(corpus) cost this query exists to avoid; tune K/bands toward
+    // the target threshold instead.
     "q32_dedup_ngram_jaccard" -> QueryDef(
       fn = (s, d) => {
         val hashed = shingleDf(s, d)
@@ -124,8 +134,9 @@ object DedupQueries extends QueryModule {
           min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
         )
         val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
-        val r = K / Bands
-        val bands = (0 until Bands)
+        val nBands = 6 // 2 rows per band — see the recall contract above
+        val r = K / nBands
+        val bands = (0 until nBands)
           .map { b =>
             mh.select(
               col("doc_id"),
@@ -178,7 +189,7 @@ object DedupQueries extends QueryModule {
           SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0
           FROM sh),
         mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
-        bands AS ($mhBandSelectsSql),
+        bands AS (${bandSelectsSql(6)}),
         cand AS (
           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
           FROM bands a

@@ -88,8 +88,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, b: Long)
   override def prettyName: String = "winnow_fp"
 
   override def nullSafeEval(input: Any): Any = {
-    val s    = input.asInstanceOf[UTF8String].toString
-    val numH = s.length - k + 1
+    // code POINTS, not UTF-16 units: the oracle's ord()/length() are
+    // codepoint-based, and a supplementary-plane character (emoji)
+    // would otherwise shift every position and hash
+    val cps  = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val numH = cps.length - k + 1
     if (numH < w) return new GenericArrayData(Array.empty[Any])
     val hashes = new Array[Long](numH)
     var topPow = 1L
@@ -97,11 +100,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, b: Long)
     while (j < k - 1) { topPow *= b; j += 1 }
     var h = 0L
     var i = 0
-    while (i < k) { h = h * b + s.charAt(i); i += 1 }
+    while (i < k) { h = h * b + cps(i); i += 1 }
     hashes(0) = h
     i = 1
     while (i < numH) {
-      h = (h - s.charAt(i - 1) * topPow) * b + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * topPow) * b + cps(i + k - 1)
       hashes(i) = h
       i += 1
     }

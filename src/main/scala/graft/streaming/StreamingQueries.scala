@@ -31,16 +31,18 @@ object StreamingQueries extends QueryModule {
     * is never read through a stale link.
     */
   private def stageEventsDir(d: String): String = {
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-      .toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val stageDir = java.nio.file.Paths.get("/tmp/graft_stream_events_" + key)
-    java.nio.file.Files.createDirectories(stageDir)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
+    val stageDir = Paths.get(
+      "/tmp/graft_stream_events_" + graft.Digest.md5Hex(src.toString))
+    Files.createDirectories(stageDir)
+    // re-link via ATOMIC_MOVE so concurrent runs on the same corpus
+    // never observe a missing or half-created link
     val link = stageDir.resolve("events.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(link, src)
+    val tmp  = stageDir.resolve(s"events.parquet.${ProcessHandle.current().pid()}")
+    Files.deleteIfExists(tmp)
+    Files.createSymbolicLink(tmp, src)
+    Files.move(tmp, link, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     stageDir.toString
   }
 

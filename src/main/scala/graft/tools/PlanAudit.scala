@@ -108,7 +108,7 @@ object PlanAudit {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val prevT  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAq = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val prevAq = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -142,7 +142,12 @@ object PlanAudit {
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAq)
+      // unset when previously unset: an explicit -1 means "disabled",
+      // not "fall back to the regular threshold"
+      prevAq match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 

@@ -196,6 +196,15 @@ class PipelineSpec extends AnyFunSuite {
     // same-day re-run overwrites the same snapshot, not a second copy
     assert(pipeline.backupBronze(day) == snaps)
     assert(wh.load("backup", "sales_events_20250706").count() == before("sales_events"))
+    // full replace, not a partition merge: after bronze changes, the
+    // re-taken snapshot reflects ONLY the new bronze state (a dynamic
+    // partition overwrite would leave stale date partitions behind)
+    val extra = Generators.salesEvents(spark, 100,
+      baseTs = "2025-08-01 00:00:00", idOffset = 9000000L)
+    pipeline.appendBronzeSales(extra)
+    pipeline.backupBronze(day)
+    assert(wh.load("backup", "sales_events_20250706").count() ==
+      wh.load("bronze", "sales_events").count())
   }
 
   test("calendar dim carries holiday + season enrichments") {
