@@ -260,6 +260,59 @@ object WindowQueries extends QueryModule {
               WHERE event_type = 'purchase')
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Rolling z-score anomaly detection: each event scored against the
+    // trailing 100 events of its type (frame EXCLUDES the current row,
+    // so an outlier can't mask itself), flagged at |z| > 3 once >= 30
+    // prior observations exist. Values are quantized ONCE by
+    // floor(value * 1024) — floor is tie-free and exact in both
+    // engines, unlike a decimal cast's rounding — so every moment sum
+    // is pure int64 arithmetic (|vq| < 2^20, vq^2 < 2^40, x100 frame
+    // < 2^47) regardless of how each engine orders its sliding-frame
+    // aggregation, and z (scale-invariant, so computed on the
+    // quantized values) derives deterministically from exact integers.
+    "q76_anomaly_zscore" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-100, -1)
+        events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .withColumn("vq", floor(col("value") * 1024.0))
+          .withColumn("n", count(col("vq")).over(w))
+          .withColumn("s1", sum(col("vq")).over(w))
+          .withColumn("s2", sum(col("vq") * col("vq")).over(w))
+          .where(col("n") >= 30)
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("variance",
+            col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+          .where(col("variance") > 0)
+          .withColumn("z", (col("vq") - col("mean")) / sqrt(col("variance")))
+          .where(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT event_id, event_type, value,
+                 CAST(floor(value * 1024.0) AS BIGINT) AS vq,
+                 COUNT(*) OVER w AS n,
+                 CAST(SUM(CAST(floor(value * 1024.0) AS BIGINT)) OVER w AS BIGINT) AS s1,
+                 CAST(SUM(CAST(floor(value * 1024.0) AS BIGINT)
+                        * CAST(floor(value * 1024.0) AS BIGINT)) OVER w AS BIGINT) AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+        m AS (
+          SELECT *, CAST(s1 AS DOUBLE) / n AS mean,
+                 CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+          FROM scored WHERE n >= 30)
+        SELECT event_id, event_type, value,
+               (vq - mean) / sqrt(variance) AS z
+        FROM m
+        WHERE variance > 0 AND abs((vq - mean) / sqrt(variance)) > 3""")
     )
   )
 }
