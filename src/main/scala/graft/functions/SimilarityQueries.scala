@@ -407,6 +407,81 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // IVF multi-probe (n_probe = 2): vectors are indexed under their
+    // single nearest centroid, but each QUERY probes its two nearest
+    // inverted lists — the standard IVF recall/latency knob (a vector
+    // near a Voronoi boundary finds neighbors that landed on the other
+    // side). Uses the seeded codebook so the query isolates the
+    // n_probe mechanics; q45 shows the trained-codebook variant.
+    // Probing doubles the candidate join fan-in (2 rows per query on
+    // the probe side), still one broadcast + one centroid-id shuffle.
+    "q77_ann_ivf_multiprobe" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .persist()
+        val centroids = e
+          .where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+        val scored = e
+          .crossJoin(broadcast(centroids))
+          .withColumn(
+            "csim",
+            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+          )
+          .withColumn("r", row_number().over(wAssign))
+          .persist()
+        val index = scored
+          .where(col("r") === 1)
+          .select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val probes = scored
+          .where(col("r") <= 2)
+          .select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        probes
+          .join(index, "cid")
+          .where(col("qid") =!= col("nid"))
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          // a neighbor can surface through both probed lists — dedupe
+          // pairs before ranking
+          .select(col("qid"), col("nid"), col("sim"))
+          .distinct()
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+        scored AS (
+          SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.ce),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * c.cn) DESC,
+                   c.cid ASC) AS r
+          FROM e CROSS JOIN c),
+        idx AS (SELECT cid, vec_id AS nid, embedding AS eb, nrm AS nb FROM scored WHERE r = 1),
+        probes AS (SELECT cid, vec_id AS qid, embedding AS ea, nrm AS na FROM scored WHERE r <= 2),
+        pairs AS (
+          SELECT DISTINCT p.qid, i.nid,
+                 list_sum(list_transform(list_zip(p.ea, i.eb),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (p.na * i.nb) AS sim
+          FROM probes p JOIN idx i ON p.cid = i.cid AND p.qid <> i.nid)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
     // Same result as q35 through a typed Aggregator (UDAF) instead of a
     // window: partial aggregation truncates to k rows inside each map
     // task, so the shuffle carries O(k x groups) rows instead of every
