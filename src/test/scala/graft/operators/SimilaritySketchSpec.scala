@@ -35,6 +35,43 @@ class SimilaritySketchSpec extends AnyFunSuite {
     bRows.foreach { case (k, sim) => assert(sim == eRows(k)) }
   }
 
+  test("q32 banded Jaccard pairs are a subset of exact pairs (precision 1.0), recall high") {
+    val banded = graft.functions.DedupQueries.queries("q32_dedup_ngram_jaccard").fn(spark, d)
+
+    // exact formulation: full Jaccard over shingle-hash sets, all pairs
+    graft.plans.VectorFunctions.register(spark)
+    import graft.functions.TextFunctions._
+    val sets = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .withColumn("h0",
+        conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h0")).as("hs"))
+    val exact = sets.select(col("doc_id").as("ida"), col("hs").as("ha"))
+      .crossJoin(sets.select(col("doc_id").as("idb"), col("hs").as("hb")))
+      .where(col("ida") < col("idb"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .where(col("jac") >= 0.12)
+      .select(col("ida"), col("idb"), col("inter"), col("jac"))
+
+    val bRows = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val eRows = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(eRows.nonEmpty && bRows.nonEmpty)
+    // precision 1.0: every banded pair is a true near-dup with the
+    // exact intersection and Jaccard
+    assert(bRows.keySet.subsetOf(eRows.keySet),
+      s"banded produced pairs the exact formulation lacks: ${bRows.keySet.diff(eRows.keySet).take(5)}")
+    bRows.foreach { case (k, v) => assert(v == eRows(k)) }
+    // recall follows the 6x2 banding s-curve; the corpus's planted
+    // near-dups are high-similarity, so recall stays high
+    val recall = bRows.size.toDouble / eRows.size
+    assert(recall >= 0.8, s"recall $recall (${bRows.size}/${eRows.size})")
+  }
+
   test("q41 plans without a CartesianProduct") {
     val banded = graft.functions.SimilarityQueries.queries("q41_cosine_neardup").fn(spark, d)
     val plan = banded.queryExecution.executedPlan.toString
