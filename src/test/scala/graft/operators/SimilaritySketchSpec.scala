@@ -72,6 +72,54 @@ class SimilaritySketchSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (${bRows.size}/${eRows.size})")
   }
 
+  test("q77 multi-probe top-3 dominates single-probe on the SAME codebook") {
+    import org.apache.spark.sql.expressions.Window
+    val multi = graft.functions.SimilarityQueries
+      .queries("q77_ann_ivf_multiprobe").fn(spark, d)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+
+    // single-probe baseline with the identical seeded codebook: index
+    // on the nearest centroid, query only the home list
+    graft.plans.VectorFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, d)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+    val c = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wA))
+      .where(col("r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val single = assigned
+      .select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(assigned.select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "cid")
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(wR))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+
+    assert(multi.nonEmpty && single.nonEmpty)
+    // probing 2 lists yields a candidate SUPERSET of the home list, so
+    // every query's k-th best similarity can only improve — exactly
+    single.foreach { case (q, sSims) =>
+      val mSims = multi(q)
+      assert(mSims.size >= sSims.size, s"query $q lost candidates")
+      sSims.zip(mSims).foreach { case (s1, m) =>
+        assert(m >= s1, s"query $q: multi-probe sim $m < single-probe $s1")
+      }
+    }
+  }
+
   test("q41 plans without a CartesianProduct") {
     val banded = graft.functions.SimilarityQueries.queries("q41_cosine_neardup").fn(spark, d)
     val plan = banded.queryExecution.executedPlan.toString
