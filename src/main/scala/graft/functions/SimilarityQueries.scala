@@ -482,6 +482,107 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Product quantization (PQ): 64 dims split into 8 subspaces of 8,
+    // each sub-vector encoded as its nearest of 16 seeded sub-centroids
+    // (euclidean, tie -> lowest code) — an 8-byte code per vector, the
+    // 32x compression that makes a 100 TB vector store memory-resident.
+    // Scoring is asymmetric (ADC) via the decoded reconstruction: the
+    // full-precision query dotted against the concatenation of the db
+    // vector's sub-centroids, which is ONE sequential vec_dot — so the
+    // approximate scores are bit-identical cross-engine. Candidates
+    // come from the sign-LSH buckets (never all-pairs).
+    "q78_ann_pq" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val M    = 8 // subspaces
+        val Dsub = 8 // dims per subspace
+        val bucket = (1 to 8)
+          .map(i => when(element_at(col("embedding"), i) >= 0f, 1 << (i - 1)).otherwise(0))
+          .reduce(_ + _)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .withColumn("bucket", bucket)
+          .persist()
+        // sub-vectors of every doc, one row per (vec_id, subspace)
+        def subCol(src: org.apache.spark.sql.Column) =
+          (0 until M).map(j => struct(lit(j).as("j"), slice(src, j * Dsub + 1, Dsub).as("sv")))
+        val subs = e.select(col("vec_id"), explode(array(subCol(col("embedding")): _*)).as("s"))
+          .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+        // seeded sub-codebook: sub-vectors of the 16 lowest vec_ids
+        val codebook = subs.where(col("vec_id") < 16)
+          .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+        // encode: nearest sub-centroid by euclidean d^2 = |v|^2+|c|^2-2vc
+        val wCode = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("d2").asc, col("code").asc)
+        val codes = subs
+          .join(broadcast(codebook), "j")
+          .withColumn(
+            "d2",
+            call_function("vec_dot", col("sv"), col("sv")) +
+              call_function("vec_dot", col("cv"), col("cv")) -
+              lit(2.0) * call_function("vec_dot", col("sv"), col("cv"))
+          )
+          .withColumn("r", row_number().over(wCode))
+          .where(col("r") === 1)
+          .select(col("vec_id"), col("j"), col("code"), col("cv"))
+        // decode: reconstruction = concatenated sub-centroids, in order
+        val recon = codes
+          .groupBy(col("vec_id"))
+          .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("jc"))
+          .select(col("vec_id").as("nid"), expr("flatten(transform(jc, x -> x.cv))").as("rec"))
+        val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
+        val b = e.select(col("bucket"), col("vec_id").as("nid"))
+          .join(recon, "nid")
+        val w = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("nid").asc)
+        a.join(b, "bucket")
+          .where(col("qid") =!= col("nid"))
+          .withColumn("adot", call_function("vec_dot", col("ea"), col("rec")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("adot"))
+      },
+      oracle = Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        val dotVV = "list_sum(list_transform(sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val dotCC = "list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val dotVC =
+          "list_sum(list_transform(list_zip(sv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        val dotQR =
+          "list_sum(list_transform(list_zip(a.embedding, r.rec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+          WHERE $normSqlFrag > 0),
+        js AS (SELECT unnest(range(0, 8)) AS j),
+        subs AS (
+          SELECT vec_id, CAST(j AS INT) AS j,
+                 embedding[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)] AS sv
+          FROM e, js),
+        cb AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM subs WHERE vec_id < 16),
+        scored AS (
+          SELECT s.vec_id, s.j, c.code, c.cv,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                   ($dotVV + $dotCC - 2.0 * $dotVC) ASC, c.code ASC) AS r
+          FROM subs s JOIN cb c USING (j)),
+        recon AS (
+          SELECT vec_id AS nid, flatten(list(cv ORDER BY j)) AS rec
+          FROM scored WHERE r = 1 GROUP BY vec_id),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid, $dotQR AS adot
+          FROM e a
+          JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          JOIN recon r ON r.nid = b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, adot FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Same result as q35 through a typed Aggregator (UDAF) instead of a
     // window: partial aggregation truncates to k rows inside each map
     // task, so the shuffle carries O(k x groups) rows instead of every
