@@ -63,18 +63,68 @@ object DedupQueries extends QueryModule {
     "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
 
   /** DuckDB fragment: distinct (doc_id, shingle) word-3-grams. */
-  private val shingleSql = s"""
+  private[functions] val shingleSql = s"""
     SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
     FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
          UNNEST(range(1, len(w) - 1)) AS u(i)
     WHERE len(w) >= 3"""
 
   /** Spark side: distinct (doc_id, shingle) pairs. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+  private[functions] def shingleDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
   }
+
+  /** Spark side of q33's banded-minhash candidate generator: distinct-ish
+    * (ida, idb) pairs (one row per shared band key, ida < idb). Shared
+    * with [[CorpusQueries]]'s duplicate-cluster query, which feeds these
+    * edges into connected components.
+    */
+  private[functions] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDf(s, d)
+    val withH = sh.withColumn(
+      "h0",
+      conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    val mhCols = (0 until K).map(i =>
+      min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
+    )
+    val mh = withH
+      .groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+      .persist() // tiny (one row per doc); read once per band + both join sides
+    val r = K / Bands
+    val bands = (0 until Bands)
+      .map { b =>
+        mh.select(
+          col("doc_id"),
+          lit(b).as("band"),
+          concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
+        )
+      }
+      .reduce(_ unionByName _)
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+  }
+
+  /** DuckDB mirror of [[minhashCandidatePairs]]: the CTE chain ending in
+    * `bands` (shingles → h0 → K minhash mins → band keys), for callers to
+    * append their own band self-join.
+    */
+  private[functions] lazy val mhBandsCtesSql: String =
+    s"""sh AS ($shingleSql),
+        hashed AS (
+          SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0 FROM sh),
+        mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
+        bands AS ($mhBandSelectsSql)"""
 
   override def queries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
@@ -218,47 +268,13 @@ object DedupQueries extends QueryModule {
     // every shingle at 100 TB. Band keys group the K mins; candidate
     // pairs share >= 1 band key. Linear in corpus size.
     "q33_dedup_minhash_lsh" -> QueryDef(
-      fn = (s, d) => {
-        val sh = shingleDf(s, d)
-        val withH = sh.withColumn(
-          "h0",
-          conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
-        )
-        val mhCols = (0 until K).map(i =>
-          min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
-        )
-        val mh = withH
-          .groupBy(col("doc_id"))
-          .agg(mhCols.head, mhCols.tail: _*)
-          .persist() // tiny (one row per doc); read once per band + both join sides
-        val r = K / Bands
-        val bands = (0 until Bands)
-          .map { b =>
-            mh.select(
-              col("doc_id"),
-              lit(b).as("band"),
-              concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
-            )
-          }
-          .reduce(_ unionByName _)
-        bands
-          .as("a")
-          .join(
-            bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_key") === col("b.band_key") &&
-              col("a.doc_id") < col("b.doc_id")
-          )
-          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .agg(count(lit(1)).as("n_shared_bands"))
-      },
+      fn = (s, d) =>
+        minhashCandidatePairs(s, d)
+          .groupBy(col("ida"), col("idb"))
+          .agg(count(lit(1)).as("n_shared_bands")),
       oracle = Some {
         s"""
-        WITH sh AS ($shingleSql),
-        hashed AS (
-          SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0 FROM sh),
-        mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
-        bands AS ($mhBandSelectsSql)
+        WITH $mhBandsCtesSql
         SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared_bands
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
