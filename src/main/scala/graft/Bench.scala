@@ -10,7 +10,7 @@ object Bench {
     val spark = GraftSession.builder(cpus.toInt).appName("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query shuffle-write attribution so a contended run is diagnosable
-    // (the listener bus is async: the small drain sleep below keeps stage
+    // (the listener bus is async: the deterministic drain below keeps stage
     // metrics attributed to the query that produced them)
     val shuffleWrite = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -36,14 +36,28 @@ object Bench {
           throw e
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(100) // listener-bus drain
+      // deterministic listener-bus drain: a fixed sleep undercounts shuffle
+      // attribution on a loaded box
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       (name, sec, shuffleWrite.get - s0)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Two stdout lines, diagnostics first: the driver keeps only the TAIL of
+    // stdout, and rounds 2-3 lost their numbers (`parsed: null`) because the
+    // single ~5 KB line was truncated before the seconds dict. The FINAL line
+    // must therefore be the parseable one, and compact: short query keys
+    // (q01..q80, the prefix before the first '_') and ms-rounded seconds keep
+    // it ~1 KB. Full names + per-query shuffle bytes go on the earlier line.
+    val sh = results
+      .map { case (k, _, b) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"shuffle","unit":"bytes","queries":$sh,"sf":"$sfDir"}""")
+    def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val total = ms(results.map(_._2).sum)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_bytes":$sh,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

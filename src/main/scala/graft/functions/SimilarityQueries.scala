@@ -421,25 +421,45 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
-          .persist()
         val centroids = e
           .where(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-        val scored = e
+        // Centroid assignment WITHOUT replicating the embedding through a
+        // window: the broadcast join keeps all 16 scored copies of a vector
+        // in its map partition, so a groupBy(vec_id) partial-agg collapses
+        // them before the shuffle — each embedding crosses the wire once,
+        // plus a 16-entry (csim, cid) list (~1/16th of the former window's
+        // traffic). The comparator sorts (csim DESC, cid ASC) exactly like
+        // the oracle's ROW_NUMBER ordering; primitive double comparisons
+        // also sidestep the -0.0 < +0.0 edge a struct sort would have.
+        val byCsimDescCidAsc = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+          when(l.getField("csim") > r.getField("csim"), -1)
+            .when(l.getField("csim") < r.getField("csim"), 1)
+            .when(l.getField("cid") < r.getField("cid"), -1)
+            .when(l.getField("cid") > r.getField("cid"), 1)
+            .otherwise(0)
+        val top2 = e
           .crossJoin(broadcast(centroids))
           .withColumn(
             "csim",
             call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
           )
-          .withColumn("r", row_number().over(wAssign))
-          .persist()
-        val index = scored
-          .where(col("r") === 1)
-          .select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
-        val probes = scored
-          .where(col("r") <= 2)
-          .select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+          .groupBy(col("vec_id"))
+          .agg(
+            first(col("embedding")).as("embedding"),
+            first(col("nrm")).as("nrm"),
+            slice(
+              array_sort(collect_list(struct(col("csim"), col("cid"))), byCsimDescCidAsc),
+              1, 2
+            ).as("top2")
+          )
+          .persist() // index and probes both read the assignment
+        val index = top2.select(
+          col("top2")(0)("cid").as("cid"),
+          col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val probes = top2.select(
+          explode(col("top2.cid")).as("cid"),
+          col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         probes
           .join(index, "cid")
@@ -448,10 +468,10 @@ object SimilarityQueries extends QueryModule {
             "sim",
             call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
           )
-          // a neighbor can surface through both probed lists — dedupe
-          // pairs before ranking
+          // no pair dedup needed: each nid is indexed under exactly ONE list
+          // (its nearest centroid) and a query's two probe cids are distinct,
+          // so a (qid, nid) pair can arise through at most one probed list
           .select(col("qid"), col("nid"), col("sim"))
-          .distinct()
           .withColumn("rank", row_number().over(wRank))
           .where(col("rank") <= 3)
           .select(col("qid"), col("nid"), col("rank"), col("sim"))
@@ -483,16 +503,25 @@ object SimilarityQueries extends QueryModule {
 
     // ----------------------------------------------------------------
     // Product quantization (PQ): 64 dims split into 8 subspaces of 8,
-    // each sub-vector encoded as its nearest of 16 seeded sub-centroids
+    // each sub-vector encoded as its nearest of 16 TRAINED sub-centroids
     // (euclidean, tie -> lowest code) — an 8-byte code per vector, the
     // 32x compression that makes a 100 TB vector store memory-resident.
-    // Scoring is asymmetric (ADC) via the decoded reconstruction: the
-    // full-precision query dotted against the concatenation of the db
-    // vector's sub-centroids, which is ONE sequential vec_dot — so the
-    // approximate scores are bit-identical cross-engine. Candidates
-    // come from the sign-LSH buckets (never all-pairs).
+    // Sub-codebooks are real per-subspace k-means (the q45 recipe applied
+    // in each of the 8 subspaces at once, keyed by (j, code)):
+    // deterministic init = sub-vectors of the 16 lowest vec_ids, 2 Lloyd
+    // passes over the deterministic 25% sample, decimal-exact member
+    // means narrowed double -> float so both engines reproduce the
+    // centroids bit-for-bit. Scoring is asymmetric (ADC) via the decoded
+    // reconstruction: the full-precision query dotted against the
+    // concatenation of the db vector's sub-centroids, which is ONE
+    // sequential vec_dot — so the approximate scores are bit-identical
+    // cross-engine. Candidates come from the sign-LSH buckets (never
+    // all-pairs). Training is linear: each Lloyd pass is one broadcast
+    // join + one (j, code, pos)-grain aggregation over the sample.
     "q78_ann_pq" -> QueryDef(
       fn = (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.types.DecimalType
         VectorFunctions.register(s)
         val M    = 8 // subspaces
         val Dsub = 8 // dims per subspace
@@ -509,14 +538,11 @@ object SimilarityQueries extends QueryModule {
           (0 until M).map(j => struct(lit(j).as("j"), slice(src, j * Dsub + 1, Dsub).as("sv")))
         val subs = e.select(col("vec_id"), explode(array(subCol(col("embedding")): _*)).as("s"))
           .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-        // seeded sub-codebook: sub-vectors of the 16 lowest vec_ids
-        val codebook = subs.where(col("vec_id") < 16)
-          .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
         // encode: nearest sub-centroid by euclidean d^2 = |v|^2+|c|^2-2vc
         val wCode = Window.partitionBy(col("vec_id"), col("j"))
           .orderBy(col("d2").asc, col("code").asc)
-        val codes = subs
-          .join(broadcast(codebook), "j")
+        def encode(src: DataFrame, cb: DataFrame): DataFrame = src
+          .join(broadcast(cb), "j")
           .withColumn(
             "d2",
             call_function("vec_dot", col("sv"), col("sv")) +
@@ -525,7 +551,26 @@ object SimilarityQueries extends QueryModule {
           )
           .withColumn("r", row_number().over(wCode))
           .where(col("r") === 1)
-          .select(col("vec_id"), col("j"), col("code"), col("cv"))
+          .select(col("vec_id"), col("j"), col("code"), col("sv"), col("cv"))
+        // Lloyd update: element-wise member mean per (subspace, code),
+        // summed in DECIMAL (exact, order-independent) -> float
+        def retrain(assigned: DataFrame): DataFrame = assigned
+          .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg(
+            (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).cast("float").as("m")
+          )
+          .groupBy(col("j"), col("code"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("j"), col("code"), expr("transform(pm, x -> x.m)").as("cv"))
+        // deterministic init: sub-vectors of the 16 lowest vec_ids; train
+        // on the same deterministic 25% sample q45 uses
+        val init = subs.where(col("vec_id") < 16)
+          .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+        val subsTrain = subs.where(col("vec_id") % 4 === 0)
+        val codebook  = retrain(encode(subsTrain, retrain(encode(subsTrain, init))))
+        val codes     = encode(subs, codebook)
         // decode: reconstruction = concatenated sub-centroids, in order
         val recon = codes
           .groupBy(col("vec_id"))
@@ -546,12 +591,34 @@ object SimilarityQueries extends QueryModule {
         val bucketSql = (1 to 8)
           .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
           .mkString(" + ")
-        val dotVV = "list_sum(list_transform(sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val dotCC = "list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val dotVV = "list_sum(list_transform(s.sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val dotCC = "list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         val dotVC =
-          "list_sum(list_transform(list_zip(sv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+          "list_sum(list_transform(list_zip(s.sv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
         val dotQR =
           "list_sum(list_transform(list_zip(a.embedding, r.rec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        // one Lloyd pass: assignment of the training sub-vectors to the
+        // given codebook, then decimal-exact member means per (j, code)
+        def encodeCte(name: String, srcCte: String, cbCte: String) = s"""
+        $name AS (
+          SELECT vec_id, j, code, sv, cv FROM (
+            SELECT s.vec_id, s.j, c.code, s.sv, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                     ($dotVV + $dotCC - 2.0 * $dotVC) ASC, c.code ASC) AS r
+            FROM $srcCte s JOIN $cbCte c USING (j)
+          ) WHERE r = 1)"""
+        def retrainCtes(from: String, name: String) = s"""
+        ${name}_i AS (
+          SELECT j, code, sv, unnest(range(1, len(sv) + 1)) AS i FROM $from),
+        ${name}_v AS (
+          SELECT j, code, CAST(i AS INT) AS i,
+                 CAST(sv[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
+        ${name}_m AS (
+          SELECT j, code, i,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM ${name}_v GROUP BY j, code, i),
+        $name AS (
+          SELECT j, code, list(m ORDER BY i) AS cv FROM ${name}_m GROUP BY j, code)"""
         s"""
         WITH e AS (
           SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
@@ -561,15 +628,16 @@ object SimilarityQueries extends QueryModule {
           SELECT vec_id, CAST(j AS INT) AS j,
                  embedding[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)] AS sv
           FROM e, js),
-        cb AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM subs WHERE vec_id < 16),
-        scored AS (
-          SELECT s.vec_id, s.j, c.code, c.cv,
-                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-                   ($dotVV + $dotCC - 2.0 * $dotVC) ASC, c.code ASC) AS r
-          FROM subs s JOIN cb c USING (j)),
+        cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM subs WHERE vec_id < 16),
+        subst AS (SELECT * FROM subs WHERE vec_id % 4 = 0),
+        ${encodeCte("t1", "subst", "cb0")},
+        ${retrainCtes("t1", "cb1")},
+        ${encodeCte("t2", "subst", "cb1")},
+        ${retrainCtes("t2", "cb2")},
+        ${encodeCte("enc", "subs", "cb2")},
         recon AS (
           SELECT vec_id AS nid, flatten(list(cv ORDER BY j)) AS rec
-          FROM scored WHERE r = 1 GROUP BY vec_id),
+          FROM enc GROUP BY vec_id),
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid, $dotQR AS adot
           FROM e a

@@ -95,6 +95,13 @@ object PlanAudit {
     // nested-loop is the 1-row quantizer-stats broadcast)
     Audit("q74_ann_int8",
       mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct")),
+    // multi-probe assignment collapses the 16 scored centroid copies with
+    // a map-side-combined aggregate (ObjectHashAggregate carrying the
+    // collect_list) instead of dragging 16x-replicated embeddings through
+    // a row_number window — the round-3 suite-max shuffle, now ~1/16th
+    Audit("q77_ann_ivf_multiprobe",
+      mustContain = Seq("vec_dot", "ObjectHashAggregate"),
       mustNotContain = Seq("CartesianProduct"))
   )
 

@@ -35,8 +35,8 @@ object QTime {
       val t0 = System.nanoTime()
       val n  = SparkEntry.queries(name)(spark, sfDir).count()
       val s  = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; give them a beat
-      Thread.sleep(500)
+      // drain the async listener bus so this rep's metrics are all counted
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       println(f"[qtime] $name rep=$i rows=$n wall=$s%.2f s " +
         f"shuffleWrite=${shuffleWrite.sum() / 1e6}%.2f MB " +
         f"shuffleRead=${shuffleRead.sum() / 1e6}%.2f MB")
