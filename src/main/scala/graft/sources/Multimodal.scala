@@ -149,6 +149,11 @@ object Multimodal extends QueryModule {
     while (off + 8 <= b.length) {
       val id = tag(off)
       val sz = u32(off + 4).toInt
+      // reject corrupt/hostile sizes: a u32 >= 2^31 goes negative after
+      // .toInt and sz = -8 would leave `off` unchanged forever; a size
+      // past the buffer would read out of bounds
+      require(sz >= 0 && off + 8 + sz <= b.length,
+        s"corrupt RIFF chunk '$id': size $sz at offset $off exceeds payload (${b.length} bytes)")
       if (id == "fmt ") {
         require(u16(off + 8) == 1, "only PCM supported")
         require(u16(off + 10) == 1, "only mono supported")
@@ -315,7 +320,11 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** STUB frame sampler: every `stride`-th byte window as a "frame". */
+  /** Byte-window sampler: every `stride`-th byte window as a "frame".
+    * The format-agnostic path — it never decodes, so it applies to any
+    * opaque payload (useful for chunked hashing / shipping); decoded,
+    * sample-aligned framing is [[wavFrameSample]].
+    */
   def frameSample(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media
@@ -325,6 +334,48 @@ object Multimodal extends QueryModule {
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  /** One analysis frame of decoded PCM audio: exact integer moments of
+    * the samples in [frame_idx*hop, frame_idx*hop + frameLen).
+    */
+  final case class WavFrame(
+      doc_id: Long, frame_idx: Int, n_samples: Int,
+      sample_sum: Long, sample_sumsq: Long)
+
+  /** Sample-aligned audio framing: decode the PCM16 container, then cut
+    * overlapping analysis windows of `frameLen` samples every `hop`
+    * samples (the standard STFT-style framing; hop < frameLen gives
+    * overlap). Frames start while their offset is inside the signal, and
+    * the tail frame is short rather than zero-padded, so frame counts
+    * and per-frame energy (sum of squares) are exact integer arithmetic
+    * an oracle can replay. Runs in the same mapPartitions boundary as
+    * the other decoders — one decoder init per partition, frames emitted
+    * per row via the iterator (never materializing a per-partition list).
+    */
+  def wavFrameSample(media: Dataset[MediaRecord], frameLen: Int, hop: Int): Dataset[WavFrame] = {
+    require(frameLen > 0 && hop > 0, "frameLen and hop must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, samples) = parseWavPcm16(m.content)
+        val nFrames = (samples.length + hop - 1) / hop
+        (0 until nFrames).iterator.map { f =>
+          val start = f * hop
+          val end   = math.min(start + frameLen, samples.length)
+          var sum = 0L
+          var sq  = 0L
+          var i   = start
+          while (i < end) {
+            val s = samples(i)
+            sum += s
+            sq += s.toLong * s
+            i += 1
+          }
+          WavFrame(m.doc_id, f, end - start, sum, sq)
+        }
+      }
+    }
   }
 
   override def queries: Map[String, QueryDef] = Map(
@@ -442,6 +493,36 @@ object Multimodal extends QueryModule {
                CAST(SUM((doc_id * 2 + 5 * x + y) % 256) AS BIGINT) AS g_sum,
                CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS b_sum
         FROM px GROUP BY doc_id, w, h""")
+    ),
+
+    // Real frame sampling: decoded sample-aligned analysis windows (64
+    // samples every 32 — 50% overlap, the STFT shape) over genuine WAV
+    // containers, with exact integer per-frame energy. The oracle
+    // replays the closed-form samples and the same window arithmetic, so
+    // a hash match proves framing boundaries, tail-frame truncation, and
+    // the energy sums are all decode-exact.
+    "q81_wav_frames" -> QueryDef(
+      fn = (s, d) => wavFrameSample(wavTable(s, d), frameLen = 64, hop = 32).toDF(),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 120 + doc_id % 80 AS n FROM documents),
+        f AS (
+          SELECT doc_id, n,
+                 unnest(range(0, (n + 31) // 32)) AS frame_idx
+          FROM d),
+        s AS (
+          SELECT doc_id, frame_idx,
+                 unnest(range(frame_idx * 32, LEAST(frame_idx * 32 + 64, n))) AS i
+          FROM f),
+        v AS (
+          SELECT doc_id, frame_idx,
+                 ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp
+          FROM s)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
+               CAST(SUM(smp) AS BIGINT) AS sample_sum,
+               CAST(SUM(smp * smp) AS BIGINT) AS sample_sumsq
+        FROM v GROUP BY doc_id, frame_idx""")
     )
   )
 }
