@@ -30,6 +30,14 @@ object StreamingQueries extends QueryModule {
     * re-linked unconditionally so a corpus swapped in at the same path
     * is never read through a stale link.
     */
+  /** Unique-per-caller temp-name suffix: pid alone is not enough (two
+    * threads in one JVM staging the same corpus would race on the same
+    * temp path); the thread id disambiguates, and the ATOMIC_MOVE onto
+    * the final name keeps the visible link safe either way.
+    */
+  private def nonce: String =
+    s"${ProcessHandle.current().pid()}.${Thread.currentThread().getId}"
+
   private def stageEventsDir(d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
@@ -39,27 +47,121 @@ object StreamingQueries extends QueryModule {
     // re-link via ATOMIC_MOVE so concurrent runs on the same corpus
     // never observe a missing or half-created link
     val link = stageDir.resolve("events.parquet")
-    val tmp  = stageDir.resolve(s"events.parquet.${ProcessHandle.current().pid()}")
+    val tmp  = stageDir.resolve(s"events.parquet.$nonce")
     Files.deleteIfExists(tmp)
     Files.createSymbolicLink(tmp, src)
     Files.move(tmp, link, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     stageDir.toString
   }
 
-  /** Events replayed through the streaming file source, ns→µs converted
-    * the same way DuckDB truncates.
+  /** Streaming file source over a staged dir, ns→µs converted the same
+    * way DuckDB truncates.
     */
-  private def eventStream(s: SparkSession, d: String) = {
+  private def streamFromDir(s: SparkSession, stageDir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema(eventsSchema)
-      .parquet(stageEventsDir(d))
+      .parquet(stageDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Body of the stream-stream interval join (see the QueryDef below). */
-  private def q73(s: SparkSession, d: String) = {
-    val clicks = eventStream(s, d)
+  /** Events replayed through the streaming file source. */
+  private def eventStream(s: SparkSession, d: String) =
+    streamFromDir(s, stageEventsDir(d))
+
+  /** Staging dir for the left-outer interval join (q79): the corpus
+    * symlink PLUS a far-future sentinel click + purchase whose event
+    * time drives the joint watermark past every real event, so the
+    * drained replay resolves ALL real clicks — matches emit on match,
+    * unmatched clicks emit null-extended at state eviction. The
+    * sentinel rows themselves never reach the output: the watermark
+    * never passes their own event time, so they are still held in
+    * state when the drain stops (and their user_ids are negative, which
+    * no generated event uses, so they match nothing). Built once per
+    * corpus, keyed by the corpus path hash; the parquet sentinel is
+    * staged under a pid+thread temp name and ATOMIC_MOVEd into place so
+    * concurrent runs never observe a partial file.
+    */
+  private def stageEventsWithSentinel(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
+    val stageDir = Paths.get(
+      "/tmp/graft_stream_events_sent_" + graft.Digest.md5Hex(src.toString))
+    Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    val tmp  = stageDir.resolve(s"events.parquet.$nonce")
+    Files.deleteIfExists(tmp)
+    Files.createSymbolicLink(tmp, src)
+    Files.move(tmp, link, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val sentinel = stageDir.resolve("sentinel.parquet")
+    if (!Files.exists(sentinel)) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 1-row scalar gate: the corpus max event time anchors the sentinel
+      val maxNs = s.read.parquet(src.toString)
+        .agg(max(col("ts"))).head().getLong(0)
+      val farNs = maxNs + 100L * 24 * 3600 * 1000000000L
+      import s.implicits._
+      val build = stageDir.resolve(s"sentinel_build_$nonce")
+      Seq(
+        (-1L, farNs, -1L, "click", 0.0, "{}"),
+        (-2L, farNs, -2L, "purchase", 0.0, "{}")
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(build.toString)
+      val part = Files.list(build).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part, sentinel, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // best-effort cleanup of the build dir's remaining marker files
+      Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    stageDir.toString
+  }
+
+  /** Staging dir for the streaming MERGE upsert (q80): the corpus split
+    * into 4 parquet files by event_id so `maxFilesPerTrigger=1` replays
+    * it as 4 real micro-batches — the cross-batch newer-wins semantics
+    * are what the query gates. Built once per corpus behind a marker
+    * file; split parts are staged under temp names and moved in before
+    * the marker lands.
+    */
+  private def stageEventsSplit(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
+    val stageDir = Paths.get(
+      "/tmp/graft_stream_events_split_" + graft.Digest.md5Hex(src.toString))
+    Files.createDirectories(stageDir)
+    val marker = stageDir.resolve("_SPLIT_READY")
+    if (!Files.exists(marker)) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(src.toString)
+      (0 until 4).foreach { i =>
+        val build = stageDir.resolve(s"split_build_$nonce")
+        ev.where(col("event_id") % 4 === i)
+          .coalesce(1).write.mode("overwrite").parquet(build.toString)
+        val part = Files.list(build).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        Files.move(part, stageDir.resolve(s"split_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val markerTmp = stageDir.resolve(s"_SPLIT_READY.$nonce")
+      Files.write(markerTmp, Array.emptyByteArray)
+      Files.move(markerTmp, marker, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    stageDir.toString
+  }
+
+  /** Click/purchase interval-join legs shared by q73 (inner) and q79
+    * (left-outer).
+    */
+  private def intervalJoin(
+      s: SparkSession,
+      stageDir: String,
+      joinType: String
+  ) = {
+    def side = streamFromDir(s, stageDir)
+    val clicks = side
       .where(col("event_type") === "click")
       .select(
         col("user_id"),
@@ -67,7 +169,7 @@ object StreamingQueries extends QueryModule {
         col("ts").as("click_ts")
       )
       .withWatermark("click_ts", "48 hours")
-    val purchases = eventStream(s, d)
+    val purchases = side
       .where(col("event_type") === "purchase")
       .select(
         col("user_id").as("p_user_id"),
@@ -80,21 +182,23 @@ object StreamingQueries extends QueryModule {
         purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes")
+          col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes"),
+        joinType
       )
       .select(
         col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us")
       )
+    val sink = s"q_join_${joinType}_out"
     val q = joined.writeStream
       .format("memory")
-      .queryName("q73_out")
+      .queryName(sink)
       .outputMode("append")
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table("q73_out")
+    s.table(sink)
   }
 
   override def queries: Map[String, QueryDef] = Map(
@@ -147,16 +251,94 @@ object StreamingQueries extends QueryModule {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          q73(s, d)
+          intervalJoin(s, stageEventsDir(d), "inner")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      // the CTE truncates to microseconds BEFORE joining: the Spark side
+      // joins on ns->us truncated timestamps, so an oracle joining at ns
+      // precision would silently diverge on sub-microsecond boundary
+      // pairs if the generator ever emitted them
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events)
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+        FROM e a
+        JOIN e b ON a.user_id = b.user_id
+                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'""")
+    ),
+
+    // ----------------------------------------------------------------
+    // LEFT-OUTER stream-stream interval join — the semantics most likely
+    // to silently diverge: a click with no purchase in its window may
+    // only emit (null-extended) once the watermark proves no match can
+    // still arrive, i.e. rows are born at state EVICTION, not at data
+    // arrival. A far-future sentinel click+purchase staged beside the
+    // corpus drives the final watermark past every real event, so the
+    // drained replay resolves every real click and the batch oracle is
+    // the plain left-outer theta join. The sentinels stay in state
+    // (watermark never passes their own time) and match nothing, so
+    // they never appear in the output.
+    "q79_stream_left_outer_join" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          intervalJoin(s, stageEventsWithSentinel(s, d), "left_outer")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events)
         SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
                CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
-        FROM events a
-        JOIN events b ON a.user_id = b.user_id
-                     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
-        WHERE a.event_type = 'click' AND b.event_type = 'purchase'""")
+        FROM (SELECT * FROM e WHERE event_type = 'click') a
+        LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Streaming MERGE upsert (CDC into a warehouse table): the corpus
+    // replayed as 4 real micro-batches (maxFilesPerTrigger=1 over the
+    // 4-way split staging dir), each foreachBatch-merged into a parquet
+    // warehouse table with newer-wins semantics — the reference's T5
+    // late-data path under streaming. The gated result is the FINAL
+    // table state: one row per (user_id, event_type) carrying the
+    // newest event time. Only key + version are projected because the
+    // MERGE tie-break (target wins equal versions) makes non-version
+    // columns depend on batch arrival order; key + max-version is
+    // order-independent and exactly what a batch GROUP BY computes.
+    "q80_stream_merge_upsert" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files
+            .createTempDirectory("graft_q80_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val stream = s.readStream
+            .schema(eventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stageEventsSplit(s, d))
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .select(col("user_id"), col("event_type"), col("ts"))
+          val q = StreamingUpsert.start(
+            stream, wh, "silver", "event_latest",
+            keys = Seq("user_id", "event_type"), versionCol = "ts")
+          try q.processAllAvailable()
+          finally q.stop()
+          wh.load("silver", "event_latest")
+            .select(col("user_id"), col("event_type"), col("ts").as("last_ts"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        SELECT user_id, event_type,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events GROUP BY user_id, event_type""")
     ),
 
     // ----------------------------------------------------------------
