@@ -130,7 +130,15 @@ object Scd2 {
     // offsets — the same dense, deterministic numbering a
     // Window.orderBy(keys) would mint, but it survives a 10^8-key dim.
     val spark  = changes.sparkSession
+    // Persist the input: range-partitioning samples it, zipWithIndex runs
+    // a partition-count job, and the final job reads it again — three
+    // evaluations that must see the SAME rows or a non-deterministic
+    // frame (sample/limit/unstable shuffle source) could mint duplicate
+    // or skipped surrogate keys. The cache materializes on the sampling
+    // pass; callers release it with the session-level cache clear they
+    // already do between pipeline stages.
     val sorted = changes
+      .persist()
       .repartitionByRange(keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val withRn = spark.createDataFrame(
