@@ -93,17 +93,18 @@ object DedupQueries extends QueryModule {
     val mh = withH
       .groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
-      .persist() // tiny (one row per doc); read once per band + both join sides
+      .persist() // tiny (one row per doc); read by both join sides
     val r = K / Bands
-    val bands = (0 until Bands)
-      .map { b =>
-        mh.select(
-          col("doc_id"),
+    // single explode pass over the cached signatures (not a per-band
+    // union): same rows as the oracle's UNION ALL, one narrow stage
+    val bands = mh
+      .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+        struct(
           lit(b).as("band"),
           concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
         )
-      }
-      .reduce(_ unionByName _)
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     bands
       .as("a")
       .join(
@@ -186,15 +187,17 @@ object DedupQueries extends QueryModule {
         val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
         val nBands = 6 // 2 rows per band — see the recall contract above
         val r = K / nBands
-        val bands = (0 until nBands)
-          .map { b =>
-            mh.select(
-              col("doc_id"),
+        // one explode pass instead of a 6-way union re-reading the cached
+        // mh — same rows (the oracle's UNION ALL mirrors content, not
+        // plan shape), one narrow stage instead of six
+        val bands = mh
+          .select(col("doc_id"), explode(array((0 until nBands).map { b =>
+            struct(
               lit(b).as("band"),
               concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("band_key")
             )
-          }
-          .reduce(_ unionByName _)
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
         val cand = bands
           .as("a")
           .join(
