@@ -77,9 +77,9 @@ object DedupQueries extends QueryModule {
   }
 
   /** Spark side of q33's banded-minhash candidate generator: distinct-ish
-    * (ida, idb) pairs (one row per shared band key, ida < idb). Shared
-    * with [[CorpusQueries]]'s duplicate-cluster query, which feeds these
-    * edges into connected components.
+    * (ida, idb) pairs (one row per shared band key, ida < idb). The q32
+    * rerank consumes the same banding scheme (6x2 there, 4x3 here) to
+    * source its exact-Jaccard candidates.
     */
   private[functions] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d)

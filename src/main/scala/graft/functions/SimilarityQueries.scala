@@ -2,8 +2,10 @@ package graft.functions
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.plans.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column):
   * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
@@ -40,6 +42,169 @@ object SimilarityQueries extends QueryModule {
 
   private val dotSqlFrag =
     "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** Embeddings with positive L2 norm — the shared ANN prologue. */
+  private def normedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+  }
+
+  /** One-pass top-2 seeded-centroid assignment (the q77 shape): score
+    * the 16 broadcast centroids per vector, collapse with a map-side-
+    * combined groupBy(vec_id) aggregate — each embedding crosses the
+    * wire once plus a 16-entry (csim, cid) list. The comparator sorts
+    * (csim DESC, cid ASC) exactly like the oracle's ROW_NUMBER ordering;
+    * primitive double comparisons also sidestep the -0.0 < +0.0 edge a
+    * struct sort would have. Returns (vec_id, embedding, nrm,
+    * top2: array<struct<csim, cid>>).
+    */
+  private def seededTop2(e: DataFrame): DataFrame = {
+    val centroids = e
+      .where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val byCsimDescCidAsc = (l: Column, r: Column) =>
+      when(l.getField("csim") > r.getField("csim"), -1)
+        .when(l.getField("csim") < r.getField("csim"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0)
+    e.crossJoin(broadcast(centroids))
+      .withColumn(
+        "csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+      )
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        slice(
+          array_sort(collect_list(struct(col("csim"), col("cid"))), byCsimDescCidAsc),
+          1, 2
+        ).as("top2")
+      )
+  }
+
+  // ------------------------------------------------------------------
+  // Product-quantization machinery shared by q78 (sign-LSH candidates)
+  // and q82 (IVF multi-probe candidates): 64 dims in 8 subspaces of 8,
+  // 16 sub-centroids per subspace trained with the q45 Lloyd recipe.
+
+  private val PqM    = 8 // subspaces
+  private val PqDsub = 8 // dims per subspace
+
+  /** One row per (vec_id, subspace): the 8-dim sub-vector. */
+  private def pqSubVectors(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), explode(array((0 until PqM).map { j =>
+      struct(lit(j).as("j"), slice(col("embedding"), j * PqDsub + 1, PqDsub).as("sv"))
+    }: _*)).as("s"))
+    .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+
+  /** Nearest sub-centroid per sub-vector (euclidean d^2 = |v|^2 + |c|^2
+    * - 2vc, tie -> lowest code), aggregation-shaped like the centroid
+    * assignment: the broadcast codebook join keeps all 16 scored copies
+    * in the map partition, so min(struct(d2, code, cv)) collapses them
+    * BEFORE the shuffle — one row per sub-vector crosses the wire, not
+    * 16. Struct-min is safe here: d2 is a sum of squares minus an exact
+    * cross term and cannot be -0.0, and code is unique within a
+    * subspace, so the array field never participates in ordering.
+    */
+  private def pqEncode(src: DataFrame, cb: DataFrame): DataFrame = src
+    .join(broadcast(cb), "j")
+    .withColumn(
+      "d2",
+      call_function("vec_dot", col("sv"), col("sv")) +
+        call_function("vec_dot", col("cv"), col("cv")) -
+        lit(2.0) * call_function("vec_dot", col("sv"), col("cv"))
+    )
+    .groupBy(col("vec_id"), col("j"))
+    .agg(
+      first(col("sv")).as("sv"),
+      min(struct(col("d2"), col("code"), col("cv"))).as("best")
+    )
+    .select(col("vec_id"), col("j"), col("best.code").as("code"), col("sv"), col("best.cv").as("cv"))
+
+  /** Lloyd update: element-wise member mean per (subspace, code), summed
+    * in DECIMAL (exact, order-independent) and narrowed back to float so
+    * both engines reproduce the centroids bit-for-bit.
+    */
+  private def pqRetrain(assigned: DataFrame): DataFrame = assigned
+    .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+    .groupBy(col("j"), col("code"), col("pos"))
+    .agg(
+      (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).cast("float").as("m")
+    )
+    .groupBy(col("j"), col("code"))
+    .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    .select(col("j"), col("code"), expr("transform(pm, x -> x.m)").as("cv"))
+
+  /** Train the sub-codebooks (deterministic init = sub-vectors of the 16
+    * lowest vec_ids, 2 Lloyd passes over the deterministic 25% sample),
+    * encode the full corpus, and reconstruct: (nid, rec) where rec is
+    * the concatenation of each vector's nearest sub-centroids.
+    */
+  private def pqRecon(e: DataFrame): DataFrame = {
+    val subs = pqSubVectors(e)
+    val init = subs.where(col("vec_id") < 16)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    val subsTrain = subs.where(col("vec_id") % 4 === 0)
+    val codebook  = pqRetrain(pqEncode(subsTrain, pqRetrain(pqEncode(subsTrain, init))))
+    pqEncode(subs, codebook)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("jc"))
+      .select(col("vec_id").as("nid"), expr("flatten(transform(jc, x -> x.cv))").as("rec"))
+  }
+
+  /** DuckDB mirror of [[pqRecon]] over a CTE named `e(vec_id, embedding,
+    * ...)`: every training/encode/reconstruction CTE, ending in
+    * `recon(nid, rec)`. Shared by the q78 and q82 oracles.
+    */
+  private def pqOracleCtes: String = {
+    val dotVV = "list_sum(list_transform(s.sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val dotCC = "list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val dotVC =
+      "list_sum(list_transform(list_zip(s.sv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    // one Lloyd pass: assignment of the training sub-vectors to the
+    // given codebook, then decimal-exact member means per (j, code)
+    def encodeCte(name: String, srcCte: String, cbCte: String) = s"""
+        $name AS (
+          SELECT vec_id, j, code, sv, cv FROM (
+            SELECT s.vec_id, s.j, c.code, s.sv, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                     ($dotVV + $dotCC - 2.0 * $dotVC) ASC, c.code ASC) AS r
+            FROM $srcCte s JOIN $cbCte c USING (j)
+          ) WHERE r = 1)"""
+    def retrainCtes(from: String, name: String) = s"""
+        ${name}_i AS (
+          SELECT j, code, sv, unnest(range(1, len(sv) + 1)) AS i FROM $from),
+        ${name}_v AS (
+          SELECT j, code, CAST(i AS INT) AS i,
+                 CAST(sv[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
+        ${name}_m AS (
+          SELECT j, code, i,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM ${name}_v GROUP BY j, code, i),
+        $name AS (
+          SELECT j, code, list(m ORDER BY i) AS cv FROM ${name}_m GROUP BY j, code)"""
+    s"""
+        js AS (SELECT unnest(range(0, $PqM)) AS j),
+        subs AS (
+          SELECT vec_id, CAST(j AS INT) AS j,
+                 embedding[CAST(j * $PqDsub + 1 AS INT):CAST(j * $PqDsub + $PqDsub AS INT)] AS sv
+          FROM e, js),
+        cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM subs WHERE vec_id < 16),
+        subst AS (SELECT * FROM subs WHERE vec_id % 4 = 0),
+        ${encodeCte("t1", "subst", "cb0")},
+        ${retrainCtes("t1", "cb1")},
+        ${encodeCte("t2", "subst", "cb1")},
+        ${retrainCtes("t2", "cb2")},
+        ${encodeCte("enc", "subs", "cb2")},
+        recon AS (
+          SELECT vec_id AS nid, flatten(list(cv ORDER BY j)) AS rec
+          FROM enc GROUP BY vec_id)"""
+  }
 
   override def queries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
@@ -417,42 +582,10 @@ object SimilarityQueries extends QueryModule {
     // the probe side), still one broadcast + one centroid-id shuffle.
     "q77_ann_ivf_multiprobe" -> QueryDef(
       fn = (s, d) => {
-        VectorFunctions.register(s)
-        val e = embeddings(s, d)
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
-          .where(col("nrm") > 0)
-        val centroids = e
-          .where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        // Centroid assignment WITHOUT replicating the embedding through a
-        // window: the broadcast join keeps all 16 scored copies of a vector
-        // in its map partition, so a groupBy(vec_id) partial-agg collapses
-        // them before the shuffle — each embedding crosses the wire once,
-        // plus a 16-entry (csim, cid) list (~1/16th of the former window's
-        // traffic). The comparator sorts (csim DESC, cid ASC) exactly like
-        // the oracle's ROW_NUMBER ordering; primitive double comparisons
-        // also sidestep the -0.0 < +0.0 edge a struct sort would have.
-        val byCsimDescCidAsc = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
-          when(l.getField("csim") > r.getField("csim"), -1)
-            .when(l.getField("csim") < r.getField("csim"), 1)
-            .when(l.getField("cid") < r.getField("cid"), -1)
-            .when(l.getField("cid") > r.getField("cid"), 1)
-            .otherwise(0)
-        val top2 = e
-          .crossJoin(broadcast(centroids))
-          .withColumn(
-            "csim",
-            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
-          )
-          .groupBy(col("vec_id"))
-          .agg(
-            first(col("embedding")).as("embedding"),
-            first(col("nrm")).as("nrm"),
-            slice(
-              array_sort(collect_list(struct(col("csim"), col("cid"))), byCsimDescCidAsc),
-              1, 2
-            ).as("top2")
-          )
+        // centroid assignment WITHOUT replicating the embedding through a
+        // window — see [[seededTop2]] (this was round 3's suite-max
+        // shuffle at ~16x the necessary size)
+        val top2 = seededTop2(normedEmbeddings(s, d))
           .persist() // index and probes both read the assignment
         val index = top2.select(
           col("top2")(0)("cid").as("cid"),
@@ -520,62 +653,13 @@ object SimilarityQueries extends QueryModule {
     // join + one (j, code, pos)-grain aggregation over the sample.
     "q78_ann_pq" -> QueryDef(
       fn = (s, d) => {
-        import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.types.DecimalType
-        VectorFunctions.register(s)
-        val M    = 8 // subspaces
-        val Dsub = 8 // dims per subspace
         val bucket = (1 to 8)
           .map(i => when(element_at(col("embedding"), i) >= 0f, 1 << (i - 1)).otherwise(0))
           .reduce(_ + _)
-        val e = embeddings(s, d)
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
-          .where(col("nrm") > 0)
+        val e = normedEmbeddings(s, d)
           .withColumn("bucket", bucket)
           .persist()
-        // sub-vectors of every doc, one row per (vec_id, subspace)
-        def subCol(src: org.apache.spark.sql.Column) =
-          (0 until M).map(j => struct(lit(j).as("j"), slice(src, j * Dsub + 1, Dsub).as("sv")))
-        val subs = e.select(col("vec_id"), explode(array(subCol(col("embedding")): _*)).as("s"))
-          .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-        // encode: nearest sub-centroid by euclidean d^2 = |v|^2+|c|^2-2vc
-        val wCode = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("d2").asc, col("code").asc)
-        def encode(src: DataFrame, cb: DataFrame): DataFrame = src
-          .join(broadcast(cb), "j")
-          .withColumn(
-            "d2",
-            call_function("vec_dot", col("sv"), col("sv")) +
-              call_function("vec_dot", col("cv"), col("cv")) -
-              lit(2.0) * call_function("vec_dot", col("sv"), col("cv"))
-          )
-          .withColumn("r", row_number().over(wCode))
-          .where(col("r") === 1)
-          .select(col("vec_id"), col("j"), col("code"), col("sv"), col("cv"))
-        // Lloyd update: element-wise member mean per (subspace, code),
-        // summed in DECIMAL (exact, order-independent) -> float
-        def retrain(assigned: DataFrame): DataFrame = assigned
-          .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy(col("j"), col("code"), col("pos"))
-          .agg(
-            (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
-              count(lit(1))).cast("float").as("m")
-          )
-          .groupBy(col("j"), col("code"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("j"), col("code"), expr("transform(pm, x -> x.m)").as("cv"))
-        // deterministic init: sub-vectors of the 16 lowest vec_ids; train
-        // on the same deterministic 25% sample q45 uses
-        val init = subs.where(col("vec_id") < 16)
-          .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-        val subsTrain = subs.where(col("vec_id") % 4 === 0)
-        val codebook  = retrain(encode(subsTrain, retrain(encode(subsTrain, init))))
-        val codes     = encode(subs, codebook)
-        // decode: reconstruction = concatenated sub-centroids, in order
-        val recon = codes
-          .groupBy(col("vec_id"))
-          .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("jc"))
-          .select(col("vec_id").as("nid"), expr("flatten(transform(jc, x -> x.cv))").as("rec"))
+        val recon = pqRecon(e)
         val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
         val b = e.select(col("bucket"), col("vec_id").as("nid"))
           .join(recon, "nid")
@@ -591,58 +675,80 @@ object SimilarityQueries extends QueryModule {
         val bucketSql = (1 to 8)
           .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
           .mkString(" + ")
-        val dotVV = "list_sum(list_transform(s.sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val dotCC = "list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val dotVC =
-          "list_sum(list_transform(list_zip(s.sv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
         val dotQR =
           "list_sum(list_transform(list_zip(a.embedding, r.rec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-        // one Lloyd pass: assignment of the training sub-vectors to the
-        // given codebook, then decimal-exact member means per (j, code)
-        def encodeCte(name: String, srcCte: String, cbCte: String) = s"""
-        $name AS (
-          SELECT vec_id, j, code, sv, cv FROM (
-            SELECT s.vec_id, s.j, c.code, s.sv, c.cv,
-                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-                     ($dotVV + $dotCC - 2.0 * $dotVC) ASC, c.code ASC) AS r
-            FROM $srcCte s JOIN $cbCte c USING (j)
-          ) WHERE r = 1)"""
-        def retrainCtes(from: String, name: String) = s"""
-        ${name}_i AS (
-          SELECT j, code, sv, unnest(range(1, len(sv) + 1)) AS i FROM $from),
-        ${name}_v AS (
-          SELECT j, code, CAST(i AS INT) AS i,
-                 CAST(sv[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
-        ${name}_m AS (
-          SELECT j, code, i,
-                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
-          FROM ${name}_v GROUP BY j, code, i),
-        $name AS (
-          SELECT j, code, list(m ORDER BY i) AS cv FROM ${name}_m GROUP BY j, code)"""
         s"""
         WITH e AS (
           SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
           WHERE $normSqlFrag > 0),
-        js AS (SELECT unnest(range(0, 8)) AS j),
-        subs AS (
-          SELECT vec_id, CAST(j AS INT) AS j,
-                 embedding[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)] AS sv
-          FROM e, js),
-        cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM subs WHERE vec_id < 16),
-        subst AS (SELECT * FROM subs WHERE vec_id % 4 = 0),
-        ${encodeCte("t1", "subst", "cb0")},
-        ${retrainCtes("t1", "cb1")},
-        ${encodeCte("t2", "subst", "cb1")},
-        ${retrainCtes("t2", "cb2")},
-        ${encodeCte("enc", "subs", "cb2")},
-        recon AS (
-          SELECT vec_id AS nid, flatten(list(cv ORDER BY j)) AS rec
-          FROM enc GROUP BY vec_id),
+        $pqOracleCtes,
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid, $dotQR AS adot
           FROM e a
           JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
           JOIN recon r ON r.nid = b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, adot FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // The production pairing (docs/ann.md): IVF multi-probe candidate
+    // lists (q77's recall path — 0.34 vs the sign-LSH family's 0.02 at
+    // sf0.01) scored with PQ asymmetric distance (q78's 32x-compressed
+    // representation). Vectors are indexed under their nearest seeded
+    // centroid; each query probes its two nearest lists; candidates are
+    // ranked by the full-precision query dotted against the candidate's
+    // trained-sub-codebook reconstruction. Every stage is linear: one
+    // aggregation-shaped assignment, broadcast codebooks, keyed joins.
+    "q82_ann_ivf_pq" -> QueryDef(
+      fn = (s, d) => {
+        val e = normedEmbeddings(s, d).persist() // assignment + PQ training share it
+        val top2 = seededTop2(e).persist()       // index and probes both read it
+        val index = top2.select(
+          col("top2")(0)("cid").as("cid"), col("vec_id").as("nid"))
+        val probes = top2.select(
+          explode(col("top2.cid")).as("cid"),
+          col("vec_id").as("qid"), col("embedding").as("ea"))
+        val recon = pqRecon(e)
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("nid").asc)
+        probes
+          .join(index, "cid")
+          .where(col("qid") =!= col("nid"))
+          .join(recon, "nid")
+          .withColumn("adot", call_function("vec_dot", col("ea"), col("rec")))
+          // no pair dedup needed: each nid is indexed under exactly ONE
+          // list and a query's two probe cids are distinct
+          .select(col("qid"), col("nid"), col("adot"))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("adot"))
+      },
+      oracle = Some {
+        val dotEC =
+          "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        val dotQR =
+          "list_sum(list_transform(list_zip(p.ea, r.rec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+        scored AS (
+          SELECT c.cid, e.vec_id, e.embedding,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+          FROM e CROSS JOIN c),
+        idx AS (SELECT cid, vec_id AS nid FROM scored WHERE r = 1),
+        probes AS (SELECT cid, vec_id AS qid, embedding AS ea FROM scored WHERE r <= 2),
+        $pqOracleCtes,
+        pairs AS (
+          SELECT p.qid, i.nid, $dotQR AS adot
+          FROM probes p
+          JOIN idx i ON p.cid = i.cid AND p.qid <> i.nid
+          JOIN recon r ON r.nid = i.nid)
         SELECT qid, nid, CAST(rank AS INTEGER) AS rank, adot FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, nid ASC) AS rank
           FROM pairs

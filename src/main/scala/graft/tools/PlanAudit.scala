@@ -102,6 +102,12 @@ object PlanAudit {
     // a row_number window — the round-3 suite-max shuffle, now ~1/16th
     Audit("q77_ann_ivf_multiprobe",
       mustContain = Seq("vec_dot", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
+    // the IVF+PQ composition keeps both parents' shapes: aggregation-
+    // collapsed assignment and encode, keyed candidate joins, no
+    // all-pairs anywhere
+    Audit("q82_ann_ivf_pq",
+      mustContain = Seq("vec_dot", "ObjectHashAggregate"),
       mustNotContain = Seq("CartesianProduct"))
   )
 

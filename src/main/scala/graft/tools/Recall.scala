@@ -19,7 +19,8 @@ object Recall {
     "q45_ann_ivf",
     "q74_ann_int8",
     "q77_ann_ivf_multiprobe",
-    "q78_ann_pq"
+    "q78_ann_pq",
+    "q82_ann_ivf_pq"
   )
 
   /** recall@3 of `name` vs the exact q35 baseline at `sfDir`. */

@@ -38,6 +38,15 @@ class RecallSpec extends AnyFunSuite {
       s"q77 recall ${recalls("q77_ann_ivf_multiprobe")}")
   }
 
+  test("PQ scoring over multi-probe candidates sits between its parents") {
+    // q82 inherits q77's candidate lists but ranks with lossy 8-byte ADC
+    // codes: recall must beat PQ-over-LSH (candidates dominate) while
+    // trailing exact-scored multi-probe (scoring loses some of it)
+    assert(recalls("q82_ann_ivf_pq") >= recalls("q78_ann_pq"),
+      s"q82 ${recalls("q82_ann_ivf_pq")} < q78 ${recalls("q78_ann_pq")}")
+    assert(recalls("q82_ann_ivf_pq") >= 0.08, s"q82 recall ${recalls("q82_ann_ivf_pq")}")
+  }
+
   test("sign-LSH-bucketed variants (q36/q74/q78) clear their floor") {
     // 8 hyperplane bits over a near-uniform corpus leave ~n/256 candidates
     // per bucket, so absolute recall is low by construction — the floor
