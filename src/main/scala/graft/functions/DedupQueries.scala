@@ -264,6 +264,77 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Duplicate-CLUSTER resolution: the dedup family's pair queries
+    // (q32/q33) emit edges; production dedup drops documents, which
+    // needs transitive closure — every doc labeled with the min doc_id
+    // of its connected component over the minhash-band candidate graph.
+    // Implementation is min-label propagation to a fixpoint: each pass
+    // is one keyed shuffle join + one doc-grain aggregation (linear),
+    // and the pass count is the component DIAMETER, which for near-dup
+    // clusters (band-overlap quasi-cliques) is small and bounded here
+    // at 20. The convergence check is a 1-row scalar gate per pass
+    // (labels only decrease, so an unchanged label-sum == fixpoint).
+    // For adversarial long-chain graphs the alternating large-star /
+    // small-star algorithm replaces this loop; the per-pass plan shape
+    // is identical.
+    "q83_dup_clusters" -> QueryDef(
+      fn = (s, d) => {
+        val edges = minhashCandidatePairs(s, d)
+          .select(col("ida"), col("idb"))
+          .distinct()
+        val und = edges
+          .unionByName(edges.select(col("idb").as("ida"), col("ida").as("idb")))
+          .select(col("ida").as("a"), col("idb").as("b"))
+          .persist() // read once per propagation pass
+        var labels = und.select(col("a").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .persist()
+        def labelSum(df: DataFrame): Long =
+          df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+        var prevSum   = labelSum(labels)
+        var converged = false
+        var pass      = 0
+        while (!converged && pass < 20) {
+          val nbrMin = und
+            .join(labels.select(col("id").as("b"), col("label")), "b")
+            .groupBy(col("a"))
+            .agg(min(col("label")).as("nl"))
+          val next = labels
+            .join(nbrMin.select(col("a").as("id"), col("nl")), Seq("id"), "left")
+            .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            .persist()
+          val newSum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = newSum == prevSum
+          prevSum = newSum
+          pass += 1
+        }
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      },
+      // the oracle computes the same components via transitive closure —
+      // fine at verify scale (the candidate graph is tiny), while the
+      // Spark side stays linear per pass
+      oracle = Some(s"""
+        WITH RECURSIVE $mhBandsCtesSql,
+        edges AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM edges),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a""")
+    ),
+
+    // ----------------------------------------------------------------
     // MinHash + LSH: ONE md5 per shingle, K permutations derived
     // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
     // the per-shingle aggregation does K cheap bigint ops instead of K

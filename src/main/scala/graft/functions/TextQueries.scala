@@ -239,6 +239,112 @@ object TextQueries extends QueryModule {
                CAST(SUM(fp) AS BIGINT) AS fp_sum
         FROM sel GROUP BY doc_id"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // Stratified sampling: k docs per (source, lang) stratum, selected
+    // by a deterministic salted-md5 order — the training-data "balanced
+    // subset" operator. Hash order makes the sample unbiased w.r.t. any
+    // corpus attribute yet exactly reproducible cross-engine (both sort
+    // the same lowercase hex strings); the window partitions by stratum,
+    // so at 100 TB this is one keyed shuffle and no stratum ever passes
+    // through a single global partition. Strata smaller than k are kept
+    // whole — proportional allocation is the same plan with a
+    // per-stratum k joined in.
+    "q84_stratified_sample" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("source"), col("lang"))
+          .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        documents(s, d)
+          .withColumn("sample_rank", row_number().over(w))
+          .where(col("sample_rank") <= 3)
+          .select(col("source"), col("lang"), col("doc_id"), col("sample_rank"))
+      },
+      oracle = Some("""
+        SELECT source, lang, doc_id, CAST(rn AS INTEGER) AS sample_rank FROM (
+          SELECT source, lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source, lang
+                   ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // BM25-style relevance scoring for a fixed query — the "select
+    // documents about X" operator: corpus stats (N, avgdl, per-term df)
+    // in ONE 1-row aggregate broadcast to a single scoring pass, so the
+    // whole query is two linear scans regardless of corpus size. The
+    // idf uses the rational core (N - df + 0.5)/(df + 0.5) WITHOUT the
+    // log wrap: java.lang.Math.log and libm are only 1-ulp-accurate and
+    // not guaranteed bit-identical across engines, while +,*,/ are
+    // IEEE-exact — so the score is reproducible to the bit. (log is
+    // monotone in the rational core, so per-term ranking is unchanged;
+    // multi-term score weighting differs from textbook BM25 and is
+    // documented as this engine's scoring function.) Term frequencies
+    // come from one filter-HOF per term over the token array; every
+    // double op is written with identical parenthesization in both
+    // engines.
+    "q85_bm25" -> QueryDef(
+      fn = (s, d) => {
+        val terms = Seq("spark", "vector", "merge")
+        val toks  = split(normalizeText(col("text")), " ")
+        val perDoc = documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .withColumn("dl", size(col("w")))
+          .select(
+            (col("doc_id") +: col("dl") +:
+              terms.zipWithIndex.map { case (t, i) =>
+                expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
+              }): _*
+          )
+        val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+          )
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        val avgdl = col("sdl").cast("double") / col("n").cast("double")
+        def termScore(i: Int) = {
+          val tf  = col(s"tf$i").cast("double")
+          val dfc = col(s"df$i").cast("double")
+          val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        }
+        perDoc
+          .crossJoin(broadcast(stats)) // 1-row corpus stats
+          .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+          .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
+          .select(col("doc_id"), col("dl"), col("score"))
+      },
+      oracle = Some {
+        val terms = Seq("spark", "vector", "merge")
+        val tfs = terms.zipWithIndex
+          .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
+          .mkString(", ")
+        val dfs = terms.indices
+          .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+        def termScore(i: Int) = {
+          val tf  = s"CAST(tf$i AS DOUBLE)"
+          val dfc = s"CAST(df$i AS DOUBLE)"
+          val idf = s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE)))"
+          s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
+            s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
+        }
+        val score = terms.indices.map(termScore).mkString(" + ")
+        s"""
+        WITH perdoc AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
+          FROM ($normSql)),
+        stats AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc)
+        SELECT doc_id, dl, $score AS score
+        FROM perdoc, stats
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"""
+      }
     )
   )
 }
