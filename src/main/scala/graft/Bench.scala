@@ -23,7 +23,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query owns its persist() calls; drop them so cached blocks
-      // don't accumulate across 48 queries and skew later timings
+      // don't accumulate across the suite and skew later timings
       spark.catalog.clearCache()
       val s0 = shuffleWrite.get
       val t0 = System.nanoTime()

@@ -757,6 +757,56 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Embedding centering: subtract the corpus per-dimension mean — the
+    // standard pre-indexing normalization (centers the sign-LSH
+    // hyperplanes, debiases cosine). Means are decimal-exact then
+    // narrowed to FLOAT (the full q45 recipe — the narrowing matters:
+    // decimal->double conversion itself differs by 1 ulp between
+    // engines, and float absorbs it), so the centered coordinates and
+    // norms are bit-identical cross-engine. Two linear passes: a
+    // (pos)-grain aggregation to a 64-float broadcast, then one
+    // projection.
+    "q86_embed_center" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = embeddings(s, d)
+        val means = e
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("pos"))
+          .agg(
+            (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).cast("float").as("m")
+          )
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(expr("transform(pm, x -> x.m)").as("marr"))
+        e.crossJoin(broadcast(means)) // 1-row mean vector
+          .withColumn("cvec",
+            expr("zip_with(embedding, marr, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+          .withColumn("cnorm", sqrt(expr("aggregate(cvec, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+          .select(col("vec_id"), col("cnorm"), expr("cvec[0]").as("c1"))
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings),
+        v AS (
+          SELECT vec_id, CAST(i AS INT) AS i,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val FROM x),
+        m AS (
+          SELECT i, CAST(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM v GROUP BY i),
+        marr AS (SELECT list(m ORDER BY i) AS marr FROM m),
+        c AS (
+          SELECT e.vec_id,
+                 list_transform(list_zip(e.embedding, ma.marr),
+                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS cvec
+          FROM embeddings e, marr ma)
+        SELECT vec_id, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm,
+               cvec[1] AS c1
+        FROM c""")
+    ),
+
+    // ----------------------------------------------------------------
     // Same result as q35 through a typed Aggregator (UDAF) instead of a
     // window: partial aggregation truncates to k rows inside each map
     // task, so the shuffle carries O(k x groups) rows instead of every
