@@ -116,6 +116,57 @@ object DedupQueries extends QueryModule {
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
   }
 
+  /** Connected components over an undirected edge list (`ida`, `idb`) by
+    * min-label propagation to a fixpoint: every node ends labeled with
+    * the minimum node id of its component. Each pass is one keyed
+    * shuffle join + one node-grain aggregation (linear in edges), and
+    * the pass count is the component diameter — small for the
+    * band-overlap quasi-cliques dedup produces, bounded here at 20. The
+    * convergence check is a 1-row scalar gate per pass: labels only
+    * decrease, so an unchanged label-sum IS the fixpoint. For
+    * adversarial long-chain graphs the alternating large-star /
+    * small-star algorithm replaces this loop; the per-pass plan shape
+    * is identical. Returns (id, label).
+    */
+  def connectedComponents(edges: DataFrame, maxPasses: Int = 20): DataFrame = {
+    val und = edges
+      .unionByName(edges.select(col("idb").as("ida"), col("ida").as("idb")))
+      .select(col("ida").as("a"), col("idb").as("b"))
+      .persist() // read once per propagation pass
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum   = labelSum(labels)
+    var converged = false
+    var pass      = 0
+    while (!converged && pass < maxPasses) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nl"))
+      // localCheckpoint (eager), not persist: each pass's plan would
+      // otherwise embed every previous pass's plan, and the analyzer
+      // re-walks that growing tree on every action — a chain graph
+      // needing 8 passes slows superlinearly. Checkpointing truncates
+      // the lineage to the materialized blocks, keeping per-pass cost
+      // constant, and stays fully distributed (no driver collect).
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val newSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
+      pass += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** DuckDB mirror of [[minhashCandidatePairs]]: the CTE chain ending in
     * `bands` (shingles → h0 → K minhash mins → band keys), for callers to
     * append their own band self-join.
@@ -278,40 +329,10 @@ object DedupQueries extends QueryModule {
     // small-star algorithm replaces this loop; the per-pass plan shape
     // is identical.
     "q83_dup_clusters" -> QueryDef(
-      fn = (s, d) => {
-        val edges = minhashCandidatePairs(s, d)
-          .select(col("ida"), col("idb"))
-          .distinct()
-        val und = edges
-          .unionByName(edges.select(col("idb").as("ida"), col("ida").as("idb")))
-          .select(col("ida").as("a"), col("idb").as("b"))
-          .persist() // read once per propagation pass
-        var labels = und.select(col("a").as("id")).distinct()
-          .withColumn("label", col("id"))
-          .persist()
-        def labelSum(df: DataFrame): Long =
-          df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-        var prevSum   = labelSum(labels)
-        var converged = false
-        var pass      = 0
-        while (!converged && pass < 20) {
-          val nbrMin = und
-            .join(labels.select(col("id").as("b"), col("label")), "b")
-            .groupBy(col("a"))
-            .agg(min(col("label")).as("nl"))
-          val next = labels
-            .join(nbrMin.select(col("a").as("id"), col("nl")), Seq("id"), "left")
-            .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-            .persist()
-          val newSum = labelSum(next)
-          labels.unpersist()
-          labels = next
-          converged = newSum == prevSum
-          prevSum = newSum
-          pass += 1
-        }
-        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      },
+      fn = (s, d) =>
+        connectedComponents(
+          minhashCandidatePairs(s, d).select(col("ida"), col("idb")).distinct())
+          .select(col("id").as("doc_id"), col("label").as("cluster_id")),
       // the oracle computes the same components via transitive closure —
       // fine at verify scale (the candidate graph is tiny), while the
       // Spark side stays linear per pass
