@@ -356,6 +356,68 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Dedup KEEPER selection — the terminal dedup operator: within each
+    // duplicate cluster (q83's components), keep the highest-quality
+    // document (quality-score desc, doc_id asc tie-break) and report
+    // the cluster's size. Joining the doc-grain quality pass against
+    // the tiny cluster labeling and ranking inside a label-partitioned
+    // window keeps every stage keyed and linear; the anti-join that
+    // would then DROP the non-keepers from the corpus is exactly
+    // [[graft.operators.MergeInto]]'s left_anti shape.
+    "q87_dedup_keeper" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clusters = connectedComponents(
+          minhashCandidatePairs(s, d).select(col("ida"), col("idb")).distinct())
+        val quality = documents(s, d)
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        val byCluster = Window.partitionBy(col("label"))
+        clusters
+          .join(quality, col("id") === col("doc_id"))
+          .withColumn("r",
+            row_number().over(byCluster.orderBy(col("q").desc, col("doc_id").asc)))
+          .withColumn("n", count(lit(1)).over(byCluster))
+          .where(col("r") === 1)
+          .select(
+            col("label").as("cluster_id"),
+            col("doc_id").as("keeper_id"),
+            col("q").as("keeper_quality"),
+            col("n").as("n_members"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $mhBandsCtesSql,
+        edges AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM edges),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+        qd AS (
+          SELECT doc_id, CAST(${TextQueries.qualitySql} AS INTEGER) AS q
+          FROM ($normSql)),
+        j AS (
+          SELECT l.label, d.doc_id, d.q
+          FROM labels l JOIN qd d ON d.doc_id = l.id)
+        SELECT label AS cluster_id, doc_id AS keeper_id,
+               q AS keeper_quality, CAST(n AS BIGINT) AS n_members
+        FROM (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY label ORDER BY q DESC, doc_id ASC) AS r,
+                 COUNT(*) OVER (PARTITION BY label) AS n
+          FROM j
+        ) WHERE r = 1""")
+    ),
+
+    // ----------------------------------------------------------------
     // MinHash + LSH: ONE md5 per shingle, K permutations derived
     // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
     // the per-shingle aggregation does K cheap bigint ops instead of K

@@ -40,7 +40,7 @@ object TextQueries extends QueryModule {
   private lazy val stopsSql = TextFunctions.langMarkers
     .find(_._1 == "en").get._2
     .map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
-  private lazy val qualitySql =
+  private[functions] lazy val qualitySql =
     s"""GREATEST(LEAST(
               (CASE WHEN length(t) BETWEEN 200 AND 4000 THEN 40
                     WHEN length(t) BETWEEN 50 AND 199 THEN 25 ELSE 10 END)
