@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
-  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** `event_id` exists for deterministic processing order: two events
+    * with the same millisecond timestamp would otherwise fold their
+    * values in an arbitrary order, making the Double session total
+    * run-dependent. Defaults to 0 for callers without a natural id.
+    */
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double, event_id: Long = 0L)
 
   final case class SessionState(
       startMs: Long,
@@ -56,7 +61,7 @@ object Sessionize {
           state.remove()
           closed.iterator
         } else {
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var emitted = Seq.empty[Session]
           var cur     = state.getOption
           sorted.foreach { e =>

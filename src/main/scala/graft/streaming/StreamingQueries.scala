@@ -370,6 +370,65 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // STATEFUL sessionization oracle-gated end-to-end: the same
+    // flatMapGroupsWithState operator the specs drive, run against the
+    // replayed corpus and compared to a batch oracle. Sessions close at
+    // event-time TIMEOUT (state eviction), so the far-future sentinel
+    // drives the final watermark past every real user's last+gap and
+    // the drained output is every real session; the sentinels' own
+    // state never times out and never emits. Timestamps flow through
+    // java.sql.Timestamp inside the operator, i.e. MILLISECOND
+    // precision — the oracle replays the same ms truncation (epoch_ms),
+    // the same (ms, event_id) processing order, and the same sequential
+    // double fold for the session total (list_sum over an ordered
+    // list), so the result is bit-exact.
+    "q88_sessionize_stateful" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val ev = streamFromDir(s, stageEventsWithSentinel(s, d))
+            .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+            .as[Sessionize.Event]
+          val q = Sessionize.sessions(ev, gapMinutes = 30).toDF()
+            .writeStream
+            .format("memory")
+            .queryName("q88_out")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q88_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, value,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+          FROM events),
+        x AS (
+          SELECT user_id, event_id, ms, value,
+                 LAG(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev_ms
+          FROM e),
+        y AS (
+          SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM x),
+        z AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ms ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          FROM y)
+        SELECT user_id,
+               make_timestamp(MIN(ms) * 1000) AS session_start,
+               make_timestamp(MAX(ms) * 1000) AS session_end,
+               COUNT(*) AS n_events,
+               list_sum(list(value ORDER BY ms ASC, event_id ASC)) AS total_value
+        FROM z GROUP BY user_id, seq""")
+    ),
+
+    // ----------------------------------------------------------------
     // Batch sessionization (the lag + running-flag-sum formulation) —
     // same session semantics as the stateful streaming operator
     // [[Sessionize]], expressed relationally so it oracle-checks: a new
