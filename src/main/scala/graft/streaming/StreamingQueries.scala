@@ -370,6 +370,51 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Stream-static enrichment oracle-gated: the stateless shape every
+    // production stream runs first — events joined against broadcast
+    // dimension tables (customer segment, then nation) while still a
+    // stream. No watermark or state: the static sides are plain batch
+    // relations snapshotted per micro-batch, the join is a broadcast
+    // hash join inside the streaming plan, and append mode emits each
+    // enriched row exactly once, so the drained replay equals the batch
+    // join. Left joins keep events whose user has no dim row.
+    "q89_stream_static_enrich" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val cust = graft.Tables.customer(s, d)
+            .select(
+              col("c_custkey").as("user_id"),
+              col("c_mktsegment").as("segment"),
+              col("c_nationkey"))
+          val nat = graft.Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("nation_name"))
+          val dim = cust
+            .join(broadcast(nat), Seq("c_nationkey"), "left")
+            .select(col("user_id"), col("segment"), col("nation_name"))
+          val enriched = streamFromDir(s, stageEventsDir(d))
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .join(broadcast(dim), Seq("user_id"), "left")
+          val q = enriched.writeStream
+            .format("memory")
+            .queryName("q89_out")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q89_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        SELECT e.user_id, e.event_id, e.event_type,
+               c.c_mktsegment AS segment, n.n_name AS nation_name
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey""")
+    ),
+
+    // ----------------------------------------------------------------
     // STATEFUL sessionization oracle-gated end-to-end: the same
     // flatMapGroupsWithState operator the specs drive, run against the
     // replayed corpus and compared to a batch oracle. Sessions close at
