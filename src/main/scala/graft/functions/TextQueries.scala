@@ -272,6 +272,35 @@ object TextQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Token-budget selection: the pretraining-mix operator — each
+    // source contributes documents in deterministic salted-hash order
+    // until its token budget fills (running total <= 5000), so the mix
+    // is unbiased, reproducible, and exactly sized. One partitioned
+    // cumulative-sum window per source — a single keyed shuffle; the
+    // budget predicate is integer-exact.
+    "q90_token_budget_mix" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens",
+            sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("cum_tokens") <= 5000)
+      },
+      oracle = Some(s"""
+        SELECT source, doc_id, n_tokens, cum_tokens FROM (
+          SELECT source, doc_id, n_tokens,
+                 CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM (SELECT source, doc_id, $tokenCountSql AS n_tokens FROM ($normSql))
+        ) WHERE cum_tokens <= 5000""")
+    ),
+
+    // ----------------------------------------------------------------
     // BM25-style relevance scoring for a fixed query — the "select
     // documents about X" operator: corpus stats (N, avgdl, per-term df)
     // in ONE 1-row aggregate broadcast to a single scoring pass, so the
