@@ -52,12 +52,26 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"shuffle","unit":"bytes","queries":$sh,"sf":"$sfDir"}""")
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // short keys = the prefix before the first '_' (q01..q94); a future
+    // collision (q91_a/q91_b) would silently drop a timing from the JSON
+    // object, so fail loudly instead
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == results.size,
+      s"duplicate bench query-key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     val qs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(totalLine)
+    // Belt and braces for the driver: stdout parsing has failed three
+    // rounds running (sbt's `[success]` epilogue trails the JSON), so the
+    // same object is also written to BENCH.json at the repo root where no
+    // log framing can corrupt it.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.json"),
+      (totalLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -134,17 +134,24 @@ object Scd2 {
     // a partition-count job, and the final job reads it again — three
     // evaluations that must see the SAME rows or a non-deterministic
     // frame (sample/limit/unstable shuffle source) could mint duplicate
-    // or skipped surrogate keys. The cache materializes on the sampling
-    // pass; callers release it with the session-level cache clear they
-    // already do between pipeline stages.
-    val sorted = changes
-      .persist()
+    // or skipped surrogate keys. The indexed RDD is pinned with an eager
+    // localCheckpoint so the cache can be released HERE — the returned
+    // (lazy) plan reads the checkpointed blocks, not `changes` — keeping
+    // the operator self-contained instead of leaking a cached DataFrame
+    // per call for the session to clean up.
+    val cached = changes.persist()
+    val sorted = cached
       .repartitionByRange(keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-    val withRn = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val indexed = sorted.rdd.zipWithIndex
+      .map { case (row, i) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-      },
+      }
+      .localCheckpoint()
+    indexed.foreachPartition(_ => ()) // materialize the checkpoint blocks
+    cached.unpersist()
+    val withRn = spark.createDataFrame(
+      indexed,
       sorted.schema.add("__rn", org.apache.spark.sql.types.LongType, nullable = false)
     )
     val newRows = withRn

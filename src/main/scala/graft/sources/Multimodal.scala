@@ -151,8 +151,12 @@ object Multimodal extends QueryModule {
       val sz = u32(off + 4).toInt
       // reject corrupt/hostile sizes: a u32 >= 2^31 goes negative after
       // .toInt and sz = -8 would leave `off` unchanged forever; a size
-      // past the buffer would read out of bounds
-      require(sz >= 0 && off + 8 + sz <= b.length,
+      // past the buffer would read out of bounds. The bound is phrased
+      // as subtraction because `off + 8 + sz` can wrap negative for sz
+      // near Int.MaxValue and sneak past an additive check (off+8 <=
+      // b.length is guaranteed by the loop condition, so the RHS is
+      // non-negative and cannot itself overflow).
+      require(sz >= 0 && sz <= b.length - off - 8,
         s"corrupt RIFF chunk '$id': size $sz at offset $off exceeds payload (${b.length} bytes)")
       if (id == "fmt ") {
         require(u16(off + 8) == 1, "only PCM supported")

@@ -27,6 +27,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == (1L to 9L).map(_ -> 1L).toMap, got.toString)
   }
 
+  test("25-hop chain converges inside the default pass cap (round-4 directive)") {
+    // a 26-node path would defeat diameter-bound label propagation at
+    // maxPasses=20; star-contraction needs only ~log passes. The contract
+    // under test: correct labels OR an exception — never silently wrong.
+    val edges = (1L until 26L).map(i => (i, i + 1))
+    val got   = cc(edges)
+    assert(got == (1L to 26L).map(_ -> 1L).toMap, got.toString)
+  }
+
+  test("adversarial 200-hop chain with interleaved ids still labels by component min") {
+    // ids deliberately NOT in path order (alternating ends) so min-id
+    // position is adversarial for one-directional propagation; descending
+    // edge orientation exercises the canonicalization
+    val n     = 200L
+    val edges = (1L until n).map(i => (i + 1, i)) ++ Seq((n, 1L)) // cycle too
+    val got   = cc(edges)
+    assert(got == (1L to n).map(_ -> 1L).toMap,
+      got.filter(_._2 != 1L).toString)
+  }
+
   test("star, disjoint pair, and reversed edges all label by component min") {
     val edges = Seq((7L, 3L), (7L, 5L), (7L, 9L), // star centered at 7, min 3
       (20L, 11L))                                 // disjoint pair, min 11
