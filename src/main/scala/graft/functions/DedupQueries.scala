@@ -453,6 +453,63 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // END-TO-END dedup: the full pipeline operator a training-data run
+    // executes — cluster (q83), pick keepers (q87), then DROP the losers
+    // and return the SURVIVING corpus. The drop is one left_anti join
+    // against the loser set (MergeInto's shape): singleton docs never
+    // appear in the candidate graph so they survive by construction,
+    // and every stage stays keyed/broadcastable — at 100 TB the loser
+    // set is a small fraction of the corpus and broadcasts.
+    "q92_dedup_survivors" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clusters = connectedComponents(
+          minhashCandidatePairs(s, d).select(col("ida"), col("idb")).distinct())
+        val quality = documents(s, d)
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        val losers = clusters
+          .join(quality, col("id") === col("doc_id"))
+          .withColumn("r",
+            row_number().over(
+              Window.partitionBy(col("label")).orderBy(col("q").desc, col("doc_id").asc)))
+          .where(col("r") > 1)
+          .select(col("doc_id"))
+        documents(s, d)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $mhBandsCtesSql,
+        edges AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM edges),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+        qd AS (
+          SELECT doc_id, CAST(${TextQueries.qualitySql} AS INTEGER) AS q
+          FROM ($normSql)),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT d.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.label
+                     ORDER BY d.q DESC, d.doc_id ASC) AS r
+            FROM labels l JOIN qd d ON d.doc_id = l.id
+          ) WHERE r > 1)
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)""")
+    ),
+
+    // ----------------------------------------------------------------
     // MinHash + LSH: ONE md5 per shingle, K permutations derived
     // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
     // the per-shingle aggregation does K cheap bigint ops instead of K

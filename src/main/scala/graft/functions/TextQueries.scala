@@ -374,6 +374,80 @@ object TextQueries extends QueryModule {
         FROM perdoc, stats
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // TEXTBOOK BM25 (q85's tolerance-gated twin): the same two-scan plan
+    // but with the standard Lucene/Robertson idf, ln(1 + (N-df+0.5)/
+    // (df+0.5)), so multi-term scores weight terms the way every IR
+    // stack expects. ln() is where cross-engine bit-exactness ends —
+    // libm implementations are 1-ulp-accurate, not bit-identical — so
+    // the ROUNDING CONTRACT is part of the query: both engines round
+    // the final score to 6 decimals (half-up), which absorbs a 1-ulp
+    // difference everywhere except the measure-zero case of a score
+    // sitting within 1 ulp of a rounding boundary. q85 remains the
+    // bit-exact variant for callers that need hash-stable scores.
+    "q93_bm25_log_idf" -> QueryDef(
+      fn = (s, d) => {
+        val terms = Seq("spark", "vector", "merge")
+        val toks  = split(normalizeText(col("text")), " ")
+        val perDoc = documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .withColumn("dl", size(col("w")))
+          .select(
+            (col("doc_id") +: col("dl") +:
+              terms.zipWithIndex.map { case (t, i) =>
+                expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
+              }): _*
+          )
+        val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+          )
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        val avgdl = col("sdl").cast("double") / col("n").cast("double")
+        def termScore(i: Int) = {
+          val tf  = col(s"tf$i").cast("double")
+          val dfc = col(s"df$i").cast("double")
+          val idf = log(
+            lit(1.0) + (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        }
+        perDoc
+          .crossJoin(broadcast(stats)) // 1-row corpus stats
+          .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+          .withColumn("score", round(terms.indices.map(termScore).reduce(_ + _), 6))
+          .select(col("doc_id"), col("dl"), col("score"))
+      },
+      oracle = Some {
+        val terms = Seq("spark", "vector", "merge")
+        val tfs = terms.zipWithIndex
+          .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
+          .mkString(", ")
+        val dfs = terms.indices
+          .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+        def termScore(i: Int) = {
+          val tf  = s"CAST(tf$i AS DOUBLE)"
+          val dfc = s"CAST(df$i AS DOUBLE)"
+          val idf = s"ln(CAST(1.0 AS DOUBLE) + " +
+            s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE))))"
+          s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
+            s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
+        }
+        val score = terms.indices.map(termScore).mkString(" + ")
+        s"""
+        WITH perdoc AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
+          FROM ($normSql)),
+        stats AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc)
+        SELECT doc_id, dl, ROUND($score, 6) AS score
+        FROM perdoc, stats
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"""
+      }
     )
   )
 }

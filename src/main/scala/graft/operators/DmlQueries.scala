@@ -178,6 +178,44 @@ object DmlQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // M3: partial-column upsert (the customer-dim pattern,
+    // silver_to_gold.py:278-285) — `WHEN MATCHED THEN UPDATE SET
+    // <subset> WHEN NOT MATCHED THEN INSERT *`. target = customers not
+    // divisible by 10; source = customers divisible by 7 with doubled
+    // balance and a marker segment. The distinguishing semantics under
+    // gate: MATCHED rows take ONLY c_acctbal from the source (keeping
+    // their own segment), while UNMATCHED source rows (custkey % 70 = 0)
+    // are inserted whole, marker segment included.
+    "q94_merge_upsert_columns" -> QueryDef(
+      fn = (s, d) => {
+        val c = customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        val target = c.where(col("c_custkey") % 10 =!= 0)
+        val source = c
+          .where(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+          .withColumn("c_mktsegment", lit("UPSERTED"))
+        MergeInto
+          .upsertColumns(target, source, Seq("c_custkey"), Seq("c_acctbal"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 10 != 0),
+        s AS (
+          SELECT c_custkey, c_name, 'UPSERTED' AS c_mktsegment,
+                 c_acctbal * 2 AS c_acctbal
+          FROM customer WHERE c_custkey % 7 = 0)
+        SELECT t.c_custkey, t.c_name, t.c_mktsegment,
+               COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+        FROM t LEFT JOIN s ON s.c_custkey = t.c_custkey
+        UNION ALL
+        SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal
+        FROM s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM t)""")
+    ),
+
+    // ----------------------------------------------------------------
     // Quality-score fold (bronze_to_silver.py:23-33): rule list over
     // lineitem, score 100 - sum(penalties), dq flags; aggregated per flag.
     "q22_quality_score" -> QueryDef(

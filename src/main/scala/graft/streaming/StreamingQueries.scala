@@ -204,6 +204,11 @@ object StreamingQueries extends QueryModule {
   override def queries: Map[String, QueryDef] = Map(
     // Tumbling 1-day window over the event stream, complete mode into a
     // memory sink. Epoch-aligned windows == DuckDB date_trunc('day').
+    // NOTE: complete mode re-emits every window each batch and its state
+    // never evicts (the watermark cannot drop windows in complete mode),
+    // so this shape is only valid for BOUNDED replays like this gate.
+    // The run-forever production shape is q91: append mode, where the
+    // watermark finalizes and evicts each window exactly once.
     "q37_stream_window_agg" -> QueryDef(
       fn = (s, d) => {
         val agg = eventStream(s, d)
@@ -225,6 +230,51 @@ object StreamingQueries extends QueryModule {
         try q.processAllAvailable()
         finally q.stop()
         s.table("q37_out")
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // APPEND-MODE windowed aggregation — the production counterpart of
+    // q37: a window row is emitted exactly ONCE, when the watermark
+    // passes window.end + delay, and its state is evicted — so state and
+    // output stay bounded no matter how long the stream runs (q37's
+    // complete mode cannot evict). Determinism for the gate comes from
+    // the far-future sentinel staged beside the corpus: it drives the
+    // final watermark past every real window's finalization point, so
+    // the drained replay emits every real day exactly once, while the
+    // sentinel's own far-future window never finalizes and never
+    // appears. Same batch oracle as q37 — finalized-append over a
+    // bounded replay must equal the batch aggregation.
+    "q91_stream_window_append" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val agg = streamFromDir(s, stageEventsWithSentinel(s, d))
+            .withWatermark("ts", "48 hours")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total")
+            )
+            .select(
+              col("window.start").as("day_start"),
+              col("event_type"), col("n"), col("total")
+            )
+          val q = agg.writeStream
+            .format("memory")
+            .queryName("q91_out")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q91_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some("""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,

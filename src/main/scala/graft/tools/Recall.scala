@@ -20,7 +20,9 @@ object Recall {
     "q74_ann_int8",
     "q77_ann_ivf_multiprobe",
     "q78_ann_pq",
-    "q82_ann_ivf_pq"
+    "q82_ann_ivf_pq",
+    "q95_ann_ivf_probe4",
+    "q96_ann_lsh_multitable"
   )
 
   /** recall@3 of `name` vs the exact q35 baseline at `sfDir`. */
