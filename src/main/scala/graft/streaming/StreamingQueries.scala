@@ -253,7 +253,7 @@ object StreamingQueries extends QueryModule {
     "q91_stream_window_append" -> QueryDef(
       fn = (s, d) => {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val agg = streamFromDir(s, stageEventsWithSentinel(s, d))
             .withWatermark("ts", "48 hours")
@@ -293,13 +293,16 @@ object StreamingQueries extends QueryModule {
     // the batch oracle is the plain theta join.
     "q73_stream_stream_join" -> QueryDef(
       fn = (s, d) => {
-        // a stream-stream join allocates one state store per shuffle
-        // partition per side; at replay scale the state is tiny, so 32
-        // partitions would spend multiples of the query's runtime on
-        // store setup. Production sizing: partitions ~ state volume /
-        // executor memory, not a fixed 32.
+        // a stream-stream join allocates 4 state stores per shuffle
+        // partition (2 per side); at replay scale the state is tiny, so
+        // store setup/commit dominates. Measured sweep at sf0.1 (round
+        // 5): 2 partitions 30+ s (per-partition state doubles and the
+        // HDFS-backed store's version-map copying is superlinear in
+        // per-store state), 4 partitions ~2.9 s, 8 partitions ~5.5 s
+        // (store-count overhead) — 4 is the knee. Production sizing:
+        // partitions ~ state volume / executor memory, not a fixed 32.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           intervalJoin(s, stageEventsDir(d), "inner")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
