@@ -1,0 +1,229 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend harness (round-4 directive #5): the 100 TB claims rest on
+  * plan shape and shuffle bytes at sf0.1 — this turns them into measured
+  * growth curves by generating a 10x corpus for the three
+  * training-pipeline tables and running the dedup/ANN/streaming family
+  * at both sizes.
+  *
+  * Corpus construction (deterministic, structure-preserving):
+  * - `documents` (5k -> 50k): copy k of a document appends a per-copy
+  *   lowercase suffix to EVERY word. Within a copy, shingle overlap —
+  *   and therefore the near-duplicate graph the dedup family mines — is
+  *   EXACTLY the original's (the map is position-independent), while
+  *   copies share no shingles, so the duplicate RATE stays constant as
+  *   the corpus grows: the honest scaling regime for a dedup pipeline.
+  * - `embeddings` (2k -> 20k): copy k flips the sign of a deterministic
+  *   per-copy subset of dimensions for every vector. Sign-flipping
+  *   fixed dims preserves all norms and within-copy dot products
+  *   bit-for-bit; cross-copy similarities are pseudo-random — again
+  *   constant neighbor structure per unit of corpus.
+  * - `events` (100k -> 1M): copy k offsets event_id/user_id by k*10^9
+  *   over the same time range, so watermarks and window boundaries are
+  *   unchanged while streaming state grows 10x.
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleTrend gen [sfDir] [outDir]
+  *   runMain graft.tools.ScaleTrend run [sfDir] [scaleDir] [reps]
+  */
+object ScaleTrend {
+
+  val family: Seq[String] = Seq(
+    // dedup (documents)
+    "q31_dedup_exact",
+    "q32_dedup_ngram_jaccard",
+    "q33_dedup_minhash_lsh",
+    "q34_dedup_simhash",
+    "q83_dup_clusters",
+    "q87_dedup_keeper",
+    // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
+    // these rows measure what happens when the index is NOT rescaled
+    // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
+    // is the production configuration (B ∝ n) that restores linearity.
+    // q82 is omitted: it inherits q77's exploded candidate set, so its
+    // 10x point is the same quadratic measurement at higher cost.
+    "q36_ann_sign_lsh",
+    "q45_ann_ivf",
+    "q77_ann_ivf_multiprobe",
+    // batch + streaming over events
+    "q40_sessionize_batch",
+    "q75_stream_dedup",
+    "q73_stream_stream_join",
+    "q79_stream_left_outer_join",
+    "q91_stream_window_append"
+  )
+
+  /** The q45 IVF shape with a corpus-proportional centroid count —
+    * seeded (untrained) assignment, exact top-3 within each inverted
+    * list. The production scaling rule under measurement: B ∝ n keeps
+    * expected list size n/B constant, so candidate pairs (n^2/B) and
+    * therefore wall/shuffle grow LINEARLY in n where the fixed-B rows
+    * above grow quadratically.
+    */
+  def ivfBScaled(spark: SparkSession, dir: String, b: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+    val centroids = e.where(col("vec_id") < b)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
+      .where(col("r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val bb = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    a.join(bb, "cid")
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  def generate(spark: SparkSession, sfDir: String, outDir: String, copies: Int = 10): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(outDir))
+
+    def stacked(base: DataFrame, mk: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => mk(base, k)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    stacked(docs, (d, k) => {
+      // copy 0 is the original; later copies suffix every word with a
+      // per-copy lowercase tag (survives normalizeText, which only
+      // lowercases + collapses whitespace)
+      val suffix = s"x${('a' + k).toChar}"
+      val txt =
+        if (k == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w => concat(w, lit(suffix))))
+      d.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        txt.as("text"),
+        col("lang"), col("source"),
+        length(txt).as("n_chars"))
+    }).coalesce(4).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    stacked(emb, (e, k) => {
+      // flip dims where md5(copy, dim) is odd; copy 0 unchanged
+      val flipped =
+        if (k == 0) col("embedding")
+        else expr(
+          s"""transform(embedding, (v, i) ->
+                IF((conv(substr(md5(concat('flip:', '$k', ':', cast(i AS STRING))), 1, 4), 16, 10) % 2) = 1,
+                   -v, v))""")
+      e.select(
+        (col("vec_id") + lit(k * nVec)).as("vec_id"),
+        flipped.cast("array<float>").as("embedding"),
+        col("label"))
+    }).coalesce(4).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // events.parquet must be a single FILE like the driver's corpus: the
+    // streaming staging dirs symlink it, and the file stream source does
+    // not descend into a directory-shaped link
+    val build = Paths.get(outDir, "events_build")
+    stacked(ev, (e, k) =>
+      e.select(
+        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        col("ts"), // long nanos; same time range so watermarks are unchanged
+        (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ).coalesce(1).write.mode("overwrite").parquet(build.toString)
+    val part = Files.list(build)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+    Files.move(part, Paths.get(outDir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    println(s"[scale] wrote ${copies}x corpus to $outDir")
+  }
+
+  def run(
+      spark: SparkSession,
+      dirs: Seq[(String, String)],
+      reps: Int,
+      only: Set[String] = Set.empty): Unit = {
+    val written = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def measure(name: String, tag: String, thunk: () => Long): (String, String, Double, Long) = {
+      val (wall, sh) = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        written.reset()
+        val t0 = System.nanoTime()
+        thunk()
+        val w = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        (w, written.sum())
+      }.minBy(_._1)
+      println(f"[scale] $name%-28s $tag%-6s wall=$wall%7.2f s shuffle=${sh / 1e6}%9.3f MB")
+      (name, tag, wall, sh)
+    }
+    val selected = family.filter(n => only.isEmpty || only(n))
+    val rows = selected.flatMap { name =>
+      dirs.map { case (tag, dir) =>
+        measure(name, tag, () => SparkEntry.queries(name)(spark, dir).count())
+      }
+    } ++ {
+      // the production IVF scaling rule: centroid count grows with the
+      // corpus (16 at base, 160 at 10x) so list sizes stay constant
+      if (only.isEmpty || only("ivf_b_scaled"))
+        dirs.map { case (tag, dir) =>
+          val b = if (tag == "base") 16 else 160
+          measure(s"ivf_b_scaled(B=$b)", tag, () => ivfBScaled(spark, dir, b).count())
+        }
+      else Seq.empty
+    }
+    // growth summary: 10x / base per query
+    println("[scale] ---- growth (10x / base) ----")
+    rows.groupBy(_._1.takeWhile(_ != '(')).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      (rs.find(_._2 == "base"), rs.find(_._2 == "10x")) match {
+        case (Some(base), Some(big)) =>
+          println(f"[scale] $name%-28s wall x${big._3 / base._3}%5.1f  " +
+            f"shuffle x${big._4.toDouble / math.max(base._4, 1)}%5.1f")
+        case _ =>
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode  = args.headOption.getOrElse("run")
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "gen" =>
+        val sfDir  = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val outDir = args.lift(2).getOrElse("target/scale10x")
+        generate(spark, sfDir, outDir)
+      case _ =>
+        val sfDir    = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val scaleDir = args.lift(2).getOrElse("target/scale10x")
+        val reps     = args.lift(3).map(_.toInt).getOrElse(2)
+        val only     = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
+        run(spark, Seq("base" -> sfDir, "10x" -> scaleDir), reps, only)
+    }
+    spark.stop()
+  }
+}
