@@ -108,7 +108,18 @@ object PlanAudit {
     // all-pairs anywhere
     Audit("q82_ann_ivf_pq",
       mustContain = Seq("vec_dot", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct"))
+      mustNotContain = Seq("CartesianProduct")),
+    // n_probe=4 keeps q77's aggregation-shaped assignment — raising the
+    // probe count must not reintroduce the windowed-replication shuffle
+    Audit("q95_ann_ivf_probe4",
+      mustContain = Seq("vec_dot", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
+    // multi-table LSH candidates ride a (table, bucket) equi-join of
+    // slim key rows; embeddings join back by key for the exact rerank —
+    // never all-pairs, never through a single-partition window
+    Audit("q96_ann_lsh_multitable",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
