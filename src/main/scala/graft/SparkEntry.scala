@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.RelationalQueries,
     graft.operators.WindowQueries,
     graft.operators.DmlQueries,
+    graft.operators.AnalyticsQueries,
     graft.operators.SketchQueries,
     graft.functions.ScalarQueries,
     graft.functions.TextQueries,

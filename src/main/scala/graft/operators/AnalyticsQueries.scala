@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Grouped-statistics and behavioral-analytics operators (round 5).
+  *
+  * These extend the engine past the reference's aggregate surface
+  * (ref: processing/jobs/silver_to_gold.py builds only sum/avg/count
+  * KPI rollups) with the statistics a training-data / product-analytics
+  * pipeline runs at warehouse scale: correlation & regression, argmax-
+  * per-group, exact medians, fixed-width histograms, ordered funnels,
+  * and retention cohorts.
+  *
+  * Cross-engine exactness contracts used here (see BASELINE.md gotchas):
+  *   - Sums accumulate in DECIMAL (order-independent, exact) and are
+  *     cast to double only at the end on BOTH sides.
+  *   - Nonlinear finals (corr, slope) are rounded to 6 decimals on both
+  *     sides — the q93 rounding contract — because a DECIMAL→DOUBLE
+  *     cast may differ by 1 ulp between engines.
+  *   - Integer division is spelled `div` (Spark) / `//` (DuckDB); `/`
+  *     promotes to double in both engines.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  import Tables._
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // Pearson correlation + OLS slope per group from ONE map-side-
+    // combinable pass: the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    // are each an exact DECIMAL aggregation, so the shuffle carries 5
+    // decimals + a count per group — O(groups), never O(rows). The
+    // closed-form corr/slope are computed from the sums on the reduced
+    // side. This is how corr() scales to 100 TB: Spark's built-in
+    // corr() is the same moment-sum shape but accumulates in double
+    // (order-dependent last-ulp), which cannot hash-match a different
+    // engine — hence the decimal moments + round-6 contract.
+    "q97_grouped_corr" -> QueryDef(
+      fn = (s, d) => {
+        val li = lineitem(s, d).select(
+          col("l_returnflag"),
+          col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+        val dt = DecimalType(38, 10)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_obs"),
+            sum(col("x").cast(dt)).as("sx"),
+            sum(col("y").cast(dt)).as("sy"),
+            sum((col("x") * col("y")).cast(dt)).as("sxy"),
+            sum((col("x") * col("x")).cast(dt)).as("sxx"),
+            sum((col("y") * col("y")).cast(dt)).as("syy"))
+          .select(
+            col("l_returnflag"),
+            col("n_obs"),
+            round(
+              (col("n_obs") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (sqrt(col("n_obs") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) *
+                  sqrt(col("n_obs") * col("syy").cast("double") -
+                    col("sy").cast("double") * col("sy").cast("double"))),
+              6).as("corr_qty_price"),
+            round(
+              (col("n_obs") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n_obs") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")),
+              6).as("slope_price_per_qty"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, n_obs,
+               ROUND((n_obs * sxy - sx * sy)
+                     / (SQRT(n_obs * sxx - sx * sx) * SQRT(n_obs * syy - sy * sy)), 6)
+                 AS corr_qty_price,
+               ROUND((n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx), 6)
+                 AS slope_price_per_qty
+        FROM (
+          SELECT l_returnflag,
+                 COUNT(*) AS n_obs,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Argmax/argmin per group WITHOUT a window: max(struct(price,
+    // name)) reduces lexicographically inside the aggregate, so the
+    // shuffle carries ONE struct per group (partial_max combines
+    // map-side — plan-asserted). Struct buffers aren't hash-map
+    // mutable, so Spark plans a SortAggregate: the cost is a per-
+    // partition sort by group key, still strictly cheaper at 100 TB
+    // than the row_number()-over-window formulation (which the DuckDB
+    // oracle uses) — that one shuffles the FULL table to rank it. The
+    // struct carries the deterministic (value, tiebreak) pair the
+    // whole way.
+    "q98_argmax_struct" -> QueryDef(
+      fn = (s, d) =>
+        part(s, d)
+          .groupBy(col("p_brand"))
+          .agg(
+            max(struct(col("p_retailprice"), col("p_name"))).as("hi"),
+            min(struct(col("p_retailprice"), col("p_name"))).as("lo"),
+            count(lit(1)).as("n_parts"))
+          .select(
+            col("p_brand"),
+            col("hi.p_retailprice").as("top_price"),
+            col("hi.p_name").as("top_name"),
+            col("lo.p_retailprice").as("low_price"),
+            col("lo.p_name").as("low_name"),
+            col("n_parts")),
+      oracle = Some("""
+        WITH r AS (
+          SELECT p_brand, p_retailprice, p_name,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_name DESC) AS rn_hi,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice ASC, p_name ASC) AS rn_lo,
+                 COUNT(*) OVER (PARTITION BY p_brand) AS n
+          FROM part)
+        SELECT hi.p_brand,
+               hi.p_retailprice AS top_price, hi.p_name AS top_name,
+               lo.p_retailprice AS low_price, lo.p_name AS low_name,
+               hi.n AS n_parts
+        FROM (SELECT * FROM r WHERE rn_hi = 1) hi
+        JOIN (SELECT * FROM r WHERE rn_lo = 1) lo ON hi.p_brand = lo.p_brand"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // EXACT median per group by rank selection: median = mean of the
+    // values at ranks (n+1) div 2 and (n+2) div 2 (equal when n is
+    // odd). Selecting a value AT a rank is tie-permutation-invariant,
+    // so row_number's nondeterminism among equal prices cannot change
+    // the answer. This is the exact-contract operator; the production
+    // default at 100 TB is percentile_approx (a mergeable sketch, one
+    // pass, no per-group sort), which cannot be hash-matched cross-
+    // engine — the exact variant costs one partitioned sort.
+    "q99_median_exact" -> QueryDef(
+      fn = (s, d) => {
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+        val ranked = j
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("seg")).orderBy(col("v").asc)))
+          .withColumn("n_orders", count(lit(1)).over(Window.partitionBy(col("seg"))))
+        ranked
+          .filter(
+            col("rn") === expr("(n_orders + 1) div 2") ||
+              col("rn") === expr("(n_orders + 2) div 2"))
+          .groupBy(col("seg"))
+          .agg(avg(col("v")).as("median_price"), max(col("n_orders")).as("n_orders"))
+      },
+      oracle = Some("""
+        SELECT seg, AVG(v) AS median_price, MAX(n_orders) AS n_orders
+        FROM (
+          SELECT c_mktsegment AS seg, o_totalprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn = (n_orders + 1) // 2 OR rn = (n_orders + 2) // 2
+        GROUP BY seg"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Fixed-width histogram: bucket ids come from constant edges
+    // (FLOOR(v / width), capped), so binning is a zero-extra-pass
+    // projection feeding one hash aggregate — the whole histogram is
+    // O(buckets) out of the shuffle regardless of input size. Constant
+    // edges (not data-dependent min/max) are what make it one pass.
+    "q100_histogram" -> QueryDef(
+      fn = (s, d) =>
+        orders(s, d)
+          .withColumn(
+            "bucket",
+            least(lit(19), floor(col("o_totalprice") / 30000.0)).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(28, 2))).cast("double")
+              .as("total_price"))
+          .withColumn("bucket_lo", (col("bucket") * 30000.0).cast("double")),
+      oracle = Some("""
+        SELECT bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+               CAST(bucket * 30000.0 AS DOUBLE) AS bucket_lo
+        FROM (
+          SELECT CAST(LEAST(19, FLOOR(o_totalprice / 30000.0)) AS INTEGER) AS bucket,
+                 o_totalprice
+          FROM orders)
+        GROUP BY bucket"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Ordered conversion funnel (signup → first view after signup →
+    // first purchase after that view). Three user-keyed conditional-min
+    // aggregations chained by joins on the SAME key: every stage is
+    // user-grain, so the shuffles are O(users), the stage outputs are
+    // tiny relative to the event log, and AQE broadcasts them back
+    // against the log. No sort of the raw events is ever needed —
+    // sequencing is expressed by the ts >= prev-stage predicate, not
+    // by ordering.
+    "q101_funnel" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        val v1 = ev.filter(col("event_type") === "view")
+          .join(s1, "user_id")
+          .filter(col("ts") >= col("signup_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_view_ts"))
+        val p1 = ev.filter(col("event_type") === "purchase")
+          .join(v1, "user_id")
+          .filter(col("ts") >= col("first_view_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase_ts"))
+        s1.join(v1, Seq("user_id"), "left")
+          .join(p1, Seq("user_id"), "left")
+          .select(
+            col("user_id"),
+            col("signup_ts"),
+            col("first_view_ts"),
+            col("first_purchase_ts"),
+            col("first_view_ts").isNotNull.cast("int").as("reached_view"),
+            col("first_purchase_ts").isNotNull.cast("int").as("reached_purchase"))
+      },
+      oracle = Some("""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS signup_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        v1 AS (
+          SELECT e.user_id, MIN(e.ts) AS first_view_ts
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'view' AND e.ts >= s1.signup_ts
+          GROUP BY e.user_id),
+        p1 AS (
+          SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+          FROM events e JOIN v1 ON e.user_id = v1.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= v1.first_view_ts
+          GROUP BY e.user_id)
+        SELECT s1.user_id, s1.signup_ts, v1.first_view_ts, p1.first_purchase_ts,
+               CAST(CASE WHEN v1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                 AS reached_view,
+               CAST(CASE WHEN p1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                 AS reached_purchase
+        FROM s1
+        LEFT JOIN v1 ON s1.user_id = v1.user_id
+        LEFT JOIN p1 ON s1.user_id = p1.user_id"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Retention cohorts: cohort = ISO week of a user's first event;
+    // cell (cohort_week, week_offset) counts distinct users active
+    // that many weeks later. Two user-keyed aggregations plus one
+    // cohort-grain count-distinct: the first-seen table is O(users)
+    // and joins back to the log on its key. Both engines truncate
+    // weeks to Monday, and the offset is an exact integer because
+    // Monday-to-Monday day differences are multiples of 7.
+    "q102_retention_cohort" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("ts"))
+        val first = ev
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"))
+          .select(
+            col("user_id"),
+            date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+        ev.join(first, "user_id")
+          .withColumn(
+            "week_offset",
+            expr("datediff(cast(date_trunc('week', ts) as date), cohort_week) div 7")
+              .cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+      },
+      oracle = Some("""
+        SELECT f.cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_week,
+                              CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7 AS INTEGER)
+                 AS week_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e
+        JOIN (SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id) f
+          ON e.user_id = f.user_id
+        GROUP BY 1, 2"""),
+    )
+  )
+}

@@ -119,7 +119,29 @@ object PlanAudit {
     // never all-pairs, never through a single-partition window
     Audit("q96_ann_lsh_multitable",
       mustContain = Seq("vec_dot"),
-      mustNotContain = Seq("CartesianProduct", "SinglePartition"))
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // corr/slope from decimal moment sums: one map-side-combined hash
+    // aggregate, shuffle = 5 decimals + count per group; a window or
+    // full-table rank anywhere means the formulation regressed
+    Audit("q97_grouped_corr",
+      mustContain = Seq("HashAggregate", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // argmax via struct-max must combine map-side (partial_max) and
+    // never fall back to the windowed-rank shape the oracle uses
+    Audit("q98_argmax_struct",
+      mustContain = Seq("partial_max"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // funnel stages are user-keyed aggregations joined on their key —
+    // the per-user stage tables must broadcast, and nothing may expand
+    // to a cross product
+    Audit("q101_funnel",
+      mustContain = Seq("BroadcastHashJoin", "partial_min"),
+      mustNotContain = Seq("CartesianProduct")),
+    // retention: first-seen is a keyed aggregation broadcast back to
+    // the log; count-distinct expands through a two-phase aggregate
+    Audit("q102_retention_cohort",
+      mustContain = Seq("BroadcastHashJoin", "partial_min"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
