@@ -141,7 +141,13 @@ object PlanAudit {
     // the log; count-distinct expands through a two-phase aggregate
     Audit("q102_retention_cohort",
       mustContain = Seq("BroadcastHashJoin", "partial_min"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // exact top-k scan: queries broadcast, corpus streamed, top-k
+    // truncated map-side — candidate pairs must never shuffle (no
+    // CartesianProduct pair-grid) and never rank through a window
+    Audit("q44_topk_aggregator",
+      mustContain = Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "Window"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
