@@ -255,6 +255,235 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Exact quantile grid (p25/p50/p75/p90) by NEAREST-RANK selection:
+    // rank_p = ceil(p·n), all-integer, no interpolation — so the cell
+    // values are actual data values, exact cross-engine. One
+    // partitioned sort ranks each group once; the four quantiles pivot
+    // out of the same pass via conditional aggregation. The production
+    // default at 100 TB is percentile_approx (mergeable sketch, no
+    // sort); this is the exact-contract twin, same trade as q99.
+    "q103_quantile_grid" -> QueryDef(
+      fn = (s, d) => {
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+        j.withColumn("rn", row_number().over(
+            Window.partitionBy(col("seg")).orderBy(col("v").asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+          .groupBy(col("seg"))
+          .agg(
+            max(col("n")).as("n_orders"),
+            max(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("p25"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50"),
+            max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("p75"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("p90"))
+      },
+      oracle = Some("""
+        SELECT seg,
+               MAX(n) AS n_orders,
+               MAX(CASE WHEN rn = (n + 3) // 4     THEN v END) AS p25,
+               MAX(CASE WHEN rn = (n + 1) // 2     THEN v END) AS p50,
+               MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS p75,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90
+        FROM (
+          SELECT c_mktsegment AS seg, o_totalprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        GROUP BY seg"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Trailing-7-day distinct active users per day (the W-DAU metric):
+    // activity is first reduced to the (user, day) grain — O(users x
+    // days), a massive cut at log scale — then a tiny day-grid
+    // dimension range-joins it (day BETWEEN grid-6 AND grid) and a
+    // count-distinct finishes per grid day. The fact table is scanned
+    // once; the 7x row amplification happens on the already-reduced
+    // grain, and the day grid broadcasts.
+    "q104_trailing_active" -> QueryDef(
+      fn = (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val grid = act.select(col("day").as("grid_day")).distinct()
+        act
+          .join(
+            broadcast(grid),
+            col("day") >= date_sub(col("grid_day"), 6) && col("day") <= col("grid_day"))
+          .groupBy(col("grid_day"))
+          .agg(countDistinct(col("user_id")).as("active_7d"))
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        grid AS (SELECT DISTINCT day AS grid_day FROM act)
+        SELECT grid_day, COUNT(DISTINCT user_id) AS active_7d
+        FROM act JOIN grid
+          ON act.day >= grid.grid_day - 6 AND act.day <= grid.grid_day
+        GROUP BY grid_day"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Time-series resample to an hourly grid with forward fill: each
+    // user's span explodes into hour rows (sequence + explode — linear
+    // in grid cells), the per-hour closing value reduces via
+    // max(struct(ts, event_id, value)) (deterministic: (ts, event_id)
+    // is unique), and gaps forward-fill with last(ignoreNulls) over a
+    // user-partitioned window. Every stage is keyed by user; the grid
+    // explode is the only row amplification and it is the OUTPUT grain.
+    "q105_resample_ffill" -> QueryDef(
+      fn = (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val hourly = ev
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .groupBy(col("user_id"), col("hour"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("hour"), col("m.value").as("hour_value"))
+        val span = ev
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+          .select(
+            col("user_id"),
+            explode(expr(
+              "sequence(date_trunc('hour', t0), date_trunc('hour', t1), interval 1 hour)"))
+              .as("hour"))
+        span
+          .join(hourly, Seq("user_id", "hour"), "left")
+          .select(
+            col("user_id"),
+            col("hour"),
+            last(col("hour_value"), ignoreNulls = true)
+              .over(Window.partitionBy(col("user_id")).orderBy(col("hour").asc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("filled_value"),
+            col("hour_value").isNull.cast("int").as("is_gap"))
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT user_id, hour, value AS hour_value FROM (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS hour, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+        span AS (
+          SELECT user_id,
+                 UNNEST(generate_series(DATE_TRUNC('hour', MIN(ts)),
+                                        DATE_TRUNC('hour', MAX(ts)),
+                                        INTERVAL 1 HOUR)) AS hour
+          FROM events GROUP BY user_id)
+        SELECT s.user_id, s.hour,
+               LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.hour ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+               CAST(CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+        FROM span s
+        LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Distributed sweep-line: max concurrent sessions per day, WITHOUT
+    // a global sort. Sessions (q40's 30-min-gap rule) emit +1/-1
+    // deltas; each DAY sweeps its own deltas with a day-partitioned
+    // cumulative sum, and the cross-midnight correction — sessions
+    // already open at a day's 00:00 — arrives as an O(spanned-days)
+    // explode counted per day. max(day) = greatest(opening, opening +
+    // max running). The naive formulation is one global ORDER BY ts
+    // (SinglePartition — the classic scale-killer); this one
+    // partitions the sweep by day and reconciles boundaries with a
+    // linear pass, the same trick the interval-join family uses.
+    "q106_concurrency_sweep" -> QueryDef(
+      fn = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val sess = events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_session",
+            when(
+              col("prev_ts").isNull ||
+                (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000,
+              1).otherwise(0))
+          .withColumn(
+            "session_seq",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        val deltas = sess
+          .select(col("s_start").as("ts"), lit(1).as("delta"))
+          .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
+          .withColumn("day", col("ts").cast("date"))
+        val swept = deltas
+          .withColumn(
+            "running",
+            sum(col("delta")).over(
+              Window.partitionBy(col("day"))
+                .orderBy(col("ts").asc, col("delta").desc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("day"))
+          .agg(max(col("running")).as("max_running"))
+        val opening = sess
+          .filter(col("s_end").cast("date") > col("s_start").cast("date"))
+          .select(explode(expr(
+            "sequence(date_add(cast(s_start as date), 1), cast(s_end as date), interval 1 day)"))
+            .as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("opening"))
+        swept
+          .join(opening, Seq("day"), "left")
+          .select(
+            col("day"),
+            coalesce(col("opening"), lit(0L)).as("open_at_midnight"),
+            greatest(
+              coalesce(col("opening"), lit(0L)),
+              coalesce(col("opening"), lit(0L)) + col("max_running"))
+              .as("max_concurrent"))
+      },
+      oracle = Some("""
+        WITH sess AS (
+          SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+          FROM (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                            OR DATE_DIFF('microsecond', prev_ts, ts) > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM (
+                SELECT user_id, event_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                FROM events)))
+          GROUP BY user_id, session_seq),
+        deltas AS (
+          SELECT s_start AS ts, 1 AS delta, CAST(s_start AS DATE) AS day FROM sess
+          UNION ALL
+          SELECT s_end AS ts, -1 AS delta, CAST(s_end AS DATE) AS day FROM sess),
+        swept AS (
+          SELECT day, CAST(MAX(running) AS BIGINT) AS max_running FROM (
+            SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY ts ASC, delta DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+            FROM deltas)
+          GROUP BY day),
+        opening AS (
+          SELECT day, COUNT(*) AS cnt FROM (
+            SELECT CAST(UNNEST(generate_series(CAST(s_start AS DATE) + 1,
+                                               CAST(s_end AS DATE),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM sess
+            WHERE CAST(s_end AS DATE) > CAST(s_start AS DATE))
+          GROUP BY day)
+        SELECT s.day,
+               COALESCE(o.cnt, 0) AS open_at_midnight,
+               GREATEST(COALESCE(o.cnt, 0), COALESCE(o.cnt, 0) + s.max_running)
+                 AS max_concurrent
+        FROM swept s LEFT JOIN opening o ON s.day = o.day"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Retention cohorts: cohort = ISO week of a user's first event;
     // cell (cohort_week, week_offset) counts distinct users active
     // that many weeks later. Two user-keyed aggregations plus one

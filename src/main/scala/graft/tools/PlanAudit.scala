@@ -147,7 +147,19 @@ object PlanAudit {
     // CartesianProduct pair-grid) and never rank through a window
     Audit("q44_topk_aggregator",
       mustContain = Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "Window"))
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    // resample + forward fill: the grid explode (Generate) and the
+    // fill window must both stay user-partitioned — a SinglePartition
+    // window would serialize the whole grid through one task
+    Audit("q105_resample_ffill",
+      mustContain = Seq("Generate", "Window"),
+      mustNotContain = Seq("SinglePartition", "CartesianProduct")),
+    // the distributed sweep-line exists precisely to avoid the global
+    // ORDER BY ts — the sweep must be day-partitioned, with the
+    // midnight correction arriving via the opening explode (Generate)
+    Audit("q106_concurrency_sweep",
+      mustContain = Seq("Generate", "Window"),
+      mustNotContain = Seq("SinglePartition", "CartesianProduct"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

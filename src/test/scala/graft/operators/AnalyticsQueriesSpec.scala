@@ -81,6 +81,92 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(nPurchase <= nView && nView <= rows.length)
   }
 
+  test("q103 quantile grid cells are ordered and are actual data values") {
+    val vals = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    q("q103_quantile_grid").collect().foreach { r =>
+      val seg = r.getString(0)
+      val qs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(qs == qs.sorted, s"seg=$seg quantiles not monotone: $qs")
+      qs.foreach(v => assert(vals(seg).contains(v), s"seg=$seg $v not a data value"))
+    }
+  }
+
+  test("q104 trailing-7d active is >= the single-day active count") {
+    val daily = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      .groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = q("q104_trailing_active").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getDate(0).toString
+      assert(r.getLong(1) >= daily(day), s"day=$day trailing < daily")
+    }
+  }
+
+  test("q105 resample grid is hour-contiguous per user and fill is last-known") {
+    val rows = q("q105_resample_ffill")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.get(2)).map(_.toString.toDouble), r.getInt(3)))
+      .groupBy(_._1)
+    rows.foreach { case (_, rs) =>
+      val hours = rs.map(_._2.getTime).toList.sorted
+      hours.sliding(2).foreach {
+        case a :: b :: Nil => assert(b - a === 3600000L, "grid gap != 1 hour")
+        case _             =>
+      }
+      // the first grid hour contains the user's first event, so it can
+      // never be a gap and filled_value is never null afterwards
+      val byHour = rs.sortBy(_._2.getTime)
+      assert(byHour.head._4 === 0)
+      byHour.foreach { case (_, _, filled, _) => assert(filled.isDefined) }
+    }
+  }
+
+  test("q106 sweep-line matches a brute-force global sweep per day") {
+    import scala.jdk.CollectionConverters._
+    // rebuild sessions exactly as the query does, then sweep globally
+    val sess = q("q106_concurrency_sweep") // result under test
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sessions = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .groupBy(_._1)
+      ev.values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = sorted.head._2; var last = sorted.head._2
+        sorted.tail.foreach { case (_, t, _) =>
+          if (t - last > 30L * 60 * 1000) { out += ((start, last)); start = t }
+          last = t
+        }
+        out += ((start, last)); out
+      }.toSeq
+    }
+    // brute-force: concurrency at every delta instant, tracked per day
+    val deltas = sessions.flatMap { case (s0, s1) => Seq((s0, 1), (s1, -1)) }
+      .sortBy { case (t, d) => (t, -d) } // +1 before -1 at the same instant
+    var running = 0L
+    val maxPerDay = scala.collection.mutable.Map.empty[String, Long]
+    val dayOf = (t: Long) => new java.sql.Date(t).toString
+    deltas.foreach { case (t, dl) =>
+      running += dl
+      val d = dayOf(t)
+      maxPerDay(d) = math.max(maxPerDay.getOrElse(d, 0L), running)
+      // a session open across midnight raises the NEXT day's floor too;
+      // the query reports that as open_at_midnight
+    }
+    sess.foreach { case (day, (opening, got)) =>
+      val brute = math.max(maxPerDay.getOrElse(day, 0L), opening)
+      assert(got === brute, s"day=$day sweep=$got brute=$brute")
+    }
+  }
+
   test("q102 cohort week-0 cell counts the full cohort; offsets non-negative") {
     val rows = q("q102_retention_cohort").collect()
       .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
