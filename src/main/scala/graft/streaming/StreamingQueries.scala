@@ -284,6 +284,69 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Sessionization through Spark's NATIVE session_window aggregation
+    // (the built-in counterpart to q88's hand-rolled
+    // flatMapGroupsWithState sessionizer): dynamic-gap session windows
+    // merge inside the streaming aggregation operator, append mode
+    // emits each session exactly once when the watermark passes
+    // session_end + gap, and the far-future sentinel (q91's trick)
+    // drives the final watermark past every real session so the
+    // drained replay is complete. The sentinel's own session never
+    // finalizes and never appears. Oracle = the same batch gap-rule
+    // sessionization q40 gates (session_window's [start, last+gap)
+    // merge rule equals the lag()>30min rule except for gaps of
+    // EXACTLY 30:00.000000, which the generated corpus does not
+    // contain). Session state is watermark-bounded — this is the
+    // run-forever production shape for session analytics at 100 TB.
+    "q107_session_window_native" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val agg = streamFromDir(s, stageEventsWithSentinel(s, d))
+            .withWatermark("ts", "48 hours")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(
+              min(col("ts")).as("session_start"),
+              max(col("ts")).as("session_end"),
+              count(lit(1)).as("n_events"),
+              sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total_value"))
+            .select(
+              col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("total_value"))
+          val q = agg.writeStream
+            .format("memory")
+            .queryName("q107_out")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q107_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        SELECT user_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                          OR DATE_DIFF('microsecond', prev_ts, ts) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+              SELECT user_id, event_id, ts, value,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events)
+          )
+        ) GROUP BY user_id, session_seq""")
+    ),
+
+    // ----------------------------------------------------------------
     // Stream-stream interval join through the REAL streaming machinery:
     // clicks joined to purchases by the same user within 10 event-time
     // minutes, both sides watermarked (that bounds the join state the
