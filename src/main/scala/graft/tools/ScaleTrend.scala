@@ -56,7 +56,15 @@ object ScaleTrend {
     "q75_stream_dedup",
     "q73_stream_stream_join",
     "q79_stream_left_outer_join",
-    "q91_stream_window_append"
+    "q91_stream_window_append",
+    // behavioral analytics over events (round 5): user/day-keyed
+    // aggregations, grid explodes, and the day-partitioned sweep —
+    // each should track the 10x input linearly
+    "q101_funnel",
+    "q102_retention_cohort",
+    "q104_trailing_active",
+    "q105_resample_ffill",
+    "q106_concurrency_sweep"
   )
 
   /** The q45 IVF shape with a corpus-proportional centroid count —
