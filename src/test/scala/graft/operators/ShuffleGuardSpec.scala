@@ -29,7 +29,17 @@ class ShuffleGuardSpec extends AnyFunSuite {
     "q33_dedup_minhash_lsh"   -> 1000000L,
     "q77_ann_ivf_multiprobe"  -> 1500000L,
     "q78_ann_pq"              -> 2000000L,
-    "q82_ann_ivf_pq"          -> 3500000L
+    "q82_ann_ivf_pq"          -> 3500000L,
+    // round 5 (measured at sf0.1): q44 3.66 MB is the corpus
+    // repartition for the nested-loop scan — candidate pairs
+    // contribute zero; q96 12.3 MB is the OR-of-8-tables candidate
+    // set, the stated price of its 0.70 recall; q99 1.38 MB is one
+    // partitioned ranking sort; q106 1.52 MB is the session build +
+    // day-partitioned sweep
+    "q44_topk_aggregator"     -> 5000000L,
+    "q96_ann_lsh_multitable"  -> 15000000L,
+    "q99_median_exact"        -> 2000000L,
+    "q106_concurrency_sweep"  -> 2500000L
   )
 
   test("re-architected hot paths stay under their sf0.1 shuffle-byte ceilings") {
