@@ -23,6 +23,7 @@ object SparkEntry {
     graft.functions.SimilarityQueries,
     graft.streaming.StreamingQueries,
     graft.sources.Multimodal,
+    graft.sources.TextFormats,
     graft.etl.FeatureQueries
   )
 

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL and ORC source coverage for the document pipeline (round 5).
+  *
+  * Training corpora overwhelmingly arrive as JSON-lines (one document
+  * per line, a fraction of them malformed) and leave as columnar files.
+  * These queries gate BOTH directions against the parquet ground truth:
+  * the staged inputs are derived deterministically from
+  * `documents.parquet`, so the DuckDB oracle is simply the original
+  * table — any loss, corruption, mis-escaping, or schema drift in the
+  * Spark source/sink round trip breaks the hash match.
+  *
+  * Staging uses the corpus-hash + atomic-move pattern the streaming
+  * queries established (StreamingQueries.stageEventsWithSentinel): built
+  * once per corpus, safe under concurrent runs.
+  */
+object TextFormats extends QueryModule {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def nonce: String =
+    ProcessHandle.current().pid().toString + "_" + Thread.currentThread().getId
+
+  /** documents.parquet serialized to JSONL with 5 malformed lines mixed
+    * in — the ingestion fixture. JSON escaping round-trips newlines and
+    * unicode, which is exactly what the oracle compare proves.
+    */
+  private def stageJsonl(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
+    val dir = Paths.get("/tmp/graft_jsonl_" + graft.Digest.md5Hex(src.toString))
+    Files.createDirectories(dir)
+    val ready = dir.resolve("docs.jsonl")
+    if (!Files.exists(ready)) {
+      val build = dir.resolve(s"build_$nonce")
+      s.read.parquet(src.toString)
+        .select(to_json(struct(
+          col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+          .as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(build.toString)
+      val part = Files.list(build)
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .findFirst().orElseThrow()
+      Files.move(part, ready, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      // malformed lines a real crawl drop ships: truncated JSON, bare
+      // text, wrong bracket — PERMISSIVE mode must quarantine, not fail
+      val corrupt = dir.resolve(s"corrupt_$nonce")
+      Files.write(corrupt, java.util.Arrays.asList(
+        """{"doc_id": 900001, "text": "truncated""",
+        """not json at all""",
+        """[1, 2, 3]""",
+        """{"doc_id": "NaN-ish" """,
+        """{}garbage-suffix"""))
+      Files.move(corrupt, dir.resolve("corrupt.jsonl"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    dir.toString
+  }
+
+  /** documents.parquet rewritten as ORC — the columnar round trip. */
+  private def stageOrc(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
+    val dir = Paths.get("/tmp/graft_orc_" + graft.Digest.md5Hex(src.toString))
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      val build = dir.resolveSibling(dir.getFileName.toString + s"_build_$nonce")
+      s.read.parquet(src.toString)
+        .write.mode("overwrite").orc(build.toString)
+      try Files.move(build, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException => // lost the race: use theirs
+          Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      if (!Files.exists(marker)) Files.createFile(marker)
+    }
+    dir.toString
+  }
+
+  override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // JSONL ingestion with corrupt-record quarantine: PERMISSIVE mode
+    // routes unparseable lines into _corrupt_record instead of failing
+    // the job — the only policy that survives a 100 TB crawl drop,
+    // where some malformed lines are a certainty. The query emits the
+    // clean rows; the quarantined lines are asserted in
+    // TextFormatsSpec (they cannot appear in a documents-table oracle).
+    // Schema is EXPLICIT: schema inference would re-scan the corpus
+    // and silently widen types on dirty data.
+    "q108_jsonl_ingest" -> QueryDef(
+      fn = (s, d) => {
+        val readSchema = docSchema.add("_corrupt_record", StringType)
+        s.read
+          .schema(readSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(stageJsonl(s, d))
+          // parse success alone is NOT validity: Jackson accepts a
+          // valid first token and ignores trailing garbage ("{}junk"
+          // parses as an all-null row with NO corrupt record), so
+          // quarantine = unparseable OR missing the required key — the
+          // validation rule a real ingest runs
+          .where(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"),
+    ),
+
+    // ----------------------------------------------------------------
+    // ORC round trip with predicate + projection pushdown: the filter
+    // must reach the ORC reader (plan-asserted in PlanAudit) just as it
+    // does for parquet — format choice must not cost the optimizer
+    // anything. Oracle = the same filter on the parquet ground truth.
+    "q109_orc_scan" -> QueryDef(
+      fn = (s, d) =>
+        s.read.orc(stageOrc(s, d))
+          .where(col("n_chars") >= 200 && col("lang") === "en")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+      oracle = Some("""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'"""),
+    )
+  )
+}

@@ -159,7 +159,12 @@ object PlanAudit {
     // midnight correction arriving via the opening explode (Generate)
     Audit("q106_concurrency_sweep",
       mustContain = Seq("Generate", "Window"),
-      mustNotContain = Seq("SinglePartition", "CartesianProduct"))
+      mustNotContain = Seq("SinglePartition", "CartesianProduct")),
+    // format choice must not cost the optimizer anything: the ORC scan
+    // must receive the pushed predicate exactly like a parquet scan
+    Audit("q109_orc_scan",
+      mustContain = Seq("GreaterThanOrEqual(n_chars,200)", "EqualTo(lang,en)"),
+      mustNotContain = Seq("PushedFilters: []"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
