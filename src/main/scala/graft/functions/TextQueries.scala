@@ -272,6 +272,45 @@ object TextQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Benchmark decontamination — the eval-leak filter every serious
+    // pretraining pipeline runs: a training document is CONTAMINATED if
+    // it shares any word-3-gram shingle with the holdout (benchmark)
+    // set, and the surviving corpus drops both the holdout and the
+    // contaminated docs. Holdout membership is deterministic
+    // (doc_id % 97 = 0 — the eval set a harness would pin). The
+    // holdout's shingle set is tiny relative to the corpus, so Catalyst
+    // broadcasts it into the semi-join: one linear pass over training
+    // shingles, one anti-join at doc grain — no shingle-keyed shuffle
+    // of the full corpus at 100 TB. Duplicates of a held-out doc share
+    // all its shingles, so near-dups of eval data are swept out too —
+    // exactly the leak the operator exists to stop.
+    "q110_decontaminate" -> QueryDef(
+      fn = (s, d) => {
+        val sh = DedupQueries.shingleDf(s, d)
+        val holdoutShingles = sh
+          .where(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        val contaminated = sh
+          .where(col("doc_id") % 97 =!= 0)
+          .join(holdoutShingles, Seq("shingle"), "left_semi")
+          .select(col("doc_id")).distinct()
+        documents(s, d)
+          .where(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (${DedupQueries.shingleSql}),
+        cont AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 97 <> 0
+            AND shingle IN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0))
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Token-budget selection: the pretraining-mix operator — each
     // source contributes documents in deterministic salted-hash order
     // until its token budget fills (running total <= 5000), so the mix

@@ -164,7 +164,13 @@ object PlanAudit {
     // must receive the pushed predicate exactly like a parquet scan
     Audit("q109_orc_scan",
       mustContain = Seq("GreaterThanOrEqual(n_chars,200)", "EqualTo(lang,en)"),
-      mustNotContain = Seq("PushedFilters: []"))
+      mustNotContain = Seq("PushedFilters: []")),
+    // decontamination: the holdout shingle set and the contaminated-id
+    // set are both small — they must broadcast into the semi/anti
+    // joins, never shuffle the full training shingle stream by key
+    Audit("q110_decontaminate",
+      mustContain = Seq("word_shingles", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
