@@ -42,6 +42,10 @@ object ScaleTrend {
     "q34_dedup_simhash",
     "q83_dup_clusters",
     "q87_dedup_keeper",
+    // decontamination: the holdout (and its shingle set) grows WITH the
+    // corpus — measures whether the broadcast semi-join shape holds as
+    // both sides scale 10x
+    "q110_decontaminate",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
