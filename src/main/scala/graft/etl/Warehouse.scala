@@ -143,6 +143,60 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def loadOr(layer: String, table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(layer, table)) load(layer, table)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def parquetFiles(target: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val filesystem = fs(target)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = filesystem.listFiles(target, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.toSeq
+  }
+
+  /** Small-file compaction — the operational chore a streaming warehouse
+    * cannot skip at 100 TB: every micro-batch appends a file per
+    * partition, and scan planning/open cost degrades with file COUNT
+    * long before bytes matter. Rewrites each date partition into
+    * ceil(partitionBytes / targetBytes) files (so a day that has grown
+    * past the target splits, a day of micro-batch dust collapses to
+    * one); the per-partition file budget rides a broadcast dim and a
+    * deterministic row-hash bucket, and the swap is the dynamic-
+    * partition-overwrite commit — readers never observe a partial
+    * partition. Non-partitioned tables coalesce to one budget for the
+    * whole snapshot through the stage-and-swap path. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(layer: String, table: String, targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val target = new Path(path(layer, table))
+    val before = parquetFiles(target)
+    val df = load(layer, table)
+    // rows-per-file budget from the table's own measured density; the
+    // writer's maxRecordsPerFile split is deterministic (ceil(rows /
+    // budget) files per partition dir) where a hash-repartition file
+    // count is at the mercy of AQE coalescing and bucket collisions
+    val totalBytes = before.map(_.getLen).sum
+    val totalRows = math.max(1L, df.count())
+    val avgRowBytes = math.max(1L, totalBytes / totalRows)
+    val maxRecords = math.max(1L, targetBytes / avgRowBytes)
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+    try {
+      if (df.columns.contains("date"))
+        // one task per day (AQE may merge small days into one task —
+        // harmless: the writer still splits by partition dir), then the
+        // record budget splits any day that outgrew the target
+        overwrite(df.repartition(col("date")), layer, table)
+      else
+        overwrite(df.coalesce(1), layer, table)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None    => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    (before.size.toLong, parquetFiles(target).size.toLong)
+  }
 }
 
 /** Processed-row ledger replacing in-place `UPDATE ... SET

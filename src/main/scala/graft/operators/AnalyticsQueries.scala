@@ -484,6 +484,80 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Ordered event sequences per user: sort_array(collect_list(struct
+    // (ts, event_id, type))) assembles each user's deterministic
+    // timeline inside one hash aggregate (no window, no per-user sort
+    // pass), and higher-order functions slice/transform the head
+    // without ever re-exploding. The sequence column serializes to a
+    // '|'-joined string — sequence features hash cross-engine as
+    // scalars. Contract: group state is bounded by per-user activity
+    // (true of session-scale analytics); unbounded histories belong in
+    // q13's windowed rank world instead.
+    "q111_event_sequences" -> QueryDef(
+      fn = (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+              .as("seq"))
+          .select(
+            col("user_id"),
+            col("n_events"),
+            col("n_types"),
+            concat_ws("|", expr("transform(slice(seq, 1, 10), x -> x.event_type)"))
+              .as("first10")),
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               array_to_string((list(event_type ORDER BY ts ASC, event_id ASC))[1:10], '|')
+                 AS first10
+        FROM events GROUP BY user_id"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Event-type transition matrix (the Markov-chain view of user
+    // behavior): lag() pairs each event with its predecessor inside a
+    // user-partitioned window, then one hash aggregate counts the
+    // (prev → next) cells; the share divides by the prev-row total via
+    // a second tiny aggregation joined back (25 cells — broadcast).
+    // Exact: share = BIGINT / BIGINT in double, identical operands on
+    // both engines.
+    "q112_event_transitions" -> QueryDef(
+      fn = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("total"))
+        pairs
+          .join(totals, "prev_type")
+          .select(
+            col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+      },
+      oracle = Some("""
+        WITH pairs AS (
+          SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     AS prev_type
+            FROM events)
+          WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2),
+        totals AS (
+          SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY 1)
+        SELECT p.prev_type, p.next_type, p.n,
+               CAST(p.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        FROM pairs p JOIN totals t ON p.prev_type = t.prev_type"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Retention cohorts: cohort = ISO week of a user's first event;
     // cell (cohort_week, week_offset) counts distinct users active
     // that many weeks later. Two user-keyed aggregations plus one
