@@ -311,6 +311,88 @@ object TextQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Deterministic train/val/test split: bucket = salted-md5 of the
+    // doc id mod 10 → 80/10/10. A pure projection — no shuffle, no
+    // state, reproducible on any cluster and STABLE UNDER CORPUS
+    // GROWTH: a document's split never changes when neighbors arrive
+    // or depart, which a rank-based split cannot promise. The same
+    // salted-hash idiom q47/q84/q90 established; per-(source, lang)
+    // proportions follow from hash uniformity.
+    "q113_train_split" -> QueryDef(
+      fn = (s, d) =>
+        documents(s, d)
+          .withColumn(
+            "bucket",
+            (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 10).cast("int"))
+          .select(
+            col("doc_id"), col("source"), col("lang"), col("bucket"),
+            when(col("bucket") < 8, "train")
+              .when(col("bucket") === 8, "val")
+              .otherwise("test").as("split")),
+      oracle = Some("""
+        SELECT doc_id, source, lang, bucket,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, source, lang,
+                 CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS INTEGER) AS bucket
+          FROM documents)"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // The dataset card: per-source corpus report — doc/token volume,
+    // language spread, quality, and length percentiles in ONE pass of
+    // one-pass expressions (every stat is a codegen'd projection into a
+    // hash aggregate; the exact p50 reuses q99's rank-selection trick
+    // inside the same query). This is the roll-up a data curator reads
+    // before shipping a mix, and the operator every pipeline run ends
+    // with.
+    "q114_corpus_report" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+        val scored = documents(s, d).select(
+          col("source"),
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          langId(col("text")).as("pl"))
+        val ranked = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("n_tokens").asc, col("doc_id").asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        ranked.groupBy(col("source"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            countDistinct(col("pl")).as("n_langs"),
+            sum(when(col("pl") === "en", 1L).otherwise(0L)).as("n_en"),
+            avg(col("q").cast("double")).as("avg_quality"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"))
+      },
+      oracle = Some(s"""
+        SELECT source,
+               MAX(n) AS n_docs,
+               CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT pl) AS n_langs,
+               CAST(SUM(CASE WHEN pl = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               AVG(CAST(q AS DOUBLE)) AS avg_quality,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens
+        FROM (
+          SELECT source, n_tokens, q, pl,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM (
+            SELECT source, doc_id, $tokenCountSql AS n_tokens,
+                   CAST($qualitySql AS INTEGER) AS q,
+                   $predictedSql AS pl
+            FROM (SELECT *, $bestCntSql AS best_cnt FROM ($normSql))))
+        GROUP BY source"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Token-budget selection: the pretraining-mix operator — each
     // source contributes documents in deterministic salted-hash order
     // until its token budget fills (running total <= 5000), so the mix
