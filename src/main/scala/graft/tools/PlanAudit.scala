@@ -170,7 +170,17 @@ object PlanAudit {
     // joins, never shuffle the full training shingle stream by key
     Audit("q110_decontaminate",
       mustContain = Seq("word_shingles", "BroadcastHashJoin"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // the split assignment is a pure projection — ANY exchange means
+    // someone turned a stateless stable split into a shuffle
+    Audit("q113_train_split",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("Exchange", "Window", "HashAggregate")),
+    // sequence assembly must stay one aggregate (collect_list buffers
+    // via ObjectHashAggregate) — no window, no per-user sort pass
+    Audit("q111_event_sequences",
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "Window"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
