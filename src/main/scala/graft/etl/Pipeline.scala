@@ -263,11 +263,28 @@ final class Pipeline(wh: Warehouse) {
       .orderBy(col("layer"), col("table_name"))
   }
 
-  /** Full cycle (G1): ingest → silver → gate → gold → report. */
+  /** Maintenance stage: compact the append-heavy bronze facts — the
+    * tables streaming ingest and incremental batches fragment a file
+    * per micro-batch. Dims and gold snapshots rewrite whole on every
+    * cycle, so only the appended layers accumulate dust. Returns
+    * (table → (filesBefore, filesAfter)) for the run log.
+    */
+  def maintain(targetBytes: Long = 128L << 20): Map[String, (Long, Long)] = {
+    val appendTables = Seq(
+      "bronze" -> "sales_events", "bronze" -> "inventory_updates",
+      "bronze" -> "equipment_metrics", "bronze" -> "customer_feedback")
+    appendTables
+      .filter { case (l, t) => wh.exists(l, t) }
+      .map { case (l, t) => s"$l.$t" -> wh.compact(l, t, targetBytes) }
+      .toMap
+  }
+
+  /** Full cycle (G1): ingest → silver → gate → gold → maintain → report. */
   def runAll(asOf: java.sql.Date): DataFrame = {
     bronzeToSilver()
     qualityGate()
     silverToGold(asOf)
+    maintain()
     report()
   }
 }
