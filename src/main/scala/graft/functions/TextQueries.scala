@@ -569,6 +569,136 @@ object TextQueries extends QueryModule {
         FROM perdoc, stats
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // PII REDACTION — the scrubbing pass every training-data pipeline
+    // runs before text ships. Emails, phone numbers, and IPv4 addresses
+    // are replaced by typed placeholders and counted per record; the
+    // input is a synthesized support-ticket projection of `customer` so
+    // the patterns demonstrably FIRE (the synthetic `documents` corpus
+    // contains no PII-shaped tokens). Pure projection: zero shuffle,
+    // linear, codegen'd regexes; the three regexes use only syntax with
+    // identical semantics in java.util.regex and RE2 (no backrefs, no
+    // lookaround), and redaction order (email, phone, IP) is fixed on
+    // both sides.
+    "q115_pii_redaction" -> QueryDef(
+      fn = (s, d) => {
+        val note = concat(
+          lit("Reach "), col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com> or +1-415-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" from host 10.0."),
+          (col("c_custkey") % 256).cast("string"), lit("."),
+          (expr("c_custkey div 256") % 256).cast("string"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+        val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.customer(s, d)
+          .select(col("c_custkey"), note.as("note"))
+          .select(
+            col("c_custkey"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("note"), emailRe, "[EMAIL]"),
+                phoneRe, "[PHONE]"),
+              ipRe, "[IP]").as("redacted"),
+            regexp_count(col("note"), lit(emailRe)).as("n_email"),
+            regexp_count(col("note"), lit(phoneRe)).as("n_phone"),
+            regexp_count(col("note"), lit(ipRe)).as("n_ip"))
+      },
+      oracle = Some("""
+        WITH tickets AS (
+          SELECT c_custkey,
+                 'Reach ' || c_name || ' <' || lower(regexp_replace(c_name, '#', '.', 'g')) ||
+                 '@example.com> or +1-415-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+                 ' from host 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+                 CAST((c_custkey // 256) % 256 AS VARCHAR) AS note
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(note,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(note, '\+\d{1,2}-\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+               CAST(len(regexp_extract_all(note, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip
+        FROM tickets"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // INVERTED INDEX build — term -> (document frequency, sorted
+    // posting list). The retrieval-side dual of the BM25 scorer (q85
+    // recomputes per-term stats inline; a real engine scores against
+    // this index). Shape: explode to (doc, term), distinct, one hash
+    // aggregate keyed by term — the partial aggregate combines map-side
+    // so the shuffle carries per-(term, mapper) rows, and posting lists
+    // are built where the term's rows land (never on the driver).
+    // Postings serialize as a comma-joined sorted string: deterministic,
+    // so the whole index is hash-comparable cross-engine.
+    "q119_inverted_index" -> QueryDef(
+      fn = (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            explode(split(normalizeText(col("text")), " ")).as("term"))
+          .where(length(col("term")) >= 3)
+          .distinct()
+          .groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("df"),
+            concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
+          .where(col("df") >= 5),
+      oracle = Some(s"""
+        WITH terms AS (
+          SELECT DISTINCT doc_id, u.term
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+               UNNEST(w) AS u(term)
+          WHERE length(u.term) >= 3)
+        SELECT term, COUNT(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM terms GROUP BY term HAVING COUNT(*) >= 5"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // BIGRAM LANGUAGE MODEL — adjacent-pair counts and conditional
+    // probabilities P(w2 | w1), the n-gram statistic behind corpus
+    // perplexity filters and contamination heuristics. Pair generation
+    // is a zero-join array transform (struct per adjacent pair, one
+    // explode); counting is one map-side-combined hash aggregate on
+    // (w1, w2); the unigram denominator is a window SUM over the
+    // ALREADY-REDUCED bigram table partitioned by w1 — O(distinct
+    // bigrams), never a second pass over tokens. `sequence()` errors
+    // when start > stop (unlike DuckDB's empty range), so one-token
+    // docs are filtered before the transform.
+    "q121_bigram_lm" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        documents(s, d)
+          .select(split(normalizeText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("g"))
+          .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("w1"))))
+          .where(col("cnt") >= 3)
+          .select(
+            col("w1"), col("w2"), col("cnt"),
+            round(col("cnt").cast("double") / col("total"), 6).as("cond_p"))
+      },
+      oracle = Some(s"""
+        WITH grams AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT string_split(t, ' ') AS w FROM ($normSql) WHERE length(t) > 0),
+               UNNEST(range(1, len(w))) AS u(i)),
+        bg AS (
+          SELECT w1, w2, COUNT(*) AS cnt,
+                 SUM(COUNT(*)) OVER (PARTITION BY w1) AS total
+          FROM grams GROUP BY w1, w2)
+        SELECT w1, w2, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS cond_p
+        FROM bg WHERE cnt >= 3"""),
     )
   )
 }

@@ -593,6 +593,107 @@ object AnalyticsQueries extends QueryModule {
               FROM events GROUP BY user_id) f
           ON e.user_id = f.user_id
         GROUP BY 1, 2"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // ASSOCIATION RULES (market-basket): support / confidence / lift
+    // for brand pairs co-occurring in an order. Pair generation is a
+    // self-join of the DISTINCT (order, brand) table on the order key
+    // with b1 < b2 — both sides shuffle ONCE on the same key and the
+    // per-order pair count is bounded by (brands-per-order choose 2),
+    // so the blow-up is basket-bounded, not O(n^2). The brand-count
+    // table is O(#brands) and BROADCAST onto the pair table twice; the
+    // corpus total rides a 1-row cross join. All counts are integers;
+    // the three ratios are round-6 doubles.
+    "q116_assoc_rules" -> QueryDef(
+      fn = (s, d) => {
+        val ob = lineitem(s, d)
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+          .distinct()
+        val total = ob.agg(countDistinct(col("o")).as("total"))
+        val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        val pairs = ob.as("a")
+          .join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+          .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+          .agg(count(lit(1)).as("pair_cnt"))
+          .where(col("pair_cnt") >= 3)
+        pairs
+          .join(broadcast(bc.select(col("b").as("b1"), col("cnt").as("b1_cnt"))), "b1")
+          .join(broadcast(bc.select(col("b").as("b2"), col("cnt").as("b2_cnt"))), "b2")
+          .crossJoin(broadcast(total))
+          .select(
+            col("b1"), col("b2"), col("pair_cnt"),
+            round(col("pair_cnt").cast("double") / col("total"), 6).as("support"),
+            round(col("pair_cnt").cast("double") / col("b1_cnt"), 6).as("confidence"),
+            round(col("pair_cnt").cast("double") * col("total") / (col("b1_cnt") * col("b2_cnt")), 6)
+              .as("lift"))
+      },
+      oracle = Some("""
+        WITH ob AS (
+          SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT COUNT(DISTINCT o) AS total FROM ob),
+        bc AS (SELECT b, COUNT(*) AS cnt FROM ob GROUP BY 1),
+        pairs AS (
+          SELECT a.b AS b1, c.b AS b2, COUNT(*) AS pair_cnt
+          FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+          GROUP BY 1, 2)
+        SELECT b1, b2, pair_cnt,
+               ROUND(CAST(pair_cnt AS DOUBLE) / total, 6) AS support,
+               ROUND(CAST(pair_cnt AS DOUBLE) / b1c.cnt, 6) AS confidence,
+               ROUND(CAST(pair_cnt AS DOUBLE) * total / (b1c.cnt * b2c.cnt), 6) AS lift
+        FROM pairs, n, bc b1c, bc b2c
+        WHERE b1c.b = pairs.b1 AND b2c.b = pairs.b2 AND pair_cnt >= 3"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // PARTIAL-AGGREGATE ROLLUP MERGE: build per-(day, type) partials
+    // (count / decimal sum / min / max), then MERGE the partials into
+    // per-type totals — the algebraic re-aggregation contract behind
+    // every incremental warehouse rollup (daily partials land once;
+    // month/total views re-aggregate O(days) partial rows, never the
+    // raw events). The oracle aggregates the SAME two-level shape, and
+    // hash-equality to a direct aggregate holds because count/sum/min/
+    // max are algebraic and the sums accumulate in DECIMAL (order-
+    // independent). avg is derived sum/count at the END — avg-of-avgs
+    // is the classic incremental-rollup bug this query's shape rules
+    // out by construction.
+    "q120_rollup_merge" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 10)
+        val daily = events(s, d)
+          .groupBy(
+            date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(dt)).as("s"),
+            min(col("value")).as("mn"),
+            max(col("value")).as("mx"))
+        daily
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("cnt")).as("n_events"),
+            count(lit(1)).as("n_days"),
+            round(sum(col("s")).cast("double"), 6).as("total_value"),
+            min(col("mn")).as("min_value"),
+            max(col("mx")).as("max_value"),
+            round(sum(col("s")).cast("double") / sum(col("cnt")), 6).as("avg_value"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+                 COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38, 10))) AS s,
+                 MIN(value) AS mn, MAX(value) AS mx
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               COUNT(*) AS n_days,
+               ROUND(CAST(SUM(s) AS DOUBLE), 6) AS total_value,
+               MIN(mn) AS min_value, MAX(mx) AS max_value,
+               ROUND(CAST(SUM(s) AS DOUBLE) / SUM(cnt), 6) AS avg_value
+        FROM daily GROUP BY 1"""),
     )
   )
 }

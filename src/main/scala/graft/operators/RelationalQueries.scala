@@ -482,6 +482,44 @@ object RelationalQueries extends QueryModule {
                COUNT(*) AS n_parts,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
         FROM part GROUP BY 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RUNTIME BLOOM-FILTER JOIN (big-big join pruning): when the dim
+    // side is too big to broadcast but carries a selective predicate,
+    // Catalyst's InjectRuntimeFilter builds a bloom filter of the
+    // filtered creation-side keys and applies `might_contain` to the
+    // fact side BEFORE its shuffle — at 100 TB this is the difference
+    // between shuffling all of lineitem and shuffling only the ~2% of
+    // rows whose order survives the filter. False positives only relax
+    // the pruning, never change the join output, so the result is
+    // EXACTLY the plain join the oracle runs. The query runs in a
+    // cloned session (`newSession`: shared catalog/state, isolated
+    // conf) that disables broadcast to force the shuffle join and
+    // zeroes the application-side size threshold so injection triggers
+    // at test scale; BloomJoinSpec plan-asserts `might_contain` is
+    // actually in the optimized plan.
+    "q117_bloom_filter_join" -> QueryDef(
+      fn = (s, outer) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val o = orders(s2, outer)
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        lineitem(s2, outer)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        GROUP BY 1""")
     )
   )
 }

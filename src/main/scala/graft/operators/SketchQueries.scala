@@ -102,6 +102,102 @@ object SketchQueries extends QueryModule {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""")
+    ),
+
+    // ----------------------------------------------------------------
+    // KMV SET ALGEBRA: union-size and Jaccard estimates between two key
+    // sets (orders with returned items vs orders with accepted items)
+    // computed from their bottom-K signatures ALONE. Signature
+    // construction is the map-side-truncated bottomKSignature aggregator
+    // (shuffle O(K x 2), never O(n)); the merge/estimate stage then
+    // works on two K-row arrays — constant-size regardless of corpus —
+    // which is the whole point of sketch algebra at 100 TB: set overlap
+    // across e.g. daily partitions without re-scanning either side.
+    // Exact counts ride along to show the estimate's quality; estimates
+    // are round-6 doubles (division is the only nonlinear step).
+    "q118_kmv_set_algebra" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = lineitem(s, d).where(col("l_returnflag").isin("A", "R"))
+        val kmvSig = org.apache.spark.sql.functions.udaf(
+          KmvAggregator.bottomKSignature(K),
+          org.apache.spark.sql.Encoders.STRING)
+        val sigs = li
+          .select(
+            col("l_returnflag"),
+            md5(col("l_orderkey").cast("string").cast("binary")).as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(kmvSig(col("h")).as("sig"))
+        // From here on every input is O(K): 2 signatures -> <= 2K rows.
+        val exploded = sigs.select(col("l_returnflag"), explode(col("sig")).as("h"))
+        val byHash = exploded
+          .groupBy(col("h"))
+          .agg(countDistinct(col("l_returnflag")).as("nf"))
+        // Single-partition window is deliberate: the input is <= 2K rows
+        // by construction (sketch property), not data-dependent.
+        val su = byHash
+          .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+          .where(col("rn") <= K)
+        val sketch = su.agg(
+          count(lit(1)).as("union_sig_size"),
+          sum(when(col("nf") === 2, 1L).otherwise(0L)).as("inter_in_sig"),
+          max(col("h")).as("hk"))
+        val exact = li
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_returnflag")).as("nf"))
+          .agg(
+            count(lit(1)).as("union_exact"),
+            sum(when(col("nf") === 2, 1L).otherwise(0L)).as("inter_exact"))
+        sketch
+          .crossJoin(exact)
+          .withColumn(
+            "u",
+            conv(substring(col("hk"), 1, 8), 16, 10).cast("long").cast("double") / 4294967296.0)
+          .select(
+            col("union_sig_size"),
+            col("inter_in_sig"),
+            round(col("inter_in_sig").cast("double") / col("union_sig_size"), 6)
+              .as("jaccard_est"),
+            when(col("union_sig_size") < K, col("union_sig_size").cast("double"))
+              .otherwise(round(lit((K - 1).toDouble) / col("u"), 6))
+              .as("union_est"),
+            col("union_exact"),
+            col("inter_exact"),
+            round(col("inter_exact").cast("double") / col("union_exact"), 6)
+              .as("jaccard_exact"))
+      },
+      oracle = Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h
+          FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        sigs AS (
+          SELECT l_returnflag, h FROM (
+            SELECT DISTINCT l_returnflag, h,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+            FROM (SELECT DISTINCT l_returnflag, h FROM li))
+          WHERE rn <= $K),
+        by_hash AS (
+          SELECT h, COUNT(DISTINCT l_returnflag) AS nf FROM sigs GROUP BY h),
+        su AS (
+          SELECT h, nf, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM by_hash),
+        sketch AS (
+          SELECT COUNT(*) AS union_sig_size,
+                 CAST(SUM(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_in_sig,
+                 MAX(h) AS hk
+          FROM su WHERE rn <= $K),
+        exact AS (
+          SELECT COUNT(*) AS union_exact,
+                 CAST(SUM(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact
+          FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nf FROM li GROUP BY 1))
+        SELECT union_sig_size, inter_in_sig,
+               ROUND(CAST(inter_in_sig AS DOUBLE) / union_sig_size, 6) AS jaccard_est,
+               CASE WHEN union_sig_size < $K THEN CAST(union_sig_size AS DOUBLE)
+                    ELSE ROUND(${(K - 1).toDouble} /
+                         (CAST(CAST(concat('0x', substr(hk, 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0), 6)
+               END AS union_est,
+               union_exact, inter_exact,
+               ROUND(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jaccard_exact
+        FROM sketch, exact""")
     )
   )
 }

@@ -92,4 +92,22 @@ object KmvAggregator {
       override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
       override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
     }
+
+  /** Same bottom-k-distinct kernel but finishing with the full sorted
+    * signature instead of the (n_min, hk) summary — the mergeable form
+    * KMV SET ALGEBRA needs: union/intersection/Jaccard estimates are
+    * pure functions of the two signatures (q118), so two O(k) arrays
+    * replace any re-scan of the base sets.
+    */
+  def bottomKSignature(k: Int): Aggregator[String, Seq[String], Seq[String]] =
+    new Aggregator[String, Seq[String], Seq[String]] {
+      override def zero: Seq[String] = Vector.empty
+      override def reduce(b: Seq[String], h: String): Seq[String] =
+        insert(b, h, k)
+      override def merge(b1: Seq[String], b2: Seq[String]): Seq[String] =
+        b2.foldLeft(b1)((acc, h) => insert(acc, h, k))
+      override def finish(r: Seq[String]): Seq[String] = r
+      override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+      override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    }
 }
