@@ -180,7 +180,45 @@ object PlanAudit {
     // via ObjectHashAggregate) — no window, no per-user sort pass
     Audit("q111_event_sequences",
       mustContain = Seq("ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "Window"))
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    // PII redaction is a stateless scrub pass — any exchange means the
+    // projection picked up a shuffle somewhere
+    Audit("q115_pii_redaction",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("Exchange", "Window", "HashAggregate")),
+    // association rules: the O(#brands) count table must broadcast onto
+    // the pair table; pair generation must stay a keyed self-join
+    Audit("q116_assoc_rules",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")),
+    // the runtime bloom filter must actually be injected on the fact
+    // side — this is a conf-gated optimizer rule that can vanish
+    // silently on a Spark upgrade
+    Audit("q117_bloom_filter_join",
+      mustContain = Seq("might_contain"),
+      mustNotContain = Seq("CartesianProduct")),
+    // KMV signatures build through the map-side-truncated aggregator
+    // (ObjectHashAggregate), never a global sort of the hash stream
+    Audit("q118_kmv_set_algebra",
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
+    // posting lists assemble where the term's rows land (collect_set in
+    // an ObjectHashAggregate) — a window/global-sort formulation would
+    // serialize the index build
+    Audit("q119_inverted_index",
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // rollup merge is two algebraic hash aggregates with map-side
+    // partials — no window, no join
+    Audit("q120_rollup_merge",
+      mustContain = Seq("HashAggregate", "partial_sum"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // the bigram denominator is a window over the REDUCED bigram table
+    // partitioned by w1 — never a single-partition window, never a
+    // second pass over raw tokens
+    Audit("q121_bigram_lm",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNotContain = Seq("SinglePartition", "CartesianProduct"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
