@@ -510,6 +510,60 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // SUB-DOCUMENT (chunk-grain) CROSS-CORPUS DEDUP — the C4-style
+    // pass that drops repeated passages ACROSS documents while keeping
+    // each passage's globally-first occurrence. Chunks here are
+    // disjoint 3-token windows (a knob; production pipelines use
+    // paragraph or line grain — this corpus has no sentence
+    // punctuation, and 3-token chunks genuinely collide). Keep-first
+    // is AGGREGATION-shaped, not a window: min(struct(doc_id, pos))
+    // per chunk hash — map-side combining, shuffle O(distinct chunks),
+    // no per-hash sort. Output is each doc's survival profile, the
+    // doc-grain join of two reduced aggregates.
+    "q124_chunk_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val chunks = documents(s, d)
+          .select(col("doc_id"),
+            split(TextFunctions.normalizeText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 2, 3), " +
+              "i -> struct(i AS pos, concat_ws(' ', slice(w, i, 3)) AS chunk))")).as("c"))
+          .select(col("doc_id"), col("c.pos").as("pos"), md5(col("c.chunk")).as("h"))
+        val perDoc = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        val kept = chunks
+          .groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+          .groupBy(col("f.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"))
+        perDoc
+          .join(kept, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)
+          WHERE len(string_split(t, ' ')) >= 3),
+        c AS (
+          SELECT doc_id, i AS pos,
+                 md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS h
+          FROM d, UNNEST(range(1, len(w) - 1, 3)) AS u(i)),
+        r AS (
+          SELECT doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM c),
+        n AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY 1),
+        k AS (SELECT doc_id, COUNT(*) AS n_kept FROM r WHERE rn = 1 GROUP BY 1)
+        SELECT n.doc_id, n_chunks,
+               COALESCE(n_kept, 0) AS n_kept,
+               n_chunks - COALESCE(n_kept, 0) AS n_dropped
+        FROM n LEFT JOIN k ON n.doc_id = k.doc_id""")
+    ),
+
+    // ----------------------------------------------------------------
     // MinHash + LSH: ONE md5 per shingle, K permutations derived
     // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
     // the per-shingle aggregation does K cheap bigint ops instead of K

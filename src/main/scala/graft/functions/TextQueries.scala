@@ -699,6 +699,136 @@ object TextQueries extends QueryModule {
           FROM grams GROUP BY w1, w2)
         SELECT w1, w2, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS cond_p
         FROM bg WHERE cnt >= 3"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // REPETITION QUALITY FILTER — the Gopher-style within-document
+    // repetition signals: top-token fraction, top-bigram fraction, and
+    // distinct-token ratio, plus the boolean flag a pipeline filters
+    // on. All three are per-document aggregations (keyed by doc_id, so
+    // map-side combine applies and no doc's tokens cross partitions
+    // twice); the token and bigram branches join doc-grain tables —
+    // O(docs), not O(tokens). Fractions are computed on ROUNDED values
+    // so the flag is bit-identical cross-engine.
+    "q123_doc_repetition" -> QueryDef(
+      fn = (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(normalizeText(col("text")), " ")).as("tok"))
+        val tokStats = toks
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_tok"))
+        val biStats = documents(s, d)
+          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_bigram"))
+        val ttf = round(col("top_tok").cast("double") / col("n_tokens"), 6)
+        val tbf = when(col("n_tokens") > 1,
+          round(coalesce(col("top_bigram"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1), 6)).otherwise(0.0)
+        val dr = round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+        tokStats
+          .join(biStats, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            ttf.as("top_tok_frac"),
+            tbf.as("top_bigram_frac"),
+            dr.as("distinct_ratio"),
+            (ttf > 0.1 || dr < 0.45).as("is_repetitive"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, u.tok
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+               UNNEST(w) AS u(tok)),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ts AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_tok
+          FROM tc GROUP BY 1),
+        bg AS (
+          SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql) WHERE length(t) > 0),
+               UNNEST(range(1, len(w))) AS u(i)),
+        bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram FROM bc GROUP BY 1)
+        SELECT ts.doc_id, n_tokens, n_distinct,
+               ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_tok_frac,
+               CASE WHEN n_tokens > 1
+                    THEN ROUND(CAST(COALESCE(top_bigram, 0) AS DOUBLE) / (n_tokens - 1), 6)
+                    ELSE 0.0 END AS top_bigram_frac,
+               ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+               (ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 6) > 0.1 OR
+                ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) < 0.45) AS is_repetitive
+        FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // PMI COLLOCATIONS — pointwise mutual information over adjacent
+    // word pairs: ln(P(w1,w2) / (P(w1)P(w2))), the classic collocation
+    // / phrase-mining statistic. The pair and unigram tables are both
+    // REDUCED aggregates before any join (O(distinct bigrams) joined
+    // with O(vocab), never token-grain); the two totals ride along as
+    // 1-row broadcasts. ln is the one nonlinear step -> round-6
+    // contract (both engines are 1-ulp libm, the q93 precedent).
+    "q127_pmi_collocations" -> QueryDef(
+      fn = (s, d) => {
+        val w = documents(s, d)
+          .select(split(normalizeText(col("text")), " ").as("w"))
+        val toks = w.select(explode(col("w")).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+        val tTok = toks.agg(count(lit(1)).as("t_tok"))
+        val bi = w
+          .where(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("g"))
+          .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n_pair"))
+        val tBi = bi.agg(sum(col("n_pair")).as("t_bi"))
+        val pJoint = col("n_pair").cast("double") / col("t_bi").cast("double")
+        val pIndep =
+          (col("uc1").cast("double") / col("t_tok").cast("double")) *
+            (col("uc2").cast("double") / col("t_tok").cast("double"))
+        bi
+          .where(col("n_pair") >= 5)
+          .join(uni.select(col("tok").as("w1"), col("uc").as("uc1")), Seq("w1"))
+          .join(uni.select(col("tok").as("w2"), col("uc").as("uc2")), Seq("w2"))
+          .crossJoin(broadcast(tTok))
+          .crossJoin(broadcast(tBi))
+          .select(
+            col("w1"), col("w2"), col("n_pair"),
+            round(log(pJoint / pIndep), 6).as("pmi"))
+      },
+      oracle = Some(s"""
+        WITH ws AS (SELECT string_split(t, ' ') AS w FROM ($normSql)),
+        toks AS (SELECT u.tok FROM ws, UNNEST(ws.w) AS u(tok)),
+        uni AS (SELECT tok, COUNT(*) AS uc FROM toks GROUP BY tok),
+        t_tok AS (SELECT COUNT(*) AS t_tok FROM toks),
+        bi AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS n_pair
+          FROM (SELECT w FROM ws WHERE len(w) >= 2), UNNEST(range(1, len(w))) AS u(i)
+          GROUP BY 1, 2),
+        t_bi AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_bi FROM bi)
+        SELECT b.w1, b.w2, b.n_pair,
+               ROUND(LN((CAST(b.n_pair AS DOUBLE) / CAST(t_bi AS DOUBLE)) /
+                        ((CAST(u1.uc AS DOUBLE) / CAST(t_tok AS DOUBLE)) *
+                         (CAST(u2.uc AS DOUBLE) / CAST(t_tok AS DOUBLE)))), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        CROSS JOIN t_tok CROSS JOIN t_bi
+        WHERE b.n_pair >= 5"""),
     )
   )
 }

@@ -694,6 +694,52 @@ object AnalyticsQueries extends QueryModule {
                MIN(mn) AS min_value, MAX(mx) AS max_value,
                ROUND(CAST(SUM(s) AS DOUBLE) / SUM(cnt), 6) AS avg_value
         FROM daily GROUP BY 1"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // Z-ORDER LAYOUT KEY — the interleaved-bit (Morton) sort key that
+    // multi-dimensional data layout clusters on: files written sorted
+    // by zkey are simultaneously range-prunable on BOTH dimensions,
+    // which is how a 100 TB table serves point/range filters on two
+    // keys from one physical order (repartitionByRange(zkey) +
+    // sortWithinPartitions(zkey) on the write path). The key is pure
+    // integer bit arithmetic — codegen'd projection, zero shuffle
+    // before the profiling aggregate. The per-bucket profile PROVES
+    // the locality property the layout exists for: dropping 6 low
+    // z-bits leaves 5 high bits of each dimension fixed, so x/y spans
+    // inside any bucket are <= 7 (vs ~255 under a hash layout).
+    "q125_zorder_layout" -> QueryDef(
+      fn = (s, d) => {
+        val x = (col("l_partkey") % 256).cast("int")
+        val y = (col("l_suppkey") % 256).cast("int")
+        val z = (0 until 8).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i + 1) +
+            shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i)
+        }.reduce(_ + _)
+        lineitem(s, d)
+          .select(z.as("zkey"), x.as("xb"), y.as("yb"))
+          .groupBy(shiftright(col("zkey"), 6).as("zbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("zkey")).as("z_min"),
+            max(col("zkey")).as("z_max"),
+            (max(col("xb")) - min(col("xb"))).as("x_span"),
+            (max(col("yb")) - min(col("yb"))).as("y_span"))
+      },
+      oracle = Some {
+        val xs = "CAST(l_partkey % 256 AS INTEGER)"
+        val ys = "CAST(l_suppkey % 256 AS INTEGER)"
+        val zs = (0 until 8).map { i =>
+          s"((((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i}))"
+        }.mkString(" + ")
+        s"""
+        WITH b AS (SELECT $xs AS x, $ys AS y FROM lineitem),
+        z AS (SELECT ($zs) AS zkey, x AS xb, y AS yb FROM b)
+        SELECT zkey >> 6 AS zbucket, COUNT(*) AS n,
+               MIN(zkey) AS z_min, MAX(zkey) AS z_max,
+               MAX(xb) - MIN(xb) AS x_span, MAX(yb) - MIN(yb) AS y_span
+        FROM z GROUP BY 1"""
+      }
     )
   )
 }

@@ -216,6 +216,69 @@ object DmlQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // SNAPSHOT DIFF — the CDC operator a pipeline runs between two
+    // table versions: classify every key as insert / delete / update
+    // and drop the unchanged. Both snapshots derive deterministically
+    // from `orders` (the new one simulates late arrivals, %37 deletes,
+    // and an open->filled status transition with a 10% price change).
+    // Shape: one full-outer shuffle join keyed by the primary key —
+    // linear, partitionable, no window; at 100 TB both sides arrive
+    // hash-partitioned on the key and the unchanged majority is
+    // discarded where it lands. Price equality is bit-exact because
+    // unchanged rows carry the IDENTICAL stored double and changed
+    // rows change status too.
+    "q122_snapshot_diff" -> QueryDef(
+      fn = (s, d) => {
+        val base = orders(s, d)
+        val old = base
+          .where(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus").as("old_status"),
+            col("o_totalprice").as("old_price"))
+        val neu = base
+          .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+            col("o_orderkey") % 37 =!= 0)
+          .select(
+            col("o_orderkey"),
+            when(col("o_orderstatus") === "O", lit("F"))
+              .otherwise(col("o_orderstatus")).as("new_status"),
+            when(col("o_orderstatus") === "O", col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")).as("new_price"))
+        old
+          .join(neu, Seq("o_orderkey"), "full_outer")
+          .where(
+            col("old_status").isNull || col("new_status").isNull ||
+              col("old_status") =!= col("new_status") ||
+              col("old_price") =!= col("new_price"))
+          .select(
+            col("o_orderkey"),
+            when(col("old_status").isNull, "insert")
+              .when(col("new_status").isNull, "delete")
+              .otherwise("update").as("change_type"),
+            col("old_price"), col("new_price"))
+      },
+      oracle = Some("""
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus AS old_status, o_totalprice AS old_price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+        neu AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS new_status,
+                 CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                      ELSE o_totalprice END AS new_price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 37 != 0)
+        SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+               CASE WHEN old_status IS NULL THEN 'insert'
+                    WHEN new_status IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               old_price, new_price
+        FROM old FULL JOIN neu ON old.o_orderkey = neu.o_orderkey
+        WHERE old_status IS NULL OR new_status IS NULL
+           OR old_status != new_status OR old_price != new_price""")
+    ),
+
+    // ----------------------------------------------------------------
     // Quality-score fold (bronze_to_silver.py:23-33): rule list over
     // lineitem, score 100 - sum(penalties), dq flags; aggregated per flag.
     "q22_quality_score" -> QueryDef(

@@ -198,6 +198,57 @@ object SketchQueries extends QueryModule {
                union_exact, inter_exact,
                ROUND(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jaccard_exact
         FROM sketch, exact""")
+    ),
+
+    // ----------------------------------------------------------------
+    // HEAVY HITTERS — Misra-Gries candidate pruning + exact recount.
+    // Stage 1 summarizes the token stream into m=32 counters (partial
+    // aggregation: each map task keeps <= m rows, the single merged
+    // summary is O(m)); every token with frequency > N/(m+1) is
+    // GUARANTEED present (see MisraGriesAggregator). Stage 2 recounts
+    // exactly, but only for candidate tokens — the broadcast semi-join
+    // filters map-side, so the counting shuffle carries candidate rows
+    // only, never the full per-token table. The final threshold
+    // (freq > 1/29, i.e. cnt*29 > N) lies inside the guarantee bound
+    // (1/33), so the output is EXACT and partition-order-independent —
+    // which is what the oracle (plain GROUP BY + HAVING) verifies.
+    // On this corpus (31-token vocabulary) the summary never evicts;
+    // MisraGriesSpec exercises the eviction + merge path on a skewed
+    // synthetic stream.
+    "q126_heavy_hitters" -> QueryDef(
+      fn = (s, d) => {
+        val m = 32
+        val toks = documents(s, d)
+          .select(explode(split(
+            graft.functions.TextFunctions.normalizeText(col("text")), " ")).as("tok"))
+        val mg = org.apache.spark.sql.functions.udaf(
+          MisraGriesAggregator.candidates(m),
+          org.apache.spark.sql.Encoders.STRING)
+        val cands = toks.agg(mg(col("tok")).as("cand"))
+          .select(explode(col("cand")).as("tok"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks
+          .join(broadcast(cands), Seq("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .where(col("cnt") * 29 > col("n_total"))
+          .select(
+            col("tok"), col("cnt"), col("n_total"),
+            round(col("cnt").cast("double") / col("n_total"), 6).as("frac"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT u.tok
+          FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+                FROM documents),
+               UNNEST(w) AS u(tok)),
+        tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT tok, COUNT(*) AS cnt, n_total,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS frac
+        FROM toks, tot
+        GROUP BY tok, n_total
+        HAVING COUNT(*) * 29 > n_total""")
     )
   )
 }

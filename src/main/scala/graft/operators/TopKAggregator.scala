@@ -111,3 +111,61 @@ object KmvAggregator {
       override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
     }
 }
+
+/** Misra-Gries heavy-hitter candidate summary (m counters).
+  *
+  * Guarantee: after summarizing a stream of N items, every item with
+  * true count > N/(m+1) is present in the summary — so the finish set
+  * is a SUPERSET of the items above that frequency, and an exact
+  * recount restricted to it (a broadcast semi-join, O(candidates)
+  * shuffle) reproduces the exact heavy-hitter answer without ever
+  * shuffling the full per-item count table. That split — constant-size
+  * sketch up, broadcast filter down — is the 100 TB pattern: the
+  * groupBy-everything formulation shuffles O(distinct items), this one
+  * shuffles O(m x partitions) + O(candidate rows).
+  *
+  * The merge rule follows the mergeable-summaries construction
+  * (Agarwal et al., PODS'12): sum counters pairwise, and when more
+  * than m remain subtract the (m+1)-th largest count from all and drop
+  * the non-positive — total undercount stays <= N/(m+1), preserving
+  * the superset guarantee under Spark's partial aggregation.
+  */
+object MisraGriesAggregator {
+
+  final case class Counter(t: String, c: Long)
+
+  private def shrink(merged: Seq[Counter], m: Int): Seq[Counter] =
+    if (merged.length <= m) merged
+    else {
+      val sorted = merged.sortBy(e => (-e.c, e.t))
+      val cut    = sorted(m).c
+      sorted.map(e => Counter(e.t, e.c - cut)).filter(_.c > 0)
+    }
+
+  /** Finish = the candidate token set, sorted (deterministic given the
+    * partition contents; the downstream exact recount makes the final
+    * query output independent of partition order entirely).
+    */
+  def candidates(m: Int): Aggregator[String, Seq[Counter], Seq[String]] =
+    new Aggregator[String, Seq[Counter], Seq[String]] {
+      override def zero: Seq[Counter] = Vector.empty
+      override def reduce(b: Seq[Counter], t: String): Seq[Counter] = {
+        val i = b.indexWhere(_.t == t)
+        if (i >= 0) b.updated(i, Counter(t, b(i).c + 1))
+        else if (b.length < m) b :+ Counter(t, 1L)
+        // classic MG decrement step: no free counter, so every counter
+        // pays one — the new item is accounted by NOT being added
+        else b.map(e => Counter(e.t, e.c - 1)).filter(_.c > 0)
+      }
+      override def merge(b1: Seq[Counter], b2: Seq[Counter]): Seq[Counter] = {
+        val merged = (b1 ++ b2)
+          .groupBy(_.t)
+          .map { case (t, es) => Counter(t, es.map(_.c).sum) }
+          .toSeq
+        shrink(merged, m)
+      }
+      override def finish(r: Seq[Counter]): Seq[String] = r.map(_.t).sorted
+      override def bufferEncoder: Encoder[Seq[Counter]] = ExpressionEncoder[Seq[Counter]]()
+      override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    }
+}

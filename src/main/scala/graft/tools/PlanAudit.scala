@@ -218,7 +218,39 @@ object PlanAudit {
     // second pass over raw tokens
     Audit("q121_bigram_lm",
       mustContain = Seq("Window", "HashAggregate"),
-      mustNotContain = Seq("SinglePartition", "CartesianProduct"))
+      mustNotContain = Seq("SinglePartition", "CartesianProduct")),
+    // snapshot diff is ONE keyed full-outer shuffle join — no window,
+    // no nested loop (full-outer equi-joins can't broadcast, so any
+    // BNLJ here would mean the join keys got lost)
+    Audit("q122_snapshot_diff",
+      mustContain = Seq("FullOuter"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // repetition signals are keyed two-level aggregations joined at
+    // doc grain — token rows must never enter a window or cross join
+    Audit("q123_doc_repetition",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // keep-first ownership is min(struct) AGGREGATION (sort-agg over
+    // struct is fine) — the ROW_NUMBER-over-hash formulation the
+    // oracle uses must NOT appear in the Spark plan
+    Audit("q124_chunk_dedup",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // the z-key is a codegen'd projection; the only shuffle is the
+    // bucket-profile aggregate — no join in the plan at all
+    Audit("q125_zorder_layout",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Join", "Window", "CartesianProduct")),
+    // the MG summary builds through the udaf's ObjectHashAggregate and
+    // the recount is gated by a broadcast join of the <= m candidates
+    Audit("q126_heavy_hitters",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "Window", "SortMergeJoin")),
+    // PMI joins REDUCED aggregates (bigrams x vocab); token-grain rows
+    // must be aggregated before any join
+    Audit("q127_pmi_collocations",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "Window"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
