@@ -305,6 +305,56 @@ object ScalarQueries extends QueryModule {
                reverse(c_name) AS name_rev,
                split_part(c_name, '#', 2) AS name_num
         FROM customer WHERE c_custkey % 37 = 0""")
+    ),
+
+    // ----------------------------------------------------------------
+    // URL PARSING — the normalization pass web-crawl pipelines run
+    // before domain-level stats and dedup. URLs are synthesized from
+    // `customer` (the q115 pattern: the corpus itself has none, so the
+    // parser demonstrably fires); Spark's side uses the codegen'd
+    // parse_url builtin (HOST/PATH/QUERY parts + query-param extract),
+    // the oracle mirrors with anchored regexes that agree on this
+    // grammar. Per-domain rollup is one hash aggregate after the
+    // zero-shuffle projection.
+    "q131_url_parse" -> QueryDef(
+      fn = (s, d) => {
+        val url = concat(
+          lit("https://"),
+          lower(regexp_replace(col("c_mktsegment"), " ", "")), lit(".example.com/p/"),
+          (col("c_custkey") % 97).cast("string"),
+          lit("?ref="), (col("c_custkey") % 7).cast("string"), lit("&v=2"))
+        customer(s, d)
+          .select(col("c_custkey"), url.as("url"))
+          .select(
+            col("c_custkey"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+          .groupBy(col("host"))
+          .agg(
+            count(lit(1)).as("n_urls"),
+            countDistinct(col("path")).as("n_paths"),
+            countDistinct(col("ref")).as("n_refs"),
+            min(col("path")).as("first_path"))
+      },
+      oracle = Some("""
+        WITH urls AS (
+          SELECT c_custkey,
+                 'https://' || lower(replace(c_mktsegment, ' ', '')) || '.example.com/p/' ||
+                 CAST(c_custkey % 97 AS VARCHAR) || '?ref=' ||
+                 CAST(c_custkey % 7 AS VARCHAR) || '&v=2' AS url
+          FROM customer),
+        parsed AS (
+          SELECT c_custkey,
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+          FROM urls)
+        SELECT host, COUNT(*) AS n_urls,
+               COUNT(DISTINCT path) AS n_paths,
+               COUNT(DISTINCT ref) AS n_refs,
+               MIN(path) AS first_path
+        FROM parsed GROUP BY host""")
     )
   )
 }

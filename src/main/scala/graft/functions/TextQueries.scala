@@ -829,6 +829,60 @@ object TextQueries extends QueryModule {
         JOIN uni u2 ON u2.tok = b.w2
         CROSS JOIN t_tok CROSS JOIN t_bi
         WHERE b.n_pair >= 5"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // TF-IDF KEYWORD EXTRACTION — each document's 3 most distinctive
+    // terms by tf * (ln((N+1)/(df+1)) + 1), the smoothed-idf variant.
+    // tf and df are both REDUCED aggregates ((doc, term) and term
+    // grain) before the join; the corpus doc count is a 1-row
+    // broadcast; ranking is a doc-partitioned window over the reduced
+    // (doc, term) table — O(distinct doc-terms), never token grain.
+    // Ranking compares the ROUNDED score (then term asc), so the
+    // round-6 ln contract also fixes the order cross-engine.
+    "q128_tfidf_keywords" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(normalizeText(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(df, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(
+            col("tf").cast("double") *
+              (log((col("n_docs").cast("double") + 1.0) /
+                (col("df").cast("double") + 1.0)) + 1.0), 6))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tfidf").desc, col("term").asc)))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, u.term
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+               UNNEST(w) AS u(term)),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term, tf,
+                 ROUND(CAST(tf AS DOUBLE) *
+                       (LN((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+                       6) AS tfidf
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+          FROM scored)
+        WHERE rank <= 3"""),
     )
   )
 }

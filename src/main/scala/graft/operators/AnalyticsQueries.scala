@@ -740,6 +740,113 @@ object AnalyticsQueries extends QueryModule {
                MAX(xb) - MIN(xb) AS x_span, MAX(yb) - MIN(yb) AS y_span
         FROM z GROUP BY 1"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // MAD OUTLIER DETECTION — median absolute deviation, the robust
+    // alternative to the z-score (q76): one extreme value shifts a
+    // mean/stddev threshold but not a median one. Two rank-selection
+    // median passes (q99's machinery: row_number + count over the
+    // group, pick the middle one/two), each a per-type partitioned
+    // sort; the tiny per-type medians broadcast back onto the fact.
+    // Every derived number is exact double arithmetic on identical
+    // inputs, so the outlier flags are bit-identical cross-engine.
+    "q129_mad_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type").as("et"), col("value").as("v"))
+        def median(in: org.apache.spark.sql.DataFrame, c: String) = in
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("et")).orderBy(col(c).asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("et"))))
+          .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+          .groupBy(col("et"))
+          .agg(avg(col(c)).as(s"med_$c"))
+        val med = median(e, "v")
+        val dev = e.join(broadcast(med), Seq("et"))
+          .withColumn("ad", abs(col("v") - col("med_v")))
+        val mad = median(dev.select(col("et"), col("ad")), "ad")
+        dev
+          .join(broadcast(mad), Seq("et"))
+          .groupBy(col("et"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(col("med_v")).as("median_value"),
+            max(col("med_ad")).as("mad"),
+            sum(when(col("ad") > col("med_ad") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+          .withColumnRenamed("et", "event_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type AS et, value AS v FROM events),
+        m1 AS (
+          SELECT et, AVG(v) AS med_v FROM (
+            SELECT et, v,
+                   ROW_NUMBER() OVER (PARTITION BY et ORDER BY v ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY et) AS n
+            FROM e)
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY et),
+        dev AS (
+          SELECT e.et, v, med_v, ABS(v - med_v) AS ad
+          FROM e JOIN m1 ON e.et = m1.et),
+        m2 AS (
+          SELECT et, AVG(ad) AS med_ad FROM (
+            SELECT et, ad,
+                   ROW_NUMBER() OVER (PARTITION BY et ORDER BY ad ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY et) AS n
+            FROM dev)
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY et)
+        SELECT dev.et AS event_type, COUNT(*) AS n_events,
+               MAX(med_v) AS median_value, MAX(med_ad) AS mad,
+               CAST(SUM(CASE WHEN ad > med_ad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN m2 ON dev.et = m2.et
+        GROUP BY dev.et"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // KEY-SKEW PROFILE — the diagnostic a shuffle planner wants before
+    // picking a join strategy: per event type, how concentrated is the
+    // user-key distribution (top-key share, Shannon entropy). Two
+    // keyed aggregations, O(type x user) shuffle. Entropy terms are
+    // summed in DECIMAL (order-independent) because a double sum of
+    // thousands of ln terms would hash-differ on partition order; the
+    // round-6 final absorbs the per-term 1-ulp libm difference.
+    "q130_key_skew_profile" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 18)
+        val cnt = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        cnt
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_users"),
+            max(col("c")).as("top_key"),
+            sum((col("c").cast("double") * log(col("c").cast("double"))).cast(dt))
+              .as("s_clnc"))
+          .select(
+            col("event_type"), col("n_events"), col("n_users"),
+            round(col("top_key").cast("double") / col("n_events"), 6).as("top_share"),
+            // H = ln(n) - (1/n) * sum(c * ln c)
+            round(
+              log(col("n_events").cast("double")) -
+                col("s_clnc").cast("double") / col("n_events"), 6).as("entropy"))
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT event_type, user_id, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+                 CAST(SUM(c) AS BIGINT) AS n_events,
+                 COUNT(*) AS n_users,
+                 CAST(MAX(c) AS BIGINT) AS top_key,
+                 SUM(CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) AS DECIMAL(38, 18))) AS s_clnc
+          FROM cnt GROUP BY 1)
+        SELECT event_type, n_events, n_users,
+               ROUND(CAST(top_key AS DOUBLE) / n_events, 6) AS top_share,
+               ROUND(LN(CAST(n_events AS DOUBLE)) - CAST(s_clnc AS DOUBLE) / n_events, 6) AS entropy
+        FROM agg"""),
     )
   )
 }

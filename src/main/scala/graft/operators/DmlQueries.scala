@@ -279,6 +279,67 @@ object DmlQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // GDPR ERASURE PROPAGATION — right-to-be-forgotten as a cascade:
+    // deletion-request keys arrive as a TABLE (not a predicate), so
+    // every downstream table is scrubbed by anti-join. The request set
+    // broadcasts onto `orders`; lineitem is scrubbed transitively via
+    // the erased orders' keys (keyed shuffle anti-join — the erased
+    // order set is fact-grain, NOT broadcastable at 100 TB). Output is
+    // the per-table audit row (before / after / erased) a compliance
+    // run records; counts union as 1-row aggregates, all distributed.
+    "q132_gdpr_erasure" -> QueryDef(
+      fn = (s, d) => {
+        val erase = customer(s, d)
+          .where(col("c_custkey") % 53 === 0)
+          .select(col("c_custkey"))
+        val cust = customer(s, d)
+        val ord  = orders(s, d)
+        val li   = lineitem(s, d)
+        val custAfter = cust.join(
+          broadcast(erase.withColumnRenamed("c_custkey", "erase_key")),
+          col("c_custkey") === col("erase_key"), "left_anti")
+        val ordAfter = ord.join(
+          broadcast(erase.withColumnRenamed("c_custkey", "o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        val erasedOrders = ord.join(
+          broadcast(erase.withColumnRenamed("c_custkey", "o_custkey")),
+          Seq("o_custkey"), "left_semi")
+          .select(col("o_orderkey").as("l_orderkey"))
+        val liAfter = li.join(erasedOrders, Seq("l_orderkey"), "left_anti")
+        def audit(name: String, before: org.apache.spark.sql.DataFrame,
+                  after: org.apache.spark.sql.DataFrame) =
+          before.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+            .select(
+              lit(name).as("table_name"), col("rows_before"), col("rows_after"),
+              (col("rows_before") - col("rows_after")).as("rows_erased"))
+        audit("customer", cust, custAfter)
+          .unionAll(audit("orders", ord, ordAfter))
+          .unionAll(audit("lineitem", li, liAfter))
+      },
+      oracle = Some("""
+        WITH erase AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+        eo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erase))
+        SELECT 'customer' AS table_name,
+               (SELECT COUNT(*) FROM customer) AS rows_before,
+               (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM erase)) AS rows_after,
+               (SELECT COUNT(*) FROM customer) -
+               (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM erase)) AS rows_erased
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM erase)),
+               (SELECT COUNT(*) FROM orders) -
+               (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM erase))
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo)),
+               (SELECT COUNT(*) FROM lineitem) -
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))""")
+    ),
+
+    // ----------------------------------------------------------------
     // Quality-score fold (bronze_to_silver.py:23-33): rule list over
     // lineitem, score 100 - sum(penalties), dq flags; aggregated per flag.
     "q22_quality_score" -> QueryDef(

@@ -250,6 +250,31 @@ object PlanAudit {
     // must be aggregated before any join
     Audit("q127_pmi_collocations",
       mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    // tf-idf ranks a REDUCED (doc, term) table: the window must sit on
+    // top of hash aggregates, never on token-grain rows. (The 1-row
+    // corpus-count aggregate legitimately lands on a single partition,
+    // so SinglePartition is NOT asserted absent here.)
+    Audit("q128_tfidf_keywords",
+      mustContain = Seq("Window", "HashAggregate", "WindowGroupLimit"),
+      mustNotContain = Seq("CartesianProduct")),
+    // both median passes are type-partitioned windows; the tiny median
+    // tables must come back as broadcast hash joins, not shuffles
+    Audit("q129_mad_anomaly",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition")),
+    // skew profile is two keyed aggregations — no join, no window
+    Audit("q130_key_skew_profile",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Join", "Window", "CartesianProduct")),
+    // URL parse + rollup: zero-shuffle projection into the Expand +
+    // sort-aggregate shape Spark plans for multiple COUNT(DISTINCT)s
+    Audit("q131_url_parse",
+      mustContain = Seq("Expand", "SortAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "Join")),
+    // erasure cascades through anti-joins; the request set broadcasts
+    Audit("q132_gdpr_erasure",
+      mustContain = Seq("LeftAnti", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "Window"))
   )
 
