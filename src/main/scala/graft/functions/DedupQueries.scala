@@ -564,6 +564,65 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // FUZZY MATCH via symmetric-delete blocking (the SymSpell trick):
+    // two strings within edit distance 1 (one substitution, insertion,
+    // or deletion) must share a key in {self} ∪ {1-char deletions}, so
+    // candidate generation is an EQUI-join on ~(len+1) keys per name —
+    // never a cartesian levenshtein sweep. The exact levenshtein
+    // filter then runs only on blocked candidates. "Dirty" names are
+    // synthesized by deleting the (key mod len)-th character from every
+    // 11th customer, so matches demonstrably fire (self + collisions).
+    "q136_fuzzy_match" -> QueryDef(
+      fn = (s, d) => {
+        def withDelKeys(df: org.apache.spark.sql.DataFrame, nameCol: String) =
+          df.select(df.columns.map(col) :+ explode(expr(
+            s"array_union(array($nameCol), transform(sequence(1, length($nameCol)), " +
+              s"i -> concat(substring($nameCol, 1, i - 1), " +
+              s"substring($nameCol, i + 1, length($nameCol)))))")).as("k"): _*)
+        val clean = Tables.customer(s, d)
+          .select(col("c_custkey").as("clean_key"), col("c_name").as("nm"))
+        val dirty = Tables.customer(s, d)
+          .where(col("c_custkey") % 11 === 0)
+          .select(
+            col("c_custkey").as("dirty_key"),
+            expr("concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)), " +
+              "substring(c_name, cast(c_custkey % length(c_name) as int) + 2, length(c_name)))")
+              .as("dnm"))
+        withDelKeys(dirty, "dnm")
+          .join(withDelKeys(clean, "nm"), Seq("k"))
+          .select(col("dirty_key"), col("clean_key"), col("dnm"), col("nm"))
+          .distinct()
+          .where(levenshtein(col("dnm"), col("nm")) <= 1)
+          .select(
+            col("dirty_key"), col("clean_key"),
+            levenshtein(col("dnm"), col("nm")).as("dist"))
+      },
+      oracle = Some("""
+        WITH clean AS (SELECT c_custkey AS clean_key, c_name AS nm FROM customer),
+        dirty AS (
+          SELECT c_custkey AS dirty_key,
+                 substr(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER)) ||
+                 substr(c_name, CAST(c_custkey % length(c_name) AS INTEGER) + 2) AS dnm
+          FROM customer WHERE c_custkey % 11 = 0),
+        ck AS (
+          SELECT clean_key, nm, u.k
+          FROM clean, UNNEST(list_distinct(list_append(
+            [substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1)
+             FOR i IN range(1, length(nm) + 1)], nm))) AS u(k)),
+        dk AS (
+          SELECT dirty_key, dnm, u.k
+          FROM dirty, UNNEST(list_distinct(list_append(
+            [substr(dnm, 1, CAST(i AS INTEGER) - 1) || substr(dnm, CAST(i AS INTEGER) + 1)
+             FOR i IN range(1, length(dnm) + 1)], dnm))) AS u(k)),
+        cand AS (
+          SELECT DISTINCT dirty_key, clean_key, dnm, nm
+          FROM dk JOIN ck ON dk.k = ck.k)
+        SELECT dirty_key, clean_key,
+               CAST(levenshtein(dnm, nm) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(dnm, nm) <= 1"""),
+    ),
+
+    // ----------------------------------------------------------------
     // MinHash + LSH: ONE md5 per shingle, K permutations derived
     // arithmetically (universal hashing h_i = (A_i*h0 + B_i) mod P) so
     // the per-shingle aggregation does K cheap bigint ops instead of K

@@ -847,6 +847,105 @@ object AnalyticsQueries extends QueryModule {
                ROUND(CAST(top_key AS DOUBLE) / n_events, 6) AS top_share,
                ROUND(LN(CAST(n_events AS DOUBLE)) - CAST(s_clnc AS DOUBLE) / n_events, 6) AS entropy
         FROM agg"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // LAST-TOUCH ATTRIBUTION — every purchase credited to the user's
+    // most recent PRIOR view, the marketing-analytics join that naive
+    // implementations write as a per-purchase subquery (quadratic).
+    // Here it is one user-partitioned window with a strictly-prior
+    // frame and last(ignoreNulls) carry-forward — each user's timeline
+    // is scanned once, purchases simply read the carried value. Gap
+    // seconds compare floor-epoch integers, exact cross-engine.
+    "q133_attribution" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+          .withColumn("attr_view_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("attr_view_ts",
+            last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("purchase_id"),
+            col("user_id"),
+            col("attr_view_id"),
+            (col("ts").cast("long") - col("attr_view_ts").cast("long")).as("gap_seconds"))
+      },
+      oracle = Some("""
+        SELECT purchase_id, user_id, attr_view_id, gap_seconds FROM (
+          SELECT event_id AS purchase_id, user_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS attr_view_id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) -
+                 CAST(FLOOR(epoch(LAST_VALUE(CASE WHEN event_type = 'view'
+                       THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) OVER w)) AS BIGINT)
+                   AS gap_seconds
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        WHERE event_type = 'purchase'"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // CUSUM CHANGEPOINT — the day each event type's daily volume most
+    // diverges from its own mean, via the classic cumulative-sum
+    // statistic. Everything runs on the REDUCED daily table (O(types x
+    // days)): per-type mean from unbounded windows, deviations
+    // accumulated in DECIMAL (a windowed double sum is evaluated
+    // left-to-right by Spark but as a segment tree by DuckDB — decimal
+    // addition is order-independent, sidestepping that), argmax by the
+    // (|cusum|, day) struct.
+    "q135_cusum_changepoint" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 12)
+        val wType = Window.partitionBy(col("event_type"))
+        val wRun = Window.partitionBy(col("event_type"))
+          .orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n_days", count(lit(1)).over(wType))
+          .withColumn("mean", sum(col("cnt")).over(wType).cast("double") / col("n_days"))
+          .withColumn("cusum",
+            sum(col("cnt").cast(dt) - col("mean").cast(dt)).over(wRun))
+          .withColumn("abs_c", abs(col("cusum")).cast("double"))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("n_days")).as("n_days"),
+            max(struct(col("abs_c"), col("day"))).as("m"))
+          .select(
+            col("event_type"), col("n_days"),
+            col("m.day").as("changepoint_day"),
+            round(col("m.abs_c"), 6).as("peak_cusum"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        dm AS (
+          SELECT event_type, day, cnt,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+                 CAST(CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) /
+                      COUNT(*) OVER (PARTITION BY event_type) AS DECIMAL(38, 12)) AS mean_dec
+          FROM daily),
+        cu AS (
+          SELECT event_type, day, n_days,
+                 ABS(SUM(CAST(cnt AS DECIMAL(38, 12)) - mean_dec)
+                     OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS abs_dec
+          FROM dm),
+        sel AS (
+          SELECT event_type, day, n_days, CAST(abs_dec AS DOUBLE) AS abs_c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY CAST(abs_dec AS DOUBLE) DESC, day DESC) AS rn
+          FROM cu)
+        SELECT event_type, n_days, day AS changepoint_day, ROUND(abs_c, 6) AS peak_cusum
+        FROM sel WHERE rn = 1"""),
     )
   )
 }

@@ -340,6 +340,51 @@ object DmlQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // TABLE PROFILER — the per-column health report a pipeline records
+    // before trusting a new snapshot: null count, distinct count, and
+    // min/max rendered to strings. One aggregate pass per column over
+    // `orders`, stacked with UNION ALL — each is a 1-row global
+    // aggregate (partial map-side, trivially parallel), so the profile
+    // costs N_cols scans of single columns, each column-pruned at the
+    // parquet reader. Doubles are profiled through DECIMAL(18,2) so
+    // the string rendering is identical cross-engine (raw
+    // double->string formatting is not).
+    "q134_table_profile" -> QueryDef(
+      fn = (s, d) => {
+        val o = orders(s, d)
+        def prof(name: String, minMax: org.apache.spark.sql.Column) = o.agg(
+          lit(name).as("col_name"),
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(name)).as("n_distinct"),
+          min(minMax).cast("string").as("min_val"),
+          max(minMax).cast("string").as("max_val"))
+        prof("o_orderkey", col("o_orderkey"))
+          .unionAll(prof("o_custkey", col("o_custkey")))
+          .unionAll(prof("o_orderstatus", col("o_orderstatus")))
+          .unionAll(prof("o_totalprice", col("o_totalprice").cast(DecimalType(18, 2))))
+          .unionAll(prof("o_orderdate", col("o_orderdate")))
+          .unionAll(prof("o_orderpriority", col("o_orderpriority")))
+      },
+      oracle = Some {
+        def p(name: String, mm: String) = s"""
+          SELECT '$name' AS col_name,
+                 CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 COUNT(DISTINCT $name) AS n_distinct,
+                 CAST(MIN($mm) AS VARCHAR) AS min_val,
+                 CAST(MAX($mm) AS VARCHAR) AS max_val
+          FROM orders"""
+        Seq(
+          p("o_orderkey", "o_orderkey"),
+          p("o_custkey", "o_custkey"),
+          p("o_orderstatus", "o_orderstatus"),
+          p("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+          p("o_orderdate", "o_orderdate"),
+          p("o_orderpriority", "o_orderpriority")
+        ).mkString(" UNION ALL ")
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Quality-score fold (bronze_to_silver.py:23-33): rule list over
     // lineitem, score 100 - sum(penalties), dq flags; aggregated per flag.
     "q22_quality_score" -> QueryDef(

@@ -275,7 +275,26 @@ object PlanAudit {
     // erasure cascades through anti-joins; the request set broadcasts
     Audit("q132_gdpr_erasure",
       mustContain = Seq("LeftAnti", "BroadcastHashJoin"),
-      mustNotContain = Seq("CartesianProduct", "Window"))
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    // attribution is ONE user-partitioned carry-forward window over
+    // the timeline — no join, no per-purchase subquery
+    Audit("q133_attribution",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "CartesianProduct", "SinglePartition")),
+    // the profiler stacks six 1-row column aggregates
+    Audit("q134_table_profile",
+      mustContain = Seq("Union", "Aggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "Join")),
+    // CUSUM runs on the reduced daily table: type-partitioned windows
+    // feeding an argmax aggregate — never a single-partition sort
+    Audit("q135_cusum_changepoint",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "CartesianProduct", "SinglePartition")),
+    // symmetric-delete blocking: candidates come from an EQUI-join on
+    // deletion keys — a cartesian levenshtein sweep must never appear
+    Audit("q136_fuzzy_match",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "Window"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
