@@ -1005,6 +1005,81 @@ object SimilarityQueries extends QueryModule {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
           FROM pairs
         ) WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // TRUNCATED-DIMENSION RETRIEVAL EVAL (the matryoshka / adaptive-
+    // retrieval question): how much of the full-dimension top-3 does a
+    // 16-dim PREFIX ranking recover? Both rankings come out of ONE
+    // q44-shaped pass — queries broadcast, corpus streamed, both dot
+    // products computed per pair, TWO top-k aggregators in the same
+    // groupBy — so the eval costs one scan, and the overlap is an
+    // array_intersect of the two 3-id lists. This is the measurement
+    // that justifies (or refutes) storing short prefixes for a cheap
+    // first-pass rank at 100 TB; same brute-force gate as q35/q44.
+    "q139_matryoshka_overlap" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        import graft.operators.TopKAggregator
+        val tk = udaf(TopKAggregator.topK(3),
+          org.apache.spark.sql.Encoders.product[TopKAggregator.Scored])
+        val e = embeddings(s, d)
+          .withColumn("e16", slice(col("embedding"), 1, 16))
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .withColumn("n16", sqrt(call_function("vec_dot", col("e16"), col("e16"))))
+          .where(col("nrm") > 0 && col("n16") > 0)
+          .persist()
+        gateBruteForce("q139_matryoshka_overlap", e.count())
+        val a = e.select(col("vec_id").as("qid"),
+          col("embedding").as("ea"), col("e16").as("a16"),
+          col("nrm").as("na"), col("n16").as("na16"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("e16").as("b16"),
+          col("nrm").as("nb"), col("n16").as("nb16"))
+        b.repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(a))
+          .where(col("qid") =!= col("nid"))
+          .withColumn("simf",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+          .withColumn("sim16",
+            call_function("vec_dot", col("a16"), col("b16")) / (col("na16") * col("nb16")))
+          .groupBy(col("qid"))
+          .agg(tk(col("nid"), col("simf")).as("topf"),
+            tk(col("nid"), col("sim16")).as("top16"))
+          .select(col("qid"),
+            size(array_intersect(
+              expr("transform(topf, x -> x.id)"),
+              expr("transform(top16, x -> x.id)"))).as("overlap3"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding[1:16] AS e16,
+                 $normSqlFrag AS nrm,
+                 sqrt(list_sum(list_transform(embedding[1:16],
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n16
+          FROM embeddings),
+        eg AS (SELECT * FROM e WHERE nrm > 0 AND n16 > 0),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS simf,
+                 list_sum(list_transform(list_zip(a.e16, b.e16),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n16 * b.n16) AS sim16
+          FROM eg a, eg b WHERE a.vec_id <> b.vec_id),
+        rf AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY simf DESC, nid ASC) AS rn
+            FROM pairs) WHERE rn <= 3),
+        r16 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim16 DESC, nid ASC) AS rn
+            FROM pairs) WHERE rn <= 3),
+        ov AS (
+          SELECT rf.qid, COUNT(*) AS c
+          FROM rf JOIN r16 ON rf.qid = r16.qid AND rf.nid = r16.nid
+          GROUP BY rf.qid)
+        SELECT q.qid, CAST(COALESCE(c, 0) AS INTEGER) AS overlap3
+        FROM (SELECT DISTINCT qid FROM pairs) q
+        LEFT JOIN ov ON q.qid = ov.qid""")
     )
   )
 }

@@ -883,6 +883,43 @@ object TextQueries extends QueryModule {
                    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
           FROM scored)
         WHERE rank <= 3"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (A-Res / exponential
+    // keys): each doc draws key = u^(1/w) with deterministic u from a
+    // salted md5 and weight w = token count; the top-k keys ARE a
+    // weighted sample without replacement (Efraimidis-Spirakis). The
+    // selection is top-k by a computed column — TakeOrderedAndProject,
+    // a per-partition heap + k-row merge, NEVER a global sort — which
+    // is how a pipeline draws a 10M-doc sample from a 10B-doc corpus.
+    // Keys are ranked ROUNDED (round-6) so the 1-ulp pow() difference
+    // cannot flip the selection boundary cross-engine.
+    "q137_weighted_sample" -> QueryDef(
+      fn = (s, d) => {
+        val u = (conv(substring(md5(concat(lit("ws:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long").cast("double") + 1.0) / 4294967297.0
+        documents(s, d)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+          .where(col("n_tokens") >= 1)
+          .withColumn("sample_key", round(pow(u, lit(1.0) / col("n_tokens")), 6))
+          .orderBy(col("sample_key").desc, col("doc_id").asc)
+          .limit(25)
+      },
+      oracle = Some(s"""
+        WITH tk AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS n_tokens
+          FROM ($normSql) WHERE length(t) > 0),
+        k AS (
+          SELECT doc_id, n_tokens,
+                 ROUND(POWER(
+                   (CAST(CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 1.0)
+                     / 4294967297.0,
+                   1.0 / n_tokens), 6) AS sample_key
+          FROM tk)
+        SELECT doc_id, n_tokens, sample_key FROM k
+        ORDER BY sample_key DESC, doc_id ASC LIMIT 25"""),
     )
   )
 }

@@ -92,7 +92,64 @@ object TextFormats extends QueryModule {
     dir.toString
   }
 
+  /** Two parquet files with EVOLVED schemas in one directory: batch 1
+    * is the v1 layout (doc_id, source, n_chars); batch 2 is the v2
+    * layout that dropped n_chars and added (lang, quality). The files
+    * are moved in flat (no key=value dirs) so partition discovery does
+    * not invent a column.
+    */
+  private def stageEvolved(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
+    val dir = Paths.get("/tmp/graft_evo_" + graft.Digest.md5Hex(src.toString))
+    Files.createDirectories(dir)
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      def stageOne(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val build = dir.resolve(s"build_${name}_$nonce")
+        df.coalesce(1).write.mode("overwrite").parquet(build.toString)
+        val part = Files.list(build)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        Files.move(part, dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val docs = s.read.parquet(src.toString)
+      stageOne("v1.parquet", docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      stageOne("v2.parquet", docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          (col("n_chars") * 2).as("quality")))
+      if (!Files.exists(marker)) Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   override def queries: Map[String, QueryDef] = Map(
+    // ----------------------------------------------------------------
+    // SCHEMA EVOLUTION — reading a table whose files span two schema
+    // versions, the normal state of any long-lived 100 TB dataset.
+    // mergeSchema=true unions the footers (per-FILE schemas merged at
+    // planning, not a data rewrite); columns absent from a file read
+    // as NULL. The oracle reconstructs the identical union from the
+    // base table, so a dropped column, a mis-merged type, or a
+    // partition-discovery ghost column all break the hash.
+    "q138_schema_evolution" -> QueryDef(
+      fn = (s, d) =>
+        s.read.option("mergeSchema", "true").parquet(stageEvolved(s, d))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("lang"), col("quality")),
+      oracle = Some("""
+        SELECT doc_id, source, n_chars,
+               CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars,
+               lang, n_chars * 2 AS quality
+        FROM documents WHERE doc_id % 2 = 1"""),
+    ),
     // ----------------------------------------------------------------
     // JSONL ingestion with corrupt-record quarantine: PERMISSIVE mode
     // routes unparseable lines into _corrupt_record instead of failing

@@ -294,7 +294,23 @@ object PlanAudit {
     // deletion keys — a cartesian levenshtein sweep must never appear
     Audit("q136_fuzzy_match",
       mustContain = Seq("HashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "Window"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // weighted sampling selects top-k by computed key: a per-partition
+    // heap merge (TakeOrderedAndProject), never a global sort or a
+    // single-partition row_number window
+    Audit("q137_weighted_sample",
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("Window", "Join", "CartesianProduct")),
+    // the evolved read is a pure scan + project: mergeSchema merges
+    // footers at planning time, no shuffle and no ghost partition join
+    Audit("q138_schema_evolution",
+      mustContain = Seq("FileScan"),
+      mustNotContain = Seq("Exchange", "Join", "Window")),
+    // matryoshka eval reuses q44's shape: queries broadcast, corpus
+    // streamed through a BNLJ, both top-k heaps in one ObjectHashAgg
+    Audit("q139_matryoshka_overlap",
+      mustContain = Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.
