@@ -136,26 +136,25 @@ object AnalyticsQueries extends QueryModule {
     // EXACT median per group by rank selection: median = mean of the
     // values at ranks (n+1) div 2 and (n+2) div 2 (equal when n is
     // odd). Selecting a value AT a rank is tie-permutation-invariant,
-    // so row_number's nondeterminism among equal prices cannot change
-    // the answer. This is the exact-contract operator; the production
-    // default at 100 TB is percentile_approx (a mergeable sketch, one
-    // pass, no per-group sort), which cannot be hash-matched cross-
-    // engine — the exact variant costs one partitioned sort.
+    // so tie order among equal prices cannot change the answer. The
+    // selection runs on [[RankSelect]]'s two-pass value-range-histogram
+    // kernel — a window partitioned by the 5-value segment key would
+    // sort the whole fact table in 5 tasks (the straggler/OOM shape at
+    // 100 TB); the kernel's only window partitions on (segment, value
+    // bucket), so per-task input is ~n/1024 regardless of group
+    // cardinality. The oracle keeps the sort-based formulation: rank
+    // selection is plan-independent, so the hashes agree. q141 is the
+    // percentile_approx production twin (mergeable sketch, one pass).
     "q99_median_exact" -> QueryDef(
       fn = (s, d) => {
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
-        val ranked = j
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("seg")).orderBy(col("v").asc)))
-          .withColumn("n_orders", count(lit(1)).over(Window.partitionBy(col("seg"))))
-        ranked
-          .filter(
-            col("rn") === expr("(n_orders + 1) div 2") ||
-              col("rn") === expr("(n_orders + 2) div 2"))
+        RankSelect
+          .selectRanks(j, "seg", "v",
+            Seq("lo" -> "(n + 1) div 2", "hi" -> "(n + 2) div 2"))
           .groupBy(col("seg"))
-          .agg(avg(col("v")).as("median_price"), max(col("n_orders")).as("n_orders"))
+          .agg(avg(col("v")).as("median_price"), max(col("n")).as("n_orders"))
       },
       oracle = Some("""
         SELECT seg, AVG(v) AS median_price, MAX(n_orders) AS n_orders
@@ -257,26 +256,30 @@ object AnalyticsQueries extends QueryModule {
     // ----------------------------------------------------------------
     // Exact quantile grid (p25/p50/p75/p90) by NEAREST-RANK selection:
     // rank_p = ceil(p·n), all-integer, no interpolation — so the cell
-    // values are actual data values, exact cross-engine. One
-    // partitioned sort ranks each group once; the four quantiles pivot
-    // out of the same pass via conditional aggregation. The production
-    // default at 100 TB is percentile_approx (mergeable sketch, no
-    // sort); this is the exact-contract twin, same trade as q99.
+    // values are actual data values, exact cross-engine. All four
+    // quantiles ride ONE [[RankSelect]] histogram pass (the kernel
+    // locates all requested ranks from the same per-group histogram and
+    // rescans only their buckets), then pivot out via conditional
+    // aggregation — no window ever partitions on the 5-value segment
+    // key. Same trade and same oracle shape as q99.
     "q103_quantile_grid" -> QueryDef(
       fn = (s, d) => {
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
-        j.withColumn("rn", row_number().over(
-            Window.partitionBy(col("seg")).orderBy(col("v").asc)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+        RankSelect
+          .selectRanks(j, "seg", "v", Seq(
+            "p25" -> "(n + 3) div 4",
+            "p50" -> "(n + 1) div 2",
+            "p75" -> "(3 * n + 3) div 4",
+            "p90" -> "(9 * n + 9) div 10"))
           .groupBy(col("seg"))
           .agg(
             max(col("n")).as("n_orders"),
-            max(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("p25"),
-            max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50"),
-            max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("p75"),
-            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("p90"))
+            max(when(col("label") === "p25", col("v"))).as("p25"),
+            max(when(col("label") === "p50", col("v"))).as("p50"),
+            max(when(col("label") === "p75", col("v"))).as("p75"),
+            max(when(col("label") === "p90", col("v"))).as("p90"))
       },
       oracle = Some("""
         SELECT seg,
@@ -746,25 +749,30 @@ object AnalyticsQueries extends QueryModule {
     // MAD OUTLIER DETECTION — median absolute deviation, the robust
     // alternative to the z-score (q76): one extreme value shifts a
     // mean/stddev threshold but not a median one. Two rank-selection
-    // median passes (q99's machinery: row_number + count over the
-    // group, pick the middle one/two), each a per-type partitioned
-    // sort; the tiny per-type medians broadcast back onto the fact.
-    // Every derived number is exact double arithmetic on identical
-    // inputs, so the outlier flags are bit-identical cross-engine.
+    // median passes on [[RankSelect]]'s histogram kernel (no window
+    // ever partitions on the 5-value event-type key); the tiny
+    // per-type medians broadcast back onto the fact. The deviation
+    // table feeds the second median AND the final aggregate, so it is
+    // eagerly localCheckpoint'ed once — lineage is cut, the blocks are
+    // released by the context cleaner when the plan is dropped, and the
+    // events scan runs once instead of three times. Every derived
+    // number is exact double arithmetic on identical inputs, so the
+    // outlier flags are bit-identical cross-engine.
     "q129_mad_anomaly" -> QueryDef(
       fn = (s, d) => {
         val e = Tables.events(s, d)
           .select(col("event_type").as("et"), col("value").as("v"))
-        def median(in: org.apache.spark.sql.DataFrame, c: String) = in
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("et")).orderBy(col(c).asc)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("et"))))
-          .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
-          .groupBy(col("et"))
-          .agg(avg(col(c)).as(s"med_$c"))
+          .localCheckpoint(true) // read 4x below (3 kernel scans + dev build)
+        def median(in: org.apache.spark.sql.DataFrame, c: String) =
+          RankSelect
+            .selectRanks(in, "et", c,
+              Seq("lo" -> "(n + 1) div 2", "hi" -> "(n + 2) div 2"))
+            .groupBy(col("et"))
+            .agg(avg(col(c)).as(s"med_$c"))
         val med = median(e, "v")
         val dev = e.join(broadcast(med), Seq("et"))
           .withColumn("ad", abs(col("v") - col("med_v")))
+          .localCheckpoint(true) // read 4x: 3 kernel scans + the final agg
         val mad = median(dev.select(col("et"), col("ad")), "ad")
         dev
           .join(broadcast(mad), Seq("et"))

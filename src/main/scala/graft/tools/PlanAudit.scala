@@ -13,7 +13,35 @@ import graft.{GraftSession, SparkEntry}
   */
 object PlanAudit {
 
-  final case class Audit(query: String, mustContain: Seq[String], mustNotContain: Seq[String] = Nil)
+  /** @param minWindowPartCols if > 0, every Window node in the plan must
+    *   partition on at least this many columns — the structural guard
+    *   against a rank selection regressing to a window partitioned solely
+    *   by a ≤5-value group key (which sorts the whole fact in ≤5 tasks).
+    */
+  final case class Audit(
+      query: String,
+      mustContain: Seq[String],
+      mustNotContain: Seq[String] = Nil,
+      minWindowPartCols: Int = 0)
+
+  /** Partition-spec column counts of every Window node in a physical-plan
+    * string. WindowExec prints as
+    * `Window [exprs...], [partitionSpec], [orderSpec]` — the second-to-
+    * last bracket group is the partition spec; attributes in it are plain
+    * `name#id` refs, so a top-level comma count is the column count.
+    */
+  private[tools] def windowPartCounts(plan: String): Seq[Int] =
+    plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .flatMap { line =>
+        "\\], \\[([^\\[\\]]*)\\], \\[[^\\[\\]]*\\]\\s*$".r
+          .findFirstMatchIn(line)
+          .map { m =>
+            val spec = m.group(1).trim
+            if (spec.isEmpty) 0 else spec.split(",").length
+          }
+      }
+      .toSeq
 
   val audits: Seq[Audit] = Seq(
     // column pruning (ReadSchema lists only the 5 referenced lineitem
@@ -258,11 +286,27 @@ object PlanAudit {
     Audit("q128_tfidf_keywords",
       mustContain = Seq("Window", "HashAggregate", "WindowGroupLimit"),
       mustNotContain = Seq("CartesianProduct")),
-    // both median passes are type-partitioned windows; the tiny median
-    // tables must come back as broadcast hash joins, not shuffles
+    // exact median rides RankSelect's histogram kernel: the ONLY window
+    // allowed partitions on (segment, value-bucket) — any window
+    // partitioned solely by the 5-value segment key is the full-table-
+    // sort-in-5-tasks regression this audit exists to catch
+    Audit("q99_median_exact",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 2),
+    // all four quantiles come from ONE histogram pass; same structural
+    // guard as q99 — no window may partition on the segment key alone
+    Audit("q103_quantile_grid",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 2),
+    // both median passes ride RankSelect (windows partition on (type,
+    // bucket), never type alone); the tiny median tables must come back
+    // as broadcast hash joins, not shuffles
     Audit("q129_mad_anomaly",
       mustContain = Seq("Window", "BroadcastHashJoin"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition")),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 2),
     // skew profile is two keyed aggregations — no join, no window
     Audit("q130_key_skew_profile",
       mustContain = Seq("HashAggregate"),
@@ -377,12 +421,19 @@ object PlanAudit {
       val plan = df.queryExecution.executedPlan.toString
       val missing = a.mustContain.filterNot(plan.contains)
       val present = a.mustNotContain.filter(plan.contains)
-      if (missing.isEmpty && present.isEmpty)
+      val thinWindows =
+        if (a.minWindowPartCols > 0)
+          windowPartCounts(plan).filter(_ < a.minWindowPartCols)
+        else Nil
+      if (missing.isEmpty && present.isEmpty && thinWindows.isEmpty)
         println(s"[plan-audit] PASS ${a.query}")
       else {
         failed += 1
         println(s"[plan-audit] FAIL ${a.query}: missing=${missing.mkString("; ")} " +
-          s"unexpected=${present.mkString("; ")}")
+          s"unexpected=${present.mkString("; ")}" +
+          (if (thinWindows.nonEmpty)
+             s" window-partition-cols=${thinWindows.mkString(",")} < ${a.minWindowPartCols}"
+           else ""))
         println(plan.linesIterator.take(40).mkString("\n"))
       }
     }

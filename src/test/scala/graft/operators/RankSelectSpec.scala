@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RankSelect must agree value-for-value with the sort-based rank
+  * selection it replaces — on real data, on tie-heavy data, on constant
+  * groups, and on groups smaller than the bucket count.
+  */
+class RankSelectSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** the naive formulation the kernel replaces: one partitioned sort */
+  private def sortBased(in: DataFrame, g: String, v: String,
+                        ranks: Seq[(String, String)]): Seq[(String, String, Double, Long)] = {
+    val ranked = in
+      .withColumn("rn", row_number().over(Window.partitionBy(col(g)).orderBy(col(v).asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(g))))
+    ranks
+      .flatMap { case (l, kSql) =>
+        ranked
+          .where(col("rn") === expr(kSql))
+          .select(col(g).cast("string"), lit(l), col(v).cast("double"), col("n"))
+          .as[(String, String, Double, Long)]
+          .collect()
+      }
+      .sorted
+  }
+
+  private def kernel(in: DataFrame, g: String, v: String,
+                     ranks: Seq[(String, String)], buckets: Int = 1024): Seq[(String, String, Double, Long)] =
+    RankSelect
+      .selectRanks(in, g, v, ranks, buckets)
+      .select(col(g).cast("string"), col("label"), col(v).cast("double"), col("n"))
+      .as[(String, String, Double, Long)]
+      .collect()
+      .toSeq
+      .sorted
+
+  private val medianRanks = Seq("lo" -> "(n + 1) div 2", "hi" -> "(n + 2) div 2")
+  private val gridRanks = Seq(
+    "p25" -> "(n + 3) div 4",
+    "p50" -> "(n + 1) div 2",
+    "p75" -> "(3 * n + 3) div 4",
+    "p90" -> "(9 * n + 9) div 10")
+
+  test("matches the sort-based selection on the orders fact (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val j = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+    assert(kernel(j, "seg", "v", gridRanks) === sortBased(j, "seg", "v", gridRanks))
+  }
+
+  test("tie-heavy data: every value duplicated many times across buckets") {
+    val df = (1 to 2000)
+      .map(i => (s"g${i % 3}", (i % 7).toDouble))
+      .toDF("g", "v")
+    assert(kernel(df, "g", "v", gridRanks, buckets = 16) ===
+      sortBased(df, "g", "v", gridRanks))
+  }
+
+  test("constant group degenerates to one bucket but stays exact") {
+    val df = ((1 to 100).map(i => ("c", 42.0)) ++ (1 to 50).map(i => ("m", i.toDouble)))
+      .toDF("g", "v")
+    assert(kernel(df, "g", "v", medianRanks, buckets = 8) ===
+      sortBased(df, "g", "v", medianRanks))
+  }
+
+  test("single-row and two-row groups") {
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 9.0)).toDF("g", "v")
+    assert(kernel(df, "g", "v", medianRanks) === sortBased(df, "g", "v", medianRanks))
+  }
+
+  test("negative and fractional values bucket monotonically") {
+    val df = (1 to 999).map(i => ("x", math.sin(i.toDouble) * 1e6 - 500.0)).toDF("g", "v")
+    assert(kernel(df, "g", "v", gridRanks, buckets = 64) ===
+      sortBased(df, "g", "v", gridRanks))
+  }
+}
