@@ -31,17 +31,42 @@ object TextFormats extends QueryModule {
   private def nonce: String =
     ProcessHandle.current().pid().toString + "_" + Thread.currentThread().getId
 
+  /** Staging directory for the JSONL fixture of a given corpus — shared
+    * with TextFormatsSpec so the path scheme lives in exactly one place.
+    */
+  private[sources] def jsonlStageDir(d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+      .toAbsolutePath.normalize
+    java.nio.file.Paths.get("/tmp/graft_jsonl_" + graft.Digest.md5Hex(src.toString))
+  }
+
   /** documents.parquet serialized to JSONL with 5 malformed lines mixed
     * in — the ingestion fixture. JSON escaping round-trips newlines and
     * unicode, which is exactly what the oracle compare proves.
+    *
+    * _READY is created only after BOTH files are in place (the pattern
+    * stageOrc/stageEvolved use), so a crash mid-staging can never leave
+    * a permanently half-built fixture that later runs treat as done.
     */
-  private def stageJsonl(s: SparkSession, d: String): String = {
+  private[sources] def stageJsonl(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
-    val dir = Paths.get("/tmp/graft_jsonl_" + graft.Digest.md5Hex(src.toString))
+    val dir = jsonlStageDir(d)
     Files.createDirectories(dir)
-    val ready = dir.resolve("docs.jsonl")
-    if (!Files.exists(ready)) {
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      // malformed lines a real crawl drop ships: truncated JSON, bare
+      // text, wrong bracket — PERMISSIVE mode must quarantine, not fail.
+      // Staged FIRST so the clean file can never exist without it.
+      val corrupt = dir.resolve(s"corrupt_$nonce")
+      Files.write(corrupt, java.util.Arrays.asList(
+        """{"doc_id": 900001, "text": "truncated""",
+        """not json at all""",
+        """[1, 2, 3]""",
+        """{"doc_id": "NaN-ish" """,
+        """{}garbage-suffix"""))
+      Files.move(corrupt, dir.resolve("corrupt.jsonl"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       val build = dir.resolve(s"build_$nonce")
       s.read.parquet(src.toString)
         .select(to_json(struct(
@@ -52,20 +77,11 @@ object TextFormats extends QueryModule {
       val part = Files.list(build)
         .filter(_.getFileName.toString.endsWith(".txt"))
         .findFirst().orElseThrow()
-      Files.move(part, ready, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(part, dir.resolve("docs.jsonl"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       Files.walk(build).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
-      // malformed lines a real crawl drop ships: truncated JSON, bare
-      // text, wrong bracket — PERMISSIVE mode must quarantine, not fail
-      val corrupt = dir.resolve(s"corrupt_$nonce")
-      Files.write(corrupt, java.util.Arrays.asList(
-        """{"doc_id": 900001, "text": "truncated""",
-        """not json at all""",
-        """[1, 2, 3]""",
-        """{"doc_id": "NaN-ish" """,
-        """{}garbage-suffix"""))
-      Files.move(corrupt, dir.resolve("corrupt.jsonl"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      if (!Files.exists(marker)) Files.createFile(marker)
     }
     dir.toString
   }

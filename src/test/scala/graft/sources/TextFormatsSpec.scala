@@ -26,9 +26,7 @@ class TextFormatsSpec extends AnyFunSuite {
     // run the query once so the fixture is staged
     val clean = graft.SparkEntry.queries("q108_jsonl_ingest")(spark, dir)
     val cleanN = clean.count()
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-      .toAbsolutePath.normalize.toString
-    val stage = "/tmp/graft_jsonl_" + graft.Digest.md5Hex(src)
+    val stage = TextFormats.jsonlStageDir(dir).toString
     // Spark disallows corrupt-column-only queries over raw JSON (the
     // parse would be optimized away); cache the parsed result first
     val raw = spark.read
