@@ -20,6 +20,7 @@ object SparkEntry {
     graft.functions.ScalarQueries,
     graft.functions.TextQueries,
     graft.functions.DedupQueries,
+    graft.functions.CorpusBuildQueries,
     graft.functions.SimilarityQueries,
     graft.streaming.StreamingQueries,
     graft.sources.Multimodal,

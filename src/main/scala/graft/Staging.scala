@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Content-keyed /tmp staging dirs for fixtures derived from a corpus
+  * file.
+  *
+  * Keyed by (path, size, mtime) — NOT path alone — so a corpus
+  * regenerated in place gets a fresh dir and can never be served stale
+  * derived data: a path-only key survives an in-place rewrite and keeps
+  * replaying the old bytes (or the old physical schema) forever. The
+  * dir name embeds a separate path hash so older generations of the
+  * SAME source can be recognized and reaped.
+  */
+object Staging {
+
+  /** `/tmp/<prefix>_<md5(path)>_<md5(path|size|mtime)>`, created unless
+    * `create=false` (stagers that ATOMIC_MOVE a build dir onto the final
+    * name need the target absent), with stale sibling generations of the
+    * same source reaped best-effort.
+    */
+  def dirFor(prefix: String, src: Path, create: Boolean = true): Path = {
+    val pathKey = Digest.md5Hex(src.toString, 8)
+    val sz      = Files.size(src)
+    val mt      = Files.getLastModifiedTime(src).toMillis
+    val genKey  = Digest.md5Hex(s"$src|$sz|$mt", 8)
+    val dir     = Paths.get(s"/tmp/${prefix}_${pathKey}_$genKey")
+    reapStale(s"${prefix}_$pathKey", dir)
+    if (create) Files.createDirectories(dir)
+    dir
+  }
+
+  /** Delete sibling generations `<family>_<16-hex-gen>` other than
+    * `keep`. The exact-shape match (not a prefix glob) means a stager's
+    * in-flight `*_build_*` sibling is never reaped from under it.
+    * Purely best-effort: concurrent deletion races are swallowed — a
+    * stale gen that survives one reap is removed by the next caller.
+    */
+  private def reapStale(family: String, keep: Path): Unit =
+    try {
+      val gen = (family + "_[0-9a-f]{16}").r
+      val listing = Files.list(Paths.get("/tmp"))
+      try listing
+        .filter(p => gen.matches(p.getFileName.toString) && p != keep)
+        .forEach(deleteRecursively)
+      finally listing.close()
+    } catch { case _: Exception => () }
+
+  def deleteRecursively(p: Path): Unit =
+    try {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    } catch { case _: Exception => () }
+
+  /** Create a `_READY`-style marker, tolerating the check-then-create
+    * race: a concurrent run creating it first means the fixture is
+    * complete either way.
+    */
+  def touchMarker(marker: Path): Unit =
+    try Files.createFile(marker)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+}

@@ -19,14 +19,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright; read nanos as long and convert to microsecond
-    * precision (truncating, matching DuckDB's ns→us conversion).
+  /** events.ts has shipped in two physical parquet types across corpus
+    * generations, so the loader branches on what is ACTUALLY on disk
+    * instead of hard-coding either contract (hard-coding the first one
+    * is exactly what broke when the corpus was regenerated in place):
+    *
+    *  - legacy TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *    unless `nanosAsLong` maps it to int64 — then truncate ns→µs,
+    *    matching DuckDB's ns→µs conversion;
+    *  - plain timestamp[us] (unadjusted): arrives as TIMESTAMP_NTZ —
+    *    cast to the session-TZ timestamp, a micros-identity under the
+    *    UTC session this engine pins, so every downstream unix_micros /
+    *    window / watermark keeps its TimestampType contract.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to µs-precision
+    * TimestampType regardless of which physical type the scan produced.
+    * Shared with the streaming loaders, which must apply the identical
+    * rule to their footer-derived read schemas.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

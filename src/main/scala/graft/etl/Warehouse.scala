@@ -170,6 +170,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     */
   def compact(layer: String, table: String, targetBytes: Long = 128L << 20): (Long, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // a bucketed catalog table rewritten through the path-based
+    // overwrite would silently lose its bucket layout (and the
+    // zero-shuffle join property that justified it) — refuse instead
+    require(!catalogEntryExists(catalogName(layer, table)),
+      s"$layer.$table is a bucketed catalog table; re-bucket via overwriteBucketed instead of compact")
     val target = new Path(path(layer, table))
     val before = parquetFiles(target)
     val df = load(layer, table)

@@ -1,0 +1,173 @@
+package graft.functions
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END training-corpus build: the composition a data pipeline
+  * actually ships, chaining the individually-gated stages in their
+  * production order over `documents`:
+  *
+  *   quality floor (q30's scorer) → near-dup dedup survivors (q92's
+  *   MinHash-LSH + connected components + best-quality keeper) →
+  *   decontamination against the pinned eval holdout (q110's shingle
+  *   semi-join) → per-source token-budget mix (q90's salted-hash
+  *   cumulative window) → deterministic train/val/test split (q113's
+  *   salted-hash bucket).
+  *
+  * The single gate matters because stage-BOUNDARY bugs live exactly
+  * here: dedup must run on the quality-filtered corpus (a low-quality
+  * near-dup must not outrank a clean keeper), decontamination must
+  * remove near-dups of held-out docs AFTER dedup picked keepers, and
+  * the budget mix must see post-decontamination token counts. The
+  * oracle hashes the final selection — a deterministic final-corpus
+  * fingerprint: any drift at any boundary breaks the hash match.
+  *
+  * Scale: every stage is the gated stage's own plan — keyed/broadcast
+  * joins, aggregation-shaped keep-first, one cumulative window per
+  * source — composed by doc-grain semi/anti joins. Nothing quadratic,
+  * nothing single-task; the reference's closest analog is its staged
+  * batch DAG (orchestration/dags/bakery_batch_etl.py:21-28), which
+  * sequences jobs without any cross-stage verification.
+  */
+object CorpusBuildQueries extends QueryModule {
+
+  import Tables._
+
+  /** Stage knobs, mirrored verbatim into the oracle SQL. */
+  private val QualityFloor = 55
+  private val TokenBudget  = 20000L
+
+  override def queries: Map[String, QueryDef] = Map(
+    "q140_corpus_build" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+
+        // stage 1 — QUALITY: score once, carry (q, n_tokens) through the
+        // whole pipeline so later stages never re-read `text`
+        val scored = documents(s, d).select(
+          col("doc_id"), col("source"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val qualityPass = scored.where(col("q") >= QualityFloor)
+
+        // stage 2 — DEDUP among quality survivors: candidate pairs from
+        // the banded minhash of the FILTERED shingle set, components,
+        // keep the best (q DESC, doc_id ASC) per cluster
+        val sh  = DedupQueries.shingleDf(s, d)
+        val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val clusters = DedupQueries.connectedComponents(
+          DedupQueries.minhashCandidatePairsOf(shQ)
+            .select(col("ida"), col("idb")).distinct())
+        val losers = clusters
+          .join(qualityPass.select(col("doc_id"), col("q")), col("id") === col("doc_id"))
+          .withColumn("r",
+            row_number().over(
+              Window.partitionBy(col("label")).orderBy(col("q").desc, col("doc_id").asc)))
+          .where(col("r") > 1)
+          .select(col("doc_id"))
+        val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
+
+        // stage 3 — DECONTAMINATE: the eval holdout (doc_id % 97 == 0,
+        // pinned on the FULL corpus, not the filtered one) leaves the
+        // training set, along with every surviving doc that shares any
+        // shingle with it — near-dups of eval data are the leak
+        val holdoutShingles = sh
+          .where(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        val contaminated = shQ
+          .where(col("doc_id") % 97 =!= 0)
+          .join(holdoutShingles, Seq("shingle"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val clean = deduped
+          .where(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+
+        // stage 4 — TOKEN-BUDGET MIX: deterministic salted-hash order,
+        // cumulative tokens per source up to the budget
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        val mixed = clean
+          .withColumn("cum_tokens",
+            sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("cum_tokens") <= TokenBudget)
+
+        // stage 5 — SPLIT: stable salted-hash bucket, 80/10/10
+        mixed
+          .withColumn(
+            "bucket",
+            (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 10).cast("int"))
+          .select(
+            col("doc_id"), col("source"), col("lang"),
+            col("n_tokens"), col("cum_tokens"), col("bucket"),
+            when(col("bucket") < 8, "train")
+              .when(col("bucket") === 8, "val")
+              .otherwise("test").as("split"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE
+        norm AS (${TextQueries.normSql}),
+        scored AS (
+          SELECT doc_id, source, lang,
+                 CAST(${TextQueries.qualitySql} AS INTEGER) AS q,
+                 ${TextQueries.tokenCountSql} AS n_tokens
+          FROM norm),
+        qpass AS (SELECT * FROM scored WHERE q >= $QualityFloor),
+        sh0 AS (${DedupQueries.shingleSql}),
+        ${DedupQueries.mhBandsCtesSqlFrom(
+          "SELECT s.doc_id, s.shingle FROM sh0 s JOIN qpass p ON p.doc_id = s.doc_id")},
+        edges AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM edges),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT p.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.label
+                     ORDER BY p.q DESC, p.doc_id ASC) AS r
+            FROM labels l JOIN qpass p ON p.doc_id = l.id
+          ) WHERE r > 1),
+        deduped AS (
+          SELECT * FROM qpass
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        holdout_sh AS (
+          SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 97 = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 97 <> 0
+            AND shingle IN (SELECT shingle FROM holdout_sh)),
+        clean AS (
+          SELECT * FROM deduped
+          WHERE doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        mixed AS (
+          SELECT doc_id, source, lang, n_tokens,
+                 CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM clean),
+        sel AS (SELECT * FROM mixed WHERE cum_tokens <= $TokenBudget)
+        SELECT doc_id, source, lang, n_tokens, cum_tokens, bucket,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS INTEGER) AS bucket
+          FROM sel)""")
+    )
+  )
+}

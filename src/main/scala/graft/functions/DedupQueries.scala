@@ -81,8 +81,14 @@ object DedupQueries extends QueryModule {
     * rerank consumes the same banding scheme (6x2 there, 4x3 here) to
     * source its exact-Jaccard candidates.
     */
-  private[functions] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleDf(s, d)
+  private[functions] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairsOf(shingleDf(s, d))
+
+  /** Same candidate generator over an arbitrary (doc_id, shingle)
+    * relation — the corpus-build pipeline (q140) feeds it the shingles
+    * of the quality-surviving subset only.
+    */
+  private[functions] def minhashCandidatePairsOf(sh: DataFrame): DataFrame = {
     val withH = sh.withColumn(
       "h0",
       conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
@@ -210,8 +216,14 @@ object DedupQueries extends QueryModule {
     * `bands` (shingles → h0 → K minhash mins → band keys), for callers to
     * append their own band self-join.
     */
-  private[functions] lazy val mhBandsCtesSql: String =
-    s"""sh AS ($shingleSql),
+  private[functions] lazy val mhBandsCtesSql: String = mhBandsCtesSqlFrom(shingleSql)
+
+  /** Parameterized variant: the same CTE chain seeded from an arbitrary
+    * (doc_id, shingle) SQL source (q140 seeds it with the
+    * quality-filtered shingle subset).
+    */
+  private[functions] def mhBandsCtesSqlFrom(shSrc: String): String =
+    s"""sh AS ($shSrc),
         hashed AS (
           SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0 FROM sh),
         mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),

@@ -24,6 +24,32 @@ object SimilarityQueries extends QueryModule {
 
   import Tables._
 
+  /** Persisted intermediates are LEASED, not leaked: every query entry
+    * first releases the intermediates persisted by previous invocations
+    * of this module (see the [[queries]] wrapper), so repeated calls in
+    * one session cannot accumulate cached blocks. Release is deferred
+    * exactly one generation because a returned plan must stay persisted
+    * until the caller materializes it — the caller no longer needs a
+    * global `clearCache()` to stay bounded.
+    */
+  private val leases = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def lease(df: DataFrame): DataFrame = { leases.add(df); df }
+
+  private def releaseLeases(): Unit = {
+    var df = leases.poll()
+    while (df != null) {
+      try df.unpersist(false)
+      catch { case _: Exception => () }
+      df = leases.poll()
+    }
+  }
+
+  private implicit class LeaseOps(private val df: DataFrame) {
+    /** Chainable `.persist().leased` — registers for next-entry release. */
+    def leased: DataFrame = lease(df)
+  }
+
   /** Brute-force all-pairs formulations (q35/q44) are exact BASELINES,
     * not scale paths: O(n²·dim). The gate makes that contract explicit —
     * beyond this many vectors the query refuses to run rather than
@@ -210,7 +236,15 @@ object SimilarityQueries extends QueryModule {
           FROM enc GROUP BY vec_id)"""
   }
 
-  override def queries: Map[String, QueryDef] = Map(
+  /** Every entry drains the previous invocation's persisted
+    * intermediates before running — see [[leases]].
+    */
+  override def queries: Map[String, QueryDef] =
+    rawQueries.map { case (name, q) =>
+      name -> q.copy(fn = (s, d) => { releaseLeases(); q.fn(s, d) })
+    }
+
+  private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Brute-force cosine top-3 neighbors per vector.
     "q35_cosine_topk" -> QueryDef(
@@ -219,7 +253,7 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
-          .persist() // both sides of the pair join reuse the norms
+          .persist().leased // both sides of the pair join reuse the norms
         gateBruteForce("q35_cosine_topk", e.count())
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -265,7 +299,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
           .withColumn("bucket", bucket)
-          .persist()
+          .persist().leased
         val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val sims = a
@@ -342,7 +376,7 @@ object SimilarityQueries extends QueryModule {
                 / element_at(spans, i) * 255.0D) AS BIGINT) - 128L AS FLOAT))""")
           )
           .select(col("bucket"), col("vec_id"), col("cf"))
-          .persist()
+          .persist().leased
         val a = coded.select(col("bucket"), col("vec_id").as("qid"), col("cf").as("ca"))
         val b = coded.select(col("bucket"), col("vec_id").as("nid"), col("cf").as("cb"))
         val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
@@ -403,7 +437,7 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
-          .persist()
+          .persist().leased
         val bands = (0 until 4)
           .map(b => e.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key")))
           .reduce(_ unionByName _)
@@ -476,7 +510,7 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
-          .persist()
+          .persist().leased
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
         // nearest centroid by cosine, tie-break lowest cid
         def assign(src: DataFrame, cent: DataFrame): DataFrame = src
@@ -511,7 +545,7 @@ object SimilarityQueries extends QueryModule {
           .where(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
         val trained  = retrain(assign(eTrain, retrain(assign(eTrain, init))))
-        val assigned = assign(e, trained).persist()
+        val assigned = assign(e, trained).persist().leased
         val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -590,7 +624,7 @@ object SimilarityQueries extends QueryModule {
         // window — see [[seededTop2]] (this was round 3's suite-max
         // shuffle at ~16x the necessary size)
         val top2 = seededTop2(normedEmbeddings(s, d))
-          .persist() // index and probes both read the assignment
+          .persist().leased // index and probes both read the assignment
         val index = top2.select(
           col("top2")(0)("cid").as("cid"),
           col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -650,7 +684,7 @@ object SimilarityQueries extends QueryModule {
     "q95_ann_ivf_probe4" -> QueryDef(
       fn = (s, d) => {
         val top4 = seededTopK(normedEmbeddings(s, d), 4)
-          .persist() // index and probes both read the assignment
+          .persist().leased // index and probes both read the assignment
         val index = top4.select(
           col("topk")(0)("cid").as("cid"),
           col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -719,7 +753,7 @@ object SimilarityQueries extends QueryModule {
         def tblBucket(t: Int) = (1 to 4)
           .map(i => when(element_at(col("embedding"), t * 4 + i) >= 0f, 1 << (i - 1)).otherwise(0))
           .reduce(_ + _)
-        val e = normedEmbeddings(s, d).persist()
+        val e = normedEmbeddings(s, d).persist().leased
         val keys = e.select(
           col("vec_id"),
           explode(array((0 until L).map(t =>
@@ -797,7 +831,7 @@ object SimilarityQueries extends QueryModule {
           .reduce(_ + _)
         val e = normedEmbeddings(s, d)
           .withColumn("bucket", bucket)
-          .persist()
+          .persist().leased
         val recon = pqRecon(e)
         val a = e.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
         val b = e.select(col("bucket"), col("vec_id").as("nid"))
@@ -844,8 +878,8 @@ object SimilarityQueries extends QueryModule {
     // aggregation-shaped assignment, broadcast codebooks, keyed joins.
     "q82_ann_ivf_pq" -> QueryDef(
       fn = (s, d) => {
-        val e = normedEmbeddings(s, d).persist() // assignment + PQ training share it
-        val top2 = seededTop2(e).persist()       // index and probes both read it
+        val e = normedEmbeddings(s, d).persist().leased // assignment + PQ training share it
+        val top2 = seededTop2(e).persist().leased       // index and probes both read it
         val index = top2.select(
           col("top2")(0)("cid").as("cid"), col("vec_id").as("nid"))
         val probes = top2.select(
@@ -968,7 +1002,7 @@ object SimilarityQueries extends QueryModule {
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
-          .persist()
+          .persist().leased
         gateBruteForce("q44_topk_aggregator", e.count())
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -1028,7 +1062,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .withColumn("n16", sqrt(call_function("vec_dot", col("e16"), col("e16"))))
           .where(col("nrm") > 0 && col("n16") > 0)
-          .persist()
+          .persist().leased
         gateBruteForce("q139_matryoshka_overlap", e.count())
         val a = e.select(col("vec_id").as("qid"),
           col("embedding").as("ea"), col("e16").as("a16"),

@@ -14,7 +14,7 @@ object TextQueries extends QueryModule {
   import TextFunctions._
 
   /** DuckDB fragment: normalized text `t` for `documents`. */
-  private val normSql =
+  private[functions] val normSql =
     "SELECT doc_id, source, lang, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
 
   private def occSql(expr: String, sub: String): String =
@@ -48,7 +48,7 @@ object TextQueries extends QueryModule {
               + 30
               - LEAST(length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 2, 20)
               - LEAST(length(regexp_replace(t, '[^0-9]', '', 'g')), 10), 100), 0)"""
-  private lazy val tokenCountSql =
+  private[functions] lazy val tokenCountSql =
     "CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS INTEGER)"
 
   override def queries: Map[String, QueryDef] = Map(

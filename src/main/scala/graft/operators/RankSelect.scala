@@ -31,25 +31,42 @@ import org.apache.spark.sql.functions._
   * assignment is a monotone deterministic function of v (ties always
   * share a bucket), and the value AT a rank is tie-permutation-invariant,
   * so the selected values are bit-identical to the sort-based oracle.
-  * Degenerate case: a group whose values are all equal collapses to one
-  * bucket and the within-bucket rank sorts that group — but then every
-  * row carries the answer anyway; heavy skew INTO one bucket (not one
-  * group) can be handled by recursing on the bucket, which this corpus
-  * never needs.
+  *
+  * Skewed buckets RECURSE instead of sorting: when a target bucket holds
+  * more than max(skewFloor, SkewFactor·n/B) rows — a pathological value
+  * distribution such as 99% one constant plus outliers — step 4 would
+  * re-create the single-task sort inside that bucket. Such buckets are
+  * re-bucketed within their own (now narrower) value range, up to two
+  * levels deep (~n/B³ residual), with two guaranteed exits: a bucket
+  * whose values are ALL equal answers directly (any rank is the shared
+  * value — no sort, no recursion), and the depth floor falls back to the
+  * single-task sort, by then bounded by the refined bucket. The skew
+  * check is a scalar gate over the collected per-group histogram (O(
+  * groups·ranks) rows, locally checkpointed), never a scan of the fact.
   *
   * Contract: `v` must be non-null and castable to double for bucketing
   * (selection/output keep the original type and exact values).
   */
 object RankSelect {
 
+  /** A target bucket is "skewed" above SkewFactor× the even-split
+    * expectation n/B (with an absolute `skewFloor` under which a
+    * single-task sort is trivially fine).
+    */
+  private val SkewFactor = 16L
+
   /** Select the values at the given ranks within each group.
     *
-    * @param in    input relation
-    * @param g     group column name (any cardinality — low is the point)
-    * @param v     value column name (non-null, numeric)
-    * @param ranks (label, rankSql) pairs; rankSql is a SQL expression over
-    *              the per-group row count exposed as `n` (BIGINT), e.g.
-    *              `"(n + 1) div 2"`. Must evaluate to a rank in 1..n.
+    * @param in        input relation
+    * @param g         group column name (any cardinality — low is the point)
+    * @param v         value column name (non-null, numeric)
+    * @param ranks     (label, rankSql) pairs; rankSql is a SQL expression over
+    *                  the per-group row count exposed as `n` (BIGINT), e.g.
+    *                  `"(n + 1) div 2"`. Must evaluate to a rank in 1..n.
+    * @param buckets   histogram resolution B
+    * @param skewFloor absolute row floor below which a target bucket is
+    *                  sorted in one task rather than refined (tests
+    *                  lower it to exercise the recursion on small data)
     * @return one row per (group, rank label): (g, label, v, n)
     */
   def selectRanks(
@@ -57,7 +74,8 @@ object RankSelect {
       g: String,
       v: String,
       ranks: Seq[(String, String)],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      skewFloor: Long = 1L << 16): DataFrame = {
     val B = buckets
     val stats = in
       .groupBy(col(g))
@@ -93,11 +111,14 @@ object RankSelect {
       .withColumn("n", expr("aggregate(__rs_hs, 0L, (a, x) -> a + x.c)"))
 
     // per requested rank: walk the histogram once to find the bucket
-    // containing rank k and the cumulative count before it — pure array
-    // arithmetic, no window anywhere near the fact table
+    // containing rank k, the cumulative count before it, and the bucket's
+    // own size (the skew signal) — pure array arithmetic, no window
+    // anywhere near the fact table
     val lblK = ranks.map { case (l, kSql) =>
       struct(lit(l).as("label"), expr(kSql).cast("long").as("k"))
     }
+    // locally checkpointed: O(groups·ranks) rows, read three ways below
+    // (skew gate + two broadcasts) — one materialization, no re-derive
     val targets = harr
       .select(col(g), col("n"), col("__rs_hs"), explode(array(lblK: _*)).as("__rs_t"))
       .withColumn(
@@ -113,20 +134,149 @@ object RankSelect {
         col("__rs_t.label").as("label"),
         col("__rs_sel.tb").as("__rs_b"),
         (col("__rs_t.k") - col("__rs_sel.cb")).as("__rs_off"),
+        (col("__rs_sel.cum") - col("__rs_sel.cb")).as("__rs_bc"),
         col("n"))
+      .localCheckpoint()
+
+    val skewCond =
+      col("__rs_bc") > greatest(lit(skewFloor), col("n") * SkewFactor / B)
 
     // rescan only the target buckets (≤ ranks.size per group, ~n/B rows
     // each); the rank window partitions on (group, bucket) so no task
     // ever sees more than one bucket
-    val tkeys = targets.select(col(g), col("__rs_b")).distinct()
-    val cand = bucketed
-      .join(broadcast(tkeys), Seq(g, "__rs_b"))
-      .withColumn(
-        "__rs_rn",
-        row_number().over(Window.partitionBy(col(g), col("__rs_b")).orderBy(col(v).asc)))
-    cand
-      .join(broadcast(targets), Seq(g, "__rs_b"))
-      .where(col("__rs_rn") === col("__rs_off"))
-      .select(col(g), col("label"), col(v), col("n"))
+    def sortWithin(ts: DataFrame): DataFrame = {
+      val tkeys = ts.select(col(g), col("__rs_b")).distinct()
+      val cand = bucketed
+        .join(broadcast(tkeys), Seq(g, "__rs_b"))
+        .withColumn(
+          "__rs_rn",
+          row_number().over(Window.partitionBy(col(g), col("__rs_b")).orderBy(col(v).asc)))
+      cand
+        .join(broadcast(ts), Seq(g, "__rs_b"))
+        .where(col("__rs_rn") === col("__rs_off"))
+        .select(col(g), col("label"), col(v), col("n"))
+    }
+
+    if (targets.where(skewCond).isEmpty) sortWithin(targets)
+    else {
+      val ok = targets.where(!skewCond)
+      val sk = targets.where(skewCond)
+      // a skewed target's candidate rows, replicated per rank label so
+      // each (group, label) refines as its own selection problem
+      val cand = bucketed
+        .join(broadcast(sk), Seq(g, "__rs_b"))
+        .select(col(g), col("label"), col(v), col("__rs_off"))
+      val refined = selectWithin(cand, Seq(g, "label"), v, "__rs_off", B, skewFloor, depth = 2)
+        .join(broadcast(sk.select(col(g), col("label"), col("n"))), Seq(g, "label"))
+        .select(col(g), col("label"), col(v), col("n"))
+      sortWithin(ok).unionByName(refined)
+    }
+  }
+
+  /** Refinement step: the exact value at per-group rank `kCol` (constant
+    * within a group) for each group of `gcols`. Groups whose values are
+    * ALL equal answer directly; at depth 0 the rest fall back to the
+    * single-task within-group sort (bounded by the refined bucket by
+    * then). Otherwise: same histogram machinery, one level narrower,
+    * recursing again only on still-skewed buckets.
+    */
+  private def selectWithin(
+      cand0: DataFrame,
+      gcols: Seq[String],
+      v: String,
+      kCol: String,
+      buckets: Int,
+      skewFloor: Long,
+      depth: Int): DataFrame = {
+    val B = buckets
+    val gc = gcols.map(col)
+    // the candidate set feeds stats + bucketing + the final rescan; it is
+    // itself the output of fact-scan + joins, so pin it once
+    val cand = cand0.localCheckpoint()
+    val stats = cand
+      .groupBy(gc: _*)
+      .agg(
+        max(col(kCol)).as("__rw_k"),
+        count(lit(1)).as("__rw_n"),
+        min(col(v)).as("__rw_lo"),
+        max(col(v)).as("__rw_hi"))
+      .localCheckpoint()
+
+    // guaranteed exit: an all-equal group answers with the shared value
+    val constAns = stats
+      .where(col("__rw_lo") === col("__rw_hi"))
+      .select(gc :+ col("__rw_lo").as(v): _*)
+    val varStats = stats.where(col("__rw_lo") =!= col("__rw_hi"))
+    val varying = cand.drop(kCol).join(broadcast(varStats), gcols)
+
+    if (depth <= 0) {
+      val sel = varying
+        .withColumn(
+          "__rw_rn",
+          row_number().over(Window.partitionBy(gc: _*).orderBy(col(v).asc)))
+        .where(col("__rw_rn") === col("__rw_k"))
+        .select(gc :+ col(v): _*)
+      sel.unionByName(constAns)
+    } else {
+      val lo = col("__rw_lo").cast("double")
+      val hi = col("__rw_hi").cast("double")
+      val vd = col(v).cast("double")
+      val bucketed = varying
+        .withColumn(
+          "__rw_b",
+          least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+        .select(gc ++ Seq(col(v), col("__rw_b")): _*)
+      // per-bucket counts first, then fold into one sorted array per
+      // group — the same two-hop histogram the top level runs
+      val hist = bucketed
+        .groupBy(gc :+ col("__rw_b"): _*)
+        .agg(count(lit(1)).as("__rw_bc"))
+      val harr = hist
+        .groupBy(gc: _*)
+        .agg(sort_array(collect_list(
+          struct(col("__rw_b").as("b"), col("__rw_bc").as("c")))).as("__rw_hs"))
+        .join(broadcast(varStats.select(gc ++ Seq(col("__rw_k"), col("__rw_n")): _*)), gcols)
+      val targets = harr
+        .withColumn(
+          "__rw_sel",
+          expr("""aggregate(__rw_hs,
+                  named_struct('cum', 0L, 'tb', -1, 'cb', 0L),
+                  (a, x) -> IF(a.tb >= 0, a,
+                               IF(a.cum + x.c >= __rw_k,
+                                  named_struct('cum', a.cum + x.c, 'tb', x.b, 'cb', a.cum),
+                                  named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L))))"""))
+        .select(
+          gc ++ Seq(
+            col("__rw_sel.tb").as("__rw_b"),
+            (col("__rw_k") - col("__rw_sel.cb")).as("__rw_off"),
+            (col("__rw_sel.cum") - col("__rw_sel.cb")).as("__rw_bc"),
+            col("__rw_n")): _*)
+        .localCheckpoint()
+
+      val skewCond =
+        col("__rw_bc") > greatest(lit(skewFloor), col("__rw_n") * SkewFactor / B)
+
+      def sortPath(ts: DataFrame): DataFrame = bucketed
+        .join(broadcast(ts), gcols :+ "__rw_b")
+        .withColumn(
+          "__rw_rn",
+          row_number().over(
+            Window.partitionBy(gc :+ col("__rw_b"): _*).orderBy(col(v).asc)))
+        .where(col("__rw_rn") === col("__rw_off"))
+        .select(gc :+ col(v): _*)
+
+      val resolved =
+        if (targets.where(skewCond).isEmpty) sortPath(targets)
+        else {
+          val ok = targets.where(!skewCond)
+          val sk = targets.where(skewCond)
+          val next = bucketed
+            .join(broadcast(sk), gcols :+ "__rw_b")
+            .select(gc ++ Seq(col(v), col("__rw_off")): _*)
+          sortPath(ok).unionByName(
+            selectWithin(next, gcols, v, "__rw_off", B, skewFloor, depth - 1))
+        }
+      resolved.unionByName(constAns)
+    }
   }
 }

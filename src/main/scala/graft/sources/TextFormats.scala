@@ -33,11 +33,13 @@ object TextFormats extends QueryModule {
 
   /** Staging directory for the JSONL fixture of a given corpus — shared
     * with TextFormatsSpec so the path scheme lives in exactly one place.
+    * Content-keyed ([[graft.Staging.dirFor]]): a corpus regenerated in
+    * place gets a fresh fixture instead of the stale one.
     */
   private[sources] def jsonlStageDir(d: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
       .toAbsolutePath.normalize
-    java.nio.file.Paths.get("/tmp/graft_jsonl_" + graft.Digest.md5Hex(src.toString))
+    graft.Staging.dirFor("graft_jsonl", src)
   }
 
   /** documents.parquet serialized to JSONL with 5 malformed lines mixed
@@ -52,13 +54,15 @@ object TextFormats extends QueryModule {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
     val dir = jsonlStageDir(d)
-    Files.createDirectories(dir)
     val marker = dir.resolve("_READY")
     if (!Files.exists(marker)) {
       // malformed lines a real crawl drop ships: truncated JSON, bare
       // text, wrong bracket — PERMISSIVE mode must quarantine, not fail.
-      // Staged FIRST so the clean file can never exist without it.
-      val corrupt = dir.resolve(s"corrupt_$nonce")
+      // Staged FIRST so the clean file can never exist without it. The
+      // temp name is '_'-prefixed: Spark's listing skips hidden files,
+      // so a crash-orphaned temp (or a laggard concurrent stager) can
+      // never be ingested as extra corrupt lines.
+      val corrupt = dir.resolve(s"_corrupt_$nonce")
       Files.write(corrupt, java.util.Arrays.asList(
         """{"doc_id": 900001, "text": "truncated""",
         """not json at all""",
@@ -67,7 +71,7 @@ object TextFormats extends QueryModule {
         """{}garbage-suffix"""))
       Files.move(corrupt, dir.resolve("corrupt.jsonl"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      val build = dir.resolve(s"build_$nonce")
+      val build = dir.resolve(s"_build_$nonce")
       s.read.parquet(src.toString)
         .select(to_json(struct(
           col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
@@ -81,7 +85,7 @@ object TextFormats extends QueryModule {
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       Files.walk(build).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
-      if (!Files.exists(marker)) Files.createFile(marker)
+      graft.Staging.touchMarker(marker)
     }
     dir.toString
   }
@@ -90,7 +94,7 @@ object TextFormats extends QueryModule {
   private def stageOrc(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
-    val dir = Paths.get("/tmp/graft_orc_" + graft.Digest.md5Hex(src.toString))
+    val dir = graft.Staging.dirFor("graft_orc", src, create = false)
     val marker = dir.resolve("_READY")
     if (!Files.exists(marker)) {
       val build = dir.resolveSibling(dir.getFileName.toString + s"_build_$nonce")
@@ -103,7 +107,7 @@ object TextFormats extends QueryModule {
           Files.walk(build).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
       }
-      if (!Files.exists(marker)) Files.createFile(marker)
+      graft.Staging.touchMarker(marker)
     }
     dir.toString
   }
@@ -117,12 +121,11 @@ object TextFormats extends QueryModule {
   private def stageEvolved(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
-    val dir = Paths.get("/tmp/graft_evo_" + graft.Digest.md5Hex(src.toString))
-    Files.createDirectories(dir)
+    val dir = graft.Staging.dirFor("graft_evo", src)
     val marker = dir.resolve("_READY")
     if (!Files.exists(marker)) {
       def stageOne(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val build = dir.resolve(s"build_${name}_$nonce")
+        val build = dir.resolve(s"_build_${name}_$nonce")
         df.coalesce(1).write.mode("overwrite").parquet(build.toString)
         val part = Files.list(build)
           .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -138,7 +141,7 @@ object TextFormats extends QueryModule {
       stageOne("v2.parquet", docs.where(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("source"), col("lang"),
           (col("n_chars") * 2).as("quality")))
-      if (!Files.exists(marker)) Files.createFile(marker)
+      graft.Staging.touchMarker(marker)
     }
     dir.toString
   }

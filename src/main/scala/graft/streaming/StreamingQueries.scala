@@ -14,22 +14,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries extends QueryModule {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
-
-  /** The file source requires a *directory*; stage a symlink dir
-    * pointing at the corpus events file (read-only testdata stays
-    * untouched). Keyed by an md5 of the normalized corpus path —
-    * hashCode could collide two corpora into one staging dir — and
-    * re-linked unconditionally so a corpus swapped in at the same path
-    * is never read through a stale link.
-    */
   /** Unique-per-caller temp-name suffix: pid alone is not enough (two
     * threads in one JVM staging the same corpus would race on the same
     * temp path); the thread id disambiguates, and the ATOMIC_MOVE onto
@@ -38,14 +22,18 @@ object StreamingQueries extends QueryModule {
   private def nonce: String =
     s"${ProcessHandle.current().pid()}.${Thread.currentThread().getId}"
 
+  /** The file source requires a *directory*; stage a symlink dir
+    * pointing at the corpus events file (read-only testdata stays
+    * untouched). [[graft.Staging.dirFor]] keys the dir by
+    * (path, size, mtime), so a corpus regenerated in place — even with
+    * a different physical ts type — gets a fresh dir; the link is also
+    * re-created via ATOMIC_MOVE on every call so concurrent runs on the
+    * same corpus never observe a missing or half-created link.
+    */
   private def stageEventsDir(d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val stageDir = Paths.get(
-      "/tmp/graft_stream_events_" + graft.Digest.md5Hex(src.toString))
-    Files.createDirectories(stageDir)
-    // re-link via ATOMIC_MOVE so concurrent runs on the same corpus
-    // never observe a missing or half-created link
+    val stageDir = graft.Staging.dirFor("graft_stream_events", src)
     val link = stageDir.resolve("events.parquet")
     val tmp  = stageDir.resolve(s"events.parquet.$nonce")
     Files.deleteIfExists(tmp)
@@ -54,15 +42,23 @@ object StreamingQueries extends QueryModule {
     stageDir.toString
   }
 
-  /** Streaming file source over a staged dir, ns→µs converted the same
-    * way DuckDB truncates.
+  /** Streaming file source over a staged dir. The read schema is peeked
+    * from the staged files' actual footers (a one-file batch scan at
+    * planning time, no data read), NOT hard-coded: events.ts has shipped
+    * both as legacy TIMESTAMP(NANOS)-as-int64 and as plain
+    * timestamp[us], and forcing the wrong schema onto parquet's int64
+    * "succeeds" with 1000×-compressed timestamps — wrong answers, not
+    * errors. [[graft.Tables.normalizeEventsTs]] then applies the same
+    * footer-driven ts rule the batch loader uses.
     */
-  private def streamFromDir(s: SparkSession, stageDir: String) = {
+  private def streamFromDir(
+      s: SparkSession,
+      stageDir: String,
+      options: Map[String, String] = Map.empty) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = s.read.parquet(stageDir).schema
+    graft.Tables.normalizeEventsTs(
+      s.readStream.options(options).schema(onDisk).parquet(stageDir))
   }
 
   /** Events replayed through the streaming file source. */
@@ -85,9 +81,7 @@ object StreamingQueries extends QueryModule {
   private def stageEventsWithSentinel(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val stageDir = Paths.get(
-      "/tmp/graft_stream_events_sent_" + graft.Digest.md5Hex(src.toString))
-    Files.createDirectories(stageDir)
+    val stageDir = graft.Staging.dirFor("graft_stream_events_sent", src)
     val link = stageDir.resolve("events.parquet")
     val tmp  = stageDir.resolve(s"events.parquet.$nonce")
     Files.deleteIfExists(tmp)
@@ -96,17 +90,30 @@ object StreamingQueries extends QueryModule {
     val sentinel = stageDir.resolve("sentinel.parquet")
     if (!Files.exists(sentinel)) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 1-row scalar gate: the corpus max event time anchors the sentinel
-      val maxNs = s.read.parquet(src.toString)
-        .agg(max(col("ts"))).head().getLong(0)
-      val farNs = maxNs + 100L * 24 * 3600 * 1000000000L
       import s.implicits._
-      val build = stageDir.resolve(s"sentinel_build_$nonce")
-      Seq(
-        (-1L, farNs, -1L, "click", 0.0, "{}"),
-        (-2L, farNs, -2L, "purchase", 0.0, "{}")
-      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(build.toString)
+      // 1-row scalar gate: the corpus max event time anchors the
+      // sentinel. The sentinel rows must be written in the SAME
+      // physical ts type as the corpus (the stream reads both files
+      // under one footer-derived schema): legacy corpus → int64 nanos;
+      // modern corpus → TIMESTAMP_NTZ, which parquet stores as the
+      // identical unadjusted timestamp[us].
+      val maxTs = s.read.parquet(src.toString).agg(max(col("ts"))).head().get(0)
+      val far = maxTs match {
+        case ns: java.lang.Long =>
+          Seq(
+            (-1L, ns + 100L * 24 * 3600 * 1000000000L, -1L, "click", 0.0, "{}"),
+            (-2L, ns + 100L * 24 * 3600 * 1000000000L, -2L, "purchase", 0.0, "{}")
+          ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case ldt: java.time.LocalDateTime =>
+          Seq(
+            (-1L, ldt.plusDays(100), -1L, "click", 0.0, "{}"),
+            (-2L, ldt.plusDays(100), -2L, "purchase", 0.0, "{}")
+          ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case other =>
+          sys.error(s"unexpected events.ts runtime type: ${other.getClass}")
+      }
+      val build = stageDir.resolve(s"_sentinel_build_$nonce")
+      far.coalesce(1).write.mode("overwrite").parquet(build.toString)
       val part = Files.list(build).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().orElseThrow()
       Files.move(part, sentinel, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -127,15 +134,16 @@ object StreamingQueries extends QueryModule {
   private def stageEventsSplit(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val stageDir = Paths.get(
-      "/tmp/graft_stream_events_split_" + graft.Digest.md5Hex(src.toString))
-    Files.createDirectories(stageDir)
+    val stageDir = graft.Staging.dirFor("graft_stream_events_split", src)
     val marker = stageDir.resolve("_SPLIT_READY")
     if (!Files.exists(marker)) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // re-written through the batch reader, so the split files carry
+      // whatever ts type the corpus has (int64 for legacy nanos, NTZ
+      // µs for the modern corpus) and the footer peek stays truthful
       val ev = s.read.parquet(src.toString)
       (0 until 4).foreach { i =>
-        val build = stageDir.resolve(s"split_build_$nonce")
+        val build = stageDir.resolve(s"_split_build_$nonce")
         ev.where(col("event_id") % 4 === i)
           .coalesce(1).write.mode("overwrite").parquet(build.toString)
         val part = Files.list(build).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -436,11 +444,8 @@ object StreamingQueries extends QueryModule {
           val whRoot = java.nio.file.Files
             .createTempDirectory("graft_q80_wh_").toString
           val wh = new graft.etl.Warehouse(s, whRoot)
-          val stream = s.readStream
-            .schema(eventsSchema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stageEventsSplit(s, d))
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = streamFromDir(
+            s, stageEventsSplit(s, d), Map("maxFilesPerTrigger" -> "1"))
             .select(col("user_id"), col("event_type"), col("ts"))
           val q = StreamingUpsert.start(
             stream, wh, "silver", "event_latest",

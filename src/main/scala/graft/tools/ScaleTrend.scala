@@ -126,7 +126,9 @@ object ScaleTrend {
         (col("doc_id") + lit(k * nDocs)).as("doc_id"),
         txt.as("text"),
         col("lang"), col("source"),
-        length(txt).as("n_chars"))
+        // cast: length() is IntegerType but the base corpus stores
+        // n_chars as LONG — the scaled corpus must not drift schemas
+        length(txt).cast("long").as("n_chars"))
     }).coalesce(4).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

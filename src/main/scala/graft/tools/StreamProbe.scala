@@ -23,20 +23,14 @@ object StreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val eventsSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)
-    ))
     // assumes the q79 sentinel staging dir already exists (built by a
-    // prior Verify/QTime run of q79 on this corpus)
+    // prior Verify/QTime run of q79 on this corpus); Staging.dirFor
+    // resolves the same content-keyed dir the queries stage into
     val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val stageDir = "/tmp/graft_stream_events_sent_" + graft.Digest.md5Hex(src.toString)
-    def side = spark.readStream.schema(eventsSchema).parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stageDir = graft.Staging.dirFor("graft_stream_events_sent", src).toString
+    val onDisk = spark.read.parquet(stageDir).schema
+    def side = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(onDisk).parquet(stageDir))
     val clicks = side.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "48 hours")

@@ -83,4 +83,54 @@ class RankSelectSpec extends AnyFunSuite {
     assert(kernel(df, "g", "v", gridRanks, buckets = 64) ===
       sortBased(df, "g", "v", gridRanks))
   }
+
+  /** low skewFloor so the recursion triggers at spec scale */
+  private def skewKernel(in: DataFrame, ranks: Seq[(String, String)]): Seq[(String, String, Double, Long)] =
+    RankSelect
+      .selectRanks(in, "g", "v", ranks, buckets = 1024, skewFloor = 32L)
+      .select(col("g").cast("string"), col("label"), col("v").cast("double"), col("n"))
+      .as[(String, String, Double, Long)]
+      .collect()
+      .toSeq
+      .sorted
+
+  test("99%-constant distribution recurses instead of sorting the heavy bucket") {
+    // 5000 copies of one value + 50 outliers: the constant bucket holds
+    // ~99% of the group — the single-task-sort regression the recursion
+    // exists to prevent. The refined bucket is all-equal, so the
+    // recursion answers it directly without any sort.
+    val df = ((1 to 5000).map(_ => ("g1", 100.0)) ++
+      (1 to 50).map(i => ("g1", i * 37.0)) ++
+      (1 to 200).map(i => ("g2", i.toDouble)))
+      .toDF("g", "v")
+    val plan = RankSelect
+      .selectRanks(df, "g", "v", gridRanks, buckets = 1024, skewFloor = 32L)
+    assert(plan.queryExecution.analyzed.toString.contains("Union"),
+      "the skewed target must route through the refinement branch")
+    assert(skewKernel(df, gridRanks) === sortBased(df, "g", "v", gridRanks))
+  }
+
+  test("narrow non-constant cluster refines by re-bucketing its own range") {
+    // 5000 DISTINCT values packed into one top-level bucket (range
+    // [0, 5e-4] inside a [0, 1000] domain) + spread outliers: the
+    // refinement re-buckets the cluster's own narrow range, where the
+    // values spread back out and resolve without a heavy sort.
+    val df = ((1 to 5000).map(i => ("g1", i * 1e-7)) ++
+      (1 to 50).map(i => ("g1", i * 20.0)))
+      .toDF("g", "v")
+    assert(skewKernel(df, gridRanks) === sortBased(df, "g", "v", gridRanks))
+  }
+
+  test("nested clusters exhaust the recursion depth and fall back to a bounded sort") {
+    // three nesting levels, each keeping >16x the even-split share in
+    // one bucket of the level below, so depth 2 runs out and the final
+    // residue resolves through the single-task fallback — by then
+    // bounded to the innermost cluster, not the group
+    val df = ((1 to 1500).map(i => ("g1", 0.25 + i * 1e-13)) ++
+      (1 to 800).map(i => ("g1", 0.25 + i * 1e-9)) ++
+      (1 to 500).map(i => ("g1", 0.25 + i * 1e-5)) ++
+      (1 to 200).map(i => ("g1", i * 5.0)))
+      .toDF("g", "v")
+    assert(skewKernel(df, medianRanks) === sortBased(df, "g", "v", medianRanks))
+  }
 }

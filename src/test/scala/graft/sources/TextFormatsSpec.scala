@@ -62,4 +62,37 @@ class TextFormatsSpec extends AnyFunSuite {
       .where(col("n_chars") >= 200 && col("lang") === "en").count()
     assert(got.count() === expect)
   }
+
+  /** The JSONL/ORC fixtures are built once behind a _READY marker — so
+    * their staging dirs must be keyed by corpus content, or a
+    * documents.parquet regenerated in place keeps serving the stale
+    * fixture (round 6's failure mode on the events side).
+    */
+  test("jsonl and orc fixtures re-stage when documents.parquet is swapped in place") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Files.createTempDirectory("graft_docs_")
+
+    def install(sf: String): Unit = {
+      val target = corpus.resolve("documents.parquet")
+      Files.deleteIfExists(target)
+      Files.copy(Paths.get(s"/root/testdata/$sf/documents.parquet"), target)
+    }
+
+    val q108 = graft.SparkEntry.queries("q108_jsonl_ingest")
+    val q109 = graft.SparkEntry.queries("q109_orc_scan")
+
+    def expectCurrent(): Unit = {
+      val docs = spark.read.parquet(corpus.resolve("documents.parquet").toString)
+      assert(q108(spark, corpus.toString).count() === docs.count(),
+        "jsonl fixture must reflect the current corpus")
+      assert(q109(spark, corpus.toString).count() ===
+        docs.where(col("n_chars") >= 200 && col("lang") === "en").count(),
+        "orc fixture must reflect the current corpus")
+    }
+
+    install("sf0.001")
+    expectCurrent()
+    install("sf0.01") // same path, different corpus
+    expectCurrent()
+  }
 }

@@ -35,4 +35,38 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(streamed2 == Tables.events(spark, corpus.toString).count())
     assert(streamed2 != streamed1, "swapped corpus must stream different data")
   }
+
+  /** The derived fixtures (q91's sentinel parquet, q80's 4-way split)
+    * are built once per staging dir — so the dir itself must be keyed
+    * by corpus CONTENT, or an in-place regeneration keeps serving the
+    * old fixture forever (round 6: the driver re-stamped the corpus and
+    * the path-keyed sentinel/split replayed stale bytes with a stale
+    * physical schema).
+    */
+  test("sentinel and split fixtures re-stage when the corpus is swapped in place") {
+    val corpus = Files.createTempDirectory("graft_corpus2_")
+
+    def install(sf: String): Unit = {
+      val target = corpus.resolve("events.parquet")
+      Files.deleteIfExists(target)
+      Files.copy(Paths.get(s"/root/testdata/$sf/events.parquet"), target)
+    }
+
+    val q91 = StreamingQueries.queries("q91_stream_window_append").fn
+    val q80 = StreamingQueries.queries("q80_stream_merge_upsert").fn
+
+    def expectCurrent(): Unit = {
+      val ev = Tables.events(spark, corpus.toString)
+      assert(q91(spark, corpus.toString).agg(sum(col("n"))).head.getLong(0)
+        == ev.count(), "sentinel-staged stream must cover the current corpus")
+      assert(q80(spark, corpus.toString).count()
+        == ev.select("user_id", "event_type").distinct.count(),
+        "split-staged stream must cover the current corpus")
+    }
+
+    install("sf0.001")
+    expectCurrent()
+    install("sf0.01") // same path, different corpus and physical layout
+    expectCurrent()
+  }
 }
