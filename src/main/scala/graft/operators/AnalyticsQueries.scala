@@ -168,6 +168,65 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // APPROXIMATE quantile grid — the PRODUCTION default the RankSelect
+    // scaladoc promises as the cheap path: percentile_approx is ONE
+    // pass with a mergeable Greenwald-Khanna sketch (map-side partial,
+    // O(accuracy) state per group), vs the exact kernel's 3 scans — at
+    // 100 TB that is the difference between one read and three. The
+    // sketch's merge order varies run to run, so the approx VALUES are
+    // not gate-stable; what IS exact and deterministic is the GK
+    // CONTRACT: the returned element's rank is within n/accuracy of the
+    // requested rank. The query therefore measures each approx value's
+    // true rank interval with one exact counting pass and gates the
+    // boolean contract per quantile — the oracle pins the exact group
+    // sizes and expects every tolerance check to hold, so a sketch
+    // regression (or a mis-set accuracy) breaks the hash match. The
+    // exact twins are q99/q103 on the same groups.
+    "q141_quantile_approx" -> QueryDef(
+      fn = (s, d) => {
+        val acc = 1000 // rank tolerance = n/acc
+        val ps  = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+        val approx = j
+          .groupBy(col("seg"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            percentile_approx(
+              col("v"),
+              array(ps.map(p => lit(p._2)): _*),
+              lit(acc)).as("ap"))
+        // exact rank interval of each approx value: cnt(<=) and cnt(<)
+        // in one counting pass over the broadcast-joined fact
+        val aggCols = max(col("n_orders")).as("n_orders") +:
+          ps.zipWithIndex.flatMap { case (_, i) =>
+            Seq(
+              sum(when(col("v") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$i"),
+              sum(when(col("v") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$i"))
+          }
+        val counted = j
+          .join(broadcast(approx), "seg")
+          .groupBy(col("seg"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val okCols = ps.zipWithIndex.map { case ((lbl, p), i) =>
+          val n   = col("n_orders").cast("double")
+          val tol = n / acc + 1.0
+          // the value's occupied rank interval [lt+1, le] must meet
+          // [p*n - tol, p*n + tol]
+          (col(s"le$i").cast("double") >= lit(p) * n - tol &&
+            (col(s"lt$i") + 1).cast("double") <= lit(p) * n + tol).as(s"${lbl}_ok")
+        }
+        counted.select(col("seg") +: col("n_orders") +: okCols: _*)
+      },
+      oracle = Some("""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is

@@ -307,6 +307,19 @@ object PlanAudit {
       mustContain = Seq("Window", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
       minWindowPartCols = 2),
+    // the end-to-end corpus build composes five keyed/broadcast stages;
+    // nothing may plan all-pairs or collapse to one task (the per-source
+    // budget window is the q90 shape — sequential within a source by
+    // the operator's own semantics, parallel across sources)
+    Audit("q140_corpus_build",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // the approx-quantile twin is the ONE-PASS cheap path: a mergeable
+    // percentile sketch (ObjectHashAggregate) plus one exact counting
+    // pass over a broadcast join — no window, no per-group sort anywhere
+    Audit("q141_quantile_approx",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct", "SinglePartition")),
     // skew profile is two keyed aggregations — no join, no window
     Audit("q130_key_skew_profile",
       mustContain = Seq("HashAggregate"),
