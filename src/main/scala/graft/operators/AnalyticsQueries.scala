@@ -447,14 +447,20 @@ object AnalyticsQueries extends QueryModule {
     // ----------------------------------------------------------------
     // Distributed sweep-line: max concurrent sessions per day, WITHOUT
     // a global sort. Sessions (q40's 30-min-gap rule) emit +1/-1
-    // deltas; each DAY sweeps its own deltas with a day-partitioned
-    // cumulative sum, and the cross-midnight correction — sessions
-    // already open at a day's 00:00 — arrives as an O(spanned-days)
-    // explode counted per day. max(day) = greatest(opening, opening +
-    // max running). The naive formulation is one global ORDER BY ts
-    // (SinglePartition — the classic scale-killer); this one
-    // partitions the sweep by day and reconciles boundaries with a
-    // linear pass, the same trick the interval-join family uses.
+    // deltas; the sweep is HIERARCHICAL — the delta-grain cumulative
+    // sum partitions on (day, hour), so per-task input is one hour of
+    // deltas, then per-hour (offset, max) pairs reconcile inside the
+    // day with a prefix sum over ≤24 rows/day (bounded by the
+    // calendar, not the data: prefix-sum decomposition is exact at any
+    // grain cut). The cross-midnight correction — sessions already
+    // open at a day's 00:00 — arrives as an O(spanned-days) explode
+    // counted per day. max(day) = greatest(opening, opening + max
+    // running). The naive formulation is one global ORDER BY ts
+    // (SinglePartition — the classic scale-killer); a flat per-day
+    // sweep fixes that but still serializes one task per calendar day,
+    // which saturates when within-day volume grows — the hour split
+    // removes that ceiling too (and generalizes to minute grain if an
+    // hour of deltas ever outgrows a task).
     "q106_concurrency_sweep" -> QueryDef(
       fn = (s, d) => {
         val byUser = Window.partitionBy(col("user_id"))
@@ -477,15 +483,33 @@ object AnalyticsQueries extends QueryModule {
           .select(col("s_start").as("ts"), lit(1).as("delta"))
           .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
           .withColumn("day", col("ts").cast("date"))
-        val swept = deltas
+          .withColumn("hr", date_trunc("hour", col("ts")))
+        // level 1: within-hour running sum — the only window that sees
+        // delta-grain rows, partitioned on (day, hour)
+        val hourly = deltas
           .withColumn(
-            "running",
+            "running_h",
             sum(col("delta")).over(
-              Window.partitionBy(col("day"))
+              Window.partitionBy(col("day"), col("hr"))
                 .orderBy(col("ts").asc, col("delta").desc)
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("day"), col("hr"))
+          .agg(
+            max(col("running_h")).as("max_running_h"),
+            sum(col("delta")).as("h_total"))
+        // level 2: per-day prefix of the hour totals (≤24 rows/day)
+        // shifts each hour's within-hour max to its day-relative level
+        val swept = hourly
+          .withColumn(
+            "h_offset",
+            coalesce(
+              sum(col("h_total")).over(
+                Window.partitionBy(col("day"))
+                  .orderBy(col("hr").asc)
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
           .groupBy(col("day"))
-          .agg(max(col("running")).as("max_running"))
+          .agg(max(col("h_offset") + col("max_running_h")).as("max_running"))
         val opening = sess
           .filter(col("s_end").cast("date") > col("s_start").cast("date"))
           .select(explode(expr(
