@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stage-boundary invariants of the end-to-end corpus build (q140) —
+  * the oracle hashes the final selection; these pin the properties a
+  * hash mismatch would not localize.
+  */
+class CorpusBuildSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val out = graft.SparkEntry.queries("q140_corpus_build")(spark, dir).cache()
+
+  test("every selected doc clears the quality floor") {
+    graft.plans.VectorFunctions.register(spark)
+    val below = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .join(out.select("doc_id"), "doc_id")
+      .where(col("q") < 55)
+    assert(below.count() === 0L)
+  }
+
+  test("no held-out eval doc (doc_id % 97 == 0) survives") {
+    assert(out.where(col("doc_id") % 97 === 0).count() === 0L)
+  }
+
+  test("per-source cumulative tokens respect the budget and are dense") {
+    assert(out.where(col("cum_tokens") > 20000L).count() === 0L)
+    // cum_tokens is a within-source running sum of the selected docs:
+    // re-deriving it from the selection's own (n_tokens, mix order)
+    // must reproduce it exactly — a dropped or reordered doc breaks it
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bad = out
+      .withColumn("recum", sum(col("n_tokens").cast("long")).over(w))
+      .where(col("recum") =!= col("cum_tokens"))
+    assert(bad.count() === 0L)
+  }
+
+  test("split labels follow the salted-hash bucket deterministically") {
+    val bad = out.where(
+      (col("bucket") < 8 && col("split") =!= "train") ||
+        (col("bucket") === 8 && col("split") =!= "val") ||
+        (col("bucket") === 9 && col("split") =!= "test"))
+    assert(bad.count() === 0L)
+    assert(out.where(col("bucket") < 0 || col("bucket") > 9).count() === 0L)
+  }
+
+  test("q141 approx-quantile contract holds on the orders fact") {
+    val r = graft.SparkEntry.queries("q141_quantile_approx")(spark, dir)
+    val rows = r.collect()
+    assert(rows.length === 5)
+    rows.foreach { row =>
+      Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach { c =>
+        assert(row.getAs[Boolean](c), s"$c failed for seg ${row.get(0)}")
+      }
+    }
+  }
+}
