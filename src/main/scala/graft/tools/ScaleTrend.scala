@@ -46,6 +46,11 @@ object ScaleTrend {
     // corpus — measures whether the broadcast semi-join shape holds as
     // both sides scale 10x
     "q110_decontaminate",
+    // the composed corpus build (round 7): quality -> dedup ->
+    // decontaminate -> budget -> split — the duplicate rate, holdout
+    // fraction, and per-source structure are all copy-invariant, so the
+    // whole chain should track the 10x corpus linearly
+    "q140_corpus_build",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
