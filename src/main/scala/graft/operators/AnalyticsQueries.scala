@@ -147,9 +147,13 @@ object AnalyticsQueries extends QueryModule {
     // percentile_approx production twin (mergeable sketch, one pass).
     "q99_median_exact" -> QueryDef(
       fn = (s, d) => {
+        // the kernel scans its input 3x; checkpoint the slim (seg, v)
+        // join ONCE so the join runs once, not three times (q129's
+        // pattern — blocks are context-cleaned when the plan drops)
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+          .localCheckpoint(true)
         RankSelect
           .selectRanks(j, "seg", "v",
             Seq("lo" -> "(n + 1) div 2", "hi" -> "(n + 2) div 2"))
@@ -323,9 +327,12 @@ object AnalyticsQueries extends QueryModule {
     // key. Same trade and same oracle shape as q99.
     "q103_quantile_grid" -> QueryDef(
       fn = (s, d) => {
+        // checkpoint the slim join once — the kernel's 3 scans then
+        // read materialized (seg, v) blocks, not the join (q99's note)
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+          .localCheckpoint(true)
         RankSelect
           .selectRanks(j, "seg", "v", Seq(
             "p25" -> "(n + 3) div 4",
