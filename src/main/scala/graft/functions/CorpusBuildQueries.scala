@@ -37,6 +37,9 @@ object CorpusBuildQueries extends QueryModule {
   private val QualityFloor = 55
   private val TokenBudget  = 20000L
 
+  /** q142: fixed sequence length for the packing operator. */
+  private val SeqLen = 512L
+
   override def queries: Map[String, QueryDef] = Map(
     "q140_corpus_build" -> QueryDef(
       fn = (s, d) => {
@@ -168,6 +171,118 @@ object CorpusBuildQueries extends QueryModule {
           SELECT *,
                  CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS INTEGER) AS bucket
           FROM sel)""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SEQUENCE PACKING — the tokenizer-side operator every pretraining
+    // run ends with: documents are concatenated in a deterministic
+    // salted-hash order per source and cut into fixed-length training
+    // sequences (L = 512 tokens); a document whose tokens straddle a
+    // cut contributes to BOTH sequences. All integer arithmetic over
+    // one per-source cumulative window (the q90 shape) + an
+    // O(spanned-seqs) explode — a doc spans ceil(n_tokens/L)+1
+    // sequences at most, so the explode is ~n_tokens/L per doc, linear
+    // overall. Output is the packing manifest at (source, seq) grain:
+    // how many docs feed each sequence, its token fill (exactly L
+    // except each source's tail), and the first document, which is
+    // what a loader needs to materialize sequence k without scanning
+    // the corpus. The naive formulation is a global concat (one task);
+    // this one never leaves per-source keyed windows.
+    "q142_sequence_packing" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        val toks = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .where(col("n_tokens") > 0)
+          .withColumn("cum",
+            sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("off", col("cum") - col("n_tokens"))
+        val spans = toks
+          .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"), col("off"),
+            explode(expr(s"sequence(off div $SeqLen, (cum - 1) div $SeqLen)")).as("seq"))
+          .withColumn("tok_in_seq",
+            least(col("cum"), (col("seq") + 1) * SeqLen) -
+              greatest(col("off"), col("seq") * SeqLen))
+        spans
+          .groupBy(col("source"), col("seq"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok_in_seq")).as("n_tokens"),
+            min(struct(col("off"), col("doc_id"))).getField("doc_id").as("first_doc"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT source, doc_id, CAST(${TextQueries.tokenCountSql} AS BIGINT) AS n_tokens
+          FROM (${TextQueries.normSql})),
+        cums AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM toks WHERE n_tokens > 0),
+        spans AS (
+          SELECT source, doc_id, n_tokens, cum, cum - n_tokens AS off,
+                 UNNEST(range((cum - n_tokens) // $SeqLen, (cum - 1) // $SeqLen + 1)) AS seq
+          FROM cums)
+        SELECT source, seq, COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(cum, (seq + 1) * $SeqLen) - GREATEST(off, seq * $SeqLen)) AS BIGINT) AS n_tokens,
+               ARG_MIN(doc_id, off) AS first_doc
+        FROM spans GROUP BY source, seq"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // CONTAMINATION SEVERITY REPORT — the inverse view of q110's
+    // decontamination: for each held-out eval document, HOW exposed is
+    // it (how many training docs share any shingle, over how many
+    // distinct shingles)? q110 answers "drop these training docs";
+    // this answers "can this eval doc still be trusted" — the report
+    // an eval-integrity review reads. Shape: one shingle-keyed join of
+    // the (small) holdout shingle set against training shingles —
+    // Catalyst broadcasts the holdout side exactly as in q110 — then a
+    // holdout-doc-grain aggregate; zero-leak docs are kept via a
+    // left join so the report is complete.
+    "q143_contamination_report" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val sh = DedupQueries.shingleDf(s, d)
+        val hold  = sh.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_doc"), col("shingle"))
+        val train = sh.where(col("doc_id") % 97 =!= 0)
+        val leaks = hold
+          .join(train, Seq("shingle"))
+          .groupBy(col("eval_doc"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_leaky_train_docs"),
+            countDistinct(col("shingle")).as("n_shared_shingles"))
+        documents(s, d)
+          .where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_doc"), col("source"))
+          .join(leaks, Seq("eval_doc"), "left")
+          .select(
+            col("eval_doc"), col("source"),
+            coalesce(col("n_leaky_train_docs"), lit(0L)).as("n_leaky_train_docs"),
+            coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (${DedupQueries.shingleSql}),
+        leaks AS (
+          SELECT h.doc_id AS eval_doc,
+                 COUNT(DISTINCT t.doc_id) AS n_leaky_train_docs,
+                 COUNT(DISTINCT h.shingle) AS n_shared_shingles
+          FROM (SELECT * FROM sh WHERE doc_id % 97 = 0) h
+          JOIN (SELECT * FROM sh WHERE doc_id % 97 <> 0) t ON t.shingle = h.shingle
+          GROUP BY h.doc_id)
+        SELECT d.doc_id AS eval_doc, d.source,
+               COALESCE(l.n_leaky_train_docs, 0) AS n_leaky_train_docs,
+               COALESCE(l.n_shared_shingles, 0) AS n_shared_shingles
+        FROM documents d
+        LEFT JOIN leaks l ON l.eval_doc = d.doc_id
+        WHERE d.doc_id % 97 = 0"""),
     )
   )
 }

@@ -199,6 +199,16 @@ object PlanAudit {
     Audit("q110_decontaminate",
       mustContain = Seq("word_shingles", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // sequence packing: per-source cumulative window + span explode —
+    // never a global concat (that would be a single task)
+    Audit("q142_sequence_packing",
+      mustContain = Seq("Window", "Generate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // contamination report rides the q110 shingle-join shape: the
+    // holdout side broadcasts, training shingles stream past it
+    Audit("q143_contamination_report",
+      mustContain = Seq("word_shingles", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // the split assignment is a pure projection — ANY exchange means
     // someone turned a stateless stable split into a shuffle
     Audit("q113_train_split",
