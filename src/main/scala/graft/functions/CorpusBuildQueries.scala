@@ -283,6 +283,75 @@ object CorpusBuildQueries extends QueryModule {
         FROM documents d
         LEFT JOIN leaks l ON l.eval_doc = d.doc_id
         WHERE d.doc_id % 97 = 0"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // INCREMENTAL DEDUP — the operator a GROWING corpus actually runs:
+    // a new crawl batch (doc_id % 5 == 0 here) is near-dup-checked
+    // against the EXISTING corpus without re-deduping the corpus
+    // itself. Asymmetric by construction: the existing side only
+    // contributes its banded-minhash KEYS (at 100 TB that band table
+    // is a maintained index, appended batch-over-batch — never the
+    // pair graph, never a corpus rescan), and the batch joins it
+    // band-keyed. Classification per batch doc:
+    //   dup_of_corpus — shares any LSH band key with an existing doc;
+    //   dup_in_batch  — else shares a band key with a LOWER-id batch
+    //                   doc (the deterministic first-wins rule at
+    //                   batch grain — no fixpoint needed, unlike the
+    //                   full-corpus q92 clustering);
+    //   new           — neither.
+    // Both checks are semi-join-shaped on (band, band_key): linear,
+    // keyed, and the batch side is the small one — the join every
+    // incremental ingest can afford nightly.
+    "q144_incremental_dedup" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val bands = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+        val isBatch = col("doc_id") % 5 === 0
+        val bBands = bands.where(isBatch)
+        val eKeys = bands.where(!isBatch)
+          .select(col("band"), col("band_key")).distinct()
+        val crossDup = bBands
+          .join(eKeys, Seq("band", "band_key"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val inBatchDup = bBands.as("a")
+          .join(
+            bBands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("b.doc_id") < col("a.doc_id"),
+            "left_semi")
+          .select(col("doc_id")).distinct()
+        documents(s, d)
+          .where(isBatch)
+          .select(col("doc_id"), col("source"))
+          .join(crossDup.withColumn("x", lit(1)), Seq("doc_id"), "left")
+          .join(inBatchDup.withColumn("w", lit(1)), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("source"),
+            when(col("x").isNotNull, "dup_of_corpus")
+              .when(col("w").isNotNull, "dup_in_batch")
+              .otherwise("new").as("status"))
+      },
+      oracle = Some(s"""
+        WITH ${DedupQueries.mhBandsCtesSql},
+        bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        cross_dup AS (
+          SELECT DISTINCT b.doc_id FROM bb b
+          JOIN (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 5 <> 0) e
+            ON e.band = b.band AND e.band_key = b.band_key),
+        in_batch AS (
+          SELECT DISTINCT a.doc_id FROM bb a
+          JOIN bb b ON a.band = b.band AND a.band_key = b.band_key
+                   AND b.doc_id < a.doc_id)
+        SELECT d.doc_id, d.source,
+               CASE WHEN c.doc_id IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN i.doc_id IS NOT NULL THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM documents d
+        LEFT JOIN cross_dup c ON c.doc_id = d.doc_id
+        LEFT JOIN in_batch i ON i.doc_id = d.doc_id
+        WHERE d.doc_id % 5 = 0"""),
     )
   )
 }

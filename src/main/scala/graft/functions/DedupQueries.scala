@@ -89,6 +89,24 @@ object DedupQueries extends QueryModule {
     * of the quality-surviving subset only.
     */
   private[functions] def minhashCandidatePairsOf(sh: DataFrame): DataFrame = {
+    val bands = mhBandsOf(sh)
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+  }
+
+  /** The banded-minhash key projection itself — (doc_id, band,
+    * band_key) — exposed so asymmetric consumers (q144's incremental
+    * batch-vs-corpus dedup) can join band keys directly instead of
+    * materializing the full pair graph.
+    */
+  private[functions] def mhBandsOf(sh: DataFrame): DataFrame = {
     val withH = sh.withColumn(
       "h0",
       conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
@@ -103,7 +121,7 @@ object DedupQueries extends QueryModule {
     val r = K / Bands
     // single explode pass over the cached signatures (not a per-band
     // union): same rows as the oracle's UNION ALL, one narrow stage
-    val bands = mh
+    mh
       .select(col("doc_id"), explode(array((0 until Bands).map { b =>
         struct(
           lit(b).as("band"),
@@ -111,15 +129,6 @@ object DedupQueries extends QueryModule {
         )
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-    bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
   }
 
   /** Connected components over an undirected edge list (`ida`, `idb`):

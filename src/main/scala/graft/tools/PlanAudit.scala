@@ -209,6 +209,11 @@ object PlanAudit {
     Audit("q143_contamination_report",
       mustContain = Seq("word_shingles", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // incremental dedup: band-keyed semi joins only — never the pair
+    // graph, never a fixpoint, never all-pairs
+    Audit("q144_incremental_dedup",
+      mustContain = Seq("word_shingles", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // the split assignment is a pure projection — ANY exchange means
     // someone turned a stateless stable split into a shuffle
     Audit("q113_train_split",
