@@ -324,6 +324,52 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** 8-bit average-hash (aHash) signature of a decoded image. */
+  final case class BmpHashed(doc_id: Long, width: Long, height: Long, phash: Int)
+
+  /** Perceptual hash from DECODED pixels: integer luminance
+    * lum = r + 2g + b over a 4x2 block grid (block of (x, y) is
+    * bx = 4x div w, by = 2y div h), bit (by*4 + bx) set iff the
+    * block's mean luminance exceeds the image mean — compared by exact
+    * cross-multiplication (block_sum * n_pixels > total_sum * block_n)
+    * so there is no division and the oracle replays it in integers.
+    * Runs in the same mapPartitions codec boundary as the other
+    * decoders.
+    */
+  def bmpAHash(media: Dataset[MediaRecord]): Dataset[BmpHashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.content)
+        val bs = new Array[Long](8)
+        val bn = new Array[Long](8)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p   = px(y * w + x)
+            val lum = ((p >> 16) & 0xff).toLong + 2L * ((p >> 8) & 0xff) + (p & 0xff)
+            val bi  = (y * 2 / h) * 4 + (x * 4 / w)
+            bs(bi) += lum
+            bn(bi) += 1
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0
+        var i = 0
+        while (i < 8) {
+          if (bs(i) * n > total * bn(i)) hash |= 1 << i
+          i += 1
+        }
+        BmpHashed(m.doc_id, w.toLong, h.toLong, hash)
+      }
+    }
+  }
+
   /** Byte-window sampler: every `stride`-th byte window as a "frame".
     * The format-agnostic path — it never decodes, so it applies to any
     * opaque payload (useful for chunked hashing / shipping); decoded,
@@ -497,6 +543,66 @@ object Multimodal extends QueryModule {
                CAST(SUM((doc_id * 2 + 5 * x + y) % 256) AS BIGINT) AS g_sum,
                CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS b_sum
         FROM px GROUP BY doc_id, w, h""")
+    ),
+
+    // IMAGE NEAR-DUP via perceptual hash — multimodal dedup, the
+    // missing member of the dedup family (q31-q34 are text-grain): an
+    // 8-bit average-hash over DECODED pixels (the real BMP parser, the
+    // real codec boundary), then hash-grouped keep-first exactly like
+    // exact text dedup. The generated corpus contains true duplicate
+    // images by construction (doc_id and doc_id+256 render identical
+    // pixels at identical dimensions — every channel formula is mod
+    // 256), so the gate proves real collisions collapse and distinct
+    // images do not. The oracle replays luminance, the 4x2 block grid,
+    // and the division-free mean comparison in closed form. Scale:
+    // decode is one mapPartitions pass; grouping is one hash aggregate
+    // on (dims, hash) — linear, no pair joins.
+    "q145_image_phash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val hashed = bmpAHash(bmpTable(s, d)).toDF()
+        val keep = hashed
+          .groupBy(col("width"), col("height"), col("phash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+        hashed
+          .join(keep, Seq("width", "height", "phash"))
+          .select(
+            col("doc_id"), col("width"), col("height"), col("phash"),
+            col("keeper_id"), col("group_n"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        pxg AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        lums AS (
+          SELECT doc_id, w, h,
+                 (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 (doc_id * 3 + x + 11 * y) % 256
+                   + 2 * ((doc_id * 2 + 5 * x + y) % 256)
+                   + (doc_id + 3 * x + 7 * y) % 256 AS lum
+          FROM pxg),
+        blocks AS (
+          SELECT doc_id, w, h, bi,
+                 CAST(SUM(lum) AS BIGINT) AS bs, COUNT(*) AS bn
+          FROM lums GROUP BY doc_id, w, h, bi),
+        tot AS (
+          SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bn) AS BIGINT) AS n
+          FROM blocks GROUP BY doc_id),
+        hashes AS (
+          SELECT b.doc_id, b.w, b.h,
+                 CAST(SUM(CASE WHEN b.bs * t.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS phash
+          FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id, b.w, b.h),
+        keep AS (
+          SELECT w, h, phash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_n
+          FROM hashes GROUP BY w, h, phash)
+        SELECT hs.doc_id, hs.w AS width, hs.h AS height, hs.phash,
+               k.keeper_id, k.group_n, hs.doc_id <> k.keeper_id AS is_dup
+        FROM hashes hs
+        JOIN keep k ON k.w = hs.w AND k.h = hs.h AND k.phash = hs.phash"""),
     ),
 
     // Real frame sampling: decoded sample-aligned analysis windows (64

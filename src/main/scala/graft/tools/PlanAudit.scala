@@ -214,6 +214,11 @@ object PlanAudit {
     Audit("q144_incremental_dedup",
       mustContain = Seq("word_shingles", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // image perceptual-hash dedup: decode pass + (dims, hash)-keyed
+    // aggregate/join — linear, no pair joins anywhere
+    Audit("q145_image_phash_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // the split assignment is a pure projection — ANY exchange means
     // someone turned a stateless stable split into a shuffle
     Audit("q113_train_split",
