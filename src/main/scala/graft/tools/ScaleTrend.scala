@@ -51,6 +51,14 @@ object ScaleTrend {
     // fraction, and per-source structure are all copy-invariant, so the
     // whole chain should track the 10x corpus linearly
     "q140_corpus_build",
+    // round-7 pipeline additions: packing (keyed window + explode),
+    // contamination report + incremental dedup (shingle/band-keyed
+    // joins), image phash dedup (decode pass + keyed aggregate) — all
+    // linear shapes, measured to keep them honest
+    "q142_sequence_packing",
+    "q143_contamination_report",
+    "q144_incremental_dedup",
+    "q145_image_phash_dedup",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
