@@ -370,6 +370,47 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** 8-bit audio energy fingerprint from decoded PCM. */
+  final case class WavHashed(doc_id: Long, n_samples: Long, fp: Int)
+
+  /** Audio fingerprint from DECODED samples: the signal is cut into 8
+    * sample blocks (block of sample i is 8i div n), bit b set iff the
+    * block's mean energy (sum of squared samples) exceeds the signal
+    * mean — the same division-free cross-multiplication as the image
+    * aHash, exact in 64-bit (|sample| ≤ 2^15, ≤ 200 samples). The
+    * audio member of the perceptual-dedup pair (q145 is the image
+    * one).
+    */
+  def wavEnergyHash(media: Dataset[MediaRecord]): Dataset[WavHashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (_, samples) = parseWavPcm16(m.content)
+        val n  = samples.length
+        val es = new Array[Long](8)
+        val bn = new Array[Long](8)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val s  = samples(i).toLong
+          val e  = s * s
+          val bi = i * 8 / n
+          es(bi) += e
+          bn(bi) += 1
+          total += e
+          i += 1
+        }
+        var fp = 0
+        var b = 0
+        while (b < 8) {
+          if (es(b) * n > total * bn(b)) fp |= 1 << b
+          b += 1
+        }
+        WavHashed(m.doc_id, n.toLong, fp)
+      }
+    }
+  }
+
   /** Byte-window sampler: every `stride`-th byte window as a "frame".
     * The format-agnostic path — it never decodes, so it applies to any
     * opaque payload (useful for chunked hashing / shipping); decoded,
@@ -603,6 +644,100 @@ object Multimodal extends QueryModule {
                k.keeper_id, k.group_n, hs.doc_id <> k.keeper_id AS is_dup
         FROM hashes hs
         JOIN keep k ON k.w = hs.w AND k.h = hs.h AND k.phash = hs.phash"""),
+    ),
+
+    // AUDIO NEAR-DUP via energy fingerprint — q145's audio twin: an
+    // 8-bit block-energy signature over DECODED PCM through the real
+    // WAV parser, then hash-grouped keep-first. Unlike the image side,
+    // the generated corpus has no engineered exact-duplicate audio
+    // (the sample formula's period, lcm(80, 65536), exceeds any test
+    // doc_id range), so the collapse here is genuine fingerprint
+    // collision — which is exactly what a coarse perceptual hash is
+    // FOR: the keeper groups are the candidate sets a finer
+    // verification pass (full sample compare) would rerank, the same
+    // two-tier shape as LSH -> exact-Jaccard (q32/q33). Scale: decode
+    // pass + one (n_samples, fp)-keyed aggregate — linear, no pairs.
+    "q146_audio_fingerprint_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val hashed = wavEnergyHash(wavTable(s, d)).toDF()
+        val keep = hashed
+          .groupBy(col("n_samples"), col("fp"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+        hashed
+          .join(keep, Seq("n_samples", "fp"))
+          .select(
+            col("doc_id"), col("n_samples"), col("fp"),
+            col("keeper_id"), col("group_n"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 120 + doc_id % 80 AS n FROM documents),
+        smp AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        v AS (
+          SELECT doc_id, n, (i * 8) // n AS bi,
+                 ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS s
+          FROM smp),
+        blocks AS (
+          SELECT doc_id, n, bi,
+                 CAST(SUM(s * s) AS BIGINT) AS es, COUNT(*) AS bn
+          FROM v GROUP BY doc_id, n, bi),
+        tot AS (
+          SELECT doc_id, CAST(SUM(es) AS BIGINT) AS ts
+          FROM blocks GROUP BY doc_id),
+        hashes AS (
+          SELECT b.doc_id, b.n,
+                 CAST(SUM(CASE WHEN b.es * b.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS fp
+          FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id, b.n),
+        keep AS (
+          SELECT n, fp, MIN(doc_id) AS keeper_id, COUNT(*) AS group_n
+          FROM hashes GROUP BY n, fp)
+        SELECT h.doc_id, h.n AS n_samples, h.fp,
+               k.keeper_id, k.group_n, h.doc_id <> k.keeper_id AS is_dup
+        FROM hashes h
+        JOIN keep k ON k.n = h.n AND k.fp = h.fp"""),
+    ),
+
+    // MULTIMODAL RECORD ASSEMBLY — the last step before a multimodal
+    // training run: one manifest row per document joining every
+    // modality at doc grain (text stats from the table, image dims and
+    // audio length from the REAL decoders, embedding dimensionality
+    // from the vector table via a left join, so a missing vector
+    // degrades to emb_dim 0 instead of dropping the record). All
+    // doc-keyed equi-joins — the linear assembly shape regardless of
+    // corpus size; the oracle replays the decoders' closed forms.
+    "q147_multimodal_assembly" -> QueryDef(
+      fn = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        val img = bmpFeatures(bmpTable(s, d)).toDF()
+          .select(col("doc_id"), col("width"), col("height"))
+        val aud = wavFeatures(wavTable(s, d)).toDF()
+          .select(col("doc_id"), col("n_samples"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), size(col("embedding")).as("emb_dim"))
+        docs
+          .join(img, Seq("doc_id"))
+          .join(aud, Seq("doc_id"))
+          .join(emb, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            col("width"), col("height"), col("n_samples"),
+            coalesce(col("emb_dim"), lit(0)).as("emb_dim"),
+            (lit(3) + when(col("emb_dim").isNotNull, 1).otherwise(0)).as("n_modalities"))
+      },
+      oracle = Some("""
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+               CAST(8 + d.doc_id % 8 AS BIGINT) AS width,
+               CAST(4 + d.doc_id % 4 AS BIGINT) AS height,
+               CAST(120 + d.doc_id % 80 AS BIGINT) AS n_samples,
+               CAST(COALESCE(len(e.embedding), 0) AS INTEGER) AS emb_dim,
+               CAST(CASE WHEN e.vec_id IS NOT NULL THEN 4 ELSE 3 END AS INTEGER) AS n_modalities
+        FROM documents d
+        LEFT JOIN embeddings e ON e.vec_id = d.doc_id"""),
     ),
 
     // Real frame sampling: decoded sample-aligned analysis windows (64

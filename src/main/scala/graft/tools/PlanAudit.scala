@@ -219,6 +219,14 @@ object PlanAudit {
     Audit("q145_image_phash_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // audio fingerprint dedup: same shape as the image twin
+    Audit("q146_audio_fingerprint_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // multimodal assembly is doc-keyed equi-joins only
+    Audit("q147_multimodal_assembly",
+      mustContain = Seq.empty,
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // the split assignment is a pure projection — ANY exchange means
     // someone turned a stateless stable split into a shuffle
     Audit("q113_train_split",
