@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-bounded cache leasing shared by the query modules.
+  *
+  * A module registers every intermediate it `persist()`s; every wrapped
+  * query entry first releases the intermediates persisted by PREVIOUS
+  * invocations across ALL wrapped modules. Release is deferred exactly
+  * one generation because a returned plan must stay persisted until the
+  * caller materializes it — so repeated invocations in one session stay
+  * bounded (at most one generation of cached blocks) without callers
+  * needing a global `clearCache()`.
+  */
+object CacheLeases {
+
+  private val leases = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Register a persisted intermediate for next-entry release. */
+  def lease(df: DataFrame): DataFrame = { leases.add(df); df }
+
+  /** Release everything leased by previous invocations. */
+  def releasePrevious(): Unit = {
+    var df = leases.poll()
+    while (df != null) {
+      try df.unpersist(false)
+      catch { case _: Exception => () }
+      df = leases.poll()
+    }
+  }
+
+  /** Wrap a module's query map so every entry drains previous leases. */
+  def draining(qs: Map[String, QueryDef]): Map[String, QueryDef] =
+    qs.map { case (name, q) =>
+      name -> q.copy(fn = (s, d) => { releasePrevious(); q.fn(s, d) })
+    }
+}

@@ -14,20 +14,50 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Staging {
 
-  /** `/tmp/<prefix>_<md5(path)>_<md5(path|size|mtime)>`, created unless
+  /** `/tmp/<prefix>_<md5(path)>_<generation key>`, created unless
     * `create=false` (stagers that ATOMIC_MOVE a build dir onto the final
     * name need the target absent), with stale sibling generations of the
     * same source reaped best-effort.
+    *
+    * The generation key hashes (path, size, mtime) PLUS the file's
+    * first and last 4 KiB: a same-length regeneration landing in the
+    * same mtime millisecond would otherwise key the old dir and replay
+    * stale fixtures — and for parquet the footer (schema + stats) lives
+    * in the tail block, so any physical-type change is always captured.
+    *
+    * Reaping trade-off, explicit: a concurrent process still streaming
+    * from a PRIOR generation (possible only when the corpus is
+    * regenerated in place mid-query) loses its files and fails fast.
+    * That transient, retryable failure is accepted in exchange for
+    * never serving stale derived data — the silent-wrong-answer class
+    * this helper exists to kill.
     */
   def dirFor(prefix: String, src: Path, create: Boolean = true): Path = {
     val pathKey = Digest.md5Hex(src.toString, 8)
-    val sz      = Files.size(src)
-    val mt      = Files.getLastModifiedTime(src).toMillis
-    val genKey  = Digest.md5Hex(s"$src|$sz|$mt", 8)
-    val dir     = Paths.get(s"/tmp/${prefix}_${pathKey}_$genKey")
+    val genKey  = Digest.md5Hex(s"$src|${Files.size(src)}|" +
+      s"${Files.getLastModifiedTime(src).toMillis}|${edgeDigest(src)}", 8)
+    val dir = Paths.get(s"/tmp/${prefix}_${pathKey}_$genKey")
     reapStale(s"${prefix}_$pathKey", dir)
     if (create) Files.createDirectories(dir)
     dir
+  }
+
+  /** md5 of the file's first and last 4 KiB — an 8 KiB read regardless
+    * of file size.
+    */
+  private def edgeDigest(src: Path): String = {
+    val ch = java.nio.channels.FileChannel.open(src)
+    try {
+      val sz   = ch.size()
+      val head = java.nio.ByteBuffer.allocate(math.min(4096L, sz).toInt)
+      ch.read(head, 0L)
+      val tail = java.nio.ByteBuffer.allocate(math.min(4096L, sz).toInt)
+      ch.read(tail, math.max(0L, sz - 4096L))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(head.array())
+      md.update(tail.array())
+      md.digest().take(8).map("%02x".format(_)).mkString
+    } finally ch.close()
   }
 
   /** Delete sibling generations `<family>_<16-hex-gen>` other than

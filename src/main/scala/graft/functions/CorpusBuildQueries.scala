@@ -40,7 +40,14 @@ object CorpusBuildQueries extends QueryModule {
   /** q142: fixed sequence length for the packing operator. */
   private val SeqLen = 512L
 
-  override def queries: Map[String, QueryDef] = Map(
+  /** The DedupQueries helpers these queries call register their
+    * persisted intermediates with [[graft.CacheLeases]]; draining at
+    * every entry keeps repeated invocations bounded.
+    */
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private def rawQueries: Map[String, QueryDef] = Map(
     "q140_corpus_build" -> QueryDef(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -56,8 +63,13 @@ object CorpusBuildQueries extends QueryModule {
 
         // stage 2 — DEDUP among quality survivors: candidate pairs from
         // the banded minhash of the FILTERED shingle set, components,
-        // keep the best (q DESC, doc_id ASC) per cluster
-        val sh  = DedupQueries.shingleDf(s, d)
+        // keep the best (q DESC, doc_id ASC) per cluster. The shingle
+        // explode feeds three consumers (minhash bands, the holdout
+        // set, the contamination check) — checkpoint it ONCE so the
+        // normalize+shingle pass over the corpus runs once, not three
+        // times (a real pipeline stages shingles to a table for the
+        // same reason; blocks are context-cleaned when the plan drops)
+        val sh  = DedupQueries.shingleDf(s, d).localCheckpoint(true)
         val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
         val clusters = DedupQueries.connectedComponents(
           DedupQueries.minhashCandidatePairsOf(shQ)

@@ -118,6 +118,7 @@ object DedupQueries extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
       .persist() // tiny (one row per doc); read by both join sides
+      .leased
     val r = K / Bands
     // single explode pass over the cached signatures (not a per-band
     // union): same rows as the oracle's UNION ALL, one narrow stage
@@ -238,7 +239,18 @@ object DedupQueries extends QueryModule {
         mh AS (SELECT doc_id, $mhMinsSql FROM hashed GROUP BY doc_id),
         bands AS ($mhBandSelectsSql)"""
 
-  override def queries: Map[String, QueryDef] = Map(
+  /** Persisted intermediates route through the shared
+    * [[graft.CacheLeases]] registry; every entry drains the previous
+    * invocation's cached blocks.
+    */
+  private implicit class LeaseOps(private val df: DataFrame) {
+    def leased: DataFrame = graft.CacheLeases.lease(df)
+  }
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Exact dedup: self-union with shifted ids constructs guaranteed
     // duplicates; dedup keeps min doc_id per content fingerprint.
@@ -295,7 +307,7 @@ object DedupQueries extends QueryModule {
         val mhCols = (0 until K).map(i =>
           min((lit(MhA(i)) * col("h0") + lit(MhB(i))) % lit(MhP)).as(s"h$i")
         )
-        val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
+        val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist().leased
         val nBands = 6 // 2 rows per band — see the recall contract above
         val r = K / nBands
         // one explode pass instead of a 6-way union re-reading the cached
@@ -320,6 +332,7 @@ object DedupQueries extends QueryModule {
           .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
           .distinct()
           .persist() // feeds the candidate-id broadcast and the final join
+          .leased
         val candIds = cand.select(col("ida").as("doc_id"))
           .unionByName(cand.select(col("idb").as("doc_id")))
           .distinct()
@@ -719,7 +732,7 @@ object DedupQueries extends QueryModule {
         )
         val bandBits = SimBits / SimBands
         val mask     = (1L << bandBits) - 1
-        val keyed = sig.persist() // tiny (one row per doc); feeds all bands
+        val keyed = sig.persist().leased // tiny (one row per doc); feeds all bands
         val bands = (0 until SimBands)
           .map { b =>
             keyed.select(

@@ -24,30 +24,15 @@ object SimilarityQueries extends QueryModule {
 
   import Tables._
 
-  /** Persisted intermediates are LEASED, not leaked: every query entry
-    * first releases the intermediates persisted by previous invocations
-    * of this module (see the [[queries]] wrapper), so repeated calls in
-    * one session cannot accumulate cached blocks. Release is deferred
-    * exactly one generation because a returned plan must stay persisted
-    * until the caller materializes it — the caller no longer needs a
-    * global `clearCache()` to stay bounded.
+  /** Persisted intermediates are LEASED via the shared
+    * [[graft.CacheLeases]] registry, not leaked: every wrapped query
+    * entry releases the previous invocation's cached blocks, so
+    * repeated calls in one session stay bounded without a global
+    * `clearCache()`.
     */
-  private val leases = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-
-  private def lease(df: DataFrame): DataFrame = { leases.add(df); df }
-
-  private def releaseLeases(): Unit = {
-    var df = leases.poll()
-    while (df != null) {
-      try df.unpersist(false)
-      catch { case _: Exception => () }
-      df = leases.poll()
-    }
-  }
-
   private implicit class LeaseOps(private val df: DataFrame) {
     /** Chainable `.persist().leased` — registers for next-entry release. */
-    def leased: DataFrame = lease(df)
+    def leased: DataFrame = graft.CacheLeases.lease(df)
   }
 
   /** Brute-force all-pairs formulations (q35/q44) are exact BASELINES,
@@ -237,12 +222,10 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Every entry drains the previous invocation's persisted
-    * intermediates before running — see [[leases]].
+    * intermediates before running — see [[graft.CacheLeases]].
     */
   override def queries: Map[String, QueryDef] =
-    rawQueries.map { case (name, q) =>
-      name -> q.copy(fn = (s, d) => { releaseLeases(); q.fn(s, d) })
-    }
+    graft.CacheLeases.draining(rawQueries)
 
   private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------

@@ -149,7 +149,11 @@ object AnalyticsQueries extends QueryModule {
       fn = (s, d) => {
         // the kernel scans its input 3x; checkpoint the slim (seg, v)
         // join ONCE so the join runs once, not three times (q129's
-        // pattern — blocks are context-cleaned when the plan drops)
+        // pattern — blocks are context-cleaned when the plan drops).
+        // Known audit scope: the checkpointed join shows as a scan in
+        // the plan audit, which therefore guards the KERNEL's shape
+        // (bounded windows, broadcast stats) — the input join here is
+        // a plain broadcast dim join
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
@@ -214,8 +218,14 @@ object AnalyticsQueries extends QueryModule {
           .groupBy(col("seg"))
           .agg(aggCols.head, aggCols.tail: _*)
         val okCols = ps.zipWithIndex.map { case ((lbl, p), i) =>
-          val n   = col("n_orders").cast("double")
-          val tol = n / acc + 1.0
+          val n = col("n_orders").cast("double")
+          // tolerance = 2*n/accuracy + 1: a single GK summary holds
+          // rank error <= n/accuracy, but MERGING partition summaries
+          // can add the parents' errors (up to 2x), and merge order
+          // varies with partitioning/AQE — the gate must hold for any
+          // merge order, or it flakes on plan changes rather than
+          // catching sketch regressions
+          val tol = lit(2.0) * n / acc + 1.0
           // the value's occupied rank interval [lt+1, le] must meet
           // [p*n - tol, p*n + tol]
           (col(s"le$i").cast("double") >= lit(p) * n - tol &&

@@ -600,7 +600,10 @@ object Multimodal extends QueryModule {
     // on (dims, hash) — linear, no pair joins.
     "q145_image_phash_dedup" -> QueryDef(
       fn = (s, d) => {
-        val hashed = bmpAHash(bmpTable(s, d)).toDF()
+        // checkpoint the doc-grain hash table: it feeds both the
+        // keeper aggregate and the join probe, and the encode+decode
+        // pass it truncates is the query's dominant cost
+        val hashed = bmpAHash(bmpTable(s, d)).toDF().localCheckpoint(true)
         val keep = hashed
           .groupBy(col("width"), col("height"), col("phash"))
           .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
@@ -659,7 +662,8 @@ object Multimodal extends QueryModule {
     // pass + one (n_samples, fp)-keyed aggregate — linear, no pairs.
     "q146_audio_fingerprint_dedup" -> QueryDef(
       fn = (s, d) => {
-        val hashed = wavEnergyHash(wavTable(s, d)).toDF()
+        // same checkpoint rationale as q145: one decode pass, two readers
+        val hashed = wavEnergyHash(wavTable(s, d)).toDF().localCheckpoint(true)
         val keep = hashed
           .groupBy(col("n_samples"), col("fp"))
           .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
