@@ -247,6 +247,53 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Trigger.AvailableNow — the PRODUCTION drain trigger: process all
+    // data available at start (honoring source rate limits —
+    // maxFilesPerTrigger=1 over the 4-way split makes this 4 real
+    // planned micro-batches), then stop on its own. This is how a
+    // scheduled backfill/catch-up job runs at scale: bounded work, no
+    // always-on cluster, exactly the same incremental plan — where
+    // processAllAvailable (the other gates) is a test-harness drain of
+    // an already-running query. awaitTermination returns when the
+    // trigger exhausts the source; the final complete-mode table must
+    // equal the batch aggregation.
+    "q148_stream_available_now" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val agg = streamFromDir(
+            s, stageEventsSplit(s, d), Map("maxFilesPerTrigger" -> "1"))
+            .withWatermark("ts", "48 hours")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total")
+            )
+            .select(
+              col("window.start").as("day_start"),
+              col("event_type"), col("n"), col("total")
+            )
+          val q = agg.writeStream
+            .format("memory")
+            .queryName("q148_out")
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() // AvailableNow terminates itself
+          finally q.stop()
+          s.table("q148_out")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
     // APPEND-MODE windowed aggregation — the production counterpart of
     // q37: a window row is emitted exactly ONCE, when the watermark
     // passes window.end + delay, and its state is evicted — so state and
