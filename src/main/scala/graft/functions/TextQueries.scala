@@ -14,7 +14,7 @@ object TextQueries extends QueryModule {
   import TextFunctions._
 
   /** DuckDB fragment: normalized text `t` for `documents`. */
-  private[functions] val normSql =
+  private[graft] val normSql =
     "SELECT doc_id, source, lang, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents"
 
   private def occSql(expr: String, sub: String): String =
@@ -40,7 +40,7 @@ object TextQueries extends QueryModule {
   private lazy val stopsSql = TextFunctions.langMarkers
     .find(_._1 == "en").get._2
     .map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
-  private[functions] lazy val qualitySql =
+  private[graft] lazy val qualitySql =
     s"""GREATEST(LEAST(
               (CASE WHEN length(t) BETWEEN 200 AND 4000 THEN 40
                     WHEN length(t) BETWEEN 50 AND 199 THEN 25 ELSE 10 END)
@@ -48,7 +48,7 @@ object TextQueries extends QueryModule {
               + 30
               - LEAST(length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 2, 20)
               - LEAST(length(regexp_replace(t, '[^0-9]', '', 'g')), 10), 100), 0)"""
-  private[functions] lazy val tokenCountSql =
+  private[graft] lazy val tokenCountSql =
     "CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS INTEGER)"
 
   override def queries: Map[String, QueryDef] = Map(

@@ -199,6 +199,47 @@ object TextFormats extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // STREAMING CORPUS INGEST — the document-side streaming path (the
+    // other gates stream events): crawl drops land as JSONL and are
+    // scored AS THEY ARRIVE — the same PERMISSIVE parse + quarantine
+    // rule as q108, plus quality and token scoring, through the real
+    // streaming file source into an append sink. Stateless (no
+    // watermark, no aggregation), so each clean document is emitted
+    // exactly once and the drained replay equals the batch score pass
+    // — the shape a continuous ingestion tier runs at 100 TB, with the
+    // scoring projection fully codegen'd inside the streaming plan.
+    "q149_stream_corpus_ingest" -> QueryDef(
+      fn = (s, d) => {
+        import graft.functions.{TextFunctions, TextQueries}
+        graft.plans.VectorFunctions.register(s)
+        val readSchema = docSchema.add("_corrupt_record", StringType)
+        val stream = s.readStream
+          .schema(readSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(stageJsonl(s, d))
+          .where(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .select(
+            col("doc_id"), col("source"), col("lang"),
+            TextFunctions.qualityScore(col("text")).as("q"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val q = stream.writeStream
+          .format("memory")
+          .queryName("q149_out")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table("q149_out")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, lang,
+               CAST(${graft.functions.TextQueries.qualitySql} AS INTEGER) AS q,
+               ${graft.functions.TextQueries.tokenCountSql} AS n_tokens
+        FROM (${graft.functions.TextQueries.normSql})"""),
+    ),
+
+    // ----------------------------------------------------------------
     // ORC round trip with predicate + projection pushdown: the filter
     // must reach the ORC reader (plan-asserted in PlanAudit) just as it
     // does for parquet — format choice must not cost the optimizer
