@@ -40,6 +40,42 @@ object CorpusBuildQueries extends QueryModule {
   /** q142: fixed sequence length for the packing operator. */
   private val SeqLen = 512L
 
+  /** The q142 packing kernel over an arbitrary
+    * (source, doc_id, n_tokens) relation: documents concatenated in
+    * deterministic salted-hash order per source and cut into
+    * fixed-`seqLen` sequences; a straddling doc contributes to every
+    * sequence it spans. Returns the (source, seq) manifest:
+    * (n_docs, n_tokens, first_doc). Exposed for property testing —
+    * the invariants (total-token conservation, exact fill except each
+    * source's tail, contiguous doc spans) are asserted in
+    * `CorpusBuildSpec` over generated data, not just the corpus.
+    */
+  private[graft] def packSequences(
+      docs: org.apache.spark.sql.DataFrame,
+      seqLen: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+    val toks = docs
+      .where(col("n_tokens") > 0)
+      .withColumn("cum",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("off", col("cum") - col("n_tokens"))
+    val spans = toks
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"), col("off"),
+        explode(expr(s"sequence(off div $seqLen, (cum - 1) div $seqLen)")).as("seq"))
+      .withColumn("tok_in_seq",
+        least(col("cum"), (col("seq") + 1) * seqLen) -
+          greatest(col("off"), col("seq") * seqLen))
+    spans
+      .groupBy(col("source"), col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).as("n_tokens"),
+        min(struct(col("off"), col("doc_id"))).getField("doc_id").as("first_doc"))
+  }
+
   /** The DedupQueries helpers these queries call register their
     * persisted intermediates with [[graft.CacheLeases]]; draining at
     * every entry keeps repeated invocations bounded.
@@ -202,30 +238,12 @@ object CorpusBuildQueries extends QueryModule {
     // this one never leaves per-source keyed windows.
     "q142_sequence_packing" -> QueryDef(
       fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         graft.plans.VectorFunctions.register(s)
-        val w = Window
-          .partitionBy(col("source"))
-          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
-        val toks = documents(s, d)
-          .select(col("source"), col("doc_id"),
-            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .where(col("n_tokens") > 0)
-          .withColumn("cum",
-            sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("off", col("cum") - col("n_tokens"))
-        val spans = toks
-          .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"), col("off"),
-            explode(expr(s"sequence(off div $SeqLen, (cum - 1) div $SeqLen)")).as("seq"))
-          .withColumn("tok_in_seq",
-            least(col("cum"), (col("seq") + 1) * SeqLen) -
-              greatest(col("off"), col("seq") * SeqLen))
-        spans
-          .groupBy(col("source"), col("seq"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("tok_in_seq")).as("n_tokens"),
-            min(struct(col("off"), col("doc_id"))).getField("doc_id").as("first_doc"))
+        packSequences(
+          documents(s, d)
+            .select(col("source"), col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          SeqLen)
       },
       oracle = Some(s"""
         WITH toks AS (

@@ -51,6 +51,38 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(out.where(col("bucket") < 0 || col("bucket") > 9).count() === 0L)
   }
 
+  test("q142 packing invariants hold on generated data, not just the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 400).map { i =>
+      (s"src${i % 5}", i.toLong, (rnd.nextInt(300) + (if (i % 7 == 0) 0 else 1)).toLong)
+    }.toDF("source", "doc_id", "n_tokens")
+    val L = 128L
+    val packed = CorpusBuildQueries.packSequences(docs, L).cache()
+
+    // token conservation: every positive token lands in exactly one seq
+    val totalIn  = docs.where(col("n_tokens") > 0)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val totalOut = packed.agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(totalOut === totalIn)
+
+    // exact fill: every sequence holds exactly L tokens except each
+    // source's last (= max seq id), which holds 1..L
+    import org.apache.spark.sql.expressions.Window
+    val flagged = packed.withColumn("is_tail",
+      col("seq") === max(col("seq")).over(Window.partitionBy(col("source"))))
+    assert(flagged.where(!col("is_tail") && col("n_tokens") =!= L).count() === 0L)
+    assert(flagged.where(col("is_tail") &&
+      (col("n_tokens") < 1 || col("n_tokens") > L)).count() === 0L)
+
+    // contiguity: per source, seq ids are exactly 0..max with no holes
+    val bad = packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), min(col("seq")).as("lo"), max(col("seq")).as("hi"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(bad.count() === 0L)
+    packed.unpersist()
+  }
+
   test("q141 approx-quantile contract holds on the orders fact") {
     val r = graft.SparkEntry.queries("q141_quantile_approx")(spark, dir)
     val rows = r.collect()
