@@ -382,6 +382,102 @@ object CorpusBuildQueries extends QueryModule {
         LEFT JOIN cross_dup c ON c.doc_id = d.doc_id
         LEFT JOIN in_batch i ON i.doc_id = d.doc_id
         WHERE d.doc_id % 5 = 0"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // CURRICULUM PHASES — curriculum-learning's data-side operator:
+    // rank each source's documents by quality (best first, doc_id
+    // tiebreak) and cut into 4 equal phases with NTILE; training
+    // consumes phase 1 first. The ranking window partitions by source
+    // — per-source sequential by the operator's own semantics (a
+    // curriculum IS a per-source ordering), parallel across sources,
+    // the accepted q90 shape. Output is the per-(source, phase)
+    // manifest a scheduler reads: doc/token volume and the phase's
+    // quality band.
+    "q150_curriculum_phases" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("q"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("phase", ntile(4).over(w))
+          .groupBy(col("source"), col("phase"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"))
+      },
+      oracle = Some(s"""
+        SELECT source, phase, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(MIN(q) AS INTEGER) AS min_q,
+               CAST(MAX(q) AS INTEGER) AS max_q
+        FROM (
+          SELECT source, doc_id, q, n_tokens,
+                 CAST(NTILE(4) OVER (PARTITION BY source
+                   ORDER BY q DESC, doc_id ASC) AS INTEGER) AS phase
+          FROM (
+            SELECT source, doc_id,
+                   CAST(${TextQueries.qualitySql} AS INTEGER) AS q,
+                   ${TextQueries.tokenCountSql} AS n_tokens
+            FROM (${TextQueries.normSql})))
+        GROUP BY source, phase"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // VOCABULARY COVERAGE CURVE — the tokenizer-design question "how
+    // much of the corpus do the top-k tokens cover?": global token
+    // counts (one doc-grain-combined hash aggregate), top-100 by
+    // frequency through a TakeOrderedAndProject heap (q137's shape —
+    // never a global sort of the vocab), then the cumulative coverage
+    // share against the broadcast 1-row corpus total. The only
+    // unpartitioned window runs over the ALREADY-SELECTED 100 rows —
+    // bounded by construction, like q106's ≤24-row day reconciliation.
+    "q151_vocab_coverage" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+        val tokens = documents(s, d)
+          .select(explode(split(TextFunctions.normalizeText(col("text")), " ")).as("token"))
+          .where(col("token") =!= "")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+        val total = tokens.agg(sum(col("cnt")).as("total_cnt"))
+        val top = tokens
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(100)
+        top
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+          .withColumn("cum_cnt",
+            sum(col("cnt")).over(Window.orderBy(col("cnt").desc, col("token").asc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(total))
+          .select(
+            col("rank"), col("token"), col("cnt"),
+            (col("cum_cnt").cast("double") / col("total_cnt").cast("double"))
+              .as("cum_share"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT UNNEST(string_split(t, ' ')) AS token FROM (${TextQueries.normSql})),
+        counts AS (
+          SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM counts),
+        top AS (
+          SELECT token, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+          FROM counts ORDER BY cnt DESC, token ASC LIMIT 100)
+        SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE) AS cum_share
+        FROM top, total"""),
     )
   )
 }

@@ -219,6 +219,17 @@ object PlanAudit {
     Audit("q145_image_phash_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // curriculum phases: the only window partitions by source (the
+    // operator's own per-source ordering semantics) — never a global
+    // sort of the corpus
+    Audit("q150_curriculum_phases",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
+    // vocab coverage: top-100 must come off a TakeOrderedAndProject
+    // heap, not a global sort of the vocabulary
+    Audit("q151_vocab_coverage",
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("CartesianProduct")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),
