@@ -34,13 +34,35 @@ object Staging {
     */
   def dirFor(prefix: String, src: Path, create: Boolean = true): Path = {
     val pathKey = Digest.md5Hex(src.toString, 8)
-    val genKey  = Digest.md5Hex(s"$src|${Files.size(src)}|" +
-      s"${Files.getLastModifiedTime(src).toMillis}|${edgeDigest(src)}", 8)
+    val genKey  = Digest.md5Hex(s"$src|${sourceSignature(src)}", 8)
     val dir = Paths.get(s"/tmp/${prefix}_${pathKey}_$genKey")
     reapStale(s"${prefix}_$pathKey", dir)
     if (create) Files.createDirectories(dir)
     dir
   }
+
+  /** Content signature of a source that may be a single file (the
+    * driver's corpus shape) or a multi-part dataset DIRECTORY (e.g.
+    * ScaleTrend's generated corpus): files sign as
+    * size|mtime|edge-digest; directories sign as the sorted child
+    * (name, size, mtime) listing — part files are immutable once
+    * written, so the listing changes iff the dataset was rewritten.
+    */
+  private def sourceSignature(src: Path): String =
+    if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      try {
+        val it = listing.sorted().iterator()
+        val sb = new StringBuilder
+        while (it.hasNext) {
+          val p = it.next()
+          sb.append(p.getFileName).append('|').append(Files.size(p))
+            .append('|').append(Files.getLastModifiedTime(p).toMillis).append(',')
+        }
+        sb.toString
+      } finally listing.close()
+    } else
+      s"${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}|${edgeDigest(src)}"
 
   /** md5 of the file's first and last 4 KiB — an 8 KiB read regardless
     * of file size.

@@ -59,6 +59,12 @@ object ScaleTrend {
     "q143_contamination_report",
     "q144_incremental_dedup",
     "q145_image_phash_dedup",
+    "q146_audio_fingerprint_dedup",
+    "q147_multimodal_assembly",
+    "q148_stream_available_now",
+    "q149_stream_corpus_ingest",
+    "q150_curriculum_phases",
+    "q151_vocab_coverage",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
