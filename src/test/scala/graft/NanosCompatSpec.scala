@@ -79,4 +79,38 @@ class NanosCompatSpec extends AnyFunSuite {
 
     Staging.deleteRecursively(corpus)
   }
+
+  test("adjusted-UTC µs events (TimestampType on read) pass through unchanged") {
+    // the third physical contract: isAdjustedToUTC=true microseconds,
+    // which Spark's reader maps straight to TimestampType — the
+    // normalize branch must be an identity, not a double conversion
+    val corpus = Files.createTempDirectory("graft_utc_corpus_")
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val build = corpus.resolve("build")
+      src.coalesce(1).write.parquet(build.toString)
+      val part = {
+        val listing = Files.list(build)
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally listing.close()
+      }
+      Files.move(part, corpus.resolve("events.parquet"))
+      val back = Tables.events(spark, corpus.toString)
+      assert(back.schema("ts").dataType === TimestampType)
+      // byte-identical timeline: the round trip must not shift a single µs
+      val a = src.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val b = back.select(col("event_id"), unix_micros(col("ts")).as("us2"))
+      assert(a.join(b, "event_id").where(col("us") =!= col("us2")).count() === 0L)
+      assert(back.count() === src.count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      Staging.deleteRecursively(corpus)
+    }
+  }
 }
