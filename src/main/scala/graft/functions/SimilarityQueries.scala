@@ -101,6 +101,42 @@ object SimilarityQueries extends QueryModule {
   private def seededTop2(e: DataFrame): DataFrame =
     seededTopK(e, 2).withColumnRenamed("topk", "top2")
 
+  /** q41's banded cosine near-dup pair generator — (ida, idb, sim) with
+    * sim ≥ 0.4 — shared with q152's semantic dedup survivors.
+    */
+  private def cosineNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    def bandKey(b: Int) = (1 to 8)
+      .map(i => when(element_at(col("embedding"), b * 8 + i) >= 0f, 1 << (i - 1)).otherwise(0))
+      .reduce(_ + _)
+    val e = embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+      .persist().leased
+    val bands = (0 until 4)
+      .map(b => e.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key")))
+      .reduce(_ unionByName _)
+    val pairs = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id")
+      )
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na")), "ida")
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb")), "idb")
+      .withColumn(
+        "sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+      )
+      .where(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"), col("sim"))
+  }
+
   // ------------------------------------------------------------------
   // Product-quantization machinery shared by q78 (sign-LSH candidates)
   // and q82 (IVF multi-probe candidates): 64 dims in 8 subspaces of 8,
@@ -412,38 +448,7 @@ object SimilarityQueries extends QueryModule {
     // all four sign bands is missed); SimilaritySpec checks the banded
     // result against the exact O(n²) formulation on a small corpus.
     "q41_cosine_neardup" -> QueryDef(
-      fn = (s, d) => {
-        VectorFunctions.register(s)
-        def bandKey(b: Int) = (1 to 8)
-          .map(i => when(element_at(col("embedding"), b * 8 + i) >= 0f, 1 << (i - 1)).otherwise(0))
-          .reduce(_ + _)
-        val e = embeddings(s, d)
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
-          .where(col("nrm") > 0)
-          .persist().leased
-        val bands = (0 until 4)
-          .map(b => e.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key")))
-          .reduce(_ unionByName _)
-        val pairs = bands
-          .as("a")
-          .join(
-            bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_key") === col("b.band_key") &&
-              col("a.vec_id") < col("b.vec_id")
-          )
-          .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
-          .distinct()
-        pairs
-          .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na")), "ida")
-          .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb")), "idb")
-          .withColumn(
-            "sim",
-            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
-          )
-          .where(col("sim") >= 0.4)
-          .select(col("ida"), col("idb"), col("sim"))
-      },
+      fn = (s, d) => cosineNeardupPairs(s, d),
       oracle = Some {
         val bandSelects = (0 until 4)
           .map { b =>
@@ -468,6 +473,76 @@ object SimilarityQueries extends QueryModule {
         JOIN e a ON a.vec_id = ida
         JOIN e b ON b.vec_id = idb
         WHERE $dotSqlFrag / (a.nrm * b.nrm) >= 0.4"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // SEMANTIC DEDUP SURVIVORS — the embedding-space member of the
+    // dedup matrix (exact q31, n-gram q32, MinHash q33, SimHash q34,
+    // image q145, audio q146): q41's banded cosine near-dup pairs
+    // clustered with the same star-contraction components the text
+    // dedup uses, keeper = the component MINIMUM (which IS the CC
+    // label — no extra ranking pass), every vector classified keeper /
+    // dropped / singleton. The shapes are all previously-gated pieces
+    // composed: banded pair generation (never all-pairs), log-diameter
+    // CC with convergence required, one broadcast label join back.
+    "q152_semantic_dedup_survivors" -> QueryDef(
+      fn = (s, d) => {
+        val pairs = cosineNeardupPairs(s, d).select(col("ida"), col("idb"))
+        val labels = graft.functions.DedupQueries
+          .connectedComponents(pairs)
+          .withColumnRenamed("id", "vec_id")
+        embeddings(s, d)
+          .select(col("vec_id"))
+          .join(broadcast(labels), Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            when(col("label").isNull, "singleton")
+              .when(col("label") === col("vec_id"), "keeper")
+              .otherwise("dropped").as("status"),
+            coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      },
+      oracle = Some {
+        val bandSelects = (0 until 4)
+          .map { b =>
+            val keySql = (1 to 8)
+              .map(i => s"(CASE WHEN embedding[${b * 8 + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+              .mkString(" + ")
+            s"SELECT vec_id, $b AS band, $keySql AS band_key FROM e"
+          }
+          .mkString(" UNION ALL ")
+        s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+          FROM bands x
+          JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                      AND x.vec_id < y.vec_id),
+        pairs AS (
+          SELECT ida, idb FROM cand
+          JOIN e a ON a.vec_id = ida
+          JOIN e b ON b.vec_id = idb
+          WHERE $dotSqlFrag / (a.nrm * b.nrm) >= 0.4),
+        und AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM pairs),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS vec_id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+        SELECT em.vec_id,
+               CASE WHEN l.label IS NULL THEN 'singleton'
+                    WHEN l.label = em.vec_id THEN 'keeper'
+                    ELSE 'dropped' END AS status,
+               COALESCE(l.label, em.vec_id) AS cluster_id
+        FROM embeddings em
+        LEFT JOIN labels l ON l.vec_id = em.vec_id"""
       }
     ),
 

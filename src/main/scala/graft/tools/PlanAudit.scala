@@ -219,6 +219,11 @@ object PlanAudit {
     Audit("q145_image_phash_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // semantic dedup survivors: banded pairs + checkpointed CC labels
+    // broadcast back — no all-pairs, no per-cluster sort
+    Audit("q152_semantic_dedup_survivors",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // curriculum phases: the only window partitions by source (the
     // operator's own per-source ordering semantics) — never a global
     // sort of the corpus
