@@ -33,6 +33,7 @@ object DedupQueries extends QueryModule {
   private val HammingMax   = 3    // simhash near-dup radius
   private val SimBits      = 60   // simhash signature width (60-bit: md5 prefix fits a signed 64-bit int)
   private val SimBands     = 4    // 4 bands x 15 bits: any <=3-bit corruption leaves >=1 clean band
+  private val SubstrW      = 8    // q153 sliding-window width in tokens (Lee et al. use 50; 8 fits the ~60-token docs)
 
   /** Universal-hash permutation constants for minhash: h_i = (A_i*h0 + B_i) mod P.
     * h0 is a 32-bit md5 prefix and A_i < 2^30, so A_i*h0 + B_i < 2^63 — no
@@ -798,6 +799,137 @@ object DedupQueries extends QueryModule {
         SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // EXACT-SUBSTRING DUPLICATION SPANS — the sliding-window member of
+    // the dedup family (the operator popularized by Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // ACL'22, which uses a suffix array on one machine): every W=8-token
+    // window of every document is hashed, and a window POSITION is
+    // duplicated iff its content occurs at >=2 positions corpus-wide
+    // (cross-doc or repeated within one doc — both are verbatim
+    // repetition a pretraining loss over-weights). Output is the per-doc
+    // exposure report a span-removal pass consumes: window count,
+    // duplicated-position count, duplicated fraction.
+    //
+    // Spark shape (the distributed stand-in for the suffix array): one
+    // explode to (doc, window-hash) — ~n_tokens rows per doc — then a
+    // hash-grain count (map-side combined) to find repeated contents,
+    // and a semi-join back to positions. Two keyed shuffles, linear in
+    // corpus tokens; the 60-bit md5-prefix hash keeps the shuffle rows
+    // narrow (the full window string never shuffles) and is mirrored
+    // bit-for-bit in the oracle so the gate stays exact.
+    "q153_exact_substring_spans" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val W = SubstrW
+        val wins = documents(s, d)
+          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= W)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              s"""transform(sequence(1, size(w) - ${W - 1}),
+                 |  i -> cast(conv(substr(md5(concat_ws(' ', slice(w, i, $W))), 1, 15), 16, 10) as bigint))"""
+                .stripMargin)).as("h"))
+          .persist() // read by the dup-content count and the position rescan
+          .leased
+        val dups = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2).select(col("h"))
+        val nw = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("nwin"))
+        val nd = wins.join(dups, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ndup"))
+        documents(s, d)
+          .select(col("doc_id"))
+          .join(nw, Seq("doc_id"), "left")
+          .join(nd, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("nwin"), lit(0L)).as("n_windows"),
+            coalesce(col("ndup"), lit(0L)).as("n_dup"),
+            when(coalesce(col("nwin"), lit(0L)) === 0, lit(0.0))
+              .otherwise(coalesce(col("ndup"), lit(0L)).cast("double") / col("nwin"))
+              .as("dup_frac"))
+      },
+      oracle = Some(s"""
+        WITH wds AS (
+          SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+        wins AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(w[i:i+${SubstrW - 1}], ' ')), 1, 15) AS BIGINT) AS h
+          FROM wds, UNNEST(range(1, len(w) - ${SubstrW - 2})) AS u(i)
+          WHERE len(w) >= $SubstrW),
+        dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+        nw AS (SELECT doc_id, COUNT(*) AS nwin FROM wins GROUP BY doc_id),
+        nd AS (
+          SELECT doc_id, COUNT(*) AS ndup FROM wins
+          WHERE h IN (SELECT h FROM dups) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(nw.nwin, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(nd.ndup, 0) AS BIGINT) AS n_dup,
+               CASE WHEN COALESCE(nw.nwin, 0) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(nd.ndup, 0) AS DOUBLE) / nw.nwin END AS dup_frac
+        FROM documents d
+        LEFT JOIN nw ON nw.doc_id = d.doc_id
+        LEFT JOIN nd ON nd.doc_id = d.doc_id""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SOURCE OVERLAP MATRIX — the corpus-composition diagnostic run
+    // before mixing sources: pairwise shingle-set Jaccard between
+    // sources, answering "how much of source B is already in source A"
+    // (a crawl snapshot vs. a curated set, two crawl generations, ...).
+    // Doc-grain dedup (q31-q34) can't see this — two sources can share
+    // most of their PHRASES with no two documents being near-dups.
+    //
+    // Shape: project shingles to (source, shingle) and distinct (the
+    // only corpus-sized shuffle, keyed by shingle via the distinct);
+    // the self-join on shingle then fans out at most k rows per key
+    // (k = #sources, a handful) — NEVER doc×doc — and collapses
+    // immediately to the k(k-1)/2-row source-pair grid. |A∪B| comes
+    // from the per-source sizes: no union materialization.
+    "q155_source_overlap" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val ss = shingleDf(s, d)
+          .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("shingle"))
+          .distinct()
+          .persist() // read 3x: sizes + both self-join sides
+          .leased
+        val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = ss.as("a")
+          .join(ss.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+          .select(
+            col("src_a"), col("src_b"), col("n_inter"),
+            (col("na") + col("nb") - col("n_inter")).as("n_union"),
+            (col("n_inter").cast("double") /
+              (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+      },
+      oracle = Some(s"""
+        WITH sh AS ($shingleSql),
+        ss AS (
+          SELECT DISTINCT d.source, s.shingle
+          FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+        sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+          FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT src_a, src_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+               CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b""")
     )
   )
 }

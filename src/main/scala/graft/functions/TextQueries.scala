@@ -920,6 +920,49 @@ object TextQueries extends QueryModule {
           FROM tk)
         SELECT doc_id, n_tokens, sample_key FROM k
         ORDER BY sample_key DESC, doc_id ASC LIMIT 25"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // BPE MERGE-PAIR COUNTING — the first iteration of byte-pair-
+    // encoding TOKENIZER TRAINING (Sennrich et al., ACL'16): count
+    // adjacent symbol pairs across the corpus and surface the top
+    // merge candidates. q72 APPLIES a BPE-ish tokenizer; this is the
+    // statistic the tokenizer is trained FROM.
+    //
+    // The scale trick is the one real BPE trainers use: collapse the
+    // corpus to its WORD FREQUENCY table first (one map-side-combined
+    // hash aggregate — the only corpus-sized pass), then explode
+    // character pairs over the DISTINCT vocabulary only, weighted by
+    // word count. Pair counting touches |vocab|·avg_len rows instead
+    // of |corpus|·avg_len — at 100 TB the vocab is millions of rows
+    // while the corpus is trillions of tokens. Top-50 selection is a
+    // TakeOrderedAndProject heap (never a global sort), determinized
+    // by the (cnt DESC, pair ASC) tiebreak.
+    "q154_bpe_merge_pairs" -> QueryDef(
+      fn = (s, d) =>
+        documents(s, d)
+          .select(explode(split(normalizeText(col("text")), " ")).as("word"))
+          .where(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .where(length(col("word")) >= 2)
+          .select(col("wc"),
+            explode(expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+              .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(50),
+      oracle = Some(s"""
+        WITH words AS (
+          SELECT UNNEST(string_split(t, ' ')) AS word FROM ($normSql)),
+        wf AS (
+          SELECT word, COUNT(*) AS wc FROM words WHERE word <> '' GROUP BY word),
+        pairs AS (
+          SELECT substr(word, i, 2) AS pair, wc
+          FROM wf, UNNEST(range(1, length(word))) AS u(i)
+          WHERE length(word) >= 2)
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 50""")
     )
   )
 }
