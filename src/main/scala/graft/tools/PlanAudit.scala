@@ -235,6 +235,21 @@ object PlanAudit {
     Audit("q151_vocab_coverage",
       mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("CartesianProduct")),
+    // exact-substring spans: window hashes group/semi-join by hash key
+    // only — no pair join, no single-partition stage anywhere
+    Audit("q153_exact_substring_spans",
+      mustContain = Seq("HashAggregate", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // BPE merge pairs: top-50 off a TakeOrderedAndProject heap over the
+    // vocab-grain pair aggregate — never a global sort
+    Audit("q154_bpe_merge_pairs",
+      mustContain = Seq("TakeOrderedAndProject", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // source overlap: the per-source sizes broadcast onto the k^2-row
+    // pair grid; the shingle self-join stays an equi-join
+    Audit("q155_source_overlap",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

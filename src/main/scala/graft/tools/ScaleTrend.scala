@@ -65,6 +65,13 @@ object ScaleTrend {
     "q149_stream_corpus_ingest",
     "q150_curriculum_phases",
     "q151_vocab_coverage",
+    // corpus diagnostics (post-gate round-7 additions): window-hash
+    // grouping (q153), vocab-grain pair counts (q154), shingle-keyed
+    // source self-join with bounded per-key fanout (q155) — all claimed
+    // linear; the 10x point checks the claim
+    "q153_exact_substring_spans",
+    "q154_bpe_merge_pairs",
+    "q155_source_overlap",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
