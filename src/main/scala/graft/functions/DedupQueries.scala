@@ -930,6 +930,86 @@ object DedupQueries extends QueryModule {
         FROM inter
         JOIN sizes sa ON sa.source = src_a
         JOIN sizes sb ON sb.source = src_b""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CONTENT-DEFINED CHUNKING dedup — the Rabin-style chunker every
+    // storage/backup dedup system uses (LBFS, Muthitacharoen et al.
+    // SOSP'01), at token grain: a chunk boundary falls AFTER token i
+    // whenever the rolling 3-gram ending at i hashes to 0 mod 8, so an
+    // insertion early in a document only perturbs the chunks it
+    // touches — fixed-stride chunking (q124) re-frames EVERYTHING
+    // after the edit and misses every downstream duplicate. Output is
+    // the per-doc chunk exposure: total chunks vs chunks whose content
+    // recurs anywhere in the corpus.
+    //
+    // Shape: the boundary flags are computed array-side in one
+    // projection (no self-join for the trailing 3-gram); chunk ids are
+    // a per-doc cumulative sum (doc-grain window — parallel across
+    // docs); chunk strings assemble via a sort_array(collect_list)
+    // aggregate (the q111 ObjectHashAggregate shape, bounded by doc
+    // length); duplicate detection is the q153 hash-grain count +
+    // semi-join. Everything is keyed by doc or chunk-hash — linear.
+    "q157_cdc_chunking" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d)
+          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w)), i -> struct(
+              |  i AS pos, element_at(w, i) AS word,
+              |  CASE WHEN i >= 3 AND
+              |    cast(conv(substr(md5(concat_ws(' ', slice(w, i - 2, 3))), 1, 2), 16, 10) as int) % 8 = 0
+              |  THEN 1 ELSE 0 END AS flag))""".stripMargin)).as("p"))
+          .select(col("doc_id"), col("p.pos").as("pos"), col("p.word").as("word"), col("p.flag").as("flag"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val chunks = toks
+          .withColumn("chunk_id", sum(col("flag")).over(w) - col("flag"))
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("pw"))
+          .select(col("doc_id"), col("chunk_id"),
+            md5(expr("concat_ws(' ', transform(pw, x -> x.word))")).as("h"))
+          .persist() // read by the dup-content count and the per-doc rescan
+          .leased
+        val dups = chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2).select(col("h"))
+        val nd = chunks.join(dups, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ndup"))
+        chunks
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+          .join(nd, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("ndup"), lit(0L)).as("n_dup_chunks"))
+      },
+      oracle = Some(s"""
+        WITH wds AS (
+          SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+        toks AS (
+          SELECT doc_id, i AS pos, w[i] AS word,
+                 CASE WHEN i >= 3 AND
+                   CAST('0x' || substr(md5(array_to_string(w[i-2:i], ' ')), 1, 2) AS INTEGER) % 8 = 0
+                 THEN 1 ELSE 0 END AS flag
+          FROM wds, UNNEST(range(1, len(w) + 1)) AS u(i)),
+        cid AS (
+          SELECT doc_id, pos, word,
+                 SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - flag AS chunk_id
+          FROM toks),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+                 md5(string_agg(word, ' ' ORDER BY pos)) AS h
+          FROM cid GROUP BY doc_id, chunk_id),
+        dups AS (SELECT h FROM chunks GROUP BY h HAVING COUNT(*) >= 2),
+        nd AS (
+          SELECT doc_id, COUNT(*) AS ndup FROM chunks
+          WHERE h IN (SELECT h FROM dups) GROUP BY doc_id)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(MAX(nd.ndup), 0) AS BIGINT) AS n_dup_chunks
+        FROM chunks c
+        LEFT JOIN nd ON nd.doc_id = c.doc_id
+        GROUP BY c.doc_id""")
     )
   )
 }

@@ -313,6 +313,59 @@ object WindowQueries extends QueryModule {
                (vq - mean) / sqrt(variance) AS z
         FROM m
         WHERE variance > 0 AND abs((vq - mean) / sqrt(variance)) > 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // EWMA SMOOTHING — exponentially-weighted moving average per user,
+    // the standard recency-weighted smoother (monitoring, per-entity
+    // rate estimation). Decay is fixed at 1/2 and the tail truncated at
+    // 10 terms, which makes the computation CROSS-ENGINE EXACT where a
+    // general α would not be: the weights 2^9..2^0 are integers, each
+    // lagged value accumulates in DECIMAL, and the one double division
+    // at the end is IEEE-exact — no pow(), no float summation-order
+    // drift (the same determinism discipline as q85's rational-form
+    // BM25). Truncation error vs the infinite EWMA is ≤2^-10 of the
+    // value scale — below any monitoring signal's noise floor.
+    //
+    // Shape: ONE partitioned-window pass (10 LAGs share a single
+    // (user, ts) sort), per-user sequential / parallel across users —
+    // identical scale behavior to the q15/q16 trailing family; state
+    // per row is 10 lags regardless of history length, which is the
+    // point of EWMA-with-truncation at 100 TB.
+    "q158_ewma" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val K = 10
+        val terms = (0 until K).map { k =>
+          val weight = 1L << (K - 1 - k)
+          val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+          (coalesce(v.cast(DecimalType(28, 2)) * lit(weight), lit(0).cast(DecimalType(28, 2))),
+            when(v.isNotNull, lit(weight)).otherwise(lit(0L)))
+        }
+        val num   = terms.map(_._1).reduce(_ + _)
+        val denom = terms.map(_._2).reduce(_ + _)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("ewma", num.cast("double") / denom.cast("double"))
+          .select(col("user_id"), col("event_id"), col("ewma"))
+      },
+      oracle = Some {
+        val K = 10
+        val terms = (0 until K).map { k =>
+          val weight = 1L << (K - 1 - k)
+          val v = if (k == 0) "value"
+                  else s"LAG(value, $k) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+          (s"COALESCE(CAST($v AS DECIMAL(28,2)) * $weight, CAST(0 AS DECIMAL(28,2)))",
+            s"CASE WHEN $v IS NOT NULL THEN $weight ELSE 0 END")
+        }
+        val num   = terms.map(_._1).mkString(" + ")
+        val denom = terms.map(_._2).mkString(" + ")
+        s"""
+        SELECT user_id, event_id,
+               CAST($num AS DOUBLE) / CAST($denom AS DOUBLE) AS ewma
+        FROM events"""
+      }
     )
   )
 }

@@ -696,6 +696,51 @@ object StreamingQueries extends QueryModule {
             )
           )
         ) GROUP BY user_id, session_seq""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SLIDING-WINDOW streaming aggregation — the third and last window
+    // family next to tumbling (q37/q91) and session (q107): 2-day
+    // windows advancing every 1 day, so every event lands in exactly
+    // TWO overlapping windows (the trailing-metrics shape: "events in
+    // the last 2 days, refreshed daily"). Spark plans this as a
+    // 2-row-per-event expand feeding the same watermark-evicted
+    // windowed state as tumbling — state is #open-windows×groups, not
+    // events, so a 48h watermark holds exactly 2 live windows per
+    // group at 100 TB/day rates. The oracle mirrors the expansion:
+    // each event contributes to the windows starting at its day and
+    // the day before.
+    "q156_stream_sliding_window" -> QueryDef(
+      fn = (s, d) => {
+        val agg = eventStream(s, d)
+          .withWatermark("ts", "48 hours")
+          .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total")
+          )
+          .select(
+            col("window.start").as("win_start"),
+            col("event_type"), col("n"), col("total")
+          )
+        val q = agg.writeStream
+          .format("memory")
+          .queryName("q156_out")
+          .outputMode("complete")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table("q156_out")
+      },
+      oracle = Some("""
+        SELECT ws AS win_start, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT event_type, value,
+                 UNNEST([CAST(date_trunc('day', ts) AS TIMESTAMP),
+                         CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP)]) AS ws
+          FROM events)
+        GROUP BY 1, 2""")
     )
   )
 }

@@ -250,6 +250,17 @@ object PlanAudit {
     Audit("q155_source_overlap",
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // CDC chunking: chunk assembly is the collect_list object aggregate
+    // bounded by doc length; duplicate detection is hash-keyed — no
+    // pair join, nothing single-partition
+    Audit("q157_cdc_chunking",
+      mustContain = Seq("ObjectHashAggregate", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // EWMA: all 10 lags ride ONE user-partitioned window sort — never
+    // a global (single-partition) window
+    Audit("q158_ewma",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -72,6 +72,11 @@ object ScaleTrend {
     "q153_exact_substring_spans",
     "q154_bpe_merge_pairs",
     "q155_source_overlap",
+    "q157_cdc_chunking",
+    // events-side additions: sliding windows (2x expand into the same
+    // watermark-evicted state) and the 10-lag EWMA (one keyed window)
+    "q156_stream_sliding_window",
+    "q158_ewma",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
