@@ -883,26 +883,37 @@ object DedupQueries extends QueryModule {
     // Doc-grain dedup (q31-q34) can't see this — two sources can share
     // most of their PHRASES with no two documents being near-dups.
     //
-    // Shape: project shingles to (source, shingle) and distinct (the
-    // only corpus-sized shuffle, keyed by shingle via the distinct);
-    // the self-join on shingle then fans out at most k rows per key
-    // (k = #sources, a handful) — NEVER doc×doc — and collapses
-    // immediately to the k(k-1)/2-row source-pair grid. |A∪B| comes
-    // from the per-source sizes: no union materialization.
+    // Shape: ONE corpus-sized shuffle. The raw (source, shingle) rows
+    // aggregate straight to shingle grain with a map-side-combined
+    // collect_set — the per-shingle source set is bounded by k
+    // (k = #sources, a handful), so the aggregate is safe — and the
+    // k(k-1)/2 source pairs per shingle are generated ARRAY-SIDE from
+    // that sorted set, never by a self-join. (The first cut self-joined
+    // the distinct'd relation on shingle: semantically identical, but
+    // it shuffles the corpus-sized relation twice more, and the 1x/10x
+    // measurement showed exactly that regime shift — x32 shuffle when
+    // the sort-merge join stops broadcasting. The aggregate formulation
+    // measured x9.7 at x10 data, at 5x less absolute shuffle.) Per-
+    // source sizes fall out of the
+    // same shingle-grain aggregate; |A∪B| is arithmetic on them.
     "q155_source_overlap" -> QueryDef(
       fn = (s, d) => {
         graft.plans.VectorFunctions.register(s)
-        val ss = shingleDf(s, d)
+        val bySh = shingleDf(s, d)
           .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
-          .select(col("source"), col("shingle"))
-          .distinct()
-          .persist() // read 3x: sizes + both self-join sides
+          .groupBy(col("shingle"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .persist() // read 2x: per-source sizes + the pair explode
           .leased
-        val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val inter = ss.as("a")
-          .join(ss.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        val sizes = bySh
+          .select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = bySh
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+              |  transform(slice(srcs, i + 2, size(srcs)), b ->
+              |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
           .agg(count(lit(1)).as("n_inter"))
         inter
           .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
