@@ -1172,6 +1172,73 @@ object SimilarityQueries extends QueryModule {
         SELECT q.qid, CAST(COALESCE(c, 0) AS INTEGER) AS overlap3
         FROM (SELECT DISTINCT qid FROM pairs) q
         LEFT JOIN ov ON q.qid = ov.qid""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CLUSTER PROTOTYPICALITY RANKS — the embedding-space DATA-PRUNING
+    // primitive (Sorscher et al., "Beyond neural scaling laws",
+    // NeurIPS'22: prune by distance to the cluster prototype; SemDeDup
+    // prunes the near-prototype END of the same ranking): every vector
+    // is assigned to its nearest seeded centroid by cosine (the q45
+    // assignment, 16 broadcast centroids, argmax tie-broken by lowest
+    // cid), then ranked WITHIN its cluster from both ends — the 3 most
+    // prototypical (csim DESC) and the 3 most marginal (csim ASC)
+    // members per cluster, which is the keep/drop shortlist a pruning
+    // pass consumes.
+    //
+    // Shape: one broadcast-scored pass per vector (each embedding
+    // crosses the wire once), then a cid-partitioned window over the
+    // (vec, csim) assignment — per-task input is the cluster size
+    // (~n/B, bounded by scaling B with n exactly like IVF), output
+    // 6 rows per cluster. In a tiny cluster a vector may legitimately
+    // appear under both tags.
+    "q159_cluster_prototypes" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = normedEmbeddings(s, d)
+        val centroids = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+        val assigned = e.crossJoin(broadcast(centroids))
+          .withColumn("csim",
+            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .withColumn("r", row_number().over(wAssign))
+          .where(col("r") === 1)
+          .select(col("cid"), col("vec_id"), col("csim"))
+        val proto   = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("vec_id").asc)
+        val outlier = Window.partitionBy(col("cid")).orderBy(col("csim").asc, col("vec_id").asc)
+        val ranked = assigned
+          .withColumn("pr", row_number().over(proto))
+          .withColumn("orr", row_number().over(outlier))
+        ranked.where(col("pr") <= 3)
+          .select(col("cid"), col("vec_id"), col("csim"), lit("proto").as("tag"), col("pr").as("rank"))
+          .unionByName(
+            ranked.where(col("orr") <= 3)
+              .select(col("cid"), col("vec_id"), col("csim"), lit("outlier").as("tag"), col("orr").as("rank")))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm
+          FROM embeddings),
+        eg AS (SELECT * FROM e WHERE nrm > 0),
+        cent AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM eg WHERE vec_id < 16),
+        scored AS (
+          SELECT a.vec_id, b.cid,
+                 $dotSqlFrag / (a.nrm * b.cn) AS csim
+          FROM eg a, cent b),
+        assigned AS (
+          SELECT cid, vec_id, csim FROM (
+            SELECT vec_id, cid, csim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+            FROM scored) WHERE r = 1),
+        ranked AS (
+          SELECT cid, vec_id, csim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, vec_id ASC) AS INTEGER) AS pr,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim ASC, vec_id ASC) AS INTEGER) AS orr
+          FROM assigned)
+        SELECT cid, vec_id, csim, 'proto' AS tag, pr AS rank FROM ranked WHERE pr <= 3
+        UNION ALL
+        SELECT cid, vec_id, csim, 'outlier' AS tag, orr AS rank FROM ranked WHERE orr <= 3""")
     )
   )
 }

@@ -261,6 +261,11 @@ object PlanAudit {
     Audit("q158_ewma",
       mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // prototypicality: centroid scoring is a 16-row broadcast; ranks
+    // ride cid-partitioned windows — no all-pairs, nothing global
+    Audit("q159_cluster_prototypes",
+      mustContain = Seq("vec_dot", "BroadcastExchange"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

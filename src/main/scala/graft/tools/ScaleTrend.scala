@@ -73,6 +73,10 @@ object ScaleTrend {
     "q154_bpe_merge_pairs",
     "q155_source_overlap",
     "q157_cdc_chunking",
+    // embedding-side: fixed-16-centroid assignment (the honest fixed-B
+    // counter-example — per-cluster windows grow with n/16) — the
+    // production rule is the same B ∝ n as IVF
+    "q159_cluster_prototypes",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",
