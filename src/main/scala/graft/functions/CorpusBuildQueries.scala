@@ -478,6 +478,137 @@ object CorpusBuildQueries extends QueryModule {
         SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
                CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE) AS cum_share
         FROM top, total"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // EPOCH-SHUFFLE SHARD MANIFEST — the data-loader's reshuffle: each
+    // training epoch must visit the corpus in a fresh pseudo-random
+    // order, sharded across workers, and REPRODUCIBLY (resume from a
+    // checkpoint = same order). Deterministic salted hashing gives all
+    // three: shard = md5(epoch, doc) mod N_SHARDS, within-shard
+    // position = the same hash — no RNG state, no global sort, and a
+    // doc's epoch-k placement never changes as the corpus grows around
+    // it (the q113 stability argument). Output is the (epoch, shard)
+    // manifest a loader coordinator reads: volume per shard plus the
+    // first doc (min hash) so any worker can seek its shard start.
+    // Shape: a 2-row epoch explode, a pure projection for the hash,
+    // one keyed aggregate — shuffle O(epochs x shards), map-side
+    // combined; the corpus is never sorted.
+    "q160_epoch_shuffle" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val nShards = 8
+        documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), explode(array(lit(0), lit(1))).as("epoch"))
+          .withColumn("h",
+            conv(substring(md5(concat(lit("epoch:"), col("epoch").cast("string"),
+              lit(":"), col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long"))
+          .withColumn("shard", (col("h") % nShards).cast("int"))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id, CAST(${TextQueries.tokenCountSql} AS BIGINT) AS n_tokens
+          FROM (${TextQueries.normSql})),
+        exploded AS (
+          SELECT doc_id, n_tokens, epoch,
+                 CAST('0x' || substr(md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+          FROM docs, UNNEST([0, 1]) AS u(epoch))
+        SELECT CAST(epoch AS INTEGER) AS epoch, CAST(h % 8 AS INTEGER) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ARG_MIN(doc_id, h) AS first_doc
+        FROM exploded GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SCORE-DISTRIBUTION DRIFT — the monitoring gate between two corpus
+    // snapshots: has the quality-score distribution of the incoming
+    // slice (doc_id % 3 = 0 here) drifted from the established corpus?
+    // Chi-square over 5 fixed quality buckets, per source — chosen over
+    // PSI/KL deliberately: PSI needs log(), which is 1-ulp across
+    // libms, while the chi-square statistic is pure rational arithmetic
+    // and stays bit-identical cross-engine (the q85 BM25 discipline).
+    // Expected counts scale the reference distribution to the observed
+    // slice's size. Output: per-source statistic + the bucket count it
+    // summed over — a scheduler alerts on chi2 > threshold.
+    // Shape: two bucket-grain aggregates + a bucket-keyed join (both
+    // sides O(sources x 5 buckets)) — the corpus collapses in the
+    // first map-side-combined pass; nothing downstream is corpus-sized.
+    "q161_score_drift" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        // integer floor-division for the bucket on BOTH engines: a
+        // double division + int cast would round in DuckDB (half-away)
+        // but truncate in Spark — q = 50 would land in different buckets
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            floor(TextFunctions.qualityScore(col("text")) / 20).cast("int").as("bucket"),
+            (col("doc_id") % 3 === 0).as("is_new"))
+        val ref = scored.where(!col("is_new"))
+          .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("ref_n"))
+        val neu = scored.where(col("is_new"))
+          .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("new_n"))
+        val refTot = ref.groupBy(col("source")).agg(sum(col("ref_n")).as("ref_tot"))
+        val newTot = neu.groupBy(col("source")).agg(sum(col("new_n")).as("new_tot"))
+        // full bucket grid per source (ref-present buckets), expected
+        // count scaled to the observed slice; buckets absent from the
+        // reference are excluded by contract (expected = 0 undefined)
+        ref
+          .join(neu, Seq("source", "bucket"), "left")
+          .join(refTot, Seq("source"))
+          .join(newTot, Seq("source"))
+          .withColumn("expected",
+            col("ref_n").cast("double") * col("new_tot").cast("double") / col("ref_tot").cast("double"))
+          .withColumn("term", {
+            val diff = coalesce(col("new_n"), lit(0L)).cast("double") - col("expected")
+            diff * diff / col("expected")
+          })
+          // bucket-ORDERED sequential fold, not sum(): a hash
+          // aggregate's partial-merge order is partition-dependent and
+          // double addition is not associative — the ulp drift would
+          // break the cross-engine hash (the vec_dot discipline)
+          .groupBy(col("source"))
+          .agg(
+            sort_array(collect_list(struct(col("bucket"), col("term")))).as("ts"),
+            count(lit(1)).as("n_buckets"))
+          .select(col("source"),
+            expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2"),
+            col("n_buckets"))
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 CAST(CAST(${TextQueries.qualitySql} AS INTEGER) // 20 AS INTEGER) AS bucket,
+                 doc_id % 3 = 0 AS is_new
+          FROM (${TextQueries.normSql})),
+        ref AS (
+          SELECT source, bucket, COUNT(*) AS ref_n FROM scored WHERE NOT is_new
+          GROUP BY source, bucket),
+        neu AS (
+          SELECT source, bucket, COUNT(*) AS new_n FROM scored WHERE is_new
+          GROUP BY source, bucket),
+        rt AS (SELECT source, SUM(ref_n) AS ref_tot FROM ref GROUP BY source),
+        nt AS (SELECT source, SUM(new_n) AS new_tot FROM neu GROUP BY source),
+        terms AS (
+          SELECT r.source, r.bucket,
+                 (CAST(COALESCE(n.new_n, 0) AS DOUBLE) - CAST(r.ref_n AS DOUBLE) * CAST(nt.new_tot AS DOUBLE) / CAST(rt.ref_tot AS DOUBLE))
+                   * (CAST(COALESCE(n.new_n, 0) AS DOUBLE) - CAST(r.ref_n AS DOUBLE) * CAST(nt.new_tot AS DOUBLE) / CAST(rt.ref_tot AS DOUBLE))
+                   / (CAST(r.ref_n AS DOUBLE) * CAST(nt.new_tot AS DOUBLE) / CAST(rt.ref_tot AS DOUBLE)) AS term
+          FROM ref r
+          LEFT JOIN neu n ON n.source = r.source AND n.bucket = r.bucket
+          JOIN rt ON rt.source = r.source
+          JOIN nt ON nt.source = r.source)
+        SELECT source,
+               list_sum(list_transform(list(term ORDER BY bucket), x -> x)) AS chi2,
+               COUNT(*) AS n_buckets
+        FROM terms GROUP BY source""")
     )
   )
 }

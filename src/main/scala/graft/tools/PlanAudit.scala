@@ -266,6 +266,19 @@ object PlanAudit {
     Audit("q159_cluster_prototypes",
       mustContain = Seq("vec_dot", "BroadcastExchange"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // epoch shuffle: hash projection + one keyed aggregate — the
+    // corpus is never sorted, nothing global
+    Audit("q160_epoch_shuffle",
+      // min(struct(h, doc_id)) keeps the aggregate out of the hash-agg
+      // fast path (struct-typed buffer -> SortAggregate); still keyed
+      // and map-side combined — the guards that matter are the absences
+      mustContain = Seq("Aggregate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition", "windowspecdefinition")),
+    // score drift: corpus collapses in the first bucket-grain
+    // aggregate; everything after is O(sources x buckets)
+    Audit("q161_score_drift",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -77,6 +77,8 @@ object ScaleTrend {
     // counter-example — per-cluster windows grow with n/16) — the
     // production rule is the same B ∝ n as IVF
     "q159_cluster_prototypes",
+    "q160_epoch_shuffle",
+    "q161_score_drift",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",
