@@ -102,6 +102,35 @@ object DedupQueries extends QueryModule {
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
   }
 
+  /** The q157 content-defined chunking kernel over (doc_id, text)
+    * rows: (doc_id, chunk_id, h, n_tokens) where a boundary falls
+    * after token i iff the rolling 3-gram ending at i hashes 0 mod 8.
+    * Exposed for the CDC property test — prefix insertion must only
+    * perturb chunks up to the first surviving boundary, which is the
+    * whole point of content-defined over fixed-stride framing.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w)), i -> struct(
+          |  i AS pos, element_at(w, i) AS word,
+          |  CASE WHEN i >= 3 AND
+          |    cast(conv(substr(md5(concat_ws(' ', slice(w, i - 2, 3))), 1, 2), 16, 10) as int) % 8 = 0
+          |  THEN 1 ELSE 0 END AS flag))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.word").as("word"), col("p.flag").as("flag"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks
+      .withColumn("chunk_id", sum(col("flag")).over(w) - col("flag"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("pw"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(expr("concat_ws(' ', transform(pw, x -> x.word))")).as("h"),
+        size(col("pw")).as("n_tokens"))
+  }
+
   /** The banded-minhash key projection itself — (doc_id, band,
     * band_key) — exposed so asymmetric consumers (q144's incremental
     * batch-vs-corpus dedup) can join band keys directly instead of
@@ -964,24 +993,8 @@ object DedupQueries extends QueryModule {
     "q157_cdc_chunking" -> QueryDef(
       fn = (s, d) => {
         graft.plans.VectorFunctions.register(s)
-        import org.apache.spark.sql.expressions.Window
-        val toks = documents(s, d)
-          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(w)), i -> struct(
-              |  i AS pos, element_at(w, i) AS word,
-              |  CASE WHEN i >= 3 AND
-              |    cast(conv(substr(md5(concat_ws(' ', slice(w, i - 2, 3))), 1, 2), 16, 10) as int) % 8 = 0
-              |  THEN 1 ELSE 0 END AS flag))""".stripMargin)).as("p"))
-          .select(col("doc_id"), col("p.pos").as("pos"), col("p.word").as("word"), col("p.flag").as("flag"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val chunks = toks
-          .withColumn("chunk_id", sum(col("flag")).over(w) - col("flag"))
-          .groupBy(col("doc_id"), col("chunk_id"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("pw"))
-          .select(col("doc_id"), col("chunk_id"),
-            md5(expr("concat_ws(' ', transform(pw, x -> x.word))")).as("h"))
+        val chunks = cdcChunks(
+          documents(s, d).select(col("doc_id"), col("text")))
           .persist() // read by the dup-content count and the per-doc rescan
           .leased
         val dups = chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))

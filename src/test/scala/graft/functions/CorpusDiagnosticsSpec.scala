@@ -66,6 +66,39 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-15)
   }
 
+  test("q157 kernel: CDC boundaries are insertion-local; tokens conserved") {
+    import spark.implicits._
+    // 30 seeded docs (30-80 tokens from a small vocab) and for each a
+    // twin with one token PREPENDED. Content-defined framing means the
+    // twin's chunks differ from the original's ONLY up to the first
+    // surviving boundary: ≤1 head chunk lost from the original, ≤2
+    // gained by the twin (the prefix may introduce one extra boundary
+    // inside the head). Fixed-stride framing (q124) shifts EVERY frame
+    // — this bound is exactly what "content-defined" buys.
+    val rnd   = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
+    val docs = (0 until 30).map { i =>
+      val n = 30 + rnd.nextInt(51)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val twins = docs.map { case (id, text) => (id + 1000L, s"qqq $text") }
+    val chunks = DedupQueries
+      .cdcChunks((docs ++ twins).toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(2), r.getInt(3))).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val a = chunks(id).map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+      val b = chunks(id + 1000L).map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+      def excess(x: Map[String, Int], y: Map[String, Int]) =
+        x.map { case (k, n) => math.max(0, n - y.getOrElse(k, 0)) }.sum
+      assert(excess(a, b) <= 1, s"doc $id: original lost ${excess(a, b)} chunks")
+      assert(excess(b, a) <= 2, s"doc $id: twin gained ${excess(b, a)} chunks")
+      // token conservation: chunk sizes sum to the doc's token count
+      assert(chunks(id).map(_._2).sum === text.split(" ").length)
+    }
+  }
+
   test("q153/q155 on the sf0.001 corpus: internal consistency") {
     val dir = "/root/testdata/sf0.001"
     val subs = graft.SparkEntry.queries("q153_exact_substring_spans")(spark, dir).cache()
