@@ -1239,6 +1239,132 @@ object SimilarityQueries extends QueryModule {
         SELECT cid, vec_id, csim, 'proto' AS tag, pr AS rank FROM ranked WHERE pr <= 3
         UNION ALL
         SELECT cid, vec_id, csim, 'outlier' AS tag, orr AS rank FROM ranked WHERE orr <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // HYBRID RETRIEVAL — RECIPROCAL RANK FUSION (Cormack et al.,
+    // SIGIR'09; the fusion every lexical+vector search stack ships):
+    // the q85 BM25 ranking and a cosine ranking against a query vector
+    // (vec_id 0, doc_id = vec_id per the q147 convention) each
+    // contribute 1/(60 + rank) for their top-20, and the fused top-10
+    // is the answer list. RRF over score-mixing deliberately: ranks
+    // are scale-free (no score normalization problem) and the fused
+    // score is pure rational arithmetic — bit-identical cross-engine
+    // where a softmax/minmax mix would drift.
+    //
+    // Shape: the lexical side is q85's corpus-stats broadcast + one
+    // projection; the vector side broadcasts ONE query vector over the
+    // embeddings scan (linear, no index needed for a single query —
+    // the batched-query shape is q44's BNLJ + per-task top-k). Both
+    // rankings are 20-row TakeOrdered heaps; the fusion join touches
+    // ≤40 rows. At 100 TB the per-side top-k never leaves the heap
+    // pattern, and fusion cost is O(k), independent of corpus size.
+    "q162_hybrid_rrf" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val terms = Seq("spark", "vector", "merge")
+        val toks  = split(TextFunctions.normalizeText(col("text")), " ")
+        val perDoc = documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .withColumn("dl", size(col("w")))
+          .select(
+            (col("doc_id") +: col("dl") +:
+              terms.zipWithIndex.map { case (t, i) =>
+                expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
+              }): _*)
+        val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        val avgdl = col("sdl").cast("double") / col("n").cast("double")
+        def termScore(i: Int) = {
+          val tf  = col(s"tf$i").cast("double")
+          val dfc = col(s"df$i").cast("double")
+          val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        }
+        val lex = perDoc
+          .crossJoin(broadcast(stats))
+          .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+          .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = normedEmbeddings(s, d)
+        val qv = e.where(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("nrm").as("qn"))
+        val vec = e.crossJoin(broadcast(qv))
+          .withColumn("csim",
+            call_function("vec_dot", col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+          .orderBy(col("csim").desc, col("vec_id").asc).limit(20)
+          .withColumn("vec_rank",
+            row_number().over(Window.orderBy(col("csim").desc, col("vec_id").asc)))
+          .select(col("vec_id").as("doc_id"), col("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)))
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+            col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      },
+      oracle = Some {
+        val terms = Seq("spark", "vector", "merge")
+        val tfs = terms.zipWithIndex
+          .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
+          .mkString(", ")
+        val dfs = terms.indices
+          .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+        def termScore(i: Int) = {
+          val tf  = s"CAST(tf$i AS DOUBLE)"
+          val dfc = s"CAST(df$i AS DOUBLE)"
+          val idf = s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE)))"
+          s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
+            s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
+        }
+        val score = terms.indices.map(termScore).mkString(" + ")
+        s"""
+        WITH perdoc AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
+          FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents)),
+        stats AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc),
+        lex AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rank
+          FROM (
+            SELECT doc_id, $score AS score
+            FROM perdoc, stats
+            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20)),
+        e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings),
+        eg AS (SELECT * FROM e WHERE nrm > 0),
+        qv AS (SELECT embedding AS qe, nrm AS qn FROM eg WHERE vec_id = 0),
+        vec AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY csim DESC, doc_id ASC) AS INTEGER) AS vec_rank
+          FROM (
+            SELECT a.vec_id AS doc_id,
+                   list_sum(list_transform(list_zip(a.embedding, qv.qe),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * qv.qn) AS csim
+            FROM eg a, qv
+            ORDER BY csim DESC, a.vec_id ASC LIMIT 20))
+        SELECT doc_id,
+               CAST(COALESCE(l.lex_rank, 0) AS INTEGER) AS lex_rank,
+               CAST(COALESCE(v.vec_rank, 0) AS INTEGER) AS vec_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(v.vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l
+        FULL OUTER JOIN vec v USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
+      }
     )
   )
 }

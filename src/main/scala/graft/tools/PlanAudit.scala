@@ -279,6 +279,11 @@ object PlanAudit {
     Audit("q161_score_drift",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // hybrid RRF: both sides end in TakeOrdered heaps; the fusion join
+    // touches <=40 rows — never a corpus-sized sort
+    Audit("q162_hybrid_rrf",
+      mustContain = Seq("TakeOrderedAndProject", "vec_dot"),
+      mustNotContain = Seq("CartesianProduct")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -79,6 +79,7 @@ object ScaleTrend {
     "q159_cluster_prototypes",
     "q160_epoch_shuffle",
     "q161_score_drift",
+    "q162_hybrid_rrf",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",
