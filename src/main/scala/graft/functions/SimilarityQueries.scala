@@ -1365,6 +1365,78 @@ object SimilarityQueries extends QueryModule {
         FULL OUTER JOIN vec v USING (doc_id)
         ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // FILTERED ANN — metadata-constrained vector search, the
+    // production vector-store feature the plain ANN family (q36/q45/
+    // q77/q95/q96) doesn't cover: top-3 cosine neighbors per vector
+    // AMONG VECTORS SHARING ITS LABEL. The filter joins the INDEX KEY
+    // — candidates come from the (centroid, label) composite bucket —
+    // rather than post-filtering an unconstrained top-k, which is the
+    // difference between guaranteed k results and a filtered list
+    // that can silently go empty (the known failure mode of
+    // post-filtered vector search). Same seeded 16-centroid
+    // assignment as q45/q159; candidate volume is the per-(cid,label)
+    // list sizes — the B ∝ n rule bounds it exactly as in IVF, and a
+    // high-cardinality label only SHRINKS buckets.
+    "q163_filtered_ann" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = normedEmbeddings(s, d)
+        val centroids = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+        val assigned = e.crossJoin(broadcast(centroids))
+          .withColumn("csim",
+            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .withColumn("r", row_number().over(wAssign))
+          .where(col("r") === 1)
+          .select(col("cid"), col("label"), col("vec_id"), col("embedding"), col("nrm"))
+          .persist() // both sides of the bucket join
+          .leased
+        val a = assigned.select(col("cid"), col("label"), col("vec_id").as("qid"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = assigned.select(col("cid"), col("label"), col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        a.join(b, Seq("cid", "label"))
+          .where(col("qid") =!= col("nid"))
+          .withColumn("sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("label"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding, $normSqlFrag AS nrm
+          FROM embeddings),
+        eg AS (SELECT * FROM e WHERE nrm > 0),
+        cent AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM eg WHERE vec_id < 16),
+        scored AS (
+          SELECT a.vec_id, a.label, b.cid,
+                 $dotSqlFrag / (a.nrm * b.cn) AS csim
+          FROM eg a, cent b),
+        assigned AS (
+          SELECT s.cid, s.label, s.vec_id FROM (
+            SELECT vec_id, label, cid, csim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+            FROM scored) s WHERE s.r = 1),
+        pairs AS (
+          SELECT x.vec_id AS qid, x.label, y.vec_id AS nid,
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   v -> CAST(v[1] AS DOUBLE) * CAST(v[2] AS DOUBLE))) / (a.nrm * b.nrm) AS sim
+          FROM assigned x
+          JOIN assigned y ON y.cid = x.cid AND y.label = x.label AND y.vec_id <> x.vec_id
+          JOIN eg a ON a.vec_id = x.vec_id
+          JOIN eg b ON b.vec_id = y.vec_id)
+        SELECT qid, label, nid, rank, sim FROM (
+          SELECT qid, label, nid,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INTEGER) AS rank,
+                 sim
+          FROM pairs)
+        WHERE rank <= 3""")
     )
   )
 }

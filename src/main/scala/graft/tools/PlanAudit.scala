@@ -284,6 +284,11 @@ object PlanAudit {
     Audit("q162_hybrid_rrf",
       mustContain = Seq("TakeOrderedAndProject", "vec_dot"),
       mustNotContain = Seq("CartesianProduct")),
+    // filtered ANN: candidates come from the (centroid, label)
+    // composite-key equi-join — never all-pairs
+    Audit("q163_filtered_ann",
+      mustContain = Seq("vec_dot", "BroadcastExchange"),
+      mustNotContain = Seq("CartesianProduct")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

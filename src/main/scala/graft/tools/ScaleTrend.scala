@@ -80,6 +80,9 @@ object ScaleTrend {
     "q160_epoch_shuffle",
     "q161_score_drift",
     "q162_hybrid_rrf",
+    // fixed-B composite-bucket join — same fixed-index caveat as q45,
+    // same B ∝ n production rule
+    "q163_filtered_ann",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",

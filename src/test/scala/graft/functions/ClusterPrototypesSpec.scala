@@ -47,4 +47,30 @@ class ClusterPrototypesSpec extends AnyFunSuite {
     // 16 clusters, nothing assigned anywhere else
     assert(out.map(_._1).distinct.sorted === (0L until 16L).toArray)
   }
+
+  test("q163: the label filter constrains the candidate bucket, not a post-filter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fann_").toString
+    def axis(i: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(16)(0f); a(i) = scale; a
+    }
+    val v17 = { val a = Array.fill(16)(0f); a(3) = 1f; a(0) = 0.1f; a }
+    // centroid labels alternate; vec 16 (label 1) and vec 17 (label 2)
+    // both land in centroid 3's bucket (label(3) = 1)
+    val rows =
+      (0 until 16).map(i => (i.toLong, axis(i, 1f), i % 2)) ++
+        Seq((16L, axis(3, 5f), 1), (17L, v17, 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q163_filtered_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    // vec 16 finds only its same-label bucket-mate (centroid 3)
+    assert(byQ(16L).map(t => (t._2, t._3)).toSet === Set((3L, 1)))
+    assert(byQ(3L).map(t => (t._2, t._3)).toSet === Set((16L, 1)))
+    // vec 17 is ALONE in (cid 3, label 2): filtered search returns
+    // nothing for it — the semantics post-filtering would silently
+    // fake by returning a wrong-label neighbor
+    assert(!byQ.contains(17L))
+  }
 }
