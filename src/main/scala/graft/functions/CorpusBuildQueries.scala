@@ -490,7 +490,9 @@ object CorpusBuildQueries extends QueryModule {
     // doc's epoch-k placement never changes as the corpus grows around
     // it (the q113 stability argument). Output is the (epoch, shard)
     // manifest a loader coordinator reads: volume per shard plus the
-    // first doc (min hash) so any worker can seek its shard start.
+    // first doc (min (hash, doc_id) — doc_id breaks 48-bit-hash
+    // collisions identically on both engines) so any worker can seek
+    // its shard start.
     // Shape: a 2-row epoch explode, a pure projection for the hash,
     // one keyed aggregate — shuffle O(epochs x shards), map-side
     // combined; the corpus is never sorted.
@@ -523,7 +525,7 @@ object CorpusBuildQueries extends QueryModule {
         SELECT CAST(epoch AS INTEGER) AS epoch, CAST(h % 8 AS INTEGER) AS shard,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-               ARG_MIN(doc_id, h) AS first_doc
+               (MIN({'h': h, 'd': doc_id})).d AS first_doc
         FROM exploded GROUP BY 1, 2""")
     ),
 
@@ -531,7 +533,8 @@ object CorpusBuildQueries extends QueryModule {
     // SCORE-DISTRIBUTION DRIFT — the monitoring gate between two corpus
     // snapshots: has the quality-score distribution of the incoming
     // slice (doc_id % 3 = 0 here) drifted from the established corpus?
-    // Chi-square over 5 fixed quality buckets, per source — chosen over
+    // Chi-square over the 6 fixed quality buckets floor(q/20) ∈ 0..5
+    // (q caps at exactly 100), per source — chosen over
     // PSI/KL deliberately: PSI needs log(), which is 1-ulp across
     // libms, while the chi-square statistic is pure rational arithmetic
     // and stays bit-identical cross-engine (the q85 BM25 discipline).

@@ -71,16 +71,66 @@ object SimilarityQueries extends QueryModule {
     * the -0.0 < +0.0 edge a struct sort would have. Returns (vec_id,
     * embedding, nrm, topk: array<struct<csim, cid>>).
     */
+  /** (csim DESC, cid ASC) struct comparator — primitive comparisons
+    * sidestep the -0.0 < +0.0 edge a struct sort would have, and match
+    * the oracle's ROW_NUMBER ordering exactly.
+    */
+  private val byCsimDescCidAsc = (l: Column, r: Column) =>
+    when(l.getField("csim") > r.getField("csim"), -1)
+      .when(l.getField("csim") < r.getField("csim"), 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .when(l.getField("cid") > r.getField("cid"), 1)
+      .otherwise(0)
+
+  /** The seeded (vec_id < 16) centroid relation. */
+  private def seededCentroids(e: DataFrame): DataFrame = e
+    .where(col("vec_id") < 16)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** Nearest-seeded-centroid assignment, ONE implementation for its
+    * consumers (q159 prototypes, q163 filtered ANN; q45 assigns against
+    * TRAINED centroids and keeps its own loop): (vec_id, label,
+    * embedding, nrm, cid, csim) with the argmax tie-broken by lowest
+    * cid. Aggregate-shaped like [[seededTopK]] — map-side combine means
+    * each embedding crosses the wire once, where a row_number window
+    * would shuffle all 16 scored copies.
+    */
+  private def seededAssign(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seededCentroids(e)))
+      .withColumn("csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        element_at(
+          array_sort(collect_list(struct(col("csim"), col("cid"))), byCsimDescCidAsc), 1
+        ).as("best"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("best").getField("cid").as("cid"), col("best").getField("csim").as("csim"))
+
+  /** Oracle CTEs `eg` (normed embeddings) and `assigned` (cid, label,
+    * vec_id, csim) — the SQL mirror of [[seededAssign]].
+    */
+  private lazy val seededAssignCtesSql: String = s"""
+        e AS (
+          SELECT vec_id, label, embedding, $normSqlFrag AS nrm
+          FROM embeddings),
+        eg AS (SELECT * FROM e WHERE nrm > 0),
+        cent AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM eg WHERE vec_id < 16),
+        scored AS (
+          SELECT a.vec_id, a.label, b.cid,
+                 $dotSqlFrag / (a.nrm * b.cn) AS csim
+          FROM eg a, cent b),
+        assigned AS (
+          SELECT cid, label, vec_id, csim FROM (
+            SELECT vec_id, label, cid, csim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+            FROM scored) WHERE r = 1)"""
+
   private def seededTopK(e: DataFrame, k: Int): DataFrame = {
-    val centroids = e
-      .where(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val byCsimDescCidAsc = (l: Column, r: Column) =>
-      when(l.getField("csim") > r.getField("csim"), -1)
-        .when(l.getField("csim") < r.getField("csim"), 1)
-        .when(l.getField("cid") < r.getField("cid"), -1)
-        .when(l.getField("cid") > r.getField("cid"), 1)
-        .otherwise(0)
+    val centroids = seededCentroids(e)
     e.crossJoin(broadcast(centroids))
       .withColumn(
         "csim",
@@ -1195,15 +1245,7 @@ object SimilarityQueries extends QueryModule {
     "q159_cluster_prototypes" -> QueryDef(
       fn = (s, d) => {
         VectorFunctions.register(s)
-        val e = normedEmbeddings(s, d)
-        val centroids = e.where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-        val assigned = e.crossJoin(broadcast(centroids))
-          .withColumn("csim",
-            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-          .withColumn("r", row_number().over(wAssign))
-          .where(col("r") === 1)
+        val assigned = seededAssign(normedEmbeddings(s, d))
           .select(col("cid"), col("vec_id"), col("csim"))
         val proto   = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("vec_id").asc)
         val outlier = Window.partitionBy(col("cid")).orderBy(col("csim").asc, col("vec_id").asc)
@@ -1217,20 +1259,7 @@ object SimilarityQueries extends QueryModule {
               .select(col("cid"), col("vec_id"), col("csim"), lit("outlier").as("tag"), col("orr").as("rank")))
       },
       oracle = Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, $normSqlFrag AS nrm
-          FROM embeddings),
-        eg AS (SELECT * FROM e WHERE nrm > 0),
-        cent AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM eg WHERE vec_id < 16),
-        scored AS (
-          SELECT a.vec_id, b.cid,
-                 $dotSqlFrag / (a.nrm * b.cn) AS csim
-          FROM eg a, cent b),
-        assigned AS (
-          SELECT cid, vec_id, csim FROM (
-            SELECT vec_id, cid, csim,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
-            FROM scored) WHERE r = 1),
+        WITH $seededAssignCtesSql,
         ranked AS (
           SELECT cid, vec_id, csim,
                  CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, vec_id ASC) AS INTEGER) AS pr,
@@ -1262,32 +1291,9 @@ object SimilarityQueries extends QueryModule {
     "q162_hybrid_rrf" -> QueryDef(
       fn = (s, d) => {
         VectorFunctions.register(s)
-        val terms = Seq("spark", "vector", "merge")
-        val toks  = split(TextFunctions.normalizeText(col("text")), " ")
-        val perDoc = documents(s, d)
-          .select(col("doc_id"), toks.as("w"))
-          .withColumn("dl", size(col("w")))
-          .select(
-            (col("doc_id") +: col("dl") +:
-              terms.zipWithIndex.map { case (t, i) =>
-                expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
-              }): _*)
-        val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
-        val avgdl = col("sdl").cast("double") / col("n").cast("double")
-        def termScore(i: Int) = {
-          val tf  = col(s"tf$i").cast("double")
-          val dfc = col(s"df$i").cast("double")
-          val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
-          idf * (tf * lit(2.2)) /
-            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-        }
-        val lex = perDoc
-          .crossJoin(broadcast(stats))
-          .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-          .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
+        // the q85 scorer itself (one shared kernel — a scoring change
+        // lands in both gates or neither)
+        val lex = TextQueries.bm25Scores(s, d)
           .orderBy(col("score").desc, col("doc_id").asc).limit(20)
           .withColumn("lex_rank",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
@@ -1313,35 +1319,15 @@ object SimilarityQueries extends QueryModule {
           .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
       },
       oracle = Some {
-        val terms = Seq("spark", "vector", "merge")
-        val tfs = terms.zipWithIndex
-          .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
-          .mkString(", ")
-        val dfs = terms.indices
-          .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-          .mkString(", ")
-        val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
-        def termScore(i: Int) = {
-          val tf  = s"CAST(tf$i AS DOUBLE)"
-          val dfc = s"CAST(df$i AS DOUBLE)"
-          val idf = s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE)))"
-          s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
-            s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
-        }
-        val score = terms.indices.map(termScore).mkString(" + ")
         s"""
-        WITH perdoc AS (
-          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
-          FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents)),
-        stats AS (
-          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc),
+        WITH ${TextQueries.bm25OracleCtes},
         lex AS (
           SELECT doc_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rank
           FROM (
-            SELECT doc_id, $score AS score
+            SELECT doc_id, ${TextQueries.bm25ScoreSql} AS score
             FROM perdoc, stats
-            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            WHERE ${TextQueries.bm25MatchSql}
             ORDER BY score DESC, doc_id ASC LIMIT 20)),
         e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings),
@@ -1383,15 +1369,7 @@ object SimilarityQueries extends QueryModule {
     "q163_filtered_ann" -> QueryDef(
       fn = (s, d) => {
         VectorFunctions.register(s)
-        val e = normedEmbeddings(s, d)
-        val centroids = e.where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-        val assigned = e.crossJoin(broadcast(centroids))
-          .withColumn("csim",
-            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-          .withColumn("r", row_number().over(wAssign))
-          .where(col("r") === 1)
+        val assigned = seededAssign(normedEmbeddings(s, d))
           .select(col("cid"), col("label"), col("vec_id"), col("embedding"), col("nrm"))
           .persist() // both sides of the bucket join
           .leased
@@ -1409,20 +1387,7 @@ object SimilarityQueries extends QueryModule {
           .select(col("qid"), col("label"), col("nid"), col("rank"), col("sim"))
       },
       oracle = Some(s"""
-        WITH e AS (
-          SELECT vec_id, label, embedding, $normSqlFrag AS nrm
-          FROM embeddings),
-        eg AS (SELECT * FROM e WHERE nrm > 0),
-        cent AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM eg WHERE vec_id < 16),
-        scored AS (
-          SELECT a.vec_id, a.label, b.cid,
-                 $dotSqlFrag / (a.nrm * b.cn) AS csim
-          FROM eg a, cent b),
-        assigned AS (
-          SELECT s.cid, s.label, s.vec_id FROM (
-            SELECT vec_id, label, cid, csim,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
-            FROM scored) s WHERE s.r = 1),
+        WITH $seededAssignCtesSql,
         pairs AS (
           SELECT x.vec_id AS qid, x.label, y.vec_id AS nid,
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -51,6 +51,83 @@ object TextQueries extends QueryModule {
   private[graft] lazy val tokenCountSql =
     "CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS INTEGER)"
 
+  // ------------------------------------------------------------------
+  // The q85 BM25 scoring kernel — ONE implementation (Spark side and
+  // oracle fragments), shared with q162's hybrid RRF fusion so the two
+  // gates can never drift apart: a k1/b or idf change lands in both or
+  // neither. The idf keeps the rational core without the log wrap
+  // (libm is 1-ulp, not bit-identical cross-engine); see q85's entry
+  // for the full scoring-function contract.
+  private[functions] val Bm25Terms = Seq("spark", "vector", "merge")
+
+  /** (doc_id, dl, score) for documents matching ≥1 query term: corpus
+    * stats in one 1-row broadcast, scoring in one linear pass.
+    */
+  private[functions] def bm25Scores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Bm25Terms
+    val toks  = split(normalizeText(col("text")), " ")
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("dl", size(col("w")))
+      .select(
+        (col("doc_id") +: col("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
+          }): _*
+      )
+    val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      )
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    def termScore(i: Int) = {
+      val tf  = col(s"tf$i").cast("double")
+      val dfc = col(s"df$i").cast("double")
+      val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    perDoc
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** Oracle CTEs `perdoc` (doc_id, dl, tf_i) and `stats` (n, sdl, df_i). */
+  private[functions] lazy val bm25OracleCtes: String = {
+    val tfs = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
+      .mkString(", ")
+    val dfs = Bm25Terms.indices
+      .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    s"""perdoc AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
+          FROM ($normSql)),
+        stats AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc)"""
+  }
+
+  /** The summed per-term score expression over `perdoc, stats`. */
+  private[functions] lazy val bm25ScoreSql: String = {
+    val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    def termScore(i: Int) = {
+      val tf  = s"CAST(tf$i AS DOUBLE)"
+      val dfc = s"CAST(df$i AS DOUBLE)"
+      val idf = s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE)))"
+      s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
+        s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
+    }
+    Bm25Terms.indices.map(termScore).mkString(" + ")
+  }
+
+  /** `tf0 > 0 OR ...` — the ≥1-term match predicate. */
+  private[functions] lazy val bm25MatchSql: String =
+    Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+
   override def queries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Token count + char stats + md5 fingerprint per document.
@@ -437,64 +514,12 @@ object TextQueries extends QueryModule {
     // double op is written with identical parenthesization in both
     // engines.
     "q85_bm25" -> QueryDef(
-      fn = (s, d) => {
-        val terms = Seq("spark", "vector", "merge")
-        val toks  = split(normalizeText(col("text")), " ")
-        val perDoc = documents(s, d)
-          .select(col("doc_id"), toks.as("w"))
-          .withColumn("dl", size(col("w")))
-          .select(
-            (col("doc_id") +: col("dl") +:
-              terms.zipWithIndex.map { case (t, i) =>
-                expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
-              }): _*
-          )
-        val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
-          )
-        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
-        val avgdl = col("sdl").cast("double") / col("n").cast("double")
-        def termScore(i: Int) = {
-          val tf  = col(s"tf$i").cast("double")
-          val dfc = col(s"df$i").cast("double")
-          val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
-          idf * (tf * lit(2.2)) /
-            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-        }
-        perDoc
-          .crossJoin(broadcast(stats)) // 1-row corpus stats
-          .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-          .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
-          .select(col("doc_id"), col("dl"), col("score"))
-      },
-      oracle = Some {
-        val terms = Seq("spark", "vector", "merge")
-        val tfs = terms.zipWithIndex
-          .map { case (t, i) => s"len(list_filter(string_split(t, ' '), x -> x = '$t')) AS tf$i" }
-          .mkString(", ")
-        val dfs = terms.indices
-          .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-          .mkString(", ")
-        val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
-        def termScore(i: Int) = {
-          val tf  = s"CAST(tf$i AS DOUBLE)"
-          val dfc = s"CAST(df$i AS DOUBLE)"
-          val idf = s"((CAST(n AS DOUBLE) - $dfc + CAST(0.5 AS DOUBLE)) / ($dfc + CAST(0.5 AS DOUBLE)))"
-          s"(($idf * ($tf * CAST(2.2 AS DOUBLE))) / " +
-            s"($tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl))))"
-        }
-        val score = terms.indices.map(termScore).mkString(" + ")
-        s"""
-        WITH perdoc AS (
-          SELECT doc_id, CAST(len(string_split(t, ' ')) AS INTEGER) AS dl, $tfs
-          FROM ($normSql)),
-        stats AS (
-          SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc)
-        SELECT doc_id, dl, $score AS score
+      fn = (s, d) => bm25Scores(s, d),
+      oracle = Some(s"""
+        WITH $bm25OracleCtes
+        SELECT doc_id, dl, $bm25ScoreSql AS score
         FROM perdoc, stats
-        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"""
-      }
+        WHERE $bm25MatchSql""")
     ),
 
     // ----------------------------------------------------------------

@@ -704,12 +704,14 @@ object StreamingQueries extends QueryModule {
     // windows advancing every 1 day, so every event lands in exactly
     // TWO overlapping windows (the trailing-metrics shape: "events in
     // the last 2 days, refreshed daily"). Spark plans this as a
-    // 2-row-per-event expand feeding the same watermark-evicted
-    // windowed state as tumbling — state is #open-windows×groups, not
-    // events, so a 48h watermark holds exactly 2 live windows per
-    // group at 100 TB/day rates. The oracle mirrors the expansion:
-    // each event contributes to the windows starting at its day and
-    // the day before.
+    // 2-row-per-event expand feeding the same windowed state as
+    // tumbling; in APPEND mode (the q91 production shape) the
+    // watermark finalizes-and-evicts each window once, so live state
+    // is 2 windows per group regardless of rate. This gate runs
+    // COMPLETE mode like q37 — valid only for a bounded replay,
+    // because complete-mode state never evicts (q37's caveat applies
+    // verbatim); what it proves is the 2-window expansion semantics
+    // against the oracle's explicit two-window UNNEST.
     "q156_stream_sliding_window" -> QueryDef(
       fn = (s, d) => {
         val agg = eventStream(s, d)
