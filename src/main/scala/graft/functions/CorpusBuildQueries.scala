@@ -612,6 +612,83 @@ object CorpusBuildQueries extends QueryModule {
                list_sum(list_transform(list(term ORDER BY bucket), x -> x)) AS chi2,
                COUNT(*) AS n_buckets
         FROM terms GROUP BY source""")
+    ),
+
+    // ----------------------------------------------------------------
+    // TEMPERATURE-SAMPLED LANGUAGE QUOTAS — the multilingual balancing
+    // step (mC4 / XLM-R style α-sampling, Conneau et al. 2020): raw
+    // language shares p_l are flattened to p_l^α / Σ p_l^α with
+    // α = 0.5 so low-resource languages are upsampled, then a fixed
+    // token budget is allocated by LARGEST-REMAINDER rounding so the
+    // integer quotas sum to the budget EXACTLY (floor everything,
+    // hand the leftover tokens to the largest fractional parts,
+    // lang-asc tiebreak). α = 0.5 keeps the whole computation
+    // IEEE-exact cross-engine: p^0.5 is sqrt (correctly rounded by
+    // IEEE-754, unlike pow/log), and both the p_l fold and the
+    // Σ sqrt fold run in explicit lang order so double summation
+    // order cannot drift (the q161 discipline).
+    //
+    // Shape: the corpus collapses in one lang-grain aggregate; all
+    // arithmetic after is over #langs rows with two bounded windows.
+    "q164_language_sampling" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VectorFunctions.register(s)
+        val Budget = 100000L
+        val byLang = documents(s, d)
+          .select(col("lang"), TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        val totals = byLang
+          .agg(
+            sum(col("n_tokens")).as("total_tokens"), // integer sum: order-free
+            expr("aggregate(sort_array(collect_list(struct(lang, n_tokens))), CAST(0 AS DOUBLE)," +
+              " (acc, x) -> acc + sqrt(CAST(x.n_tokens AS DOUBLE)))").as("sum_w"))
+        // w_l = sqrt(n_l); share = w_l / Σ w — dividing sqrt(n_l) by
+        // Σ sqrt(n) is algebraically p^α/Σp^α with the total factored
+        // out: sqrt(n/T)/Σsqrt(n_i/T) = sqrt(n)/Σsqrt(n_i), and the
+        // factored form skips a division that would cost extra ulps
+        val quoted = byLang
+          .crossJoin(broadcast(totals))
+          .withColumn("share", sqrt(col("n_tokens").cast("double")) / col("sum_w"))
+          .withColumn("quota", col("share") * lit(Budget.toDouble))
+          .withColumn("base", floor(col("quota")).cast("long"))
+          .withColumn("frac", col("quota") - col("base").cast("double"))
+        val wSum  = Window.partitionBy(lit(1))
+        val wRank = Window.orderBy(col("frac").desc, col("lang").asc)
+        quoted
+          .withColumn("leftover", lit(Budget) - sum(col("base")).over(wSum))
+          .withColumn("r", row_number().over(wRank))
+          .select(
+            col("lang"), col("n_tokens"), col("share"),
+            (col("base") + when(col("r") <= col("leftover"), 1L).otherwise(0L))
+              .as("quota_tokens"))
+      },
+      oracle = Some(s"""
+        WITH bylang AS (
+          SELECT lang, CAST(SUM(CAST(${TextQueries.tokenCountSql} AS BIGINT)) AS BIGINT) AS n_tokens
+          FROM (${TextQueries.normSql}) GROUP BY lang),
+        totals AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 list_sum(list_transform(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang), x -> x)) AS sum_w
+          FROM bylang),
+        quoted AS (
+          SELECT lang, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) / sum_w AS share,
+                 sqrt(CAST(n_tokens AS DOUBLE)) / sum_w * CAST(100000 AS DOUBLE) AS quota
+          FROM bylang, totals),
+        based AS (
+          SELECT lang, n_tokens, share,
+                 CAST(FLOOR(quota) AS BIGINT) AS base,
+                 quota - CAST(FLOOR(quota) AS BIGINT) AS frac
+          FROM quoted),
+        ranked AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY frac DESC, lang ASC) AS INTEGER) AS r,
+                 CAST(100000 - SUM(base) OVER () AS BIGINT) AS leftover
+          FROM based)
+        SELECT lang, n_tokens, share,
+               CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens
+        FROM ranked""")
     )
   )
 }

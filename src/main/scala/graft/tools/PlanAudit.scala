@@ -289,6 +289,12 @@ object PlanAudit {
     Audit("q163_filtered_ann",
       mustContain = Seq("vec_dot", "BroadcastExchange"),
       mustNotContain = Seq("CartesianProduct")),
+    // language sampling: corpus collapses in the lang-grain aggregate;
+    // the only global windows run over #langs rows (bounded by
+    // construction, the q151/q106 pattern)
+    Audit("q164_language_sampling",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -83,6 +83,7 @@ object ScaleTrend {
     // fixed-B composite-bucket join — same fixed-index caveat as q45,
     // same B ∝ n production rule
     "q163_filtered_ann",
+    "q164_language_sampling",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",

@@ -51,4 +51,36 @@ class PipelineMonitorsSpec extends AnyFunSuite {
     assert(got("sSame") === ((0.0, 1L)))
     assert(got("sDrift") === ((3.0, 1L)))
   }
+
+  test("q164: sqrt-flattened shares; largest-remainder quotas sum to the budget") {
+    import spark.implicits._
+    def stage(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lang_").toString
+      rows.map { case (id, text, lang) => (id, text, lang, "s1", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def run(dir: String) = graft.SparkEntry.queries("q164_language_sampling")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+
+    // 9-vs-1 tokens: sqrt ratio 3:1 -> exact 75000/25000, no remainder
+    val q1 = run(stage(Seq(
+      (1L, ("tok " * 9).trim, "aa"),
+      (2L, "tok", "bb"))))
+    assert(q1 === Map("aa" -> 75000L, "bb" -> 25000L))
+
+    // three equal languages: 100000/3 floors to 33333 each, and the
+    // single leftover token goes to the lang-asc first among equal fracs
+    val q2 = run(stage(Seq(
+      (1L, "tok", "aa"), (2L, "tok", "bb"), (3L, "tok", "cc"))))
+    assert(q2 === Map("aa" -> 33334L, "bb" -> 33333L, "cc" -> 33333L))
+    assert(q2.values.sum === 100000L)
+
+    // corpus invariant: quotas always exhaust the budget exactly
+    val corpus = graft.SparkEntry.queries("q164_language_sampling")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(3))
+    assert(corpus.sum === 100000L)
+  }
 }
