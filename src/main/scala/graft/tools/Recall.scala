@@ -34,6 +34,35 @@ object Recall {
     hits / total
   }
 
+  /** recall@3 of q163 (filtered ANN) vs the exact SAME-LABEL top-3 —
+    * the constraint is part of the task, so the baseline carries it
+    * too; what this measures is purely what the centroid bucketing
+    * loses. Brute force within label: recall-harness-only, small-sf.
+    */
+  def filteredRecallAt3(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+    val a = e.select(col("label"), col("vec_id").as("qid"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("nid"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val exact = a.join(b, Seq("label"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("r", row_number().over(w)).where(col("r") <= 3)
+      .select(col("qid"), col("nid"))
+    val ann   = SparkEntry.queries("q163_filtered_ann")(spark, sfDir)
+      .select(col("qid"), col("nid"))
+    val total = exact.count().toDouble
+    exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
@@ -43,6 +72,8 @@ object Recall {
       spark.catalog.clearCache() // queries persist() intermediates
       println(f"[recall] $name%-24s recall@3 = $r%.4f ($sfDir)")
     }
+    val fr = filteredRecallAt3(spark, sfDir)
+    println(f"[recall] q163_filtered_ann       recall@3 = $fr%.4f vs exact-same-label ($sfDir)")
     spark.stop()
   }
 }

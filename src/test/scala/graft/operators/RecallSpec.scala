@@ -75,6 +75,18 @@ class RecallSpec extends AnyFunSuite {
       s"q96 recall ${recalls("q96_ann_lsh_multitable")}")
   }
 
+  test("filtered ANN clears its floor against the exact-same-label baseline") {
+    requireCorpus()
+    // measured 0.160 at sf0.001: single-probe assignment at fixed B=16
+    // over a near-uniform corpus — the same regime as q45's 0.215
+    // unfiltered (the label constraint shrinks buckets, so recall sits
+    // just under single-probe IVF). Floor ~25% under measured; a broken
+    // (cid, label) candidate stage scores ~0
+    val r = Recall.filteredRecallAt3(spark, dir)
+    spark.catalog.clearCache()
+    assert(r >= 0.11, s"q163 filtered recall $r")
+  }
+
   test("sign-LSH-bucketed variants (q36/q74/q78) clear their floor") {
     requireCorpus()
     // 8 hyperplane bits over a near-uniform corpus leave ~n/256 candidates
