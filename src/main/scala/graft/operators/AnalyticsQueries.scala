@@ -27,7 +27,10 @@ object AnalyticsQueries extends QueryModule {
 
   import Tables._
 
-  override def queries: Map[String, QueryDef] = Map(
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Pearson correlation + OLS slope per group from ONE map-side-
     // combinable pass: the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
@@ -1054,6 +1057,92 @@ object AnalyticsQueries extends QueryModule {
           FROM cu)
         SELECT event_type, n_days, day AS changepoint_day, ROUND(abs_c, 6) AS peak_cusum
         FROM sel WHERE rn = 1"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // INTERVAL OVERLAP JOIN — the bucket-decomposed range join (the
+    // batch analog of Flink's interval join; the genomics/session
+    // overlap kernel): for every user session (q40's 30-min-gap
+    // intervals), how many OTHER sessions overlap it in time? q106's
+    // sweep-line answers "how many concurrent at instant t"; this is
+    // the pairwise JOIN — who overlaps whom — which a naive engine
+    // writes as a quadratic theta-join. The distributed shape: explode
+    // each interval to the hour buckets it spans, equi-join on bucket
+    // (pair volume = real overlap density, never sessions²), and count
+    // each overlapping pair EXACTLY ONCE by keeping it only in the
+    // bucket of max(start_a, start_b) — an hour both intervals
+    // provably contain. Per-bucket skew (one hot hour) is the
+    // documented salting case; bucket width trades fan-out (long
+    // intervals explode more) against per-bucket pair volume.
+    "q165_interval_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val byUser = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val HourUs = 3600L * 1000000
+        val sessions = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("session_seq",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            min(unix_micros(col("ts"))).as("s_us"),
+            max(unix_micros(col("ts"))).as("e_us"))
+          .persist() // both join sides + the final left join
+        graft.CacheLeases.lease(sessions)
+        val spans = sessions.select(col("user_id"), col("session_seq"),
+          col("s_us"), col("e_us"),
+          explode(expr(s"sequence(s_us div $HourUs, e_us div $HourUs)")).as("bucket"))
+        val n = spans.as("a")
+          .join(spans.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              (col("a.user_id") =!= col("b.user_id") ||
+                col("a.session_seq") =!= col("b.session_seq")) &&
+              col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us") &&
+              col("a.bucket") === expr(s"greatest(a.s_us, b.s_us) div $HourUs"))
+          .groupBy(col("a.user_id").as("user_id"), col("a.session_seq").as("session_seq"))
+          .agg(count(lit(1)).as("n_overlap"))
+        sessions
+          .join(n, Seq("user_id", "session_seq"), "left")
+          .select(
+            col("user_id"),
+            col("session_seq").cast("long").as("session_seq"),
+            timestamp_micros(col("s_us")).as("session_start"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      },
+      oracle = Some("""
+        WITH sess AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+          FROM (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                            OR DATE_DIFF('microsecond', prev_ts, ts) > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM (
+                SELECT user_id, event_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                FROM events)))
+          GROUP BY user_id, session_seq),
+        ov AS (
+          SELECT a.user_id, a.session_seq, COUNT(*) AS n_overlap
+          FROM sess a
+          JOIN sess b ON (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+                     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+          GROUP BY a.user_id, a.session_seq)
+        SELECT s.user_id, s.session_seq,
+               make_timestamp(s.s_us) AS session_start,
+               CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        FROM sess s
+        LEFT JOIN ov ON ov.user_id = s.user_id AND ov.session_seq = s.session_seq""")
     )
   )
 }

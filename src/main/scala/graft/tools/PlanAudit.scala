@@ -295,6 +295,12 @@ object PlanAudit {
     Audit("q164_language_sampling",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct")),
+    // interval overlap: candidates ride the hour-bucket EQUI-join —
+    // the quadratic theta-join formulation would plan a cartesian or
+    // nested-loop here
+    Audit("q165_interval_overlap",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

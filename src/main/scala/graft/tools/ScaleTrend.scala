@@ -84,6 +84,9 @@ object ScaleTrend {
     // same B ∝ n production rule
     "q163_filtered_ann",
     "q164_language_sampling",
+    // bucket-decomposed interval join: pair volume = real overlap
+    // density per hour bucket, never sessions²
+    "q165_interval_overlap",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",

@@ -43,6 +43,34 @@ class TrailingOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q165: overlap counts by hand; cross-bucket pairs counted once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv_").toString
+    val t0  = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      // user 1: session [0, 10]
+      (1L, ts(0), 1L, "view", 0.0, "{}"), (2L, ts(10), 1L, "view", 0.0, "{}"),
+      // user 2: instant session [5, 5] — inside user 1's
+      (3L, ts(5), 2L, "view", 0.0, "{}"),
+      // user 3: far away, overlaps nothing
+      (4L, ts(120), 3L, "view", 0.0, "{}"),
+      // user 4: [8, 20] — overlaps user 1 ([8,20]∩[0,10]≠∅) but NOT
+      // user 2 (starts at 8 > 5)
+      (5L, ts(8), 4L, "view", 0.0, "{}"), (6L, ts(20), 4L, "view", 0.0, "{}"),
+      // users 5 and 6: [50, 90] and [55, 80] — both span the hour
+      // boundary at minute 60, so the pair appears in BOTH hour
+      // buckets; the max(start)-bucket rule must count it once
+      (7L, ts(50), 5L, "view", 0.0, "{}"), (8L, ts(70), 5L, "view", 0.0, "{}"),
+      (9L, ts(90), 5L, "view", 0.0, "{}"),
+      (10L, ts(55), 6L, "view", 0.0, "{}"), (11L, ts(80), 6L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q165_interval_overlap")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
   test("q157: identical docs duplicate every chunk; singletons none") {
     import spark.implicits._
     val dir  = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
