@@ -128,7 +128,10 @@ object TextQueries extends QueryModule {
   private[functions] lazy val bm25MatchSql: String =
     Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
 
-  override def queries: Map[String, QueryDef] = Map(
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Token count + char stats + md5 fingerprint per document.
     "q28_text_stats" -> QueryDef(
@@ -988,6 +991,106 @@ object TextQueries extends QueryModule {
         SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
         FROM pairs GROUP BY pair
         ORDER BY cnt DESC, pair ASC LIMIT 50""")
+    ),
+
+    // ----------------------------------------------------------------
+    // LANGUAGE-MODEL PERPLEXITY FILTER — the CCNet-style quality gate
+    // (Wenzek et al., LREC'20): score every document by its negative
+    // log-likelihood under a corpus-trained bigram LM and flag the
+    // high-NLL tail. q121 BUILDS the bigram LM; this query trains it
+    // AND applies it in one plan, self-scored on the training corpus
+    // so every document bigram has a nonzero probability and no
+    // smoothing constant enters the contract.
+    //
+    // Scale shape: the corpus collapses to doc-grain bigram COUNTS
+    // first (one map-side-combined aggregate — the only corpus-sized
+    // pass); the LM is a (w1,w2)-grain rollup of that same table, so
+    // the scoring join is keyed (w1,w2)⋈(w1,w2) — shuffled hash/SMJ,
+    // never broadcast (a 100 TB corpus's bigram vocab is itself huge).
+    // Per-document NLL folds in sorted (w1,w2) order (the q161/q164
+    // discipline: double addition is not associative, so the fold
+    // order is pinned on both engines); ln() is the only libm call
+    // and ROUND(…,6) absorbs its cross-engine ulp.
+    "q166_lm_perplexity" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // doc-grain bigram counts: the ONE corpus-sized pass. Persisted
+        // (spill-safe) because both the LM rollup and the scoring join
+        // read it — without the pin the text normalize+explode runs
+        // twice over the full corpus.
+        val docGrams = graft.CacheLeases.lease(
+          documents(s, d)
+            .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+            .where(size(col("w")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("g"))
+            .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+            .agg(count(lit(1)).as("c"))
+            .persist())
+        // conditional bigram LM over the same corpus: p(w2|w1) as an
+        // exact integer ratio — deterministic division, order-free sums
+        val lm = docGrams
+          .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cnt"))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("w1"))))
+          .select(col("w1"), col("w2"),
+            (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+        val nll = -expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)") /
+          col("n_bigrams").cast("double")
+        val scored = docGrams
+          .join(lm, Seq("w1", "w2"))
+          .withColumn("term", col("c").cast("double") * log(col("p")))
+          .groupBy(col("doc_id"))
+          .agg(
+            sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))).as("ts"),
+            sum(col("c")).as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"), round(nll, 6).as("nll"))
+        // relative cut, CCNet-style: flag NLL above 105% of the corpus
+        // mean. The comparison runs entirely in INTEGER micro-NLL space
+        // (20·n·nllµ > 21·Σnllµ ⇔ nllµ > 1.05·mean) so the corpus fold
+        // is an order-free integer sum — no double-summation pinning,
+        // no collect of the doc-grain table. Headroom: nllµ ≲ 10^8,
+        // ×20×10^10 docs ≈ 2·10^19… so Σ runs first (Σnllµ·21 ≲ 10^18
+        // at 10^10 docs) and the per-doc side multiplies nllµ·20·n —
+        // both < 2^63 up to ~4·10^9 docs per corpus partition of the
+        // comparison; beyond that shard the stats by language.
+        val nllu = round(col("nll") * lit(1e6)).cast("long")
+        val stats = scored
+          .agg(sum(round(col("nll") * lit(1e6)).cast("long")).as("smu"),
+            count(lit(1)).as("nd"))
+        scored
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("n_bigrams"), col("nll"),
+            (nllu * lit(20L) * col("nd") > col("smu") * lit(21L)).as("is_flagged"))
+      },
+      oracle = Some(s"""
+        WITH grams AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql) WHERE length(t) > 0),
+               UNNEST(range(1, len(w))) AS u(i)),
+        dg AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+        lm AS (
+          SELECT w1, w2,
+                 CAST(SUM(c) AS DOUBLE) / CAST(SUM(SUM(c)) OVER (PARTITION BY w1) AS DOUBLE) AS p
+          FROM dg GROUP BY w1, w2),
+        terms AS (
+          SELECT dg.doc_id, dg.w1, dg.w2, CAST(dg.c AS DOUBLE) * ln(lm.p) AS term, dg.c
+          FROM dg JOIN lm ON lm.w1 = dg.w1 AND lm.w2 = dg.w2),
+        agg AS (
+          SELECT doc_id,
+                 list_sum(list_transform(list(term ORDER BY w1, w2), x -> x)) AS s,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams
+          FROM terms GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id, n_bigrams,
+                 ROUND(-s / n_bigrams, 6) AS nll,
+                 CAST(ROUND(ROUND(-s / n_bigrams, 6) * 1e6) AS BIGINT) AS nllu
+          FROM agg),
+        stats AS (
+          SELECT CAST(SUM(nllu) AS BIGINT) AS smu, COUNT(*) AS nd FROM scored)
+        SELECT doc_id, n_bigrams, nll,
+               nllu * 20 * nd > smu * 21 AS is_flagged
+        FROM scored, stats""")
     )
   )
 }

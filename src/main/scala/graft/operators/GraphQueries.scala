@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph analytics — the engine's bulk-synchronous
+  * iteration primitive. The reference has no graph surface (its star
+  * schema stops at joins); at corpus scale the same shape powers the
+  * web-graph importance signals real pretraining pipelines filter on
+  * (page-rank-weighted crawl selection, OPIC scores).
+  *
+  * Scale contract: one iteration = ONE keyed shuffle (ranks ⋈ edges on
+  * src, then a dst-grain aggregate); the edge table is built once,
+  * localCheckpoint'ed, and re-read per iteration; rank vectors are
+  * node-grain (tiny next to the corpus) and checkpointed per step so the
+  * plan does not grow with the iteration count. Nothing here is ever
+  * all-pairs: the co-supply edge list explodes per part over the
+  * DISTINCT (part, supplier) pairs only, with per-part fanout bounded by
+  * the handful of suppliers a part has.
+  */
+object GraphQueries extends QueryModule {
+
+  import Tables._
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private val Damping    = 0.85
+  private val Teleport   = 0.15
+  private val Iterations = 3
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // WEIGHTED PAGERANK (Page et al. 1999, fixed K=3 iterations) over
+    // the supplier CO-SUPPLY graph: s1 → s2 with weight = number of
+    // distinct parts both supply. The graph is derived, not stored —
+    // the (part, supplier) projection contracts the fact table in one
+    // map-side-combined distinct, and the bounded per-part self-join
+    // generates edges without a CartesianProduct.
+    //
+    // Numeric contract (the q161/q164 discipline): edge weights are
+    // normalized once by exact integer-ratio division; every per-node
+    // contribution sum folds in sorted src order on BOTH engines, so
+    // the only arithmetic is correctly-rounded IEEE +,*,/ applied in
+    // an identical sequence — bit-identical cross-engine, no libm.
+    // Dangling/isolated nodes keep teleport-only mass (leaky PageRank,
+    // mirrored exactly in the oracle — no dangling redistribution).
+    "q167_pagerank" -> QueryDef(
+      fn = (s, d) => {
+        val ps = lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = ps.as("a")
+          .join(ps.as("b"),
+            col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+          .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val en = graft.CacheLeases.lease(
+          edges
+            .withColumn("wout",
+              sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+            .select(col("src"), col("dst"),
+              (col("w").cast("double") / col("wout").cast("double")).as("nw"))
+            .persist())
+        val nTot = supplier(s, d).agg(count(lit(1)).cast("double").as("nn"))
+        val base = graft.CacheLeases.lease(
+          supplier(s, d).select(col("s_suppkey").as("node"))
+            .crossJoin(broadcast(nTot))
+            .persist())
+        val r0 = base.select(col("node"), (lit(1.0) / col("nn")).as("r"))
+        def step(rank: DataFrame): DataFrame = {
+          val contrib = en
+            .join(rank, col("node") === col("src"))
+            .select(col("dst"), col("src"), (col("r") * col("nw")).as("contrib"))
+            .groupBy(col("dst"))
+            .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("cs"))
+            .select(col("dst").as("node"),
+              expr("aggregate(cs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)").as("csum"))
+          base
+            .join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(Teleport) / col("nn") +
+                lit(Damping) * coalesce(col("csum"), lit(0.0))).as("r"))
+            // node-grain (tiny): cut the lineage so the plan stays one
+            // iteration deep however many steps run
+            .localCheckpoint(true)
+        }
+        val rK = (1 to Iterations).foldLeft(r0)((r, _) => step(r))
+        rK.select(col("node"), round(col("r") * lit(1e6), 6).as("pr_ppm"))
+      },
+      oracle = Some {
+        def contribSql(prev: String, i: Int): String = s"""
+        c$i AS (
+          SELECT en.dst,
+                 list_sum(list_transform(list(r.r * en.nw ORDER BY en.src), x -> x)) AS csum
+          FROM en JOIN $prev r ON r.node = en.src GROUP BY en.dst),
+        r$i AS (
+          SELECT b.node, $Teleport / b.nn + $Damping * COALESCE(c$i.csum, 0.0) AS r
+          FROM base b LEFT JOIN c$i ON c$i.dst = b.node)"""
+        val steps = (1 to Iterations).map(i => contribSql(if (i == 1) "r0" else s"r${i - 1}", i)).mkString(",")
+        s"""
+        WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        e AS (
+          SELECT a.sk AS src, b.sk AS dst, COUNT(*) AS w
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk
+          GROUP BY 1, 2),
+        en AS (
+          SELECT src, dst,
+                 CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS nw
+          FROM e),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM supplier),
+        base AS (SELECT s_suppkey AS node, nn FROM supplier, n),
+        r0 AS (SELECT node, 1.0 / nn AS r FROM base),
+        $steps
+        SELECT node, ROUND(r * 1e6, 6) AS pr_ppm FROM r$Iterations"""
+      }
+    )
+  )
+}

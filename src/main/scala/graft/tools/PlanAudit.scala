@@ -301,6 +301,18 @@ object PlanAudit {
     Audit("q165_interval_overlap",
       mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // LM perplexity: the scoring join is keyed (w1,w2) — the LM must
+    // never be planned all-pairs against the doc grams, and InMemory
+    // proves the single persisted corpus pass is actually reused
+    Audit("q166_lm_perplexity",
+      mustContain = Seq("ln(", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct")),
+    // PageRank: the final plan is the checkpointed last-iteration rank
+    // vector — ExistingRDD is the evidence the iteration materialized
+    // node-grain instead of growing a 3-deep corpus lineage
+    Audit("q167_pagerank",
+      mustContain = Seq("ExistingRDD"),
+      mustNotContain = Seq("CartesianProduct")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -87,6 +87,12 @@ object ScaleTrend {
     // bucket-decomposed interval join: pair volume = real overlap
     // density per hour bucket, never sessions²
     "q165_interval_overlap",
+    // LM perplexity: one persisted corpus pass + a (w1,w2)-keyed LM
+    // join; the suffix-per-copy corpus multiplies the bigram vocab 10x
+    // with per-key counts unchanged, so the join must track linearly.
+    // (q167 pagerank is absent by construction: it reads lineitem,
+    // which the 10x generator does not scale.)
+    "q166_lm_perplexity",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",

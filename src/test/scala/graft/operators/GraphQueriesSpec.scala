@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q167 weighted PageRank: exact 3-iteration values on a hand-traceable
+  * path graph, plus mass-conservation invariants on the corpus.
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q167: hand-computed ranks on the 1-2-3 path co-supply graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_").toString
+    // part 10 shared by suppliers {1,2}, part 20 by {2,3} -> path graph
+    // 1 <-> 2 <-> 3; supplier 2 splits its mass, 1 and 3 concentrate.
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = graft.SparkEntry.queries("q167_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r0 = 1/3 each; after 3 damped iterations (worked by hand):
+    //   ends   = .05 + .425·b2 = 0.2097291667
+    //   center = .05 + 1.7·a2  = 0.5805416667
+    assert(math.abs(got(1L) - 209729.1667) < 1e-3)
+    assert(math.abs(got(3L) - 209729.1667) < 1e-3)
+    assert(math.abs(got(2L) - 580541.6667) < 1e-3)
+    // no dangling nodes in this graph: total mass conserved exactly
+    assert(math.abs(got.values.sum - 1e6) < 1e-3)
+  }
+
+  test("q167: corpus invariants — every supplier ranked, positive mass, leaky total ≤ 1") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q167_pagerank")(spark, dir).cache()
+    val n   = graft.Tables.supplier(spark, dir).count()
+    assert(out.count() === n)
+    assert(out.where(col("pr_ppm") <= 0.0).count() === 0L)
+    val total = out.agg(sum(col("pr_ppm"))).head.getDouble(0)
+    // teleport floor (0.15) and the leaky-PageRank ceiling (1.0)
+    assert(total > 0.15e6 && total <= 1e6 + 1.0)
+    out.unpersist()
+  }
+}
