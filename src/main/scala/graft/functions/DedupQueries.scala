@@ -1034,6 +1034,80 @@ object DedupQueries extends QueryModule {
         FROM chunks c
         LEFT JOIN nd ON nd.doc_id = c.doc_id
         GROUP BY c.doc_id""")
+    ),
+
+    // ----------------------------------------------------------------
+    // EXACT SIMILARITY JOIN via PREFIX FILTERING (PPJoin family,
+    // Xiao et al., WWW'08) — the COMPLETE counterpart to the MinHash
+    // band join (q32/q33): LSH banding is probabilistic and can miss a
+    // qualifying pair; the prefix filter cannot. For token SETS under
+    // a global total order, two sets with Jaccard >= t MUST share at
+    // least one element within each other's first |S|-ceil(t·|S|)+1
+    // elements — so candidates come from an EQUI-join on exploded
+    // prefix tokens, and the verify step computes Jaccard exactly as
+    // an integer ratio (5·|∩| >= 4·|∪| ⇔ J >= 0.8 — no doubles).
+    //
+    // Scale shape: prefix length is ~(1-t)·|S|+1 (a fifth of each set
+    // at t=0.8), and ordering the global vocabulary rarest-first keeps
+    // every prefix-token posting list short — the candidate volume is
+    // Σ_tok postings(tok)², bounded by the rare end of the vocabulary,
+    // never n². Verification joins the candidate PAIRS back to the
+    // doc-grain set table twice — doc-keyed equi-joins all the way.
+    "q169_jaccard_prefix_join" -> QueryDef(
+      fn = (s, d) => {
+        // shingle sets (the dedup family's word-3-grams — sharp enough
+        // that only true near-dups qualify), ordered rarest-first by
+        // (global posting count, shingle)
+        val toks = shingleDf(s, d)
+          .select(col("doc_id"), col("shingle").as("tok"))
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        val sets = graft.CacheLeases.lease(
+          toks
+            .join(freq, Seq("tok"))
+            .groupBy(col("doc_id"))
+            .agg(expr("transform(sort_array(collect_list(struct(tf, tok))), x -> x.tok)").as("w"))
+            .withColumn("sz", size(col("w")))
+            .persist())
+        // prefix length |S| - ceil(0.8·|S|) + 1, in integer arithmetic:
+        // ceil(4k/5) = (4k+4) div 5
+        val prefix = sets
+          .select(col("doc_id"), col("sz"),
+            explode(slice(col("w"), lit(1),
+              expr("CAST(sz - (sz * 4 + 4) DIV 5 + 1 AS INT)"))).as("tok"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+              // length filter: J >= t forces t·|A| <= |B| <= |A|/t
+              && col("b.sz") * 5 >= col("a.sz") * 4 && col("a.sz") * 5 >= col("b.sz") * 4)
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .distinct()
+        cand
+          .join(sets.select(col("doc_id").as("ida"), col("w").as("wa")), Seq("ida"))
+          .join(sets.select(col("doc_id").as("idb"), col("w").as("wb")), Seq("idb"))
+          .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+          .withColumn("uni", size(col("wa")) + size(col("wb")) - col("inter"))
+          .where(col("inter") * 5 >= col("uni") * 4)
+          .select(col("ida"), col("idb"),
+            col("inter").cast("long").as("n_inter"),
+            col("uni").cast("long").as("n_union"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, shingle AS tok FROM ($shingleSql)),
+        sets AS (
+          SELECT doc_id, list(tok) AS w, COUNT(*) AS sz
+          FROM toks GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 len(list_intersect(a.w, b.w)) AS n_inter,
+                 a.sz + b.sz - len(list_intersect(a.w, b.w)) AS n_union
+          FROM sets a JOIN sets b
+            ON a.doc_id < b.doc_id
+           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4)
+        SELECT ida, idb,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_union AS BIGINT) AS n_union
+        FROM pairs WHERE n_inter * 5 >= n_union * 4""")
     )
   )
 }

@@ -249,6 +249,101 @@ object SketchQueries extends QueryModule {
         FROM toks, tot
         GROUP BY tok, n_total
         HAVING COUNT(*) * 29 > n_total""")
+    ),
+
+    // ----------------------------------------------------------------
+    // COUNT-MIN SKETCH point estimates (Cormode & Muthukrishnan '05) —
+    // the third sketch family next to KMV (distinct) and Misra-Gries
+    // (heavy hitters): a depth×width integer grid answering frequency
+    // point queries with a one-sided (over-)estimate. Like q42, the
+    // hashes are md5-derived so the oracle reproduces the grid cell by
+    // cell; a production build would wrap the same grid in a typed
+    // Aggregator, but the relational form IS the mergeable layout: the
+    // token stream collapses to vocab grain map-side, explodes DEPTH
+    // rows per vocab entry, and the grid is a (r, b)-keyed integer sum
+    // — fixed D·W cells of state however large the corpus, the
+    // definition of a mergeable sketch. Probes broadcast; the exact
+    // side exists only to gate the ε-overestimate invariant.
+    "q168_count_min" -> QueryDef(
+      fn = (s, d) => {
+        val (depth, width) = (CmDepth, CmWidth)
+        def bucket(tok: org.apache.spark.sql.Column, r: Int) =
+          conv(substring(md5(concat(lit(s"cm$r:"), tok).cast("binary")), 1, 8), 16, 10)
+            .cast("long") % width
+        val toks = documents(s, d)
+          .select(explode(split(
+            graft.functions.TextFunctions.normalizeText(col("text")), " ")).as("tok"))
+          .where(col("tok") =!= "")
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val cells = vocab
+          .select(col("cnt"), explode(array((0 until depth).map { r =>
+            struct(lit(r).as("r"), bucket(col("tok"), r).as("b"))
+          }: _*)).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+        val probes = s.range(1)
+          .select(explode(array(CmProbes.map(lit): _*)).as("probe"))
+        val est = probes
+          .select(col("probe"), explode(array((0 until depth).map { r =>
+            struct(lit(r).as("r"), bucket(col("probe"), r).as("b"))
+          }: _*)).as("rb"))
+          .select(col("probe"), col("rb.r").as("r"), col("rb.b").as("b"))
+          .join(cells, Seq("r", "b"), "left")
+          .groupBy(col("probe"))
+          .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+        val exact = vocab
+          .where(col("tok").isin(CmProbes: _*))
+          .select(col("tok").as("probe"), col("cnt").as("exact_cnt"))
+        est
+          .join(broadcast(exact), Seq("probe"), "left")
+          .select(col("probe"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+            col("cm_est"),
+            (col("cm_est") - coalesce(col("exact_cnt"), lit(0L))).as("overcount"))
+      },
+      oracle = Some {
+        val probeVals = CmProbes.map(p => s"('$p')").mkString(", ")
+        def bSql(tok: String, r: String) =
+          s"CAST(concat('0x', substr(md5('cm' || $r || ':' || $tok), 1, 8)) AS BIGINT) % $CmWidth"
+        s"""
+        WITH toks AS (
+          SELECT u.tok
+          FROM (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+                FROM documents),
+               UNNEST(w) AS u(tok)
+          WHERE u.tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        cells AS (
+          SELECT d.r, ${bSql("tok", "CAST(d.r AS VARCHAR)")} AS b,
+                 CAST(SUM(cnt) AS BIGINT) AS c
+          FROM vocab, UNNEST([0, 1, 2]) AS d(r) GROUP BY 1, 2),
+        probes(probe) AS (VALUES $probeVals),
+        pe AS (
+          SELECT probe, d.r, ${bSql("probe", "CAST(d.r AS VARCHAR)")} AS b
+          FROM probes, UNNEST([0, 1, 2]) AS d(r)),
+        est AS (
+          SELECT pe.probe, CAST(MIN(COALESCE(cells.c, 0)) AS BIGINT) AS cm_est
+          FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.b = pe.b
+          GROUP BY pe.probe)
+        SELECT est.probe,
+               CAST(COALESCE(vocab.cnt, 0) AS BIGINT) AS exact_cnt,
+               est.cm_est,
+               CAST(est.cm_est - COALESCE(vocab.cnt, 0) AS BIGINT) AS overcount
+        FROM est LEFT JOIN vocab ON vocab.tok = est.probe"""
+      }
     )
   )
+
+  /** Count-Min grid geometry: D=3 rows of W=64 counters — small enough
+    * that the sf-corpus collision mass is visibly nonzero (the
+    * overcount column demonstrates the one-sided error) while the grid
+    * stays a fixed 192-cell state at any corpus size.
+    */
+  private val CmDepth = 3
+  private val CmWidth = 64
+
+  /** Fixed probe tokens: two corpus-frequent, one domain term, one
+    * absent (its estimate is pure collision mass — still >= exact 0).
+    */
+  private val CmProbes = Seq("the", "data", "spark", "zzqxv")
 }

@@ -313,6 +313,17 @@ object PlanAudit {
     Audit("q167_pagerank",
       mustContain = Seq("ExistingRDD"),
       mustNotContain = Seq("CartesianProduct")),
+    // count-min: the grid builds as keyed integer aggregates (vocab
+    // grain then (r,b) grain) — never a sort, never all-pairs
+    Audit("q168_count_min",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
+    // prefix-filter join: candidates ride the prefix-token EQUI-join
+    // over the persisted set table — the all-pairs formulation the
+    // oracle uses must never appear in the engine plan
+    Audit("q169_jaccard_prefix_join",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
     // audio fingerprint dedup: same shape as the image twin
     Audit("q146_audio_fingerprint_dedup",
       mustContain = Seq("HashAggregate"),

@@ -93,6 +93,13 @@ object ScaleTrend {
     // (q167 pagerank is absent by construction: it reads lineitem,
     // which the 10x generator does not scale.)
     "q166_lm_perplexity",
+    // count-min: vocab-grain pass then a FIXED 192-cell grid — shuffle
+    // should track the vocab (10x here), state stays constant
+    "q168_count_min",
+    // prefix-filter Jaccard join: constant dup rate + suffixed copies
+    // multiply postings 10x with per-key lengths unchanged — candidate
+    // volume and shuffle must track linearly
+    "q169_jaccard_prefix_join",
     // events-side additions: sliding windows (2x expand into the same
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",
