@@ -510,6 +510,50 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // Spark 4 `transformWithState` (the flatMapGroupsWithState
+    // successor): per-user running count in a typed ValueState over the
+    // mandatory RocksDB state backend — the production state-store
+    // configuration for unbounded keyspaces (spillable, changelog-
+    // checkpointed, off-heap). The processor emits the cumulative count
+    // on every invocation; the commutative state update makes the
+    // per-key MAX of the update stream equal the exact batch count
+    // whatever the batch split, so the oracle is a plain GROUP BY.
+    "q170_stream_transform_state" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import TransformWithStateOps._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev    = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          implicit val inEnc  = org.apache.spark.sql.Encoders.product[In]
+          implicit val outEnc = org.apache.spark.sql.Encoders.product[CumCount]
+          implicit val kEnc   = org.apache.spark.sql.Encoders.scalaLong
+          val updates = eventStream(s, d)
+            .select(col("user_id"), col("event_id")).as[In](inEnc)
+            .groupByKey(_.user_id)(kEnc)
+            .transformWithState(
+              new RunningCountProcessor, TimeMode.None(), OutputMode.Update(), outEnc)
+          val q = updates.writeStream
+            .format("memory")
+            .queryName("q170_out")
+            .outputMode("update")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          s.table("q170_out")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_seen")).as("n_events"))
+        } finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      oracle = Some("SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id")
+    ),
+
+    // ----------------------------------------------------------------
     // Streaming deduplication through the real engine: watermarked
     // dropDuplicates holds one state row per key and emits each key's
     // FIRST arrival. Projecting just the keys makes the drained result

@@ -104,6 +104,10 @@ object ScaleTrend {
     // watermark-evicted state) and the 10-lag EWMA (one keyed window)
     "q156_stream_sliding_window",
     "q158_ewma",
+    // transformWithState running counts: RocksDB state is one long per
+    // user, so the 10x corpus (10x events across 10x user ids) grows
+    // state and updates linearly — never superlinearly
+    "q170_stream_transform_state",
     // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
     // these rows measure what happens when the index is NOT rescaled
     // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
