@@ -1057,9 +1057,14 @@ object DedupQueries extends QueryModule {
       fn = (s, d) => {
         // shingle sets (the dedup family's word-3-grams — sharp enough
         // that only true near-dups qualify), ordered rarest-first by
-        // (global posting count, shingle)
-        val toks = shingleDf(s, d)
-          .select(col("doc_id"), col("shingle").as("tok"))
+        // (global posting count, shingle). The exploded (doc, shingle)
+        // stream is pinned: both the frequency rollup and the set
+        // assembly read it, and without the pin the text normalize +
+        // shingle explode would scan the corpus twice.
+        val toks = graft.CacheLeases.lease(
+          shingleDf(s, d)
+            .select(col("doc_id"), col("shingle").as("tok"))
+            .persist())
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         val sets = graft.CacheLeases.lease(
           toks
@@ -1097,13 +1102,15 @@ object DedupQueries extends QueryModule {
         sets AS (
           SELECT doc_id, list(tok) AS w, COUNT(*) AS sz
           FROM toks GROUP BY doc_id),
-        pairs AS (
+        inter AS (
           SELECT a.doc_id AS ida, b.doc_id AS idb,
                  len(list_intersect(a.w, b.w)) AS n_inter,
-                 a.sz + b.sz - len(list_intersect(a.w, b.w)) AS n_union
+                 a.sz AS sa, b.sz AS sb
           FROM sets a JOIN sets b
             ON a.doc_id < b.doc_id
-           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4)
+           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4),
+        pairs AS (
+          SELECT ida, idb, n_inter, sa + sb - n_inter AS n_union FROM inter)
         SELECT ida, idb,
                CAST(n_inter AS BIGINT) AS n_inter,
                CAST(n_union AS BIGINT) AS n_union

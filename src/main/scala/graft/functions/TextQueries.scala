@@ -1036,14 +1036,18 @@ object TextQueries extends QueryModule {
             (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
         val nll = -expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)") /
           col("n_bigrams").cast("double")
-        val scored = docGrams
-          .join(lm, Seq("w1", "w2"))
-          .withColumn("term", col("c").cast("double") * log(col("p")))
-          .groupBy(col("doc_id"))
-          .agg(
-            sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))).as("ts"),
-            sum(col("c")).as("n_bigrams"))
-          .select(col("doc_id"), col("n_bigrams"), round(nll, 6).as("nll"))
+        // doc-grain (tiny): persisted so the corpus-mean aggregate and
+        // the final select don't re-run the scoring join + fold twice
+        val scored = graft.CacheLeases.lease(
+          docGrams
+            .join(lm, Seq("w1", "w2"))
+            .withColumn("term", col("c").cast("double") * log(col("p")))
+            .groupBy(col("doc_id"))
+            .agg(
+              sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))).as("ts"),
+              sum(col("c")).as("n_bigrams"))
+            .select(col("doc_id"), col("n_bigrams"), round(nll, 6).as("nll"))
+            .persist())
         // relative cut, CCNet-style: flag NLL above 105% of the corpus
         // mean. The comparison runs entirely in INTEGER micro-NLL space
         // (20·n·nllµ > 21·Σnllµ ⇔ nllµ > 1.05·mean) so the corpus fold
@@ -1055,8 +1059,7 @@ object TextQueries extends QueryModule {
         // comparison; beyond that shard the stats by language.
         val nllu = round(col("nll") * lit(1e6)).cast("long")
         val stats = scored
-          .agg(sum(round(col("nll") * lit(1e6)).cast("long")).as("smu"),
-            count(lit(1)).as("nd"))
+          .agg(sum(nllu).as("smu"), count(lit(1)).as("nd"))
         scored
           .crossJoin(broadcast(stats))
           .select(col("doc_id"), col("n_bigrams"), col("nll"),

@@ -18,7 +18,10 @@ object SketchQueries extends QueryModule {
 
   private val K = 64
 
-  override def queries: Map[String, QueryDef] = Map(
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // KMV distinct-count sketch vs exact COUNT(DISTINCT): estimate =
     // (k-1) / u_k where u_k is the k-th smallest hash mapped to (0,1].
@@ -274,7 +277,10 @@ object SketchQueries extends QueryModule {
           .select(explode(split(
             graft.functions.TextFunctions.normalizeText(col("text")), " ")).as("tok"))
           .where(col("tok") =!= "")
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        // vocab grain (small): pinned because the grid build and the
+        // exact probe counts both read it — one corpus pass, not two
+        val vocab = graft.CacheLeases.lease(
+          toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).persist())
         val cells = vocab
           .select(col("cnt"), explode(array((0 until depth).map { r =>
             struct(lit(r).as("r"), bucket(col("tok"), r).as("b"))

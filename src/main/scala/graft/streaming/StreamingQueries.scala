@@ -522,11 +522,7 @@ object StreamingQueries extends QueryModule {
       fn = (s, d) => {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         import TransformWithStateOps._
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev    = s.conf.getOption(provKey)
-        s.conf.set(provKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDBStateStore(s) {
           implicit val inEnc  = org.apache.spark.sql.Encoders.product[In]
           implicit val outEnc = org.apache.spark.sql.Encoders.product[CumCount]
           implicit val kEnc   = org.apache.spark.sql.Encoders.scalaLong
@@ -545,9 +541,6 @@ object StreamingQueries extends QueryModule {
           s.table("q170_out")
             .groupBy(col("user_id"))
             .agg(max(col("n_seen")).as("n_events"))
-        } finally prev match {
-          case Some(p) => s.conf.set(provKey, p)
-          case None    => s.conf.unset(provKey)
         }
       },
       oracle = Some("SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id")

@@ -22,6 +22,22 @@ object TransformWithStateOps {
   final case class In(user_id: Long, event_id: Long)
   final case class CumCount(user_id: Long, n_seen: Long)
 
+  /** Run `body` with the RocksDB state-store provider (mandatory for
+    * transformWithState), restoring the previous provider after — the
+    * one conf-swap shared by the query and its specs.
+    */
+  def withRocksDBStateStore[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev    = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+
   /** Per-user running count in a ValueState[Long]; no timers, no TTL —
     * state is one long per key, the minimal footprint for the API.
     */

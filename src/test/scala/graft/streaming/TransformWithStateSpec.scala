@@ -27,11 +27,7 @@ class TransformWithStateSpec extends AnyFunSuite {
         .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
       java.nio.file.Files.move(part, java.nio.file.Paths.get(stage, s"$i.parquet"))
     }
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev    = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    TransformWithStateOps.withRocksDBStateStore(spark) {
       val in = spark.readStream
         .schema("user_id LONG, event_id LONG")
         .option("maxFilesPerTrigger", "1")
@@ -49,9 +45,6 @@ class TransformWithStateSpec extends AnyFunSuite {
       // batch 1 emits (1,2),(2,1); batch 2 emits (1,5) — the count
       // resumed from RocksDB state, not from zero
       assert(rows === Set((1L, 2L), (2L, 1L), (1L, 5L)))
-    } finally prev match {
-      case Some(p) => spark.conf.set(provKey, p)
-      case None    => spark.conf.unset(provKey)
     }
   }
 
