@@ -244,6 +244,49 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // WEIGHTED median — order price weighted by the order's lineitem
+    // count, per market segment: the weighted order statistic
+    // (token-weighted length percentiles are the corpus-side twin).
+    // Runs through RankSelect.selectWeightedRank: the q99/q103 bucket
+    // histogram with COUNT replaced by SUM(weight), so the fact never
+    // sorts — only the crossing bucket's rows (~W/B of the weight
+    // mass) reach the (seg, bucket)-partitioned window, and integer
+    // weights keep every cumulative exact cross-engine.
+    "q172_weighted_median" -> QueryDef(
+      fn = (s, d) => {
+        val wts = lineitem(s, d)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("wt"))
+        // checkpoint the slim join once — the kernel's scans then read
+        // materialized (seg, v, wt) blocks, not the join (q103's note)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(wts, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"), col("wt"))
+          .localCheckpoint(true)
+        RankSelect
+          .selectWeightedRank(j, "seg", "v", "wt", "(wtot + 1) div 2")
+          .select(col("seg"), col("wtot").as("total_weight"), col("v").as("w_median"))
+      },
+      oracle = Some("""
+        WITH wts AS (
+          SELECT l_orderkey, COUNT(*) AS wt FROM lineitem GROUP BY 1),
+        j AS (
+          SELECT c_mktsegment AS seg, o_totalprice AS v, wt
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN wts ON o_orderkey = l_orderkey),
+        c AS (
+          SELECT seg, v,
+                 SUM(wt) OVER (PARTITION BY seg ORDER BY v) AS cw,
+                 SUM(wt) OVER (PARTITION BY seg) AS tw
+          FROM j)
+        SELECT seg,
+               CAST(MAX(tw) AS BIGINT) AS total_weight,
+               MIN(v) AS w_median
+        FROM c WHERE cw >= (tw + 1) // 2 GROUP BY seg"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is

@@ -173,6 +173,97 @@ object RankSelect {
     }
   }
 
+  /** WEIGHTED rank selection: the smallest `v` whose per-group
+    * cumulative weight (ascending `v`) reaches rank `kSql` — the
+    * weighted-median/percentile generalization of [[selectRanks]]
+    * (which is this with w ≡ 1). Same two-pass histogram shape with
+    * COUNT replaced by SUM(w): the bucket histogram carries weight
+    * sums, the fold finds the bucket where the cumulative weight
+    * crosses k, and only that bucket's rows (per-task input ~W/B of
+    * the weight mass) reach the (group, bucket)-partitioned window.
+    * The in-bucket cumulative uses the default RANGE frame, so tied
+    * values accumulate as one block and the crossing value is
+    * order-independent. All-equal groups answer directly; the skew
+    * recursion of [[selectRanks]] applies unchanged in principle and
+    * is omitted here for clarity (the selection is one rank, and a
+    * skewed bucket degrades to a bounded single-task window).
+    *
+    * @param w    non-null INTEGER weight column — integer weights keep
+    *             every cumulative exact cross-engine
+    * @param kSql SQL expression over the per-group total weight
+    *             exposed as `wtot` (BIGINT), e.g. `"(wtot + 1) div 2"`
+    * @return one row per group: (g, v, wtot)
+    */
+  def selectWeightedRank(
+      in: DataFrame,
+      g: String,
+      v: String,
+      w: String,
+      kSql: String,
+      buckets: Int = 1024): DataFrame = {
+    val B = buckets
+    val stats = in
+      .groupBy(col(g))
+      .agg(
+        sum(col(w)).as("wtot"),
+        min(col(v)).as("__rs_lo"),
+        max(col(v)).as("__rs_hi"))
+      .withColumn("__rs_k", expr(kSql).cast("long"))
+
+    val constAns = stats
+      .where(col("__rs_lo") === col("__rs_hi"))
+      .select(col(g), col("__rs_lo").as(v), col("wtot"))
+    val varStats = stats.where(col("__rs_lo") =!= col("__rs_hi"))
+
+    val lo = col("__rs_lo").cast("double")
+    val hi = col("__rs_hi").cast("double")
+    val vd = col(v).cast("double")
+    val bucketed = in
+      .join(broadcast(varStats), g)
+      .withColumn(
+        "__rs_b",
+        least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+      .select(col(g), col(v), col(w), col("__rs_b"))
+
+    val targets = bucketed
+      .groupBy(col(g), col("__rs_b"))
+      .agg(sum(col(w)).as("__rs_bw"))
+      .groupBy(col(g))
+      .agg(sort_array(
+        collect_list(struct(col("__rs_b").as("b"), col("__rs_bw").as("c")))).as("__rs_hs"))
+      .join(broadcast(varStats.select(col(g), col("__rs_k"), col("wtot"))), g)
+      .withColumn(
+        "__rs_sel",
+        expr("""aggregate(__rs_hs,
+                named_struct('cum', 0L, 'tb', -1, 'cb', 0L),
+                (a, x) -> IF(a.tb >= 0, a,
+                             IF(a.cum + x.c >= __rs_k,
+                                named_struct('cum', a.cum + x.c, 'tb', x.b, 'cb', a.cum),
+                                named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L))))"""))
+      .select(
+        col(g),
+        col("__rs_sel.tb").as("__rs_b"),
+        (col("__rs_k") - col("__rs_sel.cb")).as("__rs_off"),
+        col("wtot"))
+      .localCheckpoint()
+
+    // only the target bucket's rows reach the window; the RANGE-frame
+    // cumulative makes tie blocks atomic, so min(v) past the crossing
+    // is the weighted-rank value whatever the intra-tie row order
+    val picked = bucketed
+      .join(broadcast(targets), Seq(g, "__rs_b"))
+      .withColumn(
+        "__rs_cum",
+        sum(col(w)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(g), col("__rs_b")).orderBy(col(v).asc)))
+      .where(col("__rs_cum") >= col("__rs_off"))
+      .groupBy(col(g))
+      .agg(min(col(v)).as(v), max(col("wtot")).as("wtot"))
+
+    picked.unionByName(constAns)
+  }
+
   /** Refinement step: the exact value at per-group rank `kCol` (constant
     * within a group) for each group of `gcols`. Groups whose values are
     * ALL equal answer directly; at depth 0 the rest fall back to the

@@ -337,8 +337,40 @@ object SketchQueries extends QueryModule {
                CAST(est.cm_est - COALESCE(vocab.cnt, 0) AS BIGINT) AS overcount
         FROM est LEFT JOIN vocab ON vocab.tok = est.probe"""
       }
+    ),
+
+    "q171_hll_distinct_contract" -> QueryDef(
+      fn = q171,
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_distinct,
+               TRUE AS within_3rsd
+        FROM lineitem GROUP BY l_returnflag""")
     )
   )
+
+  /** q171: gate Spark's PRODUCTION distinct-count path the way q141
+    * gates percentile_approx: `approx_count_distinct` (HLL++,
+    * Heule et al. '13) at rsd=0.05 against the exact count, bounded at
+    * 3·rsd. Deterministic because HLL registers fold by MAX — order-
+    * free however partitions merge — so the boolean contract can
+    * hash-match a TRUE-pinning oracle. q42's KMV documents the sketch
+    * MECHANICS cross-engine; this gates the codegen'd native
+    * aggregate a 100 TB job would actually call (one pass, O(2^p)
+    * state, mergeable across partitions AND across days).
+    */
+  private def q171(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val rsd = 0.05
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("hll"))
+      .select(
+        col("l_returnflag"), col("exact_distinct"),
+        (abs(col("hll") - col("exact_distinct")).cast("double") <=
+          lit(3 * rsd) * col("exact_distinct").cast("double")).as("within_3rsd"))
+  }
 
   /** Count-Min grid geometry: D=3 rows of W=64 counters — small enough
     * that the sf-corpus collision mass is visibly nonzero (the

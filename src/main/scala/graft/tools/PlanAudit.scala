@@ -453,6 +453,17 @@ object PlanAudit {
     Audit("q141_quantile_approx",
       mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct", "SinglePartition")),
+    // the HLL contract runs as one codegen'd aggregate pass — no sort,
+    // no join beyond the group key
+    Audit("q171_hll_distinct_contract",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SinglePartition")),
+    // weighted median rides the same structural guard as q99/q103: the
+    // only window partitions on (seg, bucket), never the segment alone
+    Audit("q172_weighted_median",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 2),
     // skew profile is two keyed aggregations — no join, no window
     Audit("q130_key_skew_profile",
       mustContain = Seq("HashAggregate"),
