@@ -194,7 +194,11 @@ object StreamingQueries extends QueryModule {
         joinType
       )
       .select(
-        col("user_id"), col("click_id"), col("purchase_id"),
+        // coalesce is a no-op for inner/left (a matched or left row
+        // always carries user_id) and REQUIRED for full outer, where a
+        // right-unmatched purchase has only p_user_id
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us")
       )
@@ -468,6 +472,39 @@ object StreamingQueries extends QueryModule {
                CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
         FROM (SELECT * FROM e WHERE event_type = 'click') a
         LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")
+    ),
+
+    // ----------------------------------------------------------------
+    // Stream-stream FULL OUTER interval join — completes the streaming
+    // join-mode matrix (q73 inner, q79 left): matched pairs emit on
+    // match, unmatched CLICKS null-extend at left-state eviction, and
+    // unmatched PURCHASES null-extend at right-state eviction. Both
+    // evictions need the interval condition to bound EACH side's event
+    // time relative to the other — the same two-sided (>, <=) bound
+    // the inner join declares — and the far-future sentinel drives the
+    // joint watermark past every real event so the drained replay
+    // resolves all of them. The state-size story is unchanged from
+    // q73/q79: O(events within the 10-minute interval + watermark lag),
+    // evicted as the watermark advances.
+    "q173_stream_full_outer_join" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          intervalJoin(s, stageEventsWithSentinel(s, d), "full_outer")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events)
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.event_id AS click_id, b.event_id AS purchase_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+        FROM (SELECT * FROM e WHERE event_type = 'click') a
+        FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
           ON a.user_id = b.user_id
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")
     ),

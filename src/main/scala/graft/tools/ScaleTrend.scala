@@ -122,6 +122,7 @@ object ScaleTrend {
     "q75_stream_dedup",
     "q73_stream_stream_join",
     "q79_stream_left_outer_join",
+    "q173_stream_full_outer_join",
     "q91_stream_window_append",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —

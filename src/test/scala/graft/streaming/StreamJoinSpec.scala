@@ -122,4 +122,30 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(rows == Map(1L -> Some("gold"), 2L -> None), rows.toString)
     } finally q.stop()
   }
+
+  test("q173: full outer equals the batch full join — both unmatched sides null-extend") {
+    import spark.implicits._
+    val d   = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q173_stream_full_outer_join")(spark, d)
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong))).toSet
+    val e = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val a = e.where(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+    val b = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val want = a.join(b,
+        col("cu") === col("pu") && col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("interval 10 minutes"),
+        "full_outer")
+      .collect()
+      .map(r => (Option(r.getAs[Any]("cid")).map(_.toString.toLong),
+        Option(r.getAs[Any]("pid")).map(_.toString.toLong))).toSet
+    assert(got === want)
+    // the matrix really is a superset of the one-sided modes
+    assert(got.exists(p => p._1.isDefined && p._2.isEmpty))   // unmatched click
+    assert(got.exists(p => p._1.isEmpty && p._2.isDefined))   // unmatched purchase
+  }
 }
