@@ -27,6 +27,21 @@ object AnalyticsQueries extends QueryModule {
 
   import Tables._
 
+  /** q174 Poisson-bootstrap geometry: B replicates; a row's multiplicity
+    * in a replicate is k iff its 32-bit md5 draw falls below the k-th
+    * threshold = floor(PoissonCDF(1)(k) · 2^32) — pure integer compares
+    * rendered into BOTH engines from these shared values. Multiplicities
+    * above 5 are truncated to 5 (CDF tail ~3.7e-3 beyond; the identical
+    * truncation on both sides keeps the contract exact, and the bias is
+    * orders below the CI width).
+    */
+  private val BootB = 32
+  /** floor(CDF·2^32) for CDF(k) = e⁻¹·Σ_{i≤k} 1/i!, k = 0..4 (audited
+    * against an independent derivation in `BootstrapSpec`).
+    */
+  private val BootThresholds: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L)
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -241,6 +256,81 @@ object AnalyticsQueries extends QueryModule {
                TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // POISSON BOOTSTRAP confidence intervals (Chamandy et al., the
+    // large-scale bootstrap): classical resampling draws n rows WITH
+    // replacement — impossible to coordinate across a distributed
+    // scan — but each row's multiplicity in a replicate is Binomial(n,
+    // 1/n) ≈ Poisson(1), which each task can draw INDEPENDENTLY per
+    // row. B=32 replicates explode inline (×32 pre-combine, collapsed
+    // map-side to (seg, b) grain), multiplicities come from md5 bits
+    // against PRECOMPUTED integer thresholds (floor(CDF·2^32) — pure
+    // integer compare, no float RNG), values accumulate in DECIMAL,
+    // and the one double division per replicate mean is IEEE-exact —
+    // the full q158 determinism discipline. CI = min/max over the 32
+    // replicate means (the rank-1/rank-B percentile bootstrap at this
+    // B); point mean rides the same decimal sums.
+    "q174_bootstrap_ci" -> QueryDef(
+      fn = (s, d) => {
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("rid"),
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("y"))
+        val wCase = BootThresholds.zipWithIndex.foldRight(lit(BootThresholds.length)) {
+          case ((t, k), acc) => when(col("h") < lit(t), lit(k)).otherwise(acc)
+        }
+        val reps = j
+          .select(col("seg"), col("y"), explode(expr(
+            s"transform(sequence(0, ${BootB - 1}), b -> " +
+              "named_struct('b', b, 'h', CAST(conv(substr(md5(concat('bs', CAST(b AS STRING), ':', CAST(rid AS STRING))), 1, 8), 16, 10) AS BIGINT)))")).as("r"))
+          .select(col("seg"), col("y"), col("r.b").as("b"), col("r.h").as("h"))
+          .withColumn("w", wCase)
+          .groupBy(col("seg"), col("b"))
+          .agg(sum(col("y") * col("w")).as("swy"), sum(col("w")).as("sw"))
+          // a replicate that drew zero total weight (possible only for
+          // near-empty groups) carries no mean — engines disagree on
+          // double 0/0, so the guard is part of the contract
+          .where(col("sw") > 0)
+          .select(col("seg"),
+            (col("swy").cast("double") / col("sw").cast("double")).as("bmean"))
+        val point = j
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("mean"))
+        point
+          .join(reps.groupBy(col("seg"))
+            .agg(min(col("bmean")).as("ci_lo"), max(col("bmean")).as("ci_hi")), Seq("seg"))
+          .select(col("seg"), col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+      },
+      oracle = Some {
+        val wCase = "CASE " + BootThresholds.zipWithIndex
+          .map { case (t, k) => s"WHEN h < $t THEN $k" }
+          .mkString(" ") + s" ELSE ${BootThresholds.length} END"
+        s"""
+        WITH j AS (
+          SELECT c_mktsegment AS seg, o_orderkey AS rid,
+                 CAST(o_totalprice AS DECIMAL(28,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ex AS (
+          SELECT seg, y, b,
+                 CAST(CAST(concat('0x', substr(md5('bs' || CAST(b AS VARCHAR) || ':' || CAST(rid AS VARCHAR)), 1, 8)) AS BIGINT) AS BIGINT) AS h
+          FROM j, UNNEST(range(0, $BootB)) AS u(b)),
+        reps AS (
+          SELECT seg, b,
+                 CAST(SUM(y * ($wCase)) AS DOUBLE) / CAST(SUM($wCase) AS DOUBLE) AS bmean
+          FROM ex GROUP BY seg, b
+          HAVING SUM($wCase) > 0),
+        point AS (
+          SELECT seg, COUNT(*) AS n,
+                 CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM j GROUP BY seg)
+        SELECT p.seg, p.n, p.mean,
+               MIN(r.bmean) AS ci_lo, MAX(r.bmean) AS ci_hi
+        FROM point p JOIN reps r ON r.seg = p.seg
+        GROUP BY p.seg, p.n, p.mean"""
+      }
     ),
 
     // ----------------------------------------------------------------

@@ -458,6 +458,11 @@ object PlanAudit {
     Audit("q171_hll_distinct_contract",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("Window", "CartesianProduct", "SinglePartition")),
+    // the bootstrap is explode + two keyed aggregates — replicates must
+    // never route through a window or a per-replicate sort
+    Audit("q174_bootstrap_ci",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SinglePartition")),
     // weighted median rides the same structural guard as q99/q103: the
     // only window partitions on (seg, bucket), never the segment alone
     Audit("q172_weighted_median",
