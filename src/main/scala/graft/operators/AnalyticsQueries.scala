@@ -281,10 +281,19 @@ object AnalyticsQueries extends QueryModule {
         val wCase = BootThresholds.zipWithIndex.foldRight(lit(BootThresholds.length)) {
           case ((t, k), acc) => when(col("h") < lit(t), lit(k)).otherwise(acc)
         }
+        // one md5 yields FOUR independent 32-bit draws (128 bits / 32),
+        // so the hash pass costs B/4 digests per row, not B; the outer
+        // transform binds each digest once so the inner lambda only
+        // slices it
         val reps = j
           .select(col("seg"), col("y"), explode(expr(
-            s"transform(sequence(0, ${BootB - 1}), b -> " +
-              "named_struct('b', b, 'h', CAST(conv(substr(md5(concat('bs', CAST(b AS STRING), ':', CAST(rid AS STRING))), 1, 8), 16, 10) AS BIGINT)))")).as("r"))
+            s"""flatten(transform(
+                  transform(sequence(0, ${BootB / 4 - 1}), g ->
+                    named_struct('g', g,
+                      'm', md5(concat('bs', CAST(g AS STRING), ':', CAST(rid AS STRING))))),
+                  s -> transform(sequence(0, 3), i ->
+                    named_struct('b', s.g * 4 + i,
+                      'h', CAST(conv(substr(s.m, 1 + 8 * i, 8), 16, 10) AS BIGINT)))))""")).as("r"))
           .select(col("seg"), col("y"), col("r.b").as("b"), col("r.h").as("h"))
           .withColumn("w", wCase)
           .groupBy(col("seg"), col("b"))
@@ -315,7 +324,7 @@ object AnalyticsQueries extends QueryModule {
           FROM orders JOIN customer ON o_custkey = c_custkey),
         ex AS (
           SELECT seg, y, b,
-                 CAST(CAST(concat('0x', substr(md5('bs' || CAST(b AS VARCHAR) || ':' || CAST(rid AS VARCHAR)), 1, 8)) AS BIGINT) AS BIGINT) AS h
+                 CAST(concat('0x', substr(md5('bs' || CAST(b // 4 AS VARCHAR) || ':' || CAST(rid AS VARCHAR)), 1 + 8 * (b % 4), 8)) AS BIGINT) AS h
           FROM j, UNNEST(range(0, $BootB)) AS u(b)),
         reps AS (
           SELECT seg, b,
