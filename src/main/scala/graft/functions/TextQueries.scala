@@ -1094,6 +1094,107 @@ object TextQueries extends QueryModule {
         SELECT doc_id, n_bigrams, nll,
                nllu * 20 * nd > smu * 21 AS is_flagged
         FROM scored, stats""")
+    ),
+
+    // ----------------------------------------------------------------
+    // HELD-OUT LM SCORING WITH STUPID BACKOFF (Brants et al., EMNLP'07)
+    // — the production form of the perplexity filter q166 demonstrates
+    // in-corpus: the LM trains on the TRAIN slice (doc_id % 3 != 0,
+    // the q161 convention) and scores the EVAL slice, so unseen
+    // bigrams are real and the backoff path matters. Unseen (w1,w2)
+    // backs off to 0.4 · p_uni(w2); p_uni is add-one smoothed over the
+    // train vocabulary so a fully-OOV word keeps a nonzero floor —
+    // every probability is an exact integer ratio scaled by the exact
+    // rational 2/5, ln is the only libm call, the per-doc fold is
+    // pinned in (w1,w2) order, and ROUND(…,6) absorbs the ulp.
+    //
+    // Scale shape: two corpus-sized aggregates (train bigrams + train
+    // unigrams, both map-side combined) and two keyed LEFT joins from
+    // the eval bigrams — bigram-keyed then w2-keyed. Nothing
+    // broadcasts by assumption; AQE may choose to when the train LM
+    // fits.
+    "q175_lm_backoff_score" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("g"))
+          .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+          .agg(count(lit(1)).as("c"))
+        val docs  = documents(s, d)
+        val train = docs.where(col("doc_id") % 3 =!= 0)
+        val lm2 = grams(train)
+          .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
+          .withColumn("ctx", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+        val uniRaw = train
+          .select(explode(split(normalizeText(col("text")), " ")).as("w2"))
+          .where(col("w2") =!= "")
+          .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+        val uniTot = uniRaw.agg(
+          sum(col("cu")).as("tt"), count(lit(1)).as("vv"))
+        val uni = uniRaw.crossJoin(broadcast(uniTot))
+        val p = when(col("c2").isNotNull,
+          col("c2").cast("double") / col("ctx").cast("double"))
+          .otherwise(lit(0.4) *
+            (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + col("vv")).cast("double"))
+        grams(docs.where(col("doc_id") % 3 === 0))
+          .join(lm2, Seq("w1", "w2"), "left")
+          .join(uni, Seq("w2"), "left")
+          // tt/vv ride the uni row; a fully-OOV w2 has no uni row, so
+          // re-broadcast the 1-row totals for the floor term
+          .drop("tt", "vv")
+          .crossJoin(broadcast(uniTot))
+          .withColumn("term", col("c").cast("double") * log(p))
+          .withColumn("bo", when(col("c2").isNull, col("c")).otherwise(lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(
+            sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))).as("ts"),
+            sum(col("c")).as("n_bigrams"),
+            sum(col("bo")).as("n_backoff"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+            round(-expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)") /
+              col("n_bigrams").cast("double"), 6).as("nll"))
+      },
+      oracle = Some(s"""
+        WITH grams AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql) WHERE length(t) > 0),
+               UNNEST(range(1, len(w))) AS u(i)),
+        dg AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+        lm2 AS (
+          SELECT w1, w2, SUM(c) AS c2, SUM(SUM(c)) OVER (PARTITION BY w1) AS ctx
+          FROM dg WHERE doc_id % 3 <> 0 GROUP BY w1, w2),
+        uniraw AS (
+          SELECT u.w2, COUNT(*) AS cu
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql) WHERE length(t) > 0),
+               UNNEST(w) AS u(w2)
+          WHERE doc_id % 3 <> 0 AND u.w2 <> ''
+          GROUP BY u.w2),
+        unitot AS (SELECT SUM(cu) AS tt, COUNT(*) AS vv FROM uniraw),
+        terms AS (
+          SELECT dg.doc_id, dg.w1, dg.w2, dg.c,
+                 CASE WHEN lm2.c2 IS NOT NULL THEN 0 ELSE dg.c END AS bo,
+                 CAST(dg.c AS DOUBLE) * ln(
+                   CASE WHEN lm2.c2 IS NOT NULL
+                        THEN CAST(lm2.c2 AS DOUBLE) / CAST(lm2.ctx AS DOUBLE)
+                        ELSE 0.4 * CAST(COALESCE(uniraw.cu, 0) + 1 AS DOUBLE)
+                               / CAST(unitot.tt + unitot.vv AS DOUBLE)
+                   END) AS term
+          FROM dg
+          LEFT JOIN lm2 ON lm2.w1 = dg.w1 AND lm2.w2 = dg.w2
+          LEFT JOIN uniraw ON uniraw.w2 = dg.w2
+          CROSS JOIN unitot
+          WHERE dg.doc_id % 3 = 0)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bo) AS BIGINT) AS n_backoff,
+               ROUND(-list_sum(list_transform(list(term ORDER BY w1, w2), x -> x))
+                 / CAST(SUM(c) AS BIGINT), 6) AS nll
+        FROM terms GROUP BY doc_id""")
     )
   )
 }

@@ -307,6 +307,11 @@ object PlanAudit {
     Audit("q166_lm_perplexity",
       mustContain = Seq("ln(", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct")),
+    // held-out backoff scoring: both LM joins stay keyed; the only
+    // cross join is the 1-row totals broadcast
+    Audit("q175_lm_backoff_score",
+      mustContain = Seq("ln("),
+      mustNotContain = Seq("CartesianProduct")),
     // PageRank: the final plan is the checkpointed last-iteration rank
     // vector — ExistingRDD is the evidence the iteration materialized
     // node-grain instead of growing a 3-deep corpus lineage

@@ -93,6 +93,9 @@ object ScaleTrend {
     // (q167 pagerank is absent by construction: it reads lineitem,
     // which the 10x generator does not scale.)
     "q166_lm_perplexity",
+    // held-out backoff twin: same bigram-keyed joins, train/eval split
+    // is a pure predicate — must track q166's linearity
+    "q175_lm_backoff_score",
     // count-min: vocab-grain pass then a FIXED 192-cell grid — shuffle
     // should track the vocab (10x here), state stays constant
     "q168_count_min",

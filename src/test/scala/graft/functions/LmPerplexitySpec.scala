@@ -37,6 +37,28 @@ class LmPerplexitySpec extends AnyFunSuite {
     assert(got.view.mapValues(_._3).toMap === Map(1L -> false, 2L -> false, 3L -> true))
   }
 
+  test("q175: unseen bigrams back off to 0.4x add-one unigrams; OOV keeps the floor") {
+    // train (ids 1,2): "a b" twice -> p(b|a)=1; unigrams a:2 b:2 ->
+    // T=4, V=2. eval (id 3): "a b a c" -> (a,b) seen p=1; (b,a) backs
+    // off 0.4*(2+1)/6 = 0.2; (a,c) has OOV 'c' -> 0.4*(0+1)/6.
+    val dir = stage(Seq((1L, "a b"), (2L, "a b"), (3L, "a b a c")))
+    val got = graft.SparkEntry.queries("q175_lm_backoff_score")(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_id") === 3L)
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Long]("n_backoff") === 2L)
+    val want = -(math.log(1.0) + math.log(0.2) + math.log(0.4 / 6)) / 3
+    assert(math.abs(r.getAs[Double]("nll") - want) < 1e-5)
+  }
+
+  test("q175: only the eval slice is scored; train docs never appear") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q175_lm_backoff_score")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id"))
+    assert(out.nonEmpty && out.forall(_ % 3 == 0))
+  }
+
   test("q166: corpus invariants — every multi-token doc scored, positive NLL, minority tail") {
     val dir  = "/root/testdata/sf0.001"
     val out  = graft.SparkEntry.queries("q166_lm_perplexity")(spark, dir).cache()
