@@ -425,6 +425,51 @@ object DmlQueries extends QueryModule {
                    - (CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 25 END), 0) AS score
           FROM lineitem
         ) GROUP BY l_returnflag""")
+    ),
+
+    // ----------------------------------------------------------------
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the additive-state
+    // rollup a warehouse refreshes batch over batch instead of
+    // recomputing: the MV stores PARTIAL aggregate state (count + sum,
+    // both exactly mergeable — sums accumulate in DECIMAL so the merge
+    // order cannot drift), each arriving batch contributes its own
+    // partial aggregate, and merge = re-aggregate of O(groups) rows,
+    // never a rescan of history. The gate proves 4 sequential
+    // refreshes land on exactly the single-pass GROUP BY — the
+    // self-maintainability property that makes daily 100 TB rollups
+    // O(day) instead of O(history). (q80 is the streaming upsert twin;
+    // this is the batch-MV form with aggregate rather than
+    // newest-wins state.)
+    "q176_mv_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q176_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        val src = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("y"))
+        for (b <- 0 until 4) {
+          val part = src.where(col("k") % 4 === b)
+            .groupBy(col("seg"))
+            .agg(count(lit(1)).as("cnt"), sum(col("y")).as("ysum"))
+          val merged =
+            if (wh.exists("gold", "mv_seg_sales"))
+              wh.load("gold", "mv_seg_sales").unionByName(part)
+                .groupBy(col("seg"))
+                .agg(sum(col("cnt")).as("cnt"), sum(col("ysum")).as("ysum"))
+            else part
+          wh.overwrite(merged, "gold", "mv_seg_sales")
+        }
+        wh.load("gold", "mv_seg_sales")
+          .select(col("seg"), col("cnt").as("n_orders"),
+            (col("ysum").cast("double") / col("cnt").cast("double")).as("avg_price"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")
     )
   )
 }
