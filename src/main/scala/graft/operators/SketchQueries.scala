@@ -346,6 +346,65 @@ object SketchQueries extends QueryModule {
                COUNT(DISTINCT l_orderkey) AS exact_distinct,
                TRUE AS within_3rsd
         FROM lineitem GROUP BY l_returnflag""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SKETCH-STATE MV: the q176 incremental-rollup pattern with a KMV
+    // signature as the stored state — 4 batch refreshes each merge
+    // their bottom-K into the warehouse table (explode ≤K rows +
+    // re-aggregate, never a history rescan), and because bottom-K of a
+    // union IS the bottom-K of merged bottom-Ks, the final estimate
+    // equals the one-shot single-pass signature EXACTLY, which is what
+    // the oracle computes. This is the daily-partition pattern at
+    // 100 TB: distinct-count state that days/batches merge in O(K·
+    // groups) without touching history (Agarwal et al.'s mergeable
+    // summaries, stored in a table instead of an aggregation buffer).
+    "q177_mv_sketch_merge" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q177_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        val kmvSig = org.apache.spark.sql.functions.udaf(
+          KmvAggregator.bottomKSignature(K),
+          org.apache.spark.sql.Encoders.STRING)
+        for (b <- 0 until 4) {
+          val part = lineitem(s, d)
+            .where(col("l_orderkey") % 4 === b)
+            .select(col("l_returnflag"),
+              md5(col("l_orderkey").cast("string").cast("binary")).as("h"))
+            .groupBy(col("l_returnflag"))
+            .agg(kmvSig(col("h")).as("sig"))
+          val merged =
+            if (wh.exists("gold", "mv_kmv"))
+              wh.load("gold", "mv_kmv").unionByName(part)
+                .select(col("l_returnflag"), explode(col("sig")).as("h"))
+                .groupBy(col("l_returnflag"))
+                .agg(kmvSig(col("h")).as("sig"))
+            else part
+          wh.overwrite(merged, "gold", "mv_kmv")
+        }
+        wh.load("gold", "mv_kmv")
+          .select(col("l_returnflag"),
+            size(col("sig")).cast("long").as("n_min"),
+            array_max(col("sig")).as("hk"))
+          .withColumn("u",
+            conv(substring(col("hk"), 1, 8), 16, 10).cast("long").cast("double") / 4294967296.0)
+          .select(col("l_returnflag"), col("n_min"),
+            when(col("n_min") < K, col("n_min").cast("double"))
+              .otherwise(lit((K - 1).toDouble) / col("u"))
+              .as("kmv_estimate"))
+      },
+      oracle = Some(s"""
+        WITH hashed AS (
+          SELECT DISTINCT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hashed)
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_min,
+               CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ${(K - 1).toDouble} /
+                         (CAST(CAST(concat('0x', substr(MAX(CASE WHEN rn = $K THEN h END), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+               END AS kmv_estimate
+        FROM ranked WHERE rn <= $K GROUP BY 1""")
     )
   )
 
