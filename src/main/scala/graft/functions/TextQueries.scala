@@ -1116,36 +1116,38 @@ object TextQueries extends QueryModule {
     "q175_lm_backoff_score" -> QueryDef(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def grams(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+        def gramsOf(df: org.apache.spark.sql.DataFrame) = df
           .where(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("g"))
           .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
           .agg(count(lit(1)).as("c"))
-        val docs  = documents(s, d)
-        val train = docs.where(col("doc_id") % 3 =!= 0)
-        val lm2 = grams(train)
+        def tokenized(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+        // the tokenized train slice feeds BOTH the bigram LM and the
+        // unigram table — pinned so normalize+split runs once (the
+        // q166 discipline)
+        val train = graft.CacheLeases.lease(
+          tokenized(documents(s, d).where(col("doc_id") % 3 =!= 0)).persist())
+        val lm2 = gramsOf(train)
           .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
           .withColumn("ctx", sum(col("c2")).over(Window.partitionBy(col("w1"))))
         val uniRaw = train
-          .select(explode(split(normalizeText(col("text")), " ")).as("w2"))
+          .select(explode(col("w")).as("w2"))
           .where(col("w2") =!= "")
           .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
         val uniTot = uniRaw.agg(
           sum(col("cu")).as("tt"), count(lit(1)).as("vv"))
-        val uni = uniRaw.crossJoin(broadcast(uniTot))
         val p = when(col("c2").isNotNull,
           col("c2").cast("double") / col("ctx").cast("double"))
           .otherwise(lit(0.4) *
             (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
             (col("tt") + col("vv")).cast("double"))
-        grams(docs.where(col("doc_id") % 3 === 0))
+        gramsOf(tokenized(documents(s, d).where(col("doc_id") % 3 === 0)))
           .join(lm2, Seq("w1", "w2"), "left")
-          .join(uni, Seq("w2"), "left")
-          // tt/vv ride the uni row; a fully-OOV w2 has no uni row, so
-          // re-broadcast the 1-row totals for the floor term
-          .drop("tt", "vv")
+          .join(uniRaw, Seq("w2"), "left")
+          // the 1-row totals broadcast separately: a fully-OOV w2 has
+          // no uniRaw row, but its floor term still needs tt/vv
           .crossJoin(broadcast(uniTot))
           .withColumn("term", col("c").cast("double") * log(p))
           .withColumn("bo", when(col("c2").isNull, col("c")).otherwise(lit(0L)))

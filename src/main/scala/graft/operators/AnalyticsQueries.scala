@@ -36,10 +36,12 @@ object AnalyticsQueries extends QueryModule {
     * orders below the CI width).
     */
   private val BootB = 32
-  /** floor(CDF·2^32) for CDF(k) = e⁻¹·Σ_{i≤k} 1/i!, k = 0..4 (audited
-    * against an independent derivation in `BootstrapSpec`).
+  /** floor(CDF·2^32) for CDF(k) = e⁻¹·Σ_{i≤k} 1/i!, k = 0..4 —
+    * package-private so `BootstrapSpec` audits THIS constant against an
+    * independent derivation (a private copy re-hardcoded in the spec
+    * would let a transposed digit slip through both engines unseen).
     */
-  private val BootThresholds: Seq[Long] =
+  private[operators] val BootThresholds: Seq[Long] =
     Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L)
 
   override def queries: Map[String, QueryDef] =

@@ -460,9 +460,14 @@ object DmlQueries extends QueryModule {
             else part
           wh.overwrite(merged, "gold", "mv_seg_sales")
         }
-        wh.load("gold", "mv_seg_sales")
+        // pin the tiny final MV, then drop the temp warehouse — bench/
+        // verify sweeps must not accumulate /tmp trees
+        val out = wh.load("gold", "mv_seg_sales")
           .select(col("seg"), col("cnt").as("n_orders"),
             (col("ysum").cast("double") / col("cnt").cast("double")).as("avg_price"))
+          .localCheckpoint(true)
+        graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        out
       },
       oracle = Some("""
         SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,

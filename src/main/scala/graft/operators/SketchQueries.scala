@@ -18,6 +18,22 @@ object SketchQueries extends QueryModule {
 
   private val K = 64
 
+  /** THE KMV estimator — (K−1)/u_K with the under-filled degenerate
+    * branch — as one Column expression and one SQL fragment, shared by
+    * q42 (single pass) and q177 (batch-merged state) so an estimator
+    * change can never land in one and not the other.
+    */
+  private def kmvEstimate(nMin: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
+    when(nMin < K, nMin.cast("double"))
+      .otherwise(lit((K - 1).toDouble) /
+        (conv(substring(hk, 1, 8), 16, 10).cast("long").cast("double") / 4294967296.0))
+
+  private def kmvEstimateSql(nMin: String, hk: String): String = s"""
+    CASE WHEN $nMin < $K THEN CAST($nMin AS DOUBLE)
+         ELSE ${(K - 1).toDouble} /
+              (CAST(CAST(concat('0x', substr($hk, 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+    END"""
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -52,15 +68,7 @@ object SketchQueries extends QueryModule {
           .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
         stats
           .join(exact, "l_returnflag")
-          .withColumn(
-            "u",
-            conv(substring(col("hk"), 1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
-          )
-          .withColumn(
-            "kmv_estimate",
-            when(col("n_min") < K, col("n_min").cast("double"))
-              .otherwise(lit((K - 1).toDouble) / col("u"))
-          )
+          .withColumn("kmv_estimate", kmvEstimate(col("n_min"), col("hk")))
           .select(col("l_returnflag"), col("exact_distinct"), col("kmv_estimate"))
       },
       oracle = Some(s"""
@@ -76,10 +84,7 @@ object SketchQueries extends QueryModule {
           SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
           FROM lineitem GROUP BY 1)
         SELECT s.l_returnflag, e.exact_distinct,
-               CASE WHEN s.n_min < $K THEN CAST(s.n_min AS DOUBLE)
-                    ELSE ${(K - 1).toDouble} /
-                         (CAST(CAST(concat('0x', substr(s.hk, 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
-               END AS kmv_estimate
+               ${kmvEstimateSql("s.n_min", "s.hk")} AS kmv_estimate
         FROM stats s JOIN exact e USING (l_returnflag)""")
     ),
 
@@ -382,16 +387,18 @@ object SketchQueries extends QueryModule {
             else part
           wh.overwrite(merged, "gold", "mv_kmv")
         }
-        wh.load("gold", "mv_kmv")
+        // localCheckpoint pins the tiny final MV in memory so the temp
+        // warehouse can be deleted before the caller materializes —
+        // repeated bench/verify sweeps must not accumulate /tmp trees
+        val out = wh.load("gold", "mv_kmv")
           .select(col("l_returnflag"),
             size(col("sig")).cast("long").as("n_min"),
             array_max(col("sig")).as("hk"))
-          .withColumn("u",
-            conv(substring(col("hk"), 1, 8), 16, 10).cast("long").cast("double") / 4294967296.0)
           .select(col("l_returnflag"), col("n_min"),
-            when(col("n_min") < K, col("n_min").cast("double"))
-              .otherwise(lit((K - 1).toDouble) / col("u"))
-              .as("kmv_estimate"))
+            kmvEstimate(col("n_min"), col("hk")).as("kmv_estimate"))
+          .localCheckpoint(true)
+        graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        out
       },
       oracle = Some(s"""
         WITH hashed AS (
@@ -400,10 +407,7 @@ object SketchQueries extends QueryModule {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hashed)
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_min,
-               CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
-                    ELSE ${(K - 1).toDouble} /
-                         (CAST(CAST(concat('0x', substr(MAX(CASE WHEN rn = $K THEN h END), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
-               END AS kmv_estimate
+               ${kmvEstimateSql("COUNT(*)", s"MAX(CASE WHEN rn = $K THEN h END)")} AS kmv_estimate
         FROM ranked WHERE rn <= $K GROUP BY 1""")
     )
   )

@@ -536,8 +536,13 @@ object StreamingQueries extends QueryModule {
             keys = Seq("user_id", "event_type"), versionCol = "ts")
           try q.processAllAvailable()
           finally q.stop()
-          wh.load("silver", "event_latest")
+          // pin the small final state, then drop the temp warehouse —
+          // sweeps must not accumulate /tmp trees (q176/q177 pattern)
+          val out = wh.load("silver", "event_latest")
             .select(col("user_id"), col("event_type"), col("ts").as("last_ts"))
+            .localCheckpoint(true)
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          out
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some("""

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BootstrapSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("hardcoded thresholds equal floor(PoissonCDF(1)(k) * 2^32), k = 0..4") {
+  test("production thresholds equal floor(PoissonCDF(1)(k) * 2^32), k = 0..4") {
     val e1 = math.exp(-1.0)
     var (cum, fact) = (0.0, 1.0)
     val derived = (0 to 4).map { k =>
@@ -18,7 +18,9 @@ class BootstrapSpec extends AnyFunSuite {
       cum += e1 / fact
       math.floor(cum * 4294967296.0).toLong
     }
-    assert(derived === Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L))
+    // assert against the constant q174 actually renders into BOTH
+    // engines — a spec-local copy would miss a typo in it entirely
+    assert(derived === AnalyticsQueries.BootThresholds)
   }
 
   test("single-value group: every surviving replicate mean is the value — degenerate CI") {
