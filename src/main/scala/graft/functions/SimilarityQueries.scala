@@ -313,6 +313,39 @@ object SimilarityQueries extends QueryModule {
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
+  /** (vec_id, embedding, c: array<bigint>) — int8 codes under the
+    * per-dimension min/max affine quantizer (code = floor((v-lo)/span·
+    * 255) − 128, identical parenthesization in the mirrored SQL), the
+    * ONE quantizer shared by q74's ANN ranking and q178's Gram matrix
+    * so the two can never drift. min/max are order-free, so the codes
+    * are cross-engine exact.
+    */
+  private def int8Codes(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi")
+      )
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+      .select(
+        expr("transform(plh, x -> x.lo)").as("los"),
+        expr("transform(plh, x -> CASE WHEN x.hi > x.lo THEN x.hi - x.lo ELSE CAST(1.0 AS DOUBLE) END)")
+          .as("spans")
+      )
+    e.crossJoin(broadcast(stats))
+      .withColumn(
+        "c",
+        expr("""transform(sequence(1, size(embedding)), i ->
+          CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(los, i))
+            / element_at(spans, i) * 255.0D) AS BIGINT) - 128L)""")
+      )
+      .select(col("vec_id"), col("embedding"), col("c"))
+  }
+
   private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Brute-force cosine top-3 neighbors per vector.
@@ -420,30 +453,9 @@ object SimilarityQueries extends QueryModule {
         val bucket = (1 to 8)
           .map(i => when(element_at(col("embedding"), i) >= 0f, 1 << (i - 1)).otherwise(0))
           .reduce(_ + _)
-        val e = embeddings(s, d).withColumn("bucket", bucket)
-        // per-dimension quantizer params, collected to one broadcast row
-        val stats = e
-          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("pos"))
-          .agg(
-            min(col("v").cast("double")).as("lo"),
-            max(col("v").cast("double")).as("hi")
-          )
-          .groupBy()
-          .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
-          .select(
-            expr("transform(plh, x -> x.lo)").as("los"),
-            expr("transform(plh, x -> CASE WHEN x.hi > x.lo THEN x.hi - x.lo ELSE CAST(1.0 AS DOUBLE) END)")
-              .as("spans")
-          )
-        val coded = e
-          .crossJoin(broadcast(stats))
-          .withColumn(
-            "cf",
-            expr("""transform(sequence(1, size(embedding)), i ->
-              CAST(CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(los, i))
-                / element_at(spans, i) * 255.0D) AS BIGINT) - 128L AS FLOAT))""")
-          )
+        val coded = int8Codes(s, d)
+          .withColumn("bucket", bucket)
+          .withColumn("cf", expr("transform(c, x -> CAST(x AS FLOAT))"))
           .select(col("bucket"), col("vec_id"), col("cf"))
           .persist().leased
         val a = coded.select(col("bucket"), col("vec_id").as("qid"), col("cf").as("ca"))
@@ -486,6 +498,44 @@ object SimilarityQueries extends QueryModule {
           FROM pairs
         ) WHERE rank <= 3"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // DISTRIBUTED GRAM MATRIX (XᵀX) over the int8-quantized embeddings
+    // — the covariance/PCA/whitening primitive: each vector explodes
+    // its d(d+1)/2 upper-triangle code products and a keyed integer
+    // aggregate collapses them map-side to a FIXED d² state, the same
+    // mergeable-fixed-state shape as q168's Count-Min grid (a
+    // production build swaps the explode for per-partition BLAS
+    // accumulation + the identical tree-reduce; the relational form IS
+    // that algebra). Quantization makes every product and sum exact
+    // integer arithmetic — no float summation-order story at any
+    // scale. |code| ≤ 128 ⇒ |Σ products| ≤ n·2^14: safe to ~2^48 rows.
+    "q178_gram_matrix" -> QueryDef(
+      fn = (s, d) =>
+        int8Codes(s, d)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(c)), i ->
+                 transform(sequence(i, size(c)), j ->
+                   named_struct('i', i, 'j', j,
+                     'p', element_at(c, i) * element_at(c, j)))))""")).as("x"))
+          .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+          .agg(sum(col("x.p")).as("g")),
+      oracle = Some("""
+        WITH ei AS (
+          SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i, embedding
+          FROM embeddings),
+        ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
+        stats AS (
+          SELECT i, MIN(v) AS lo,
+                 CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
+          FROM ev GROUP BY i),
+        codes AS (
+          SELECT vec_id, i, CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 AS q
+          FROM ev JOIN stats USING (i))
+        SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY 1, 2""")
     ),
 
     // ----------------------------------------------------------------

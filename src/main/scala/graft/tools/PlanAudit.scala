@@ -463,6 +463,11 @@ object PlanAudit {
     Audit("q171_hll_distinct_contract",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("Window", "CartesianProduct", "SinglePartition")),
+    // the Gram matrix is explode + ONE keyed integer aggregate into a
+    // fixed d^2 state — no window, no join beyond the broadcast stats
+    Audit("q178_gram_matrix",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // the bootstrap is explode + two keyed aggregates — replicates must
     // never route through a window or a per-replicate sort
     Audit("q174_bootstrap_ci",

@@ -99,6 +99,9 @@ object ScaleTrend {
     // count-min: vocab-grain pass then a FIXED 192-cell grid — shuffle
     // should track the vocab (10x here), state stays constant
     "q168_count_min",
+    // Gram matrix: fixed d^2 state whatever the corpus — the map-side
+    // combine should keep shuffle ~constant at 10x vectors
+    "q178_gram_matrix",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
