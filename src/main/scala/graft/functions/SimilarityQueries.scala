@@ -346,6 +346,40 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("c"))
   }
 
+  /** Upper-triangle int8 Gram (i ≤ j): per-vector pair explode into the
+    * fixed d² keyed aggregate — shared by q178 (the matrix itself) and
+    * q179 (the eigensolve over it).
+    */
+  private def gramUpper(s: SparkSession, d: String): DataFrame =
+    int8Codes(s, d)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(c)), i ->
+             transform(sequence(i, size(c)), j ->
+               named_struct('i', i, 'j', j,
+                 'p', element_at(c, i) * element_at(c, j)))))""")).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+      .agg(sum(col("x.p")).as("g"))
+
+  /** The q178/q179 shared oracle CTE chain ending in `gram(i, j, g)`. */
+  private val gramSqlCtes: String = """
+        WITH ei AS (
+          SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i, embedding
+          FROM embeddings),
+        ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
+        stats AS (
+          SELECT i, MIN(v) AS lo,
+                 CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
+          FROM ev GROUP BY i),
+        codes AS (
+          SELECT vec_id, i, CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 AS q
+          FROM ev JOIN stats USING (i)),
+        gram AS (
+          SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+          FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY 1, 2)"""
+
+  private val PowerIters = 3
+
   private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Brute-force cosine top-3 neighbors per vector.
@@ -512,30 +546,85 @@ object SimilarityQueries extends QueryModule {
     // integer arithmetic — no float summation-order story at any
     // scale. |code| ≤ 128 ⇒ |Σ products| ≤ n·2^14: safe to ~2^48 rows.
     "q178_gram_matrix" -> QueryDef(
-      fn = (s, d) =>
-        int8Codes(s, d)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(c)), i ->
-                 transform(sequence(i, size(c)), j ->
-                   named_struct('i', i, 'j', j,
-                     'p', element_at(c, i) * element_at(c, j)))))""")).as("x"))
-          .groupBy(col("x.i").as("i"), col("x.j").as("j"))
-          .agg(sum(col("x.p")).as("g")),
-      oracle = Some("""
-        WITH ei AS (
-          SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i, embedding
-          FROM embeddings),
-        ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
-        stats AS (
-          SELECT i, MIN(v) AS lo,
-                 CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
-          FROM ev GROUP BY i),
-        codes AS (
-          SELECT vec_id, i, CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 AS q
-          FROM ev JOIN stats USING (i))
-        SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
-        FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND b.i >= a.i
-        GROUP BY 1, 2""")
+      fn = (s, d) => gramUpper(s, d),
+      oracle = Some(s"""
+        $gramSqlCtes
+        SELECT i, j, g FROM gram""")
+    ),
+
+    // ----------------------------------------------------------------
+    // PCA TOP COMPONENT via POWER ITERATION on the q178 Gram — the
+    // production altitude for distributed PCA: the corpus collapses to
+    // the d² Gram DISTRIBUTED (q178's fixed-state aggregate), and the
+    // eigensolve runs on the collected d(d+1)/2 cells — the RankSelect
+    // scalar-gate discipline (bounded by the EMBEDDING DIMENSION, never
+    // by the corpus; distributing a 64×64 matvec would be theater).
+    // Determinism: integer Gram entries, the matvec accumulates in
+    // ascending-j order and the norms in ascending-i order — exactly
+    // the pinned folds the SQL mirror runs — so 3 iterations from the
+    // uniform start vector are bit-identical cross-engine before the
+    // final ROUND(…,6).
+    "q179_pca_power" -> QueryDef(
+      fn = (s, d) => {
+        val cells = gramUpper(s, d).collect() // d(d+1)/2 rows — bounded by dim²
+        val dd = cells.iterator.map(_.getInt(1)).max
+        val G = Array.ofDim[Double](dd, dd)
+        cells.foreach { r =>
+          val (i, j, g) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2).toDouble)
+          G(i)(j) = g; G(j)(i) = g
+        }
+        def matvec(v: Array[Double]): Array[Double] =
+          Array.tabulate(dd) { i =>
+            var acc = 0.0; var j = 0
+            while (j < dd) { acc += G(i)(j) * v(j); j += 1 }
+            acc
+          }
+        var v = Array.fill(dd)(1.0 / math.sqrt(dd.toDouble))
+        for (_ <- 1 to PowerIters) {
+          val u = matvec(v)
+          val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+          v = u.map(_ / nrm)
+        }
+        val gv  = matvec(v)
+        val lam = (0 until dd).foldLeft(0.0)((a, i) => a + v(i) * gv(i))
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val spark = s
+        import spark.implicits._
+        v.zipWithIndex
+          .map { case (c, i) => (i + 1, r6(c), r6(lam)) }
+          .toSeq.toDF("i", "component", "eigenvalue")
+      },
+      oracle = Some {
+        def iter(k: Int): String = {
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          s"""
+          u$k AS (
+            SELECT f.i,
+                   list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS u
+            FROM gfull f JOIN $prev p ON p.i = f.j GROUP BY f.i),
+          n$k AS (SELECT sqrt(list_sum(list_transform(list(u * u ORDER BY i), x -> x))) AS nrm FROM u$k),
+          v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k)"""
+        }
+        val last = s"v$PowerIters"
+        s"""
+        $gramSqlCtes,
+        gfull AS (
+          SELECT i, j, g FROM gram
+          UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i <> j),
+        dims AS (SELECT MAX(j) AS dd FROM gram),
+        v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM gfull, dims),
+        ${(1 to PowerIters).map(iter).mkString(",")},
+        gvec AS (
+          SELECT f.i,
+                 list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS gv
+          FROM gfull f JOIN $last p ON p.i = f.j GROUP BY f.i),
+        lam AS (
+          SELECT list_sum(list_transform(list(p.v * gvec.gv ORDER BY p.i), x -> x)) AS l
+          FROM $last p JOIN gvec USING (i))
+        SELECT p.i, ROUND(p.v, 6) AS component, ROUND(lam.l, 6) AS eigenvalue
+        FROM $last p, lam"""
+      }
     ),
 
     // ----------------------------------------------------------------

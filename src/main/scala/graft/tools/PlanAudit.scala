@@ -468,6 +468,11 @@ object PlanAudit {
     Audit("q178_gram_matrix",
       mustContain = Seq("Generate", "HashAggregate"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // the eigensolve runs on the COLLECTED d^2-bounded Gram (the
+    // RankSelect scalar-gate altitude) — the result is a local relation
+    Audit("q179_pca_power",
+      mustContain = Seq("LocalTableScan"),
+      mustNotContain = Seq("Exchange", "Window")),
     // the bootstrap is explode + two keyed aggregates — replicates must
     // never route through a window or a per-replicate sort
     Audit("q174_bootstrap_ci",

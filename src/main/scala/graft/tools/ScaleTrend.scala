@@ -102,6 +102,9 @@ object ScaleTrend {
     // Gram matrix: fixed d^2 state whatever the corpus — the map-side
     // combine should keep shuffle ~constant at 10x vectors
     "q178_gram_matrix",
+    // the eigensolve inherits q178's reduce; its own work is O(d^2)
+    // driver-side — wall should track the Gram build, shuffle constant
+    "q179_pca_power",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly

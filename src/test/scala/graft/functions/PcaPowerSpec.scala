@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q179 power iteration: convergence to the dominant axis on a
+  * hand-built 2-dim Gram, unit norm, and Rayleigh bounds on the corpus.
+  */
+class PcaPowerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("2-dim hand case: iteration locks onto the dominant diagonal axis") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_").toString
+    // codes: dim1 {0, 0.5, 1} -> {-128, -1, 127}; dim2 {1, 0, 1} ->
+    // {127, -128, 127}. Gram = [[32514, 1], [1, 48642]] — dominant
+    // eigenpair ~ (e2, 48642); the off-diagonal 1 keeps the uniform
+    // start non-orthogonal so the iteration converges.
+    Seq((1L, Seq(0f, 1f), 0), (2L, Seq(0.5f, 0f), 0), (3L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.SparkEntry.queries("q179_pca_power")(spark, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // expected state after exactly 3 damped iterations, computed here
+    // from the hand-known Gram (independent of the engine pipeline)
+    val g = Array(Array(32514.0, 1.0), Array(1.0, 48642.0))
+    var v = Array(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0))
+    for (_ <- 1 to 3) {
+      val u = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
+      val n = math.sqrt(u(0) * u(0) + u(1) * u(1))
+      v = u.map(_ / n)
+    }
+    val gv  = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
+    val lam = v(0) * gv(0) + v(1) * gv(1)
+    assert(math.abs(got(1)._1 - v(0)) < 1e-5, s"got $got, want v=${v.toSeq}")
+    assert(math.abs(got(2)._1 - v(1)) < 1e-5)
+    assert(math.abs(got(1)._2 - lam) < 1e-3)
+    // and the iteration is genuinely moving toward the dominant axis
+    assert(math.abs(got(2)._1) > math.abs(got(1)._1) * 3)
+  }
+
+  test("corpus: unit norm, one positive eigenvalue bounded by the Gram trace") {
+    val d    = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q179_pca_power")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 64)
+    val norm2 = rows.map(t => t._2 * t._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4)
+    val eig = rows.map(_._3).distinct
+    assert(eig.length === 1 && eig.head > 0.0)
+    val trace = graft.SparkEntry.queries("q178_gram_matrix")(spark, d)
+      .collect().filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    assert(eig.head <= trace.toDouble + 1e-6) // lambda_max <= tr(G) for PSD G
+  }
+}
