@@ -380,6 +380,50 @@ object SimilarityQueries extends QueryModule {
 
   private val PowerIters = 3
 
+  /** One unrolled power-iteration step (u→normalize→v) as SQL CTEs —
+    * shared by the q179 and q180 oracles.
+    */
+  private def powerIterSql(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""
+          u$k AS (
+            SELECT f.i,
+                   list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS u
+            FROM gfull f JOIN $prev p ON p.i = f.j GROUP BY f.i),
+          n$k AS (SELECT sqrt(list_sum(list_transform(list(u * u ORDER BY i), x -> x))) AS nrm FROM u$k),
+          v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k)"""
+  }
+
+  /** The q179/q180 shared eigensolver: collect the d²-bounded Gram,
+    * power-iterate with folds pinned in ascending index order (matching
+    * the unrolled SQL mirrors bit for bit), return (unit component,
+    * Rayleigh eigenvalue).
+    */
+  private def powerComponent(s: SparkSession, d: String): (Array[Double], Double) = {
+    val cells = gramUpper(s, d).collect() // d(d+1)/2 rows — bounded by dim²
+    val dd = cells.iterator.map(_.getInt(1)).max
+    val G = Array.ofDim[Double](dd, dd)
+    cells.foreach { r =>
+      val (i, j, g) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2).toDouble)
+      G(i)(j) = g; G(j)(i) = g
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dd) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dd) { acc += G(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(dd)(1.0 / math.sqrt(dd.toDouble))
+    for (_ <- 1 to PowerIters) {
+      val u = matvec(v)
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(_ / nrm)
+    }
+    val gv  = matvec(v)
+    val lam = (0 until dd).foldLeft(0.0)((a, i) => a + v(i) * gv(i))
+    (v, lam)
+  }
+
   private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Brute-force cosine top-3 neighbors per vector.
@@ -566,27 +610,7 @@ object SimilarityQueries extends QueryModule {
     // final ROUND(…,6).
     "q179_pca_power" -> QueryDef(
       fn = (s, d) => {
-        val cells = gramUpper(s, d).collect() // d(d+1)/2 rows — bounded by dim²
-        val dd = cells.iterator.map(_.getInt(1)).max
-        val G = Array.ofDim[Double](dd, dd)
-        cells.foreach { r =>
-          val (i, j, g) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2).toDouble)
-          G(i)(j) = g; G(j)(i) = g
-        }
-        def matvec(v: Array[Double]): Array[Double] =
-          Array.tabulate(dd) { i =>
-            var acc = 0.0; var j = 0
-            while (j < dd) { acc += G(i)(j) * v(j); j += 1 }
-            acc
-          }
-        var v = Array.fill(dd)(1.0 / math.sqrt(dd.toDouble))
-        for (_ <- 1 to PowerIters) {
-          val u = matvec(v)
-          val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
-          v = u.map(_ / nrm)
-        }
-        val gv  = matvec(v)
-        val lam = (0 until dd).foldLeft(0.0)((a, i) => a + v(i) * gv(i))
+        val (v, lam) = powerComponent(s, d)
         def r6(x: Double) =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val spark = s
@@ -596,16 +620,6 @@ object SimilarityQueries extends QueryModule {
           .toSeq.toDF("i", "component", "eigenvalue")
       },
       oracle = Some {
-        def iter(k: Int): String = {
-          val prev = if (k == 1) "v0" else s"v${k - 1}"
-          s"""
-          u$k AS (
-            SELECT f.i,
-                   list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS u
-            FROM gfull f JOIN $prev p ON p.i = f.j GROUP BY f.i),
-          n$k AS (SELECT sqrt(list_sum(list_transform(list(u * u ORDER BY i), x -> x))) AS nrm FROM u$k),
-          v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k)"""
-        }
         val last = s"v$PowerIters"
         s"""
         $gramSqlCtes,
@@ -614,7 +628,7 @@ object SimilarityQueries extends QueryModule {
           UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i <> j),
         dims AS (SELECT MAX(j) AS dd FROM gram),
         v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM gfull, dims),
-        ${(1 to PowerIters).map(iter).mkString(",")},
+        ${(1 to PowerIters).map(powerIterSql).mkString(",")},
         gvec AS (
           SELECT f.i,
                  list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS gv
@@ -624,6 +638,46 @@ object SimilarityQueries extends QueryModule {
           FROM $last p JOIN gvec USING (i))
         SELECT p.i, ROUND(p.v, 6) AS component, ROUND(lam.l, 6) AS eigenvalue
         FROM $last p, lam"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // PCA PROJECTION — the train→apply composition closing the q178/
+    // q179 family: the component solved from the collected Gram is
+    // broadcast BACK over the corpus as a literal array, and each
+    // vector's int8 codes fold against it in ascending-index order —
+    // one linear, shuffle-free scoring pass (the distributed-ML loop:
+    // reduce distributed, solve local on the d²-bounded state, apply
+    // distributed). The unrounded driver component is bit-identical to
+    // the oracle's unrolled-SQL component (q179's proof), so the
+    // projection needs only the final ROUND(…,6).
+    "q180_pca_project" -> QueryDef(
+      fn = (s, d) => {
+        val (v, _) = powerComponent(s, d)
+        val vLit = array(v.map(lit): _*)
+        int8Codes(s, d)
+          .withColumn("__pc", vLit)
+          .select(col("vec_id"),
+            round(expr(
+              """aggregate(sequence(1, size(c)), CAST(0 AS DOUBLE),
+                   (acc, i) -> acc + CAST(element_at(c, i) AS DOUBLE) * element_at(__pc, i))"""),
+              6).as("projection"))
+      },
+      oracle = Some {
+        val last = s"v$PowerIters"
+        s"""
+        $gramSqlCtes,
+        gfull AS (
+          SELECT i, j, g FROM gram
+          UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i <> j),
+        dims AS (SELECT MAX(j) AS dd FROM gram),
+        v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM gfull, dims),
+        ${(1 to PowerIters).map(powerIterSql).mkString(",")}
+        SELECT c.vec_id,
+               ROUND(list_sum(list_transform(list(CAST(c.q AS DOUBLE) * p.v ORDER BY c.i), x -> x)), 6)
+                 AS projection
+        FROM codes c JOIN $last p USING (i)
+        GROUP BY c.vec_id"""
       }
     ),
 

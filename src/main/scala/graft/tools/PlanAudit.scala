@@ -473,6 +473,12 @@ object PlanAudit {
     Audit("q179_pca_power",
       mustContain = Seq("LocalTableScan"),
       mustNotContain = Seq("Exchange", "Window")),
+    // the projection pass is a scan+fold with the component as a plan
+    // literal — the only non-scan machinery is the quantizer's 1-row
+    // stats broadcast; no sort, no window, no corpus shuffle join
+    Audit("q180_pca_project",
+      mustContain = Seq("Project", "BroadcastExchange"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
     // the bootstrap is explode + two keyed aggregates — replicates must
     // never route through a window or a per-replicate sort
     Audit("q174_bootstrap_ci",

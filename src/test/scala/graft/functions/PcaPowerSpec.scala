@@ -39,6 +39,28 @@ class PcaPowerSpec extends AnyFunSuite {
     assert(math.abs(got(2)._1) > math.abs(got(1)._1) * 3)
   }
 
+  test("q180: projections equal codes . component on the hand corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcap_").toString
+    Seq((1L, Seq(0f, 1f), 0), (2L, Seq(0.5f, 0f), 0), (3L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // same 3-iteration component as the q179 hand case
+    val g = Array(Array(32514.0, 1.0), Array(1.0, 48642.0))
+    var v = Array(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0))
+    for (_ <- 1 to 3) {
+      val u = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
+      val n = math.sqrt(u(0) * u(0) + u(1) * u(1))
+      v = u.map(_ / n)
+    }
+    val codes = Map(1L -> (-128.0, 127.0), 2L -> (-1.0, -128.0), 3L -> (127.0, 127.0))
+    val got = graft.SparkEntry.queries("q180_pca_project")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    codes.foreach { case (id, (c1, c2)) =>
+      assert(math.abs(got(id) - (c1 * v(0) + c2 * v(1))) < 1e-5, s"vec $id: ${got(id)}")
+    }
+  }
+
   test("corpus: unit norm, one positive eigenvalue bounded by the Gram trace") {
     val d    = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q179_pca_power")(spark, d)
