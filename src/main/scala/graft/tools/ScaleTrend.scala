@@ -105,6 +105,8 @@ object ScaleTrend {
     // the eigensolve inherits q178's reduce; its own work is O(d^2)
     // driver-side — wall should track the Gram build, shuffle constant
     "q179_pca_power",
+    // train->apply: Gram reduce + a shuffle-free projection scan
+    "q180_pca_project",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
