@@ -348,10 +348,12 @@ object SimilarityQueries extends QueryModule {
 
   /** Upper-triangle int8 Gram (i ≤ j): per-vector pair explode into the
     * fixed d² keyed aggregate — shared by q178 (the matrix itself) and
-    * q179 (the eigensolve over it).
+    * q179/q180 (the eigensolve over it). Takes the codes relation so a
+    * caller that also SCANS the codes (q180's projection) can pin one
+    * shared pass.
     */
-  private def gramUpper(s: SparkSession, d: String): DataFrame =
-    int8Codes(s, d)
+  private def gramUpperOf(codes: DataFrame): DataFrame =
+    codes
       .select(explode(expr(
         """flatten(transform(sequence(1, size(c)), i ->
              transform(sequence(i, size(c)), j ->
@@ -360,22 +362,32 @@ object SimilarityQueries extends QueryModule {
       .groupBy(col("x.i").as("i"), col("x.j").as("j"))
       .agg(sum(col("x.p")).as("g"))
 
-  /** The q178/q179 shared oracle CTE chain ending in `gram(i, j, g)`. */
-  private val gramSqlCtes: String = """
-        WITH ei AS (
+  private def gramUpper(s: SparkSession, d: String): DataFrame =
+    gramUpperOf(int8Codes(s, d))
+
+  /** The SQL mirror of [[int8Codes]] at (vec_id, i, q) grain — a
+    * mid-WITH fragment shared by the q74 oracle (which folds it to
+    * per-vector lists) and the Gram-family oracles, so the quantizer
+    * formula exists ONCE on each engine side.
+    */
+  private val int8CodesSqlCtes: String = """ei AS (
           SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i, embedding
           FROM embeddings),
         ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
-        stats AS (
+        qstats AS (
           SELECT i, MIN(v) AS lo,
                  CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
           FROM ev GROUP BY i),
-        codes AS (
+        coderows AS (
           SELECT vec_id, i, CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 AS q
-          FROM ev JOIN stats USING (i)),
+          FROM ev JOIN qstats USING (i))"""
+
+  /** The q178/q179/q180 shared oracle CTE chain ending in `gram(i, j, g)`. */
+  private val gramSqlCtes: String = s"""
+        WITH $int8CodesSqlCtes,
         gram AS (
           SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
-          FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND b.i >= a.i
+          FROM coderows a JOIN coderows b ON a.vec_id = b.vec_id AND b.i >= a.i
           GROUP BY 1, 2)"""
 
   private val PowerIters = 3
@@ -384,7 +396,7 @@ object SimilarityQueries extends QueryModule {
     * shared by the q179 and q180 oracles.
     */
   private def powerIterSql(k: Int): String = {
-    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    val prev = s"v${k - 1}"
     s"""
           u$k AS (
             SELECT f.i,
@@ -399,8 +411,9 @@ object SimilarityQueries extends QueryModule {
     * the unrolled SQL mirrors bit for bit), return (unit component,
     * Rayleigh eigenvalue).
     */
-  private def powerComponent(s: SparkSession, d: String): (Array[Double], Double) = {
-    val cells = gramUpper(s, d).collect() // d(d+1)/2 rows — bounded by dim²
+  private def powerComponent(gram: DataFrame): (Array[Double], Double) = {
+    val cells = gram.collect() // d(d+1)/2 rows — bounded by dim²
+    require(cells.nonEmpty, "power iteration needs a non-empty Gram (empty embeddings input?)")
     val dd = cells.iterator.map(_.getInt(1)).max
     val G = Array.ofDim[Double](dd, dd)
     cells.foreach { r =>
@@ -552,19 +565,9 @@ object SimilarityQueries extends QueryModule {
           .mkString(" + ")
         s"""
         WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-        ei AS (
-          SELECT vec_id, embedding,
-                 CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i
-          FROM embeddings),
-        ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ei),
-        stats AS (
-          SELECT i, MIN(v) AS lo,
-                 CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v) ELSE 1.0 END AS span
-          FROM ev GROUP BY i),
+        $int8CodesSqlCtes,
         codes AS (
-          SELECT vec_id,
-                 list(CAST(floor((v - lo) / span * 255.0) AS BIGINT) - 128 ORDER BY i) AS c
-          FROM ev JOIN stats USING (i) GROUP BY vec_id),
+          SELECT vec_id, list(q ORDER BY i) AS c FROM coderows GROUP BY vec_id),
         eb AS (SELECT e.vec_id, e.bucket, c.c FROM e JOIN codes c USING (vec_id)),
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -610,7 +613,7 @@ object SimilarityQueries extends QueryModule {
     // final ROUND(…,6).
     "q179_pca_power" -> QueryDef(
       fn = (s, d) => {
-        val (v, lam) = powerComponent(s, d)
+        val (v, lam) = powerComponent(gramUpper(s, d))
         def r6(x: Double) =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val spark = s
@@ -653,9 +656,13 @@ object SimilarityQueries extends QueryModule {
     // projection needs only the final ROUND(…,6).
     "q180_pca_project" -> QueryDef(
       fn = (s, d) => {
-        val (v, _) = powerComponent(s, d)
+        // ONE pinned codes pass feeds both the Gram reduce (train) and
+        // the projection scan (apply) — without it the corpus and the
+        // quantizer stats would compute twice
+        val codes = graft.CacheLeases.lease(int8Codes(s, d).persist())
+        val (v, _) = powerComponent(gramUpperOf(codes))
         val vLit = array(v.map(lit): _*)
-        int8Codes(s, d)
+        codes
           .withColumn("__pc", vLit)
           .select(col("vec_id"),
             round(expr(
@@ -676,7 +683,7 @@ object SimilarityQueries extends QueryModule {
         SELECT c.vec_id,
                ROUND(list_sum(list_transform(list(CAST(c.q AS DOUBLE) * p.v ORDER BY c.i), x -> x)), 6)
                  AS projection
-        FROM codes c JOIN $last p USING (i)
+        FROM coderows c JOIN $last p USING (i)
         GROUP BY c.vec_id"""
       }
     ),

@@ -9,6 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class PcaPowerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** The hand corpus's Gram is [[32514, 1], [1, 48642]]; this computes
+    * the exact PowerIters-step state both q179 and q180 assert against.
+    */
+  private def handIteration(): (Array[Double], Double) = {
+    val g = Array(Array(32514.0, 1.0), Array(1.0, 48642.0))
+    var v = Array(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0))
+    for (_ <- 1 to 3) {
+      val u = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
+      val n = math.sqrt(u(0) * u(0) + u(1) * u(1))
+      v = u.map(_ / n)
+    }
+    val gv  = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
+    val lam = v(0) * gv(0) + v(1) * gv(1)
+    (v, lam)
+  }
+
   test("2-dim hand case: iteration locks onto the dominant diagonal axis") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pca_").toString
@@ -21,17 +37,9 @@ class PcaPowerSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     val got = graft.SparkEntry.queries("q179_pca_power")(spark, dir)
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    // expected state after exactly 3 damped iterations, computed here
-    // from the hand-known Gram (independent of the engine pipeline)
-    val g = Array(Array(32514.0, 1.0), Array(1.0, 48642.0))
-    var v = Array(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0))
-    for (_ <- 1 to 3) {
-      val u = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
-      val n = math.sqrt(u(0) * u(0) + u(1) * u(1))
-      v = u.map(_ / n)
-    }
-    val gv  = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
-    val lam = v(0) * gv(0) + v(1) * gv(1)
+    // expected state after exactly 3 damped iterations, computed from
+    // the hand-known Gram (independent of the engine pipeline)
+    val (v, lam) = handIteration()
     assert(math.abs(got(1)._1 - v(0)) < 1e-5, s"got $got, want v=${v.toSeq}")
     assert(math.abs(got(2)._1 - v(1)) < 1e-5)
     assert(math.abs(got(1)._2 - lam) < 1e-3)
@@ -46,13 +54,7 @@ class PcaPowerSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     // same 3-iteration component as the q179 hand case
-    val g = Array(Array(32514.0, 1.0), Array(1.0, 48642.0))
-    var v = Array(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0))
-    for (_ <- 1 to 3) {
-      val u = Array(g(0)(0) * v(0) + g(0)(1) * v(1), g(1)(0) * v(0) + g(1)(1) * v(1))
-      val n = math.sqrt(u(0) * u(0) + u(1) * u(1))
-      v = u.map(_ / n)
-    }
+    val (v, _) = handIteration()
     val codes = Map(1L -> (-128.0, 127.0), 2L -> (-1.0, -128.0), 3L -> (127.0, 127.0))
     val got = graft.SparkEntry.queries("q180_pca_project")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
