@@ -395,6 +395,18 @@ object SimilarityQueries extends QueryModule {
   /** One unrolled power-iteration step (u→normalize→v) as SQL CTEs —
     * shared by the q179 and q180 oracles.
     */
+  /** The Rayleigh-quotient CTEs (gvec + lam) over the last iterate —
+    * shared by the q179 and q181 oracles.
+    */
+  private def rayleighSqlCtes(last: String): String = s"""
+        gvec AS (
+          SELECT f.i,
+                 list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS gv
+          FROM gfull f JOIN $last p ON p.i = f.j GROUP BY f.i),
+        lam AS (
+          SELECT list_sum(list_transform(list(p.v * gvec.gv ORDER BY p.i), x -> x)) AS l
+          FROM $last p JOIN gvec USING (i))"""
+
   private def powerIterSql(k: Int): String = {
     val prev = s"v${k - 1}"
     s"""
@@ -632,13 +644,7 @@ object SimilarityQueries extends QueryModule {
         dims AS (SELECT MAX(j) AS dd FROM gram),
         v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM gfull, dims),
         ${(1 to PowerIters).map(powerIterSql).mkString(",")},
-        gvec AS (
-          SELECT f.i,
-                 list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS gv
-          FROM gfull f JOIN $last p ON p.i = f.j GROUP BY f.i),
-        lam AS (
-          SELECT list_sum(list_transform(list(p.v * gvec.gv ORDER BY p.i), x -> x)) AS l
-          FROM $last p JOIN gvec USING (i))
+        ${rayleighSqlCtes(last)}
         SELECT p.i, ROUND(p.v, 6) AS component, ROUND(lam.l, 6) AS eigenvalue
         FROM $last p, lam"""
       }
@@ -685,6 +691,48 @@ object SimilarityQueries extends QueryModule {
                  AS projection
         FROM coderows c JOIN $last p USING (i)
         GROUP BY c.vec_id"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // EXPLAINED-VARIANCE REPORT — the number a PCA actually ships:
+    // λ₁/tr(G) is the fraction of (quantized) corpus variance the top
+    // component captures, 1−λ₁/tr(G) the residual a second component
+    // would chase. The Gram is materialized once (localCheckpoint, d²
+    // rows) and read twice: the eigensolve collect and the integer
+    // diagonal trace. λ is bit-identical cross-engine (q179's proof),
+    // the trace is an integer sum, and the two ratios are single
+    // divisions — ROUND(…,6) on the way out.
+    "q181_explained_variance" -> QueryDef(
+      fn = (s, d) => {
+        val gram = gramUpper(s, d).localCheckpoint(true) // d² rows, read twice
+        val (_, lam) = powerComponent(gram)
+        val trace = gram.where(col("i") === col("j"))
+          .agg(sum(col("g"))).head.getLong(0)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val spark = s
+        import spark.implicits._
+        Seq((r6(lam), trace, r6(lam / trace.toDouble), r6(1.0 - lam / trace.toDouble)))
+          .toDF("eigenvalue", "trace", "explained_ratio", "residual_ratio")
+      },
+      oracle = Some {
+        val last = s"v$PowerIters"
+        s"""
+        $gramSqlCtes,
+        gfull AS (
+          SELECT i, j, g FROM gram
+          UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i <> j),
+        dims AS (SELECT MAX(j) AS dd FROM gram),
+        v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM gfull, dims),
+        ${(1 to PowerIters).map(powerIterSql).mkString(",")},
+        ${rayleighSqlCtes(last)},
+        tr AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM gram WHERE i = j)
+        SELECT ROUND(lam.l, 6) AS eigenvalue,
+               tr.t AS trace,
+               ROUND(lam.l / tr.t, 6) AS explained_ratio,
+               ROUND(1 - lam.l / tr.t, 6) AS residual_ratio
+        FROM lam, tr"""
       }
     ),
 

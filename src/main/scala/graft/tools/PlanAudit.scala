@@ -473,6 +473,11 @@ object PlanAudit {
     Audit("q179_pca_power",
       mustContain = Seq("LocalTableScan"),
       mustNotContain = Seq("Exchange", "Window")),
+    // the variance report is a local single row from the collected
+    // Gram + the integer trace — the same scalar-gate altitude as q179
+    Audit("q181_explained_variance",
+      mustContain = Seq("LocalTableScan"),
+      mustNotContain = Seq("Exchange", "Window")),
     // the projection pass is a scan+fold with the component as a plan
     // literal — the only non-scan machinery is the quantizer's 1-row
     // stats broadcast; no sort, no window, no corpus shuffle join

@@ -63,6 +63,21 @@ class PcaPowerSpec extends AnyFunSuite {
     }
   }
 
+  test("q181: explained + residual = 1; hand trace and ratio match the known Gram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_").toString
+    Seq((1L, Seq(0f, 1f), 0), (2L, Seq(0.5f, 0f), 0), (3L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q181_explained_variance")(spark, dir).head()
+    val (_, lam) = handIteration()
+    assert(r.getAs[Long]("trace") === 32514L + 48642L)
+    assert(math.abs(r.getAs[Double]("eigenvalue") - lam) < 1e-3)
+    assert(math.abs(r.getAs[Double]("explained_ratio") - lam / 81156.0) < 1e-5)
+    assert(math.abs(
+      r.getAs[Double]("explained_ratio") + r.getAs[Double]("residual_ratio") - 1.0) < 2e-6)
+  }
+
   test("corpus: unit norm, one positive eigenvalue bounded by the Gram trace") {
     val d    = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q179_pca_power")(spark, d)
