@@ -107,6 +107,9 @@ object ScaleTrend {
     "q179_pca_power",
     // train->apply: Gram reduce + a shuffle-free projection scan
     "q180_pca_project",
+    // variance report: one Gram reduce read twice — fixed-state like
+    // its family
+    "q181_explained_variance",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
