@@ -29,9 +29,24 @@ object CacheLeases {
     }
   }
 
-  /** Wrap a module's query map so every entry drains previous leases. */
+  /** Wrap a module's query map so every entry drains previous leases.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: draining releases the intermediates of
+    * the previous entry across ALL wrapped modules, which is correct (and
+    * keeps cache residency bounded to one generation) only when queries run
+    * one at a time, as the Bench/Verify harnesses do. If entries ever run
+    * concurrently in one session, a drain could unpersist a sibling's
+    * still-in-use frame — a silent recompute, not a wrong answer. Guarded
+    * below: concurrent entry skips the drain instead of stealing leases.
+    */
+  private val entered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def draining(qs: Map[String, QueryDef]): Map[String, QueryDef] =
     qs.map { case (name, q) =>
-      name -> q.copy(fn = (s, d) => { releasePrevious(); q.fn(s, d) })
+      name -> q.copy(fn = (s, d) => {
+        val sole = entered.compareAndSet(false, true)
+        try { if (sole) releasePrevious(); q.fn(s, d) }
+        finally { if (sole) entered.set(false) }
+      })
     }
 }

@@ -443,6 +443,7 @@ object DmlQueries extends QueryModule {
     "q176_mv_incremental" -> QueryDef(
       fn = (s, d) => {
         val whRoot = java.nio.file.Files.createTempDirectory("graft_q176_wh_").toString
+        try {
         val wh = new graft.etl.Warehouse(s, whRoot)
         val src = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -460,14 +461,14 @@ object DmlQueries extends QueryModule {
             else part
           wh.overwrite(merged, "gold", "mv_seg_sales")
         }
-        // pin the tiny final MV, then drop the temp warehouse — bench/
-        // verify sweeps must not accumulate /tmp trees
-        val out = wh.load("gold", "mv_seg_sales")
+        // pin the tiny final MV so the temp warehouse can go away before
+        // the caller materializes; the finally guarantees the /tmp tree
+        // is dropped even when a refresh batch or the load fails
+        wh.load("gold", "mv_seg_sales")
           .select(col("seg"), col("cnt").as("n_orders"),
             (col("ysum").cast("double") / col("cnt").cast("double")).as("avg_price"))
           .localCheckpoint(true)
-        graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
-        out
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
       },
       oracle = Some("""
         SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,

@@ -242,7 +242,16 @@ object RankSelect {
                                 named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L))))"""))
       .select(
         col(g),
-        col("__rs_sel.tb").as("__rs_b"),
+        // guard folded into the projection (a free-standing column would
+        // be pruned): a caller kSql above the group's total weight leaves
+        // tb = -1, and silently losing the group on the bucket join is
+        // worse than failing — misuse of the generic kernel errors loudly
+        when(col("__rs_sel.tb") < 0,
+          raise_error(concat(
+            lit("selectWeightedRank: k ("), col("__rs_k").cast("string"),
+            lit(") exceeds total group weight ("),
+            col("wtot").cast("string"), lit(")"))).cast("int"))
+          .otherwise(col("__rs_sel.tb")).as("__rs_b"),
         (col("__rs_k") - col("__rs_sel.cb")).as("__rs_off"),
         col("wtot"))
       .localCheckpoint()

@@ -34,6 +34,21 @@ object SketchQueries extends QueryModule {
               (CAST(CAST(concat('0x', substr($hk, 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
     END"""
 
+  /** Count-Min grid geometry: D=3 rows of W=64 counters — small enough
+    * that the sf-corpus collision mass is visibly nonzero (the
+    * overcount column demonstrates the one-sided error) while the grid
+    * stays a fixed 192-cell state at any corpus size. Declared ABOVE
+    * `rawQueries` (which bakes them into oracle SQL) so initialization
+    * order stays correct even if the val ever becomes strict.
+    */
+  private val CmDepth = 3
+  private val CmWidth = 64
+
+  /** Fixed probe tokens: two corpus-frequent, one domain term, one
+    * absent (its estimate is pure collision mass — still >= exact 0).
+    */
+  private val CmProbes = Seq("the", "data", "spark", "zzqxv")
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -367,6 +382,7 @@ object SketchQueries extends QueryModule {
     "q177_mv_sketch_merge" -> QueryDef(
       fn = (s, d) => {
         val whRoot = java.nio.file.Files.createTempDirectory("graft_q177_wh_").toString
+        try {
         val wh = new graft.etl.Warehouse(s, whRoot)
         val kmvSig = org.apache.spark.sql.functions.udaf(
           KmvAggregator.bottomKSignature(K),
@@ -388,17 +404,16 @@ object SketchQueries extends QueryModule {
           wh.overwrite(merged, "gold", "mv_kmv")
         }
         // localCheckpoint pins the tiny final MV in memory so the temp
-        // warehouse can be deleted before the caller materializes —
-        // repeated bench/verify sweeps must not accumulate /tmp trees
-        val out = wh.load("gold", "mv_kmv")
+        // warehouse can be deleted before the caller materializes; the
+        // finally guarantees the /tmp tree is dropped even on failure
+        wh.load("gold", "mv_kmv")
           .select(col("l_returnflag"),
             size(col("sig")).cast("long").as("n_min"),
             array_max(col("sig")).as("hk"))
           .select(col("l_returnflag"), col("n_min"),
             kmvEstimate(col("n_min"), col("hk")).as("kmv_estimate"))
           .localCheckpoint(true)
-        graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
-        out
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
       },
       oracle = Some(s"""
         WITH hashed AS (
@@ -435,16 +450,4 @@ object SketchQueries extends QueryModule {
           lit(3 * rsd) * col("exact_distinct").cast("double")).as("within_3rsd"))
   }
 
-  /** Count-Min grid geometry: D=3 rows of W=64 counters — small enough
-    * that the sf-corpus collision mass is visibly nonzero (the
-    * overcount column demonstrates the one-sided error) while the grid
-    * stays a fixed 192-cell state at any corpus size.
-    */
-  private val CmDepth = 3
-  private val CmWidth = 64
-
-  /** Fixed probe tokens: two corpus-frequent, one domain term, one
-    * absent (its estimate is pure collision mass — still >= exact 0).
-    */
-  private val CmProbes = Seq("the", "data", "spark", "zzqxv")
 }

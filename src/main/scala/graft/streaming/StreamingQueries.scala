@@ -527,6 +527,7 @@ object StreamingQueries extends QueryModule {
         try {
           val whRoot = java.nio.file.Files
             .createTempDirectory("graft_q80_wh_").toString
+          try {
           val wh = new graft.etl.Warehouse(s, whRoot)
           val stream = streamFromDir(
             s, stageEventsSplit(s, d), Map("maxFilesPerTrigger" -> "1"))
@@ -536,13 +537,14 @@ object StreamingQueries extends QueryModule {
             keys = Seq("user_id", "event_type"), versionCol = "ts")
           try q.processAllAvailable()
           finally q.stop()
-          // pin the small final state, then drop the temp warehouse —
-          // sweeps must not accumulate /tmp trees (q176/q177 pattern)
-          val out = wh.load("silver", "event_latest")
+          // pin the small final state so the temp warehouse can go away;
+          // the finally drops the /tmp tree even when a batch fails
+          // (q176/q177 pattern)
+          wh.load("silver", "event_latest")
             .select(col("user_id"), col("event_type"), col("ts").as("last_ts"))
             .localCheckpoint(true)
-          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
-          out
+          } finally graft.Staging.deleteRecursively(
+            java.nio.file.Paths.get(whRoot))
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some("""
