@@ -84,6 +84,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .saveAsTable(catalogName(layer, table))
   }
 
+  /** O(batch) append to a bucketed table created by [[overwriteBucketed]]:
+    * the new batch's rows are hash-bucketed on the SAME keys and added as
+    * new files per bucket — history is never rewritten, which is what
+    * makes a maintained index (e.g. the dedup band index) affordable
+    * nightly at 100 TB. Spark rejects the append if the bucketing spec
+    * differs from the table's, so a drifting caller fails loudly.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      layer: String,
+      table: String,
+      bucketKeys: Seq[String],
+      buckets: Int = 32
+  ): Unit =
+    df.write
+      .mode("append")
+      .option("path", path(layer, table))
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(catalogName(layer, table))
+
+  /** Drop this warehouse's catalog database (bucketed-table metadata).
+    * Temp warehouses MUST call this before deleting their root, or the
+    * session catalog accumulates databases pointing at deleted paths.
+    * CASCADE drops the table entries; data files are left to the caller
+    * (they live under `root`, which the caller owns).
+    */
+  def dropCatalogDb(): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $catalogDb CASCADE")
+
   /** Full-replace snapshot write: deletes any existing table directory
     * before writing, so the result is exactly `df` regardless of what
     * partitions a previous snapshot held (dynamic partition overwrite

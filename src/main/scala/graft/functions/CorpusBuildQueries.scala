@@ -76,6 +76,55 @@ object CorpusBuildQueries extends QueryModule {
         min(struct(col("off"), col("doc_id"))).getField("doc_id").as("first_doc"))
   }
 
+  /** The q182 classify kernel: batch docs labelled against a maintained
+    * band-index relation (any (band, band_key[, doc_id]) source — a
+    * bucketed warehouse table in production). Deliberately hint-free:
+    * the batch side is the small one and auto-broadcasts, so the only
+    * exchange is at the tiny batch doc_id grain; with broadcast
+    * disabled the planner degrades to an SMJ that reuses the index
+    * table's bucket layout (no exchange on the corpus-scale side) —
+    * never a BNLJ. Both shapes are asserted in
+    * IncrementalBandIndexSpec.
+    */
+  /** Batch docs sharing any LSH band key with the maintained index:
+    * the corpus-scale side is STREAMED (its doc_id never read — only
+    * keys), the batch side joined on (band, band_key) = the index
+    * table's bucket keys, and the result collapses to the tiny batch
+    * doc_id grain. The plan shapes (BHJ batch-build / bucket-layout
+    * SMJ fallback) are asserted in IncrementalBandIndexSpec.
+    */
+  private[graft] def corpusDupDocs(
+      index: org.apache.spark.sql.DataFrame,
+      bBands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    index
+      .select(col("band"), col("band_key"))
+      .join(bBands.select(col("band"), col("band_key"), col("doc_id")),
+        Seq("band", "band_key"))
+      .select(col("doc_id")).distinct()
+
+  private[graft] def classifyAgainstIndex(
+      index: org.apache.spark.sql.DataFrame,
+      bBands: org.apache.spark.sql.DataFrame,
+      batchDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val crossDup = corpusDupDocs(index, bBands)
+    val inBatchDup = bBands.as("a")
+      .join(
+        bBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("b.doc_id") < col("a.doc_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+    batchDocs
+      .join(crossDup.withColumn("x", lit(1)), Seq("doc_id"), "left")
+      .join(inBatchDup.withColumn("w", lit(1)), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        when(col("x").isNotNull, "dup_of_corpus")
+          .when(col("w").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"))
+  }
+
   /** The DedupQueries helpers these queries call register their
     * persisted intermediates with [[graft.CacheLeases]]; draining at
     * every entry keeps repeated invocations bounded.
@@ -363,6 +412,73 @@ object CorpusBuildQueries extends QueryModule {
               .when(col("w").isNotNull, "dup_in_batch")
               .otherwise("new").as("status"))
       },
+      oracle = Some(s"""
+        WITH ${DedupQueries.mhBandsCtesSql},
+        bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        cross_dup AS (
+          SELECT DISTINCT b.doc_id FROM bb b
+          JOIN (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 5 <> 0) e
+            ON e.band = b.band AND e.band_key = b.band_key),
+        in_batch AS (
+          SELECT DISTINCT a.doc_id FROM bb a
+          JOIN bb b ON a.band = b.band AND a.band_key = b.band_key
+                   AND b.doc_id < a.doc_id)
+        SELECT d.doc_id, d.source,
+               CASE WHEN c.doc_id IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN i.doc_id IS NOT NULL THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM documents d
+        LEFT JOIN cross_dup c ON c.doc_id = d.doc_id
+        LEFT JOIN in_batch i ON i.doc_id = d.doc_id
+        WHERE d.doc_id % 5 = 0"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED BAND INDEX — q144's production form. q144 argues the
+    // 100 TB story ("the band table is a maintained index, appended
+    // batch-over-batch") but recomputes the corpus band set every run;
+    // here the index IS a warehouse table: three simulated historical
+    // ingests are APPENDED to a bucketed parquet table (hash-bucketed
+    // on the join keys (band, band_key) — history is never rewritten,
+    // each append is O(ingest)), and the new batch is classified by
+    // joining THAT table. Classification semantics are q144's exactly,
+    // so the gate is the same oracle — result drift between the
+    // recompute path and the index path breaks the hash match. The
+    // classify join streams the big index and broadcasts the small
+    // batch (the only exchange is at the tiny batch doc_id grain); if
+    // the batch ever outgrows broadcast, the bucketed table's layout
+    // makes the fallback an SMJ with NO exchange on the index side —
+    // both shapes are plan-asserted in IncrementalBandIndexSpec.
+    "q182_band_index_incremental" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q182_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val bands = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+          val isBatch = col("doc_id") % 5 === 0
+          // 3 historical ingests build the index incrementally; only
+          // the first write creates the table, the rest append
+          for (g <- 0 until 3) {
+            val ingest = bands.where(!isBatch && pmod(col("doc_id"), lit(3)) === g)
+            if (wh.exists("silver", "band_index"))
+              wh.appendBucketed(ingest, "silver", "band_index", Seq("band", "band_key"))
+            else
+              wh.overwriteBucketed(ingest, "silver", "band_index", Seq("band", "band_key"))
+          }
+          val index = wh.load("silver", "band_index")
+          val bBands = bands.where(isBatch)
+          classifyAgainstIndex(
+            index, bBands,
+            documents(s, d).where(isBatch).select(col("doc_id"), col("source")))
+            .localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      // q144's oracle verbatim: the maintained-index path must land on
+      // exactly the recompute path's answer
       oracle = Some(s"""
         WITH ${DedupQueries.mhBandsCtesSql},
         bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
