@@ -418,6 +418,160 @@ object SimilarityQueries extends QueryModule {
           v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k)"""
   }
 
+  /** Number of PCA components the q183–q185 family solves. */
+  private val PcaK = 4
+
+  /** One unrolled power-iteration step for component `c` of the multi-
+    * component family — component-prefixed twin of [[powerIterSql]],
+    * reading the (possibly deflated) matrix `g{c}full`.
+    */
+  private def mcIterSql(c: Int, k: Int): String = {
+    val prev = s"c${c}v${k - 1}"
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and the deflation chain g1→g4 would otherwise expand
+    // exponentially (each g(c+1) references g(c) three times)
+    s"""
+          c${c}u$k AS MATERIALIZED (
+            SELECT f.i,
+                   list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS u
+            FROM g${c}full f JOIN $prev p ON p.i = f.j GROUP BY f.i),
+          c${c}n$k AS MATERIALIZED (SELECT sqrt(list_sum(list_transform(list(u * u ORDER BY i), x -> x))) AS nrm FROM c${c}u$k),
+          c${c}v$k AS MATERIALIZED (SELECT i, u / nrm AS v FROM c${c}u$k, c${c}n$k)"""
+  }
+
+  /** Component c's full CTE block: uniform start, PowerIters unrolled
+    * steps, a MODIFIED GRAM-SCHMIDT pass against the previous finalized
+    * components (sequential in ascending p — d_p is taken against the
+    * running residual, the numerically stable order), renormalization
+    * (skipped for c=1, where GS over the empty set is the identity and
+    * the iterate is already unit — keeping component 1 bit-identical to
+    * q179's), Rayleigh λ_c over the deflated matrix, and (for c < PcaK)
+    * the Hotelling deflation g{c+1}full = g{c}full − λ_c·w_c·w_cᵀ.
+    * GS makes the components EXACTLY orthogonal (to fp) even though
+    * PowerIters steps leave the iterate short of convergence. Every
+    * fold is pinned (ORDER BY j / ORDER BY i) and every expression is
+    * parenthesized exactly as the driver-side update, so all PcaK
+    * components stay bit-identical cross-engine before ROUND(…,6).
+    * The finalized component c lives in `c{c}w`.
+    */
+  private def mcComponentCtes(c: Int): String = {
+    val last = s"c${c}v$PowerIters"
+    val gs =
+      if (c == 1) s""",
+          c1w AS MATERIALIZED (SELECT i, v FROM $last)"""
+      else {
+        val steps = (1 until c).map { p =>
+          s""",
+          c${c}d$p AS MATERIALIZED (
+            SELECT list_sum(list_transform(list(a.v * b.v ORDER BY a.i), x -> x)) AS dot
+            FROM c${c}g${p - 1} a JOIN c${p}w b ON b.i = a.i),
+          c${c}g$p AS MATERIALIZED (
+            SELECT a.i, a.v - (SELECT dot FROM c${c}d$p) * b.v AS v
+            FROM c${c}g${p - 1} a JOIN c${p}w b ON b.i = a.i)"""
+        }.mkString
+        s""",
+          c${c}g0 AS MATERIALIZED (SELECT i, v FROM $last)$steps,
+          c${c}wn AS MATERIALIZED (
+            SELECT sqrt(list_sum(list_transform(list(v * v ORDER BY i), x -> x))) AS nrm
+            FROM c${c}g${c - 1}),
+          c${c}w AS MATERIALIZED (SELECT i, v / nrm AS v FROM c${c}g${c - 1}, c${c}wn)"""
+      }
+    val deflate =
+      if (c == PcaK) ""
+      else s""",
+          g${c + 1}full AS MATERIALIZED (
+            SELECT f.i, f.j, f.g - (SELECT l FROM c${c}lam) * a.v * b.v AS g
+            FROM g${c}full f
+            JOIN c${c}w a ON a.i = f.i
+            JOIN c${c}w b ON b.i = f.j)"""
+    s"""
+          c${c}v0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 / sqrt(CAST(dd AS DOUBLE)) AS v FROM g${c}full, dims),
+          ${(1 to PowerIters).map(k => mcIterSql(c, k)).mkString(",")}$gs,
+          c${c}gvec AS MATERIALIZED (
+            SELECT f.i,
+                   list_sum(list_transform(list(CAST(f.g AS DOUBLE) * p.v ORDER BY f.j), x -> x)) AS gv
+            FROM g${c}full f JOIN c${c}w p ON p.i = f.j GROUP BY f.i),
+          c${c}lam AS MATERIALIZED (
+            SELECT list_sum(list_transform(list(p.v * c${c}gvec.gv ORDER BY p.i), x -> x)) AS l
+            FROM c${c}w p JOIN c${c}gvec USING (i))$deflate"""
+  }
+
+  /** Shared oracle prefix of the q183–q185 family: the Gram chain, the
+    * symmetrized double-valued g1full, and all PcaK component blocks.
+    */
+  private lazy val mcSqlCtes: String = s"""
+        $gramSqlCtes,
+        g1full AS MATERIALIZED (
+          SELECT i, j, CAST(g AS DOUBLE) AS g FROM gram
+          UNION ALL SELECT j AS i, i AS j, CAST(g AS DOUBLE) AS g FROM gram WHERE i <> j),
+        dims AS MATERIALIZED (SELECT MAX(j) AS dd FROM gram),
+        ${(1 to PcaK).map(mcComponentCtes).mkString(",")}"""
+
+  /** Partial-sum SQL for λ₁+…+λ_c — left-associated like the driver's
+    * ascending fold, so the cumulative ratios stay bit-identical.
+    */
+  private def mcCumLamSql(c: Int): String =
+    (1 to c).map(cc => s"(SELECT l FROM c${cc}lam)").mkString(" + ")
+
+  /** The k-component eigensolver: [[powerComponent]]'s loop run PcaK
+    * times with Hotelling deflation between components — after each
+    * (v_c, λ_c) the collected matrix is updated in place,
+    * G(i)(j) −= λ_c·v_c(i)·v_c(j), exactly the rank-1 subtraction the
+    * SQL mirror applies, then the next component restarts from the
+    * uniform vector. Deflation (rather than per-step Gram-Schmidt)
+    * keeps the mirror unrolled-SQL-expressible; with λ₁ removed the
+    * dominant eigenpair of the deflated matrix IS component 2, etc.
+    * All folds pinned ascending, matching [[mcComponentCtes]].
+    */
+  private def powerComponents(gram: DataFrame, k: Int): Seq[(Array[Double], Double)] = {
+    val cells = gram.collect() // d(d+1)/2 rows — bounded by dim²
+    require(cells.nonEmpty, "power iteration needs a non-empty Gram (empty embeddings input?)")
+    val dd = cells.iterator.map(_.getInt(1)).max
+    val G = Array.ofDim[Double](dd, dd)
+    cells.foreach { r =>
+      val (i, j, g) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2).toDouble)
+      G(i)(j) = g; G(j)(i) = g
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dd) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dd) { acc += G(i)(j) * v(j); j += 1 }
+        acc
+      }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    for (_ <- 1 to k) {
+      var v = Array.fill(dd)(1.0 / math.sqrt(dd.toDouble))
+      for (_ <- 1 to PowerIters) {
+        val u = matvec(v)
+        val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+        v = u.map(_ / nrm)
+      }
+      // modified Gram-Schmidt against the finalized components, ascending
+      // — exact orthogonality even at PowerIters-truncated convergence.
+      // GS over the empty set is the identity (component 1 stays the
+      // already-unit q179 iterate, no renormalization).
+      val w =
+        if (comps.isEmpty) v
+        else {
+          var g = v
+          comps.foreach { case (wp, _) =>
+            val dot = (0 until dd).foldLeft(0.0)((a, i) => a + g(i) * wp(i))
+            g = Array.tabulate(dd)(i => g(i) - dot * wp(i))
+          }
+          val nrm = math.sqrt(g.foldLeft(0.0)((a, x) => a + x * x))
+          g.map(_ / nrm)
+        }
+      val gv  = matvec(w)
+      val lam = (0 until dd).foldLeft(0.0)((a, i) => a + w(i) * gv(i))
+      // deflate in place for the next component — same parenthesization
+      // as the SQL mirror's `f.g - l * a.v * b.v`
+      for (i <- 0 until dd; j <- 0 until dd)
+        G(i)(j) = G(i)(j) - lam * w(i) * w(j)
+      comps += ((w, lam))
+    }
+    comps.toSeq
+  }
+
   /** The q179/q180 shared eigensolver: collect the d²-bounded Gram,
     * power-iterate with folds pinned in ascending index order (matching
     * the unrolled SQL mirrors bit for bit), return (unit component,
@@ -734,6 +888,106 @@ object SimilarityQueries extends QueryModule {
                ROUND(1 - lam.l / tr.t, 6) AS residual_ratio
         FROM lam, tr"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // MULTI-COMPONENT PCA (k=4) — what corpus whitening/visualization
+    // actually needs, closing q179's single-component gap: the same
+    // collected d²-bounded Gram solved for 4 components by Hotelling
+    // deflation (power-iterate, record (v_c, λ_c), subtract the rank-1
+    // part, repeat — each deflation is a fixed d² driver-side update,
+    // never a corpus touch). Determinism is q179's argument applied 4
+    // times: integer Gram, pinned ascending folds, and a deflation
+    // expression parenthesized identically on both engines, so every
+    // component is bit-identical cross-engine before ROUND(…,6).
+    "q183_pca_components_k" -> QueryDef(
+      fn = (s, d) => {
+        val comps = powerComponents(gramUpper(s, d), PcaK)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val spark = s
+        import spark.implicits._
+        comps.zipWithIndex.flatMap { case ((v, lam), ci) =>
+          v.zipWithIndex.map { case (x, i) => (ci + 1, i + 1, r6(x), r6(lam)) }
+        }.toDF("comp", "i", "component", "eigenvalue")
+      },
+      oracle = Some(s"""
+        $mcSqlCtes
+        ${(1 to PcaK).map { c =>
+          s"""SELECT $c AS comp, p.i, ROUND(p.v, 6) AS component,
+                 ROUND((SELECT l FROM c${c}lam), 6) AS eigenvalue
+              FROM c${c}w p"""
+        }.mkString(" UNION ALL ")}""")
+    ),
+
+    // ----------------------------------------------------------------
+    // k-COMPONENT PROJECTION in ONE scan — q180's apply step widened:
+    // all 4 solved components broadcast back as literal arrays and
+    // folded against each vector's int8 codes in a single linear pass
+    // (4 pinned ascending folds per row, zero extra shuffles — the
+    // corpus is still read exactly once thanks to the shared pinned
+    // codes pass feeding both the Gram reduce and the projection scan).
+    "q184_pca_project_k" -> QueryDef(
+      fn = (s, d) => {
+        val codes = graft.CacheLeases.lease(int8Codes(s, d).persist())
+        val comps = powerComponents(gramUpperOf(codes), PcaK)
+        val withPcs = comps.zipWithIndex.foldLeft(codes) { case (df, ((v, _), ci)) =>
+          df.withColumn(s"__pc${ci + 1}", array(v.map(lit): _*))
+        }
+        withPcs.select(
+          col("vec_id") +: (1 to PcaK).map { c =>
+            round(expr(
+              s"""aggregate(sequence(1, size(c)), CAST(0 AS DOUBLE),
+                   (acc, i) -> acc + CAST(element_at(c, i) AS DOUBLE) * element_at(__pc$c, i))"""),
+              6).as(s"p$c")
+          }: _*)
+      },
+      oracle = Some(s"""
+        $mcSqlCtes
+        SELECT c.vec_id,
+               ${(1 to PcaK).map { k =>
+                 s"""ROUND(list_sum(list_transform(list(CAST(c.q AS DOUBLE) * p$k.v ORDER BY c.i), x -> x)), 6) AS p$k"""
+               }.mkString(", ")}
+        FROM coderows c
+        ${(1 to PcaK).map(k => s"JOIN c${k}w p$k ON p$k.i = c.i").mkString(" ")}
+        GROUP BY c.vec_id""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CUMULATIVE EXPLAINED-VARIANCE CURVE — q181 extended across the 4
+    // deflated components: per component its λ_c, the running
+    // Σλ₁..λ_c / tr(G) (the curve a practitioner reads k off), and the
+    // residual. The partial sums are left-associated ascending on both
+    // engines, so the ratios are single exact divisions of
+    // bit-identical numerators.
+    "q185_explained_variance_curve" -> QueryDef(
+      fn = (s, d) => {
+        val gram = gramUpper(s, d).localCheckpoint(true) // d² rows, read twice
+        val comps = powerComponents(gram, PcaK)
+        val trace = gram.where(col("i") === col("j"))
+          .agg(sum(col("g"))).head.getLong(0)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val spark = s
+        import spark.implicits._
+        var cum = 0.0
+        comps.zipWithIndex.map { case ((_, lam), ci) =>
+          cum = cum + lam
+          (ci + 1, r6(lam), trace, r6(cum / trace.toDouble), r6(1.0 - cum / trace.toDouble))
+        }.toDF("comp", "eigenvalue", "trace", "cum_explained_ratio", "residual_ratio")
+      },
+      oracle = Some(s"""
+        $mcSqlCtes,
+        tr AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM gram WHERE i = j)
+        ${(1 to PcaK).map { c =>
+          val cum = mcCumLamSql(c)
+          s"""SELECT $c AS comp,
+                 ROUND((SELECT l FROM c${c}lam), 6) AS eigenvalue,
+                 tr.t AS trace,
+                 ROUND(($cum) / tr.t, 6) AS cum_explained_ratio,
+                 ROUND(1 - ($cum) / tr.t, 6) AS residual_ratio
+              FROM tr"""
+        }.mkString(" UNION ALL ")}""")
     ),
 
     // ----------------------------------------------------------------

@@ -78,6 +78,61 @@ class PcaPowerSpec extends AnyFunSuite {
       r.getAs[Double]("explained_ratio") + r.getAs[Double]("residual_ratio") - 1.0) < 2e-6)
   }
 
+  test("q183: component 1 is exactly q179's; all 4 unit-norm, eigenvalues decreasing, near-orthogonal") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q183_pca_components_k")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length === 4 * 64)
+    val byComp = rows.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.sortBy(_._2).map(_._3), rs.head._4)
+    }
+    // component 1 must be bit-identical to the single-component q179
+    val q179 = graft.SparkEntry.queries("q179_pca_power")(spark, d)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(byComp(1)._1.sameElements(q179))
+    // unit norms
+    for (c <- 1 to 4) {
+      val n2 = byComp(c)._1.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"comp $c norm2=$n2")
+    }
+    // deflation removes the dominant part: eigenvalues strictly decrease
+    val lams = (1 to 4).map(byComp(_)._2)
+    assert(lams.zip(lams.tail).forall { case (a, b) => a > b },
+      s"eigenvalues not decreasing: $lams")
+    // Gram-Schmidt makes the components EXACTLY orthogonal to fp (the
+    // 1e-5 slack is the ROUND(…,6) on the reported coordinates)
+    for (a <- 1 to 4; b <- a + 1 to 4) {
+      val dot = byComp(a)._1.zip(byComp(b)._1).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-4, s"components $a,$b dot=$dot")
+    }
+  }
+
+  test("q184: p1 equals q180's single-component projection for every vector") {
+    val d = "/root/testdata/sf0.001"
+    val p1 = graft.SparkEntry.queries("q184_pca_project_k")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q180 = graft.SparkEntry.queries("q180_pca_project")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1 === q180)
+  }
+
+  test("q185: curve is increasing, consistent with q181 at comp 1, residual+cum = 1") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q185_explained_variance_curve")(spark, d)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length === 4)
+    val q181 = graft.SparkEntry.queries("q181_explained_variance")(spark, d).head()
+    assert(rows(0).getAs[Double]("eigenvalue") === q181.getAs[Double]("eigenvalue"))
+    assert(rows(0).getAs[Double]("cum_explained_ratio") === q181.getAs[Double]("explained_ratio"))
+    val cums = rows.map(_.getAs[Double]("cum_explained_ratio"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a }, cums.toSeq.toString)
+    assert(cums.last <= 1.0 + 1e-6)
+    rows.foreach { r =>
+      assert(math.abs(
+        r.getAs[Double]("cum_explained_ratio") + r.getAs[Double]("residual_ratio") - 1.0) < 2e-6)
+    }
+  }
+
   test("corpus: unit norm, one positive eigenvalue bounded by the Gram trace") {
     val d    = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q179_pca_power")(spark, d)
