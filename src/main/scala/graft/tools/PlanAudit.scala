@@ -538,6 +538,12 @@ object PlanAudit {
     Audit("q138_schema_evolution",
       mustContain = Seq("FileScan"),
       mustNotContain = Seq("Exchange", "Join", "Window")),
+    // k-component projection: 4 literal-array folds in ONE projection
+    // pass over the pinned codes — no window, no join-by-key, nothing
+    // quadratic (the only broadcast is the 1-row quantizer stats)
+    Audit("q184_pca_project_k",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("CartesianProduct", "Window", "SortMergeJoin")),
     // matryoshka eval reuses q44's shape: queries broadcast, corpus
     // streamed through a BNLJ, both top-k heaps in one ObjectHashAgg
     Audit("q139_matryoshka_overlap",
@@ -598,6 +604,47 @@ object PlanAudit {
     }
   }
 
+  /** The shingle semi-join family's broadcast→SMJ degradation path
+    * (q110/q143/q144): with auto-broadcast disabled (base + AQE), each
+    * query must re-plan as a key-partitioned SortMergeJoin — never a
+    * BroadcastNestedLoopJoin or cartesian expansion. Value equality of
+    * the two paths is proven separately in BroadcastFallbackSpec; here
+    * the per-round audit pins the degraded plan SHAPE. Returns the
+    * number of failures.
+    */
+  private def auditBroadcastFallback(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
+    val prevT  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAq = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qs = SparkEntry.queries
+      Seq("q110_decontaminate", "q143_contamination_report", "q144_incremental_dedup")
+        .map { q =>
+          val df = qs(q)(spark, sfDir)
+          df.collect()
+          val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+          val bad = Seq(
+            (!plan.contains("SortMergeJoin"))        -> "missing SortMergeJoin",
+            plan.contains("BroadcastNestedLoop")     -> "unexpected BroadcastNestedLoop",
+            plan.contains("CartesianProduct")        -> "unexpected CartesianProduct"
+          ).collect { case (true, msg) => msg }
+          if (bad.isEmpty) { println(s"[plan-audit] PASS ${q}__smj_fallback"); 0 }
+          else {
+            println(s"[plan-audit] FAIL ${q}__smj_fallback: ${bad.mkString("; ")}")
+            println(plan.linesIterator.take(40).mkString("\n"))
+            1
+          }
+        }.sum
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      prevAq match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
@@ -626,8 +673,9 @@ object PlanAudit {
       }
     }
     failed += auditProductDemand(spark)
+    failed += auditBroadcastFallback(spark, sfDir)
     spark.stop()
     if (failed > 0) sys.exit(1)
-    println(s"[plan-audit] all ${audits.size + 1} plan assertions hold")
+    println(s"[plan-audit] all ${audits.size + 4} plan assertions hold")
   }
 }
