@@ -388,6 +388,68 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // WEIGHTED approximate quantiles — q172's production cheap-path
+    // twin, completing the q99↔q141 symmetry for the weighted order
+    // statistic: integer weights expand inline (sequence explode —
+    // bounded here by lineitems-per-order; the pattern holds whenever
+    // weights are small integers, the token-count corpus case) and the
+    // replicated stream feeds ONE mergeable percentile_approx pass.
+    // The sketch's merge order varies run to run, so like q141 the
+    // gate is the GK CONTRACT, restated in weight mass: the returned
+    // value's weighted-rank interval [Σw(<v)+1, Σw(<=v)] must meet
+    // p·W ± (2W/acc + 1) — merge-order-safe, plan-change-safe, and
+    // still failing loudly on a sketch or accuracy regression. One
+    // exact weighted counting pass measures the interval; the oracle
+    // pins exact per-group weight mass and expects every check true.
+    "q186_weighted_quantile_approx" -> QueryDef(
+      fn = (s, d) => {
+        val acc = 1000 // weighted rank tolerance = W/acc per summary
+        val ps  = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90)
+        val wts = lineitem(s, d)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("wt"))
+        // checkpoint the slim weighted join once — read by the sketch
+        // pass and the counting pass (q172's note)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(wts, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"), col("wt"))
+          .localCheckpoint(true)
+        val approx = j
+          .select(col("seg"), col("v"), explode(expr("sequence(1, wt)")).as("rep"))
+          .groupBy(col("seg"))
+          .agg(percentile_approx(
+            col("v"), array(ps.map(p => lit(p._2)): _*), lit(acc)).as("ap"))
+        val aggCols = sum(col("wt")).as("total_weight") +:
+          ps.zipWithIndex.flatMap { case (_, i) =>
+            Seq(
+              sum(when(col("v") <= col("ap")(i), col("wt")).otherwise(0L)).as(s"le$i"),
+              sum(when(col("v") < col("ap")(i), col("wt")).otherwise(0L)).as(s"lt$i"))
+          }
+        val counted = j
+          .join(broadcast(approx), "seg")
+          .groupBy(col("seg"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val okCols = ps.zipWithIndex.map { case ((lbl, p), i) =>
+          val w   = col("total_weight").cast("double")
+          val tol = lit(2.0) * w / acc + 1.0 // q141's merge-order-safe bound
+          (col(s"le$i").cast("double") >= lit(p) * w - tol &&
+            (col(s"lt$i") + 1).cast("double") <= lit(p) * w + tol).as(s"${lbl}_ok")
+        }
+        counted.select(col("seg") +: col("total_weight") +: okCols: _*)
+      },
+      oracle = Some("""
+        WITH wts AS (
+          SELECT l_orderkey, COUNT(*) AS wt FROM lineitem GROUP BY 1)
+        SELECT c_mktsegment AS seg,
+               CAST(SUM(wt) AS BIGINT) AS total_weight,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN wts ON o_orderkey = l_orderkey
+        GROUP BY 1"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is

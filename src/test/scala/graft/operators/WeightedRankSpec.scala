@@ -58,4 +58,39 @@ class WeightedRankSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === exact)
   }
+
+  test("q186: every weighted GK contract flag holds on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q186_weighted_quantile_approx")(spark, d).collect()
+    assert(rows.length === 5) // the 5 market segments
+    rows.foreach { r =>
+      Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach { c =>
+        assert(r.getAs[Boolean](c), s"${r.getAs[String]("seg")}.$c")
+      }
+      assert(r.getAs[Long]("total_weight") > 0L)
+    }
+  }
+
+  test("replicated percentile_approx meets the weighted contract under extreme skew") {
+    import spark.implicits._
+    // 99.98% of the weight mass sits on one value: the approx median
+    // must land on it, and its weighted-rank interval must cover p*W
+    val acc = 100
+    val df = Seq(("G", 1.0, 1L), ("G", 2.0, 1L), ("G", 100.0, 9998L)).toDF("g", "v", "w")
+    val ap = df
+      .select(col("g"), col("v"), explode(expr("sequence(1, w)")).as("r"))
+      .groupBy(col("g"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(acc)).as("ap"))
+      .head().getDouble(1)
+    val (wle, wlt, wtot) = df
+      .agg(
+        sum(when(col("v") <= ap, col("w")).otherwise(0L)),
+        sum(when(col("v") < ap, col("w")).otherwise(0L)),
+        sum(col("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val tol = 2.0 * wtot / acc + 1.0
+    assert(ap === 100.0)
+    assert(wle.toDouble >= 0.5 * wtot - tol)
+    assert(wlt.toDouble + 1 <= 0.5 * wtot + tol)
+  }
 }
