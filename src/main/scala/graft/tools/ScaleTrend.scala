@@ -58,6 +58,11 @@ object ScaleTrend {
     "q142_sequence_packing",
     "q143_contamination_report",
     "q144_incremental_dedup",
+    // round-8: the MATERIALIZED band index — 3 bucketed appends build
+    // the corpus-side index table, the batch classifies against it;
+    // total work is one banded pass over the corpus + the keyed
+    // classify join, so the row must track x10 like q144
+    "q182_band_index_incremental",
     "q145_image_phash_dedup",
     "q146_audio_fingerprint_dedup",
     "q147_multimodal_assembly",
@@ -110,6 +115,10 @@ object ScaleTrend {
     // variance report: one Gram reduce read twice — fixed-state like
     // its family
     "q181_explained_variance",
+    // round-8 k=4 projection: the Gram reduce plus FOUR literal-array
+    // folds in the same shuffle-free scan — shuffle must stay at the
+    // family's fixed d^2 level whatever the corpus
+    "q184_pca_project_k",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
