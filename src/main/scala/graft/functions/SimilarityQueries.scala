@@ -572,6 +572,43 @@ object SimilarityQueries extends QueryModule {
     comps.toSeq
   }
 
+  /** Nearest-centroid assignment against a (small, broadcast) codebook
+    * — cosine, tie-break lowest cid. The q45/q187 shared kernel.
+    */
+  private[graft] def assignToCentroids(src: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    src
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  /** Exact top-3 search of assigned queries against a maintained
+    * posting-list relation (cid, vec_id, embedding, nrm): the tiny
+    * query side joins the corpus-scale index on cid and the within-list
+    * rank window partitions on qid — candidate volume is |queries| ×
+    * list size, never all-pairs, and the index side is only ever
+    * streamed. Plan shape asserted in AnnIndexAppendSpec.
+    */
+  private[graft] def annSearch(index: DataFrame, queries: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    queries
+      .select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(
+        index.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb")),
+        "cid")
+      .withColumn(
+        "sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** The q179/q180 shared eigensolver: collect the d²-bounded Gram,
     * power-iterate with folds pinned in ascending index order (matching
     * the unrolled SQL mirrors bit for bit), return (unit component,
@@ -988,6 +1025,82 @@ object SimilarityQueries extends QueryModule {
                  ROUND(1 - ($cum) / tr.t, 6) AS residual_ratio
               FROM tr"""
         }.mkString(" UNION ALL ")}""")
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED ANN INDEX — q182's embedding-side twin, the "at 100 TB
+    // the index is a maintained table" story for similarity search:
+    // the corpus's IVF posting lists live in a warehouse table
+    // hash-bucketed on the centroid id, built by three historical
+    // ingests APPENDED batch-over-batch (assign the ingest against the
+    // frozen seeded codebook — one broadcast join — and append its
+    // postings; history is never rewritten, each append is O(ingest)).
+    // A new query batch then searches THAT table: assign → join the
+    // staged postings on cid → exact within-list top-3. The oracle
+    // recomputes the whole thing from the raw corpus, so a staging/
+    // append/reload drift — or a float that fails to round-trip parquet
+    // — breaks the hash match. (q45 shows the trained-codebook variant;
+    // freezing the codebook here isolates the maintained-index
+    // mechanics, which is also the production reality: codebooks are
+    // versioned artifacts, retrained offline, not per-ingest.)
+    "q187_ann_index_append" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q187_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val e = normedEmbeddings(s, d).persist().leased
+          val isBatch = col("vec_id") % 5 === 0
+          val cent = e.where(!isBatch && col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+          for (g <- 0 until 3) {
+            val ingest = assignToCentroids(
+              e.where(!isBatch && pmod(col("vec_id"), lit(3)) === g), cent)
+            if (wh.exists("silver", "ann_postings"))
+              wh.appendBucketed(ingest, "silver", "ann_postings", Seq("cid"), buckets = 16)
+            else
+              wh.overwriteBucketed(ingest, "silver", "ann_postings", Seq("cid"), buckets = 16)
+          }
+          annSearch(
+            wh.load("silver", "ann_postings"),
+            assignToCentroids(e.where(isBatch), cent))
+            .localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = Some {
+        val dotEC =
+          "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        def assignCte(name: String, srcCte: String) = s"""
+        $name AS (
+          SELECT cid, vec_id, embedding, nrm FROM (
+            SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+            FROM $srcCte e CROSS JOIN cent c
+          ) WHERE r = 1)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        batch AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+          FROM corpus WHERE vec_id < 16),
+        ${assignCte("idx", "corpus")},
+        ${assignCte("q", "batch")},
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM q a JOIN idx b ON a.cid = b.cid)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
     ),
 
     // ----------------------------------------------------------------

@@ -119,6 +119,11 @@ object ScaleTrend {
     // folds in the same shuffle-free scan — shuffle must stay at the
     // family's fixed d^2 level whatever the corpus
     "q184_pca_project_k",
+    // round-8 maintained ANN index: the fixed-16-centroid caveat of
+    // q45 applies (per-list candidates grow n/16), but the INDEX side
+    // work — assignment + bucketed appends — must track x10; the
+    // production rule is the same B ∝ n as ivf_b_scaled
+    "q187_ann_index_append",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
