@@ -501,6 +501,83 @@ object CorpusBuildQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // THE COMPLETE NIGHTLY INDEX CYCLE — q182 plus the write-back step
+    // a real ingest finishes with: classify the batch against the
+    // maintained band index, then APPEND the keeper docs' (status
+    // 'new') bands into the same bucketed table, so tomorrow's batch
+    // dedups against today's accepted docs without any rebuild.
+    // Dup docs' bands deliberately never enter the index (they'd only
+    // duplicate existing keys and grow it with rejected content). The
+    // gate is the UPDATED index state at band grain — rows, distinct
+    // docs, distinct keys — recomputed by the oracle from corpus ∪
+    // new-keepers, so an append that drops, duplicates, or misroutes
+    // rows breaks the hash match.
+    "q189_band_index_update" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q189_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val bands = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+          val isBatch = col("doc_id") % 5 === 0
+          for (g <- 0 until 3) {
+            val ingest = bands.where(!isBatch && pmod(col("doc_id"), lit(3)) === g)
+            if (wh.exists("silver", "band_index"))
+              wh.appendBucketed(ingest, "silver", "band_index", Seq("band", "band_key"))
+            else
+              wh.overwriteBucketed(ingest, "silver", "band_index", Seq("band", "band_key"))
+          }
+          // batch bands are read twice (classify + write-back): pin once
+          val bBands = bands.where(isBatch).localCheckpoint(true)
+          val classified = classifyAgainstIndex(
+            wh.load("silver", "band_index"), bBands,
+            documents(s, d).where(isBatch).select(col("doc_id"), col("source")))
+          val keepers = classified.where(col("status") === "new").select(col("doc_id"))
+          wh.appendBucketed(
+            bBands.join(broadcast(keepers), "doc_id")
+              .select(col("doc_id"), col("band"), col("band_key")),
+            "silver", "band_index", Seq("band", "band_key"))
+          wh.load("silver", "band_index")
+            .groupBy(col("band"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              countDistinct(col("band_key")).as("n_keys"))
+            .localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = Some(s"""
+        WITH ${DedupQueries.mhBandsCtesSql},
+        bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+        cross_dup AS (
+          SELECT DISTINCT b.doc_id FROM bb b
+          JOIN (SELECT DISTINCT band, band_key FROM corpus) e
+            ON e.band = b.band AND e.band_key = b.band_key),
+        in_batch AS (
+          SELECT DISTINCT a.doc_id FROM bb a
+          JOIN bb b ON a.band = b.band AND a.band_key = b.band_key
+                   AND b.doc_id < a.doc_id),
+        new_docs AS (
+          SELECT d.doc_id FROM documents d
+          LEFT JOIN cross_dup c ON c.doc_id = d.doc_id
+          LEFT JOIN in_batch i ON i.doc_id = d.doc_id
+          WHERE d.doc_id % 5 = 0 AND c.doc_id IS NULL AND i.doc_id IS NULL),
+        final AS (
+          SELECT doc_id, band, band_key FROM corpus
+          UNION ALL
+          SELECT b.doc_id, b.band, b.band_key FROM bb b
+          JOIN new_docs n ON n.doc_id = b.doc_id)
+        SELECT band, COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(DISTINCT band_key) AS n_keys
+        FROM final GROUP BY band"""),
+    ),
+
+    // ----------------------------------------------------------------
     // CURRICULUM PHASES — curriculum-learning's data-side operator:
     // rank each source's documents by quality (best first, doc_id
     // tiebreak) and cut into 4 equal phases with NTILE; training

@@ -450,6 +450,65 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // WINSORIZED MEAN (10%/90%) — the robust location statistic a
+    // corpus quality rollup uses when heavy tails poison the plain
+    // mean. Winsorizing clamps VALUES to [p10, p90] rather than
+    // dropping ranks, which makes it tie-permutation-invariant (a
+    // trimmed mean's "drop k rows" is not, when ties straddle the
+    // cut): the cut values come from ONE RankSelect histogram pass
+    // (both ranks located in the same per-group histogram — no
+    // segment-keyed window ever sorts the fact), broadcast back as
+    // per-group scalars, and the clamped sum accumulates in DECIMAL so
+    // the mean is one exact division. Same q99/q103 kernel trade,
+    // extended from "pick a value" to "aggregate around the picked
+    // values".
+    "q188_winsorized_mean" -> QueryDef(
+      fn = (s, d) => {
+        // checkpoint the slim join once — read by the kernel's scans
+        // and the clamped-aggregate pass (q99's note)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+          .localCheckpoint(true)
+        val bounds = RankSelect
+          .selectRanks(j, "seg", "v", Seq(
+            "lo" -> "(n + 9) div 10",
+            "hi" -> "(9 * n + 9) div 10"))
+          .groupBy(col("seg"))
+          .agg(
+            max(col("n")).as("n_orders"),
+            max(when(col("label") === "lo", col("v"))).as("p10"),
+            max(when(col("label") === "hi", col("v"))).as("p90"))
+        j.join(broadcast(bounds), "seg")
+          .select(col("seg"), col("n_orders"), col("p10"), col("p90"),
+            greatest(col("p10"), least(col("p90"), col("v"))).as("w"))
+          .groupBy(col("seg"))
+          .agg(
+            max(col("n_orders")).as("n_orders"),
+            max(col("p10")).as("p10"),
+            max(col("p90")).as("p90"),
+            (sum(col("w").cast(DecimalType(28, 2))).cast("double") /
+              max(col("n_orders")).cast("double")).as("winsor_mean"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT c_mktsegment AS seg, o_totalprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        b AS (
+          SELECT seg, MAX(n) AS n_orders,
+                 MAX(CASE WHEN rn = (n + 9) // 10 THEN v END) AS p10,
+                 MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90
+          FROM r GROUP BY seg)
+        SELECT b.seg, b.n_orders, b.p10, b.p90,
+               CAST(SUM(CAST(GREATEST(b.p10, LEAST(b.p90, r.v)) AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(b.n_orders AS DOUBLE) AS winsor_mean
+        FROM r JOIN b ON b.seg = r.seg
+        GROUP BY b.seg, b.n_orders, b.p10, b.p90"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is

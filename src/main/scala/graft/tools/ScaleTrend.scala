@@ -63,6 +63,9 @@ object ScaleTrend {
     // total work is one banded pass over the corpus + the keyed
     // classify join, so the row must track x10 like q144
     "q182_band_index_incremental",
+    // the full nightly cycle (classify + keeper write-back + state
+    // rollup) — must track the corpus like q182
+    "q189_band_index_update",
     "q145_image_phash_dedup",
     "q146_audio_fingerprint_dedup",
     "q147_multimodal_assembly",

@@ -109,6 +109,35 @@ class IncrementalBandIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 cycle: after the keeper write-back, re-classifying the batch yields no 'new'") {
+    val (wh, root) = buildIndex()
+    try {
+      val b = bands
+      val bBands = b.where(isBatch).localCheckpoint(true)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .where(isBatch).select(col("doc_id"), col("source"))
+      val pass1 = CorpusBuildQueries.classifyAgainstIndex(
+        wh.load("silver", "band_index"), bBands, docs)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val keepers = pass1.collect { case (id, "new") => id }.toSet
+      assert(keepers.nonEmpty)
+      import spark.implicits._
+      wh.appendBucketed(
+        bBands.join(broadcast(keepers.toSeq.toDF("doc_id")), "doc_id")
+          .select(col("doc_id"), col("band"), col("band_key")),
+        "silver", "band_index", Seq("band", "band_key"))
+      val pass2 = CorpusBuildQueries.classifyAgainstIndex(
+        wh.load("silver", "band_index"), bBands, docs)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // every accepted keeper's own bands are now indexed, so it must
+      // re-classify as a corpus duplicate — and nothing can be 'new'
+      keepers.foreach { id =>
+        assert(pass2(id) == "dup_of_corpus", s"doc $id: ${pass2(id)}")
+      }
+      assert(!pass2.values.exists(_ == "new"))
+    } finally cleanup(wh, root)
+  }
+
   test("q182 (index path) computes exactly q144's (recompute path) classification") {
     val q144 = graft.SparkEntry.queries("q144_incremental_dedup")(spark, d)
       .collect().map(_.toSeq).toSet
