@@ -68,6 +68,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * partition overwrite for co-location; use the path-based
     * [[overwrite]] where partition-scoped rewrite matters more).
     */
+  /** Pre-shuffle onto the bucket function before a bucketed write:
+    * `repartition(buckets, keys)` is the SAME Murmur3-mod expression the
+    * bucketed writer uses for bucket ids, so each write task holds
+    * exactly one bucket and emits exactly one file. Without this, every
+    * shuffle task writes a file per bucket it sees — up to
+    * tasks×buckets small files per write, which is what makes repeated
+    * appends (and the final listing) expensive.
+    */
+  private def bucketAligned(df: DataFrame, bucketKeys: Seq[String], buckets: Int): DataFrame =
+    df.repartition(buckets, bucketKeys.map(col): _*)
+
   def overwriteBucketed(
       df: DataFrame,
       layer: String,
@@ -76,7 +87,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       buckets: Int = 32
   ): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $catalogDb LOCATION '$root'")
-    df.write
+    bucketAligned(df, bucketKeys, buckets).write
       .mode("overwrite")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
@@ -98,7 +109,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       bucketKeys: Seq[String],
       buckets: Int = 32
   ): Unit =
-    df.write
+    bucketAligned(df, bucketKeys, buckets).write
       .mode("append")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
