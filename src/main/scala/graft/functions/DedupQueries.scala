@@ -306,6 +306,44 @@ object DedupQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // EDIT-DISTANCE fuzzy dedup (the sixth dedup modality): near-dup
+    // detection for SHORT strings — titles, headers, product names —
+    // where shingle/minhash machinery is too coarse to separate one-
+    // typo variants. Classic record-linkage shape: BLOCK on the
+    // title's 8-char prefix (candidate generation is an equi-join,
+    // never all-pairs; edits inside the first 8 characters are missed
+    // — the standard blocking-recall trade, widened in production by
+    // adding a suffix or sorted-neighborhood block), then VERIFY
+    // candidates with the exact integer Levenshtein distance (Spark's
+    // codegen'd levenshtein ≡ DuckDB's — both classic code-point edit
+    // distance), keeping ordered pairs within the threshold. At 100 TB
+    // the block key is the shuffle key and per-block fan-out is the
+    // knob — same discipline as the LSH band joins.
+    "q191_fuzzy_edit_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+          .withColumn("blk", substring(col("title"), 1, 8))
+        t.as("a")
+          .join(t.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.title"), col("b.title")).as("edit_dist"))
+          .where(col("edit_dist") <= 4)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, SUBSTR(text, 1, 24) AS title,
+                 SUBSTR(text, 1, 8) AS blk
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.title, b.title) <= 4""")
+    ),
+
+    // ----------------------------------------------------------------
     // N-gram Jaccard near-dup: minhash-band candidate pairs, reranked
     // by EXACT Jaccard over the shingle-hash sets of just the candidate
     // documents. The former formulation (self-join on shared df-capped

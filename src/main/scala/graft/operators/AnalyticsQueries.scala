@@ -509,6 +509,77 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // WELCH'S t-STATISTIC per group — the A/B-experiment readout
+    // operator (unequal variances, unequal n): two variants (customer
+    // key parity — the deterministic stand-in for an assignment
+    // column), per-variant moment sums in DECIMAL (q97's discipline:
+    // the shuffle carries 2 decimals + a count per (group, variant) —
+    // O(groups), never O(rows); double accumulation would be
+    // order-dependent in the last ulp and could never hash-match), and
+    // the closed-form t from the collected sums with identical
+    // parenthesization on both engines (+,*,/,sqrt are IEEE-exact).
+    // The t-statistic — not a p-value — is the gated number: the
+    // p-value needs the t CDF (libm territory, 1-ulp engine drift);
+    // production thresholds on |t| are equivalent and exact.
+    "q190_ab_welch_t" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 10)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(
+            col("c_mktsegment").as("seg"),
+            pmod(col("o_custkey"), lit(2)).as("variant"),
+            col("o_totalprice").as("y"))
+        val m = j.groupBy(col("seg"), col("variant"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("y").cast(dt)).as("s"),
+            sum((col("y") * col("y")).cast(dt)).as("ssq"))
+        def side(v: Int, c: String) = max(when(col("variant") === v, col(c))).as(s"$c$v")
+        val p = m.groupBy(col("seg"))
+          .agg(side(0, "n"), side(0, "s"), side(0, "ssq"),
+               side(1, "n"), side(1, "s"), side(1, "ssq"))
+        def nD(v: Int)  = col(s"n$v").cast("double")
+        def sD(v: Int)  = col(s"s$v").cast("double")
+        def qD(v: Int)  = col(s"ssq$v").cast("double")
+        def mean(v: Int) = sD(v) / nD(v)
+        // sample variance from the exact sums, pinned parenthesization:
+        // (ssq - (s*s)/n) / (n - 1)
+        def vr(v: Int) = (qD(v) - (sD(v) * sD(v)) / nD(v)) / (nD(v) - 1.0)
+        p.select(
+          col("seg"), col("n0"), col("n1"),
+          round(mean(0), 6).as("mean0"),
+          round(mean(1), 6).as("mean1"),
+          round((mean(0) - mean(1)) /
+            sqrt(vr(0) / nD(0) + vr(1) / nD(1)), 6).as("t_stat"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT c_mktsegment AS seg, o_custkey % 2 AS variant,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS ssq
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        p AS (
+          SELECT seg,
+                 MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN variant = 0 THEN ssq END) AS ssq0,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN variant = 1 THEN ssq END) AS ssq1
+          FROM m GROUP BY seg)
+        SELECT seg, n0, n1,
+               ROUND(s0 / n0, 6) AS mean0,
+               ROUND(s1 / n1, 6) AS mean1,
+               ROUND((s0 / n0 - s1 / n1) /
+                     SQRT(((ssq0 - (s0 * s0) / n0) / (n0 - 1.0)) / n0 +
+                          ((ssq1 - (s1 * s1) / n1) / (n1 - 1.0)) / n1), 6) AS t_stat
+        FROM p"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is

@@ -538,6 +538,30 @@ object PlanAudit {
     Audit("q138_schema_evolution",
       mustContain = Seq("FileScan"),
       mustNotContain = Seq("Exchange", "Join", "Window")),
+    // weighted approx-quantile: the sketch runs in an object aggregate
+    // over the replicated stream; the counting pass broadcasts the
+    // 5-row approx table — no window, no sort-merge anywhere
+    Audit("q186_weighted_quantile_approx",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // winsorized mean: the cut values ride the RankSelect kernel (its
+    // windows partition on (group, bucket) — never the 5-value segment
+    // alone) and broadcast back for the clamped aggregate
+    Audit("q188_winsorized_mean",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct"),
+      minWindowPartCols = 2),
+    // Welch t: two map-side-combined moment aggregates and a pivot —
+    // no window, no join of row-grain relations at all
+    Audit("q190_ab_welch_t",
+      mustContain = Seq("HashAggregate", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // fuzzy edit-distance dedup: candidates come from the block-key
+    // equi-join; levenshtein verifies in the projection — never
+    // all-pairs
+    Audit("q191_fuzzy_edit_dedup",
+      mustContain = Seq("levenshtein"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
     // k-component projection: 4 literal-array folds in ONE projection
     // pass over the pinned codes — no window, no join-by-key, nothing
     // quadratic (the only broadcast is the 1-row quantizer stats)

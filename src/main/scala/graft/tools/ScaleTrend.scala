@@ -66,6 +66,10 @@ object ScaleTrend {
     // the full nightly cycle (classify + keeper write-back + state
     // rollup) — must track the corpus like q182
     "q189_band_index_update",
+    // round-8 fuzzy edit-distance dedup: block-key equi-join + exact
+    // Levenshtein verify; suffixed copies multiply blocks 10x with
+    // per-block fanout unchanged, so candidates must track linearly
+    "q191_fuzzy_edit_dedup",
     "q145_image_phash_dedup",
     "q146_audio_fingerprint_dedup",
     "q147_multimodal_assembly",
