@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-traceable cases for the round-8 statistics/linkage operators:
+  * q190's Welch t against an independently-accumulated double
+  * computation, and q191's fuzzy pairs against enumerated expectations.
+  */
+class ExperimentStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q190: Welch t on a hand corpus matches the plain-double computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_welch_").toString
+    // one segment, variant = custkey % 2: even customers (variant 0)
+    // bought {10, 20, 30}; odd (variant 1) bought {40, 50, 60, 70}
+    val v0 = Seq(10.0, 20.0, 30.0)
+    val v1 = Seq(40.0, 50.0, 60.0, 70.0)
+    val orders = (v0.zipWithIndex.map { case (p, i) => (i * 10L + 1, 2L, p) } ++
+      v1.zipWithIndex.map { case (p, i) => (i * 10L + 2, 3L, p) })
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit("2025-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    orders.coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((2L, "BUILDING"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+      .withColumn("c_name", lit("x"))
+      .withColumn("c_nationkey", lit(1))
+      .withColumn("c_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+
+    val r = graft.SparkEntry.queries("q190_ab_welch_t")(spark, dir).head()
+    // independent accumulation: plain running doubles, no decimals
+    def stats(xs: Seq[Double]) = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (n0, m0, var0) = stats(v0)
+    val (n1, m1, var1) = stats(v1)
+    val t = (m0 - m1) / math.sqrt(var0 / n0 + var1 / n1)
+    assert(r.getAs[Long]("n0") === v0.size.toLong)
+    assert(r.getAs[Long]("n1") === v1.size.toLong)
+    assert(math.abs(r.getAs[Double]("mean0") - m0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mean1") - m1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6, s"got ${r.getAs[Double]("t_stat")} want $t")
+  }
+
+  test("q191: blocked edit-distance pairs on hand titles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_").toString
+    Seq(
+      (1L, "the quick brown fox jumps over"),   // block "the quic"
+      (2L, "the quick brown fix jumps over"),   // 1 edit from doc 1
+      (3L, "the quick green fox sits calmly"),  // 6+ edits in first 24 chars
+      (4L, "a completely different title"),     // own block
+      (5L, "the quirk brown fox jumps over")    // different block ("the quir") — missed by design
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry.queries("q191_fuzzy_edit_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // only (1,2) survives: same block AND distance 1 on the 24-char title.
+    // (1,3)/(2,3) share the block but exceed the threshold; 5's edit sits
+    // inside the blocking prefix — the documented recall trade.
+    assert(got === Set((1L, 2L, 1)))
+  }
+}
