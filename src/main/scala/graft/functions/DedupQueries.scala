@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, over `documents`:
@@ -71,7 +71,7 @@ object DedupQueries extends QueryModule {
     WHERE len(w) >= 3"""
 
   /** Spark side: distinct (doc_id, shingle) pairs. */
-  private[functions] def shingleDf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
@@ -131,12 +131,37 @@ object DedupQueries extends QueryModule {
         size(col("pw")).as("n_tokens"))
   }
 
+  /** Row-wise banded-minhash keys — array<struct<band, band_key>>
+    * computed entirely WITHIN one row, no aggregation: min over the
+    * shingle array ≡ min over the exploded group, so the keys are
+    * bit-equal to [[mhBandsOf]]'s (asserted in
+    * IncrementalBandIndexSpec). This is what makes dedup-at-ingest
+    * possible in a STREAMING append-mode plan (q192): banding without
+    * a stateful aggregate. Docs with no shingles (<3 words) emit an
+    * empty array, matching mhBandsOf's absent group.
+    */
+  private[graft] def mhBandsRowwise(text: Column): Column = {
+    val sh = TextFunctions.shingles3(text)
+    val h0s = transform(sh, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val mins = (0 until K).map(i =>
+      array_min(transform(h0s, h => (lit(MhA(i)) * h + lit(MhB(i))) % lit(MhP))))
+    val r = K / Bands
+    val bandsArr = array((0 until Bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("|", (0 until r).map(j => mins(b * r + j)): _*).as("band_key"))
+    }: _*)
+    when(size(sh) > 0, bandsArr)
+      .otherwise(expr("CAST(array() AS array<struct<band:int,band_key:string>>)"))
+  }
+
   /** The banded-minhash key projection itself — (doc_id, band,
     * band_key) — exposed so asymmetric consumers (q144's incremental
     * batch-vs-corpus dedup) can join band keys directly instead of
     * materializing the full pair graph.
     */
-  private[functions] def mhBandsOf(sh: DataFrame): DataFrame = {
+  private[graft] def mhBandsOf(sh: DataFrame): DataFrame = {
     val withH = sh.withColumn(
       "h0",
       conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
@@ -256,7 +281,7 @@ object DedupQueries extends QueryModule {
     * `bands` (shingles → h0 → K minhash mins → band keys), for callers to
     * append their own band self-join.
     */
-  private[functions] lazy val mhBandsCtesSql: String = mhBandsCtesSqlFrom(shingleSql)
+  private[graft] lazy val mhBandsCtesSql: String = mhBandsCtesSqlFrom(shingleSql)
 
   /** Parameterized variant: the same CTE chain seeded from an arbitrary
     * (doc_id, shingle) SQL source (q140 seeds it with the

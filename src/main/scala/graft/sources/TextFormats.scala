@@ -240,6 +240,59 @@ object TextFormats extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // STREAMING DEDUP-AT-INGEST GATE — the maintained-index family's
+    // streaming corner: arriving crawl documents are banded INSIDE the
+    // streaming plan (DedupQueries.mhBandsRowwise — minhash over the
+    // in-row shingle array, NO aggregation, so the plan stays append-
+    // mode stateless) and stream-static-joined against the corpus band
+    // index (q182's table contents). The emitted (doc_id, band,
+    // band_key) rows are the candidate hits an ingestion tier routes
+    // to quarantine/rescore — each arriving doc's duplicate signal
+    // available at ingest latency, no nightly batch wait. Oracle = the
+    // batch semi-join at the same grain, so a drift between the
+    // row-wise and aggregated banding (or a stream/batch text
+    // round-trip difference) breaks the hash match.
+    "q192_stream_dedup_gate" -> QueryDef(
+      fn = (s, d) => {
+        import graft.functions.DedupQueries
+        graft.plans.VectorFunctions.register(s)
+        // static side: the corpus band-key index, pinned once so the
+        // per-microbatch re-evaluation reads materialized blocks
+        val corpusKeys = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+          .where(col("doc_id") % 5 =!= 0)
+          .select(col("band"), col("band_key")).distinct()
+          .localCheckpoint(true)
+        val readSchema = docSchema.add("_corrupt_record", StringType)
+        val stream = s.readStream
+          .schema(readSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(stageJsonl(s, d))
+          .where(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            explode(DedupQueries.mhBandsRowwise(col("text"))).as("bb"))
+          .select(col("doc_id"),
+            col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+          .join(corpusKeys, Seq("band", "band_key"))
+        val q = stream.writeStream
+          .format("memory")
+          .queryName("q192_out")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table("q192_out").select(col("doc_id"), col("band"), col("band_key"))
+      },
+      oracle = Some(s"""
+        WITH ${graft.functions.DedupQueries.mhBandsCtesSql},
+        bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        ek AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 5 <> 0)
+        SELECT b.doc_id, b.band, b.band_key
+        FROM bb b JOIN ek e ON e.band = b.band AND e.band_key = b.band_key"""),
+    ),
+
+    // ----------------------------------------------------------------
     // ORC round trip with predicate + projection pushdown: the filter
     // must reach the ORC reader (plan-asserted in PlanAudit) just as it
     // does for parquet — format choice must not cost the optimizer

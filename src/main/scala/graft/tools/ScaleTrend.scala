@@ -75,6 +75,10 @@ object ScaleTrend {
     "q147_multimodal_assembly",
     "q148_stream_available_now",
     "q149_stream_corpus_ingest",
+    // round-8 dedup-at-ingest: row-wise banding inside the streaming
+    // plan + a stream-static join against the corpus band keys — both
+    // sides scale with the corpus, the join must track x10
+    "q192_stream_dedup_gate",
     "q150_curriculum_phases",
     "q151_vocab_coverage",
     // corpus diagnostics (post-gate round-7 additions): window-hash

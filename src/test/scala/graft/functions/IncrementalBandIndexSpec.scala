@@ -138,6 +138,18 @@ class IncrementalBandIndexSpec extends AnyFunSuite {
     } finally cleanup(wh, root)
   }
 
+  test("row-wise banding (the streaming q192 path) equals the aggregated banding") {
+    graft.plans.VectorFunctions.register(spark)
+    val rowwise = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        explode(DedupQueries.mhBandsRowwise(col("text"))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .collect().map(_.toSeq).toSet
+    val aggregated = bands.collect().map(_.toSeq).toSet
+    assert(rowwise == aggregated,
+      s"rowwise ${rowwise.size} vs aggregated ${aggregated.size} band rows")
+  }
+
   test("q182 (index path) computes exactly q144's (recompute path) classification") {
     val q144 = graft.SparkEntry.queries("q144_incremental_dedup")(spark, d)
       .collect().map(_.toSeq).toSet
