@@ -36,8 +36,13 @@ object CacheLeases {
     * keeps cache residency bounded to one generation) only when queries run
     * one at a time, as the Bench/Verify harnesses do. If entries ever run
     * concurrently in one session, a drain could unpersist a sibling's
-    * still-in-use frame — a silent recompute, not a wrong answer. Guarded
-    * below: concurrent entry skips the drain instead of stealing leases.
+    * still-in-use frame — a silent recompute, not a wrong answer. The guard
+    * below narrows, but does not close, that window: it only serializes the
+    * drain against concurrent PLAN CONSTRUCTION (`entered` is reset when
+    * q.fn returns its unexecuted DataFrame), so a later entry's drain can
+    * still unpersist frames while a previous caller is mid-materialization.
+    * Bench/Verify run entries strictly one materialization at a time, which
+    * is the contract this helper actually relies on.
     */
   private val entered = new java.util.concurrent.atomic.AtomicBoolean(false)
 

@@ -86,7 +86,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       bucketKeys: Seq[String],
       buckets: Int = 32
   ): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $catalogDb LOCATION '$root'")
+    // the root is interpolated into DDL text — escape backslashes and
+    // single quotes so a pathological path (both are legal in POSIX file
+    // names) cannot break out of the LOCATION literal
+    val loc = root.replace("\\", "\\\\").replace("'", "\\'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $catalogDb LOCATION '$loc'")
     bucketAligned(df, bucketKeys, buckets).write
       .mode("overwrite")
       .option("path", path(layer, table))

@@ -532,7 +532,11 @@ object CorpusBuildQueries extends QueryModule {
           val classified = classifyAgainstIndex(
             wh.load("silver", "band_index"), bBands,
             documents(s, d).where(isBatch).select(col("doc_id"), col("source")))
-          val keepers = classified.where(col("status") === "new").select(col("doc_id"))
+          // keepers' plan reads band_index (classify <- wh.load), the very
+          // table the next statement appends to; pin it eagerly so the
+          // append never executes a read of its own target mid-write.
+          val keepers = classified.where(col("status") === "new")
+            .select(col("doc_id")).localCheckpoint(true)
           wh.appendBucketed(
             bBands.join(broadcast(keepers), "doc_id")
               .select(col("doc_id"), col("band"), col("band_key")),

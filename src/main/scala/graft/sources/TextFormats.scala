@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{QueryDef, QueryModule}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +40,49 @@ object TextFormats extends QueryModule {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
       .toAbsolutePath.normalize
     graft.Staging.dirFor("graft_jsonl", src)
+  }
+
+  /** The q192 STREAMING DEDUP-AT-INGEST GATE, unstarted — the
+    * maintained-index family's streaming corner: arriving crawl
+    * documents are banded INSIDE the streaming plan
+    * (DedupQueries.mhBandsRowwise — minhash over the in-row shingle
+    * array, NO aggregation, so the plan stays append-mode stateless)
+    * and stream-static-joined against the corpus band index (q182's
+    * table contents). The emitted (doc_id, band, band_key) rows are
+    * the candidate hits an ingestion tier routes to quarantine /
+    * rescore — each arriving doc's duplicate signal available at
+    * ingest latency, no nightly batch wait.
+    *
+    * Exposed unstarted so the query fn and the broadcast-fallback
+    * gates (BroadcastFallbackSpec, PlanAudit) can each attach their
+    * own sink: the gates run it under autoBroadcastJoinThreshold=-1
+    * with a foreachBatch sink and assert the micro-batch plan keeps a
+    * keyed SortMergeJoin (never BNLJ) with identical rows — at 100 TB
+    * the band index outgrows broadcast and this degradation path is
+    * the one that actually runs.
+    */
+  private[graft] def streamDedupGateDf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DedupQueries
+    graft.plans.VectorFunctions.register(s)
+    // static side: the corpus band-key index, pinned once so the
+    // per-microbatch re-evaluation reads materialized blocks
+    val corpusKeys = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+      .where(col("doc_id") % 5 =!= 0)
+      .select(col("band"), col("band_key")).distinct()
+      .localCheckpoint(true)
+    val readSchema = docSchema.add("_corrupt_record", StringType)
+    s.readStream
+      .schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stageJsonl(s, d))
+      .where(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        explode(DedupQueries.mhBandsRowwise(col("text"))).as("bb"))
+      .select(col("doc_id"),
+        col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .join(corpusKeys, Seq("band", "band_key"))
   }
 
   /** documents.parquet serialized to JSONL with 5 malformed lines mixed
@@ -240,41 +283,16 @@ object TextFormats extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // STREAMING DEDUP-AT-INGEST GATE — the maintained-index family's
-    // streaming corner: arriving crawl documents are banded INSIDE the
-    // streaming plan (DedupQueries.mhBandsRowwise — minhash over the
-    // in-row shingle array, NO aggregation, so the plan stays append-
-    // mode stateless) and stream-static-joined against the corpus band
-    // index (q182's table contents). The emitted (doc_id, band,
-    // band_key) rows are the candidate hits an ingestion tier routes
-    // to quarantine/rescore — each arriving doc's duplicate signal
-    // available at ingest latency, no nightly batch wait. Oracle = the
-    // batch semi-join at the same grain, so a drift between the
-    // row-wise and aggregated banding (or a stream/batch text
-    // round-trip difference) breaks the hash match.
+    // STREAMING DEDUP-AT-INGEST GATE — the unstarted stream lives in
+    // [[streamDedupGateDf]] (shared with BroadcastFallbackSpec /
+    // PlanAudit, which attach a foreachBatch sink to inspect the real
+    // micro-batch plan). Oracle = the batch semi-join at the same
+    // grain, so a drift between the row-wise and aggregated banding
+    // (or a stream/batch text round-trip difference) breaks the hash
+    // match.
     "q192_stream_dedup_gate" -> QueryDef(
       fn = (s, d) => {
-        import graft.functions.DedupQueries
-        graft.plans.VectorFunctions.register(s)
-        // static side: the corpus band-key index, pinned once so the
-        // per-microbatch re-evaluation reads materialized blocks
-        val corpusKeys = DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
-          .where(col("doc_id") % 5 =!= 0)
-          .select(col("band"), col("band_key")).distinct()
-          .localCheckpoint(true)
-        val readSchema = docSchema.add("_corrupt_record", StringType)
-        val stream = s.readStream
-          .schema(readSchema)
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(stageJsonl(s, d))
-          .where(col("_corrupt_record").isNull && col("doc_id").isNotNull)
-          .where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            explode(DedupQueries.mhBandsRowwise(col("text"))).as("bb"))
-          .select(col("doc_id"),
-            col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-          .join(corpusKeys, Seq("band", "band_key"))
+        val stream = streamDedupGateDf(s, d)
         val q = stream.writeStream
           .format("memory")
           .queryName("q192_out")

@@ -628,14 +628,22 @@ object PlanAudit {
     }
   }
 
-  /** The shingle semi-join family's broadcast→SMJ degradation path
-    * (q110/q143/q144): with auto-broadcast disabled (base + AQE), each
-    * query must re-plan as a key-partitioned SortMergeJoin — never a
+  /** The broadcast-dependent joins' broadcast→SMJ degradation path:
+    * with auto-broadcast disabled (base + AQE), each query must re-plan
+    * as a key-partitioned SortMergeJoin — never a
     * BroadcastNestedLoopJoin or cartesian expansion. Value equality of
     * the two paths is proven separately in BroadcastFallbackSpec; here
-    * the per-round audit pins the degraded plan SHAPE. Returns the
-    * number of failures.
+    * the per-round audit pins the degraded plan SHAPE — for the batch
+    * queries via the executed plan, for q192's stream-static band join
+    * via a foreachBatch sink over the real micro-batch plans. Returns
+    * the number of failures.
     */
+  private[tools] val fallbackQueries =
+    Seq("q110_decontaminate", "q143_contamination_report", "q144_incremental_dedup",
+      "q191_fuzzy_edit_dedup")
+  // +1 for the q192 streaming case below
+  private def fallbackAuditCount = fallbackQueries.size + 1
+
   private def auditBroadcastFallback(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
     val prevT  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAq = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -643,23 +651,42 @@ object PlanAudit {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val qs = SparkEntry.queries
-      Seq("q110_decontaminate", "q143_contamination_report", "q144_incremental_dedup")
-        .map { q =>
-          val df = qs(q)(spark, sfDir)
-          df.collect()
-          val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-          val bad = Seq(
+      def judge(q: String, plans: Seq[String]): Int = {
+        val bad = plans.flatMap { plan =>
+          Seq(
             (!plan.contains("SortMergeJoin"))        -> "missing SortMergeJoin",
             plan.contains("BroadcastNestedLoop")     -> "unexpected BroadcastNestedLoop",
             plan.contains("CartesianProduct")        -> "unexpected CartesianProduct"
           ).collect { case (true, msg) => msg }
-          if (bad.isEmpty) { println(s"[plan-audit] PASS ${q}__smj_fallback"); 0 }
-          else {
-            println(s"[plan-audit] FAIL ${q}__smj_fallback: ${bad.mkString("; ")}")
-            println(plan.linesIterator.take(40).mkString("\n"))
-            1
-          }
-        }.sum
+        }.distinct
+        if (bad.isEmpty) { println(s"[plan-audit] PASS ${q}__smj_fallback"); 0 }
+        else {
+          println(s"[plan-audit] FAIL ${q}__smj_fallback: ${bad.mkString("; ")}")
+          plans.foreach(p => println(p.linesIterator.take(40).mkString("\n")))
+          1
+        }
+      }
+      val batchFails = fallbackQueries.map { q =>
+        val df = qs(q)(spark, sfDir)
+        df.collect()
+        judge(q, Seq(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)))
+      }.sum
+      // q192: the join lives inside each micro-batch, and the DF a sink
+      // sees is the already-computed batch output (Scan ExistingRDD) —
+      // read the REAL IncrementalExecution plan off the StreamExecution
+      val sq = graft.sources.TextFormats.streamDedupGateDf(spark, sfDir)
+        .writeStream
+        .format("noop")
+        .outputMode("append")
+        .start()
+      val mbPlan =
+        try { sq.processAllAvailable(); org.apache.spark.sql.graft.StreamPlan.lastExecutedPlan(sq) }
+        finally sq.stop()
+      val streamFails =
+        if (mbPlan.isEmpty) {
+          println("[plan-audit] FAIL q192__smj_fallback: no micro-batch executed"); 1
+        } else judge("q192_stream_dedup_gate", Seq(mbPlan))
+      batchFails + streamFails
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       prevAq match {
@@ -700,6 +727,7 @@ object PlanAudit {
     failed += auditBroadcastFallback(spark, sfDir)
     spark.stop()
     if (failed > 0) sys.exit(1)
-    println(s"[plan-audit] all ${audits.size + 4} plan assertions hold")
+    // +1 = the productDemand broadcast-shape audit
+    println(s"[plan-audit] all ${audits.size + 1 + fallbackAuditCount} plan assertions hold")
   }
 }

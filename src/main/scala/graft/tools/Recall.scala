@@ -63,6 +63,38 @@ object Recall {
     exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
   }
 
+  /** recall@3 of q187 (the maintained posting-list index) vs the exact
+    * batch-vs-corpus baseline — the same query/candidate split as the
+    * index cycle (queries vec_id%5==0 search the appended corpus
+    * postings), so what this measures is what single-probe assignment
+    * against the frozen 16-centroid codebook loses PLUS any staleness
+    * or drift introduced by the stage/append/reload cycle itself. The
+    * equality gate (AnnIndexAppendSpec: staged search ≡ recompute)
+    * proves the cycle is faithful; this gives it a measured floor.
+    */
+  def maintainedIndexRecallAt3(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+    val q = e.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val c = e.where(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val exact = q.crossJoin(c) // recall-harness-only, small-sf
+      .withColumn("sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("r", row_number().over(w)).where(col("r") <= 3)
+      .select(col("qid"), col("nid"))
+    val ann = SparkEntry.queries("q187_ann_index_append")(spark, sfDir)
+      .select(col("qid"), col("nid"))
+    val total = exact.count().toDouble
+    exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
@@ -74,6 +106,8 @@ object Recall {
     }
     val fr = filteredRecallAt3(spark, sfDir)
     println(f"[recall] q163_filtered_ann       recall@3 = $fr%.4f vs exact-same-label ($sfDir)")
+    val mr = maintainedIndexRecallAt3(spark, sfDir)
+    println(f"[recall] q187_ann_index_append   recall@3 = $mr%.4f vs exact batch-vs-corpus ($sfDir)")
     spark.stop()
   }
 }

@@ -106,8 +106,10 @@ object ScaleTrend {
     // LM perplexity: one persisted corpus pass + a (w1,w2)-keyed LM
     // join; the suffix-per-copy corpus multiplies the bigram vocab 10x
     // with per-key counts unchanged, so the join must track linearly.
-    // (q167 pagerank is absent by construction: it reads lineitem,
-    // which the 10x generator does not scale.)
+    // (q167 pagerank is excluded here only because graph and corpus
+    // tables scale on different axes — gen DOES scale lineitem/supplier
+    // 10x with offset keys; pagerank has its own dedicated measurement
+    // rows: pagerank_edges / pagerank_iter below.)
     "q166_lm_perplexity",
     // held-out backoff twin: same bigram-keyed joins, train/eval split
     // is a pure predicate — must track q166's linearity

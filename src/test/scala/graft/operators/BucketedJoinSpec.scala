@@ -122,4 +122,22 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevCoPart)
     }
   }
+
+  test("overwriteBucketed survives a warehouse root containing a single quote") {
+    import graft.etl.Warehouse
+    // quotes are legal in POSIX paths; the DDL LOCATION literal must
+    // escape them instead of producing a broken statement
+    val base = java.nio.file.Files.createTempDirectory("graft_wh_quote_")
+    val root = base.resolve("it's a root")
+    java.nio.file.Files.createDirectories(root)
+    val wh = new Warehouse(spark, root.toString)
+    try {
+      val df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      wh.overwriteBucketed(df, "silver", "quoted_t", Seq("k"), buckets = 4)
+      assert(wh.load("silver", "quoted_t").count() == 100)
+    } finally {
+      wh.dropCatalogDb()
+      graft.Staging.deleteRecursively(base)
+    }
+  }
 }

@@ -87,6 +87,21 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.11, s"q163 filtered recall $r")
   }
 
+  test("maintained posting-list index (q187) clears its floor at both scale factors") {
+    // measured 0.263 at both corpora (documents/embeddings are the same
+    // table at sf0.001 and sf0.01): single-probe assignment against the
+    // frozen 16-centroid codebook, same regime as q45's 0.215. The
+    // equality gate (AnnIndexAppendSpec) proves append ≡ recompute;
+    // this floor catches index staleness or codebook drift that the
+    // equality gate would faithfully reproduce on both sides.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      assume(new java.io.File(sf).isDirectory, s"recall corpus absent: $sf")
+      val r = Recall.maintainedIndexRecallAt3(spark, sf)
+      spark.catalog.clearCache()
+      assert(r >= 0.19, s"q187 maintained-index recall $r at $sf")
+    }
+  }
+
   test("sign-LSH-bucketed variants (q36/q74/q78) clear their floor") {
     requireCorpus()
     // 8 hyperplane bits over a near-uniform corpus leave ~n/256 candidates
