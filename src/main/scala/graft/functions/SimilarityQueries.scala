@@ -320,7 +320,7 @@ object SimilarityQueries extends QueryModule {
     * so the two can never drift. min/max are order-free, so the codes
     * are cross-engine exact.
     */
-  private def int8Codes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def int8Codes(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val stats = e
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -352,7 +352,7 @@ object SimilarityQueries extends QueryModule {
     * caller that also SCANS the codes (q180's projection) can pin one
     * shared pass.
     */
-  private def gramUpperOf(codes: DataFrame): DataFrame =
+  private[graft] def gramUpperOf(codes: DataFrame): DataFrame =
     codes
       .select(explode(expr(
         """flatten(transform(sequence(1, size(c)), i ->
@@ -523,7 +523,7 @@ object SimilarityQueries extends QueryModule {
     * dominant eigenpair of the deflated matrix IS component 2, etc.
     * All folds pinned ascending, matching [[mcComponentCtes]].
     */
-  private def powerComponents(gram: DataFrame, k: Int): Seq[(Array[Double], Double)] = {
+  private[graft] def powerComponents(gram: DataFrame, k: Int): Seq[(Array[Double], Double)] = {
     val cells = gram.collect() // d(d+1)/2 rows — bounded by dim²
     require(cells.nonEmpty, "power iteration needs a non-empty Gram (empty embeddings input?)")
     val dd = cells.iterator.map(_.getInt(1)).max
@@ -1101,6 +1101,64 @@ object SimilarityQueries extends QueryModule {
           FROM pairs
         ) WHERE rank <= 3"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED GRAM / INCREMENTAL PCA REFRESH — the last state class
+    // without a maintained-index twin (bands q182, ANN postings q187,
+    // aggregate/sketch rollups q176/q177): the Gram matrix is ADDITIVE
+    // state — XᵀX = Σ_ingests X_gᵀX_g — so a nightly embedding ingest
+    // computes its own partial d²-bounded Gram (one map-side-combined
+    // aggregate over just the ingest) and APPENDS it into a bucketed
+    // warehouse table; the eigensolve re-runs on the O(d²) MERGED
+    // state without ever re-touching historical vectors. The int8
+    // quantizer is FROZEN across ingests (a versioned artifact — the
+    // q187 codebook discipline; re-deriving per-dimension stats per
+    // batch would make the partial Grams non-additive), and the state
+    // is integer, so the merge is exact: merged-state PCA must be
+    // bit-identical to the one-shot q183 solve, which is why the
+    // oracle IS q183's oracle. At 100 TB this turns the nightly PCA
+    // refresh from a full-corpus XᵀX pass into an O(ingest) append +
+    // an O(d²) merge + a driver-side solve.
+    "q193_pca_incremental" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q193_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val codes = graft.CacheLeases.lease(int8Codes(s, d).persist())
+          for (g <- 0 until 3) {
+            val partial = gramUpperOf(codes.where(pmod(col("vec_id"), lit(3)) === g))
+            if (wh.exists("silver", "gram_state"))
+              wh.appendBucketed(partial, "silver", "gram_state", Seq("i", "j"), buckets = 8)
+            else
+              wh.overwriteBucketed(partial, "silver", "gram_state", Seq("i", "j"), buckets = 8)
+          }
+          // the MV merge (q176's pattern on d²-bounded state): one
+          // bucket-local aggregate over the appended partials
+          val merged = wh.load("silver", "gram_state")
+            .groupBy(col("i"), col("j")).agg(sum(col("g")).as("g"))
+          val comps = powerComponents(merged, PcaK)
+          def r6(x: Double) =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val spark = s
+          import spark.implicits._
+          comps.zipWithIndex.flatMap { case ((v, lam), ci) =>
+            v.zipWithIndex.map { case (x, i) => (ci + 1, i + 1, r6(x), r6(lam)) }
+          }.toDF("comp", "i", "component", "eigenvalue")
+            .localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = Some(s"""
+        $mcSqlCtes
+        ${(1 to PcaK).map { c =>
+          s"""SELECT $c AS comp, p.i, ROUND(p.v, 6) AS component,
+                 ROUND((SELECT l FROM c${c}lam), 6) AS eigenvalue
+              FROM c${c}w p"""
+        }.mkString(" UNION ALL ")}""")
     ),
 
     // ----------------------------------------------------------------

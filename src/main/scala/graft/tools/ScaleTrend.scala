@@ -132,6 +132,11 @@ object ScaleTrend {
     // folds in the same shuffle-free scan — shuffle must stay at the
     // family's fixed d^2 level whatever the corpus
     "q184_pca_project_k",
+    // round-9 maintained Gram: three partial d^2 reduces + bucketed
+    // appends + one O(d^2) merge — per-ingest shuffle is the same
+    // fixed d^2 state as q178, so total shuffle must stay ~flat at
+    // 10x vectors (the whole point of the incremental refresh)
+    "q193_pca_incremental",
     // round-8 maintained ANN index: the fixed-16-centroid caveat of
     // q45 applies (per-list candidates grow n/16), but the INDEX side
     // work — assignment + bucketed appends — must track x10; the
