@@ -23,6 +23,12 @@ object TextQueries extends QueryModule {
   // Shared oracle fragments (the SQL mirrors of langId/qualityScore),
   // used by q29/q30 and recomposed by the q59 corpus selection.
   private val paddedSql = "(' ' || t || ' ')"
+
+  /** Fixed number of merge rounds the q194 BPE trainer runs — declared
+    * before `rawQueries` (the q176 lesson: a val referenced from the
+    * query map must initialize first).
+    */
+  private val BpeRounds = 8
   private lazy val markerCntsSql = TextFunctions.langMarkers.map { case (lang, ms) =>
     lang -> s"(len(regexp_split_to_array($paddedSql, '${ms.mkString("|")}')) - 1)"
   }
@@ -991,6 +997,93 @@ object TextQueries extends QueryModule {
         SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
         FROM pairs GROUP BY pair
         ORDER BY cnt DESC, pair ASC LIMIT 50""")
+    ),
+
+    // ----------------------------------------------------------------
+    // ITERATIVE BPE TRAINER — q154's statistic run to a FIXED-K merge
+    // table (Sennrich et al., ACL'16): K rounds of count-pairs →
+    // pick-top-merge → rewrite the vocabulary, the q167 BSP shape
+    // (fixed driver loop, vocab-grain state localCheckpoint'd between
+    // rounds so plan depth stays constant) applied to tokenizer
+    // training. The corpus collapses to its word-frequency table ONCE
+    // (the only corpus-sized pass — q154's scale trick); every round
+    // after that touches O(vocab) rows: one map-side-combined pair
+    // aggregate, a driver-side top-1 (a scalar gate, the A4 pattern),
+    // and a shuffle-free symbol-sequence rewrite.
+    //
+    // The merge rewrite is exact greedy BPE: each word's symbol
+    // sequence is encoded as a '..'-delimited string ('..a..b..c..' —
+    // trainer vocabulary restricted to [a-z0-9]+ words so '.' can
+    // never occur INSIDE a symbol), and replace(seq, '.a..b.', '.ab.')
+    // consumes only the INNER dot of each flanking delimiter, so
+    // consecutive pair occurrences share no matched character and
+    // leftmost non-overlapping replace ≡ the canonical left-to-right
+    // greedy merge — with identical replace semantics on both engines,
+    // which is what lets the oracle replay all K rounds as chained
+    // MATERIALIZED CTEs. Ties pinned (cnt DESC, a ASC, b ASC).
+    "q194_bpe_trainer" -> QueryDef(
+      fn = (s, d) => {
+        var state = documents(s, d)
+          .select(explode(split(normalizeText(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .select(
+            concat(lit(".."), regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
+            col("wc"))
+          .localCheckpoint(true)
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to BpeRounds) {
+          val top = state
+            .select(col("wc"),
+              filter(split(col("seq"), "\\.\\."), x => x =!= "").as("syms"))
+            .select(col("wc"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wc")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          require(top.nonEmpty, s"BPE trainer ran dry at round $r — corpus too small for $BpeRounds merges")
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, cnt))
+          state = state
+            .select(expr(s"replace(seq, '.$a..$b.', '.$a$b.')").as("seq"), col("wc"))
+            .localCheckpoint(true)
+        }
+        val spark = s
+        import spark.implicits._
+        merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+          .select(col("round"), col("sym_a"), col("sym_b"),
+            concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
+      },
+      oracle = Some {
+        val rounds = (1 to BpeRounds).map { r =>
+          s"""
+        p$r AS MATERIALIZED (
+          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(wc) AS cnt
+          FROM (SELECT list_filter(string_split(seq, '..'), x -> x <> '') AS syms, wc
+                FROM s${r - 1}),
+               UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2),
+        w$r AS MATERIALIZED (
+          SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        s$r AS MATERIALIZED (
+          SELECT replace(seq, '.' || a || '..' || b || '.', '.' || a || b || '.') AS seq, wc
+          FROM s${r - 1}, w$r)"""
+        }.mkString(",")
+        s"""
+        WITH words AS (
+          SELECT UNNEST(string_split(t, ' ')) AS word FROM ($normSql)),
+        s0 AS MATERIALIZED (
+          SELECT '..' || regexp_replace(word, '(.)', '\\1..', 'g') AS seq, wc
+          FROM (SELECT word, COUNT(*) AS wc FROM words
+                WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+                GROUP BY word)),
+        $rounds
+        ${(1 to BpeRounds).map { r =>
+          s"""SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS merged,
+                 CAST(cnt AS BIGINT) AS cnt FROM w$r"""
+        }.mkString(" UNION ALL ")}"""
+      }
     ),
 
     // ----------------------------------------------------------------

@@ -117,6 +117,11 @@ object ScaleTrend {
     // count-min: vocab-grain pass then a FIXED 192-cell grid — shuffle
     // should track the vocab (10x here), state stays constant
     "q168_count_min",
+    // round-9 iterative BPE trainer: one corpus-sized word-frequency
+    // pass, then K=8 vocab-grain rounds — the suffix-per-copy corpus
+    // multiplies the vocab 10x, so per-round pair shuffle must track
+    // the vocab linearly (never the corpus)
+    "q194_bpe_trainer",
     // Gram matrix: fixed d^2 state whatever the corpus — the map-side
     // combine should keep shuffle ~constant at 10x vectors
     "q178_gram_matrix",
