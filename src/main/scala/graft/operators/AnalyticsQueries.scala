@@ -44,6 +44,72 @@ object AnalyticsQueries extends QueryModule {
   private[operators] val BootThresholds: Seq[Long] =
     Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L)
 
+  /** The q190/q196 shared Welch kernel: per-(segment, variant) DECIMAL
+    * moment sums (q97's discipline — the shuffle carries two decimals
+    * and a count per group), pivoted to one row per segment, closed-form
+    * t from the exact sums with pinned parenthesization. Declared before
+    * `rawQueries` (the round-7 initialization-order lesson).
+    */
+  private def welchT(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dt = DecimalType(38, 10)
+    val j = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment").as("seg"),
+        pmod(col("o_custkey"), lit(2)).as("variant"),
+        col("o_totalprice").as("y"))
+    val m = j.groupBy(col("seg"), col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast(dt)).as("s"),
+        sum((col("y") * col("y")).cast(dt)).as("ssq"))
+    def side(v: Int, c: String) = max(when(col("variant") === v, col(c))).as(s"$c$v")
+    val p = m.groupBy(col("seg"))
+      .agg(side(0, "n"), side(0, "s"), side(0, "ssq"),
+           side(1, "n"), side(1, "s"), side(1, "ssq"))
+    def nD(v: Int)  = col(s"n$v").cast("double")
+    def sD(v: Int)  = col(s"s$v").cast("double")
+    def qD(v: Int)  = col(s"ssq$v").cast("double")
+    def mean(v: Int) = sD(v) / nD(v)
+    // sample variance from the exact sums, pinned parenthesization:
+    // (ssq - (s*s)/n) / (n - 1)
+    def vr(v: Int) = (qD(v) - (sD(v) * sD(v)) / nD(v)) / (nD(v) - 1.0)
+    p.select(
+      col("seg"), col("n0"), col("n1"),
+      round(mean(0), 6).as("mean0"),
+      round(mean(1), 6).as("mean1"),
+      round((mean(0) - mean(1)) /
+        sqrt(vr(0) / nD(0) + vr(1) / nD(1)), 6).as("t_stat"))
+  }
+
+  /** SQL mirror of [[welchT]] — the q190 oracle body, shared verbatim
+    * by the q196 ranking oracle.
+    */
+  private val welchTSql: String = """
+        WITH m AS (
+          SELECT c_mktsegment AS seg, o_custkey % 2 AS variant,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS ssq
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        p AS (
+          SELECT seg,
+                 MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN variant = 0 THEN ssq END) AS ssq0,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN variant = 1 THEN ssq END) AS ssq1
+          FROM m GROUP BY seg)
+        SELECT seg, n0, n1,
+               ROUND(s0 / n0, 6) AS mean0,
+               ROUND(s1 / n1, 6) AS mean1,
+               ROUND((s0 / n0 - s1 / n1) /
+                     SQRT(((ssq0 - (s0 * s0) / n0) / (n0 - 1.0)) / n0 +
+                          ((ssq1 - (s1 * s1) / n1) / (n1 - 1.0)) / n1), 6) AS t_stat
+        FROM p"""
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -522,61 +588,46 @@ object AnalyticsQueries extends QueryModule {
     // p-value needs the t CDF (libm territory, 1-ulp engine drift);
     // production thresholds on |t| are equivalent and exact.
     "q190_ab_welch_t" -> QueryDef(
+      fn = (s, d) => welchT(s, d),
+      oracle = Some(welchTSql),
+    ),
+
+    // ----------------------------------------------------------------
+    // |t|-RANKED SIGNIFICANCE ORDERING — q190 made decision-complete
+    // without a t-table: segments ranked by |t| descending (most
+    // significant experiment effect first) with the sign read out as
+    // the winning variant. The t CDF is libm territory (why q190 gates
+    // the statistic, not the p-value), but |t| ORDERING needs no CDF —
+    // for the shared Welch statistic the CDF is monotone in |t| at
+    // comparable dof, so this IS the p-value ordering a dashboard
+    // sorts by. Determinism: the rank keys off the ROUND(…,6) t that
+    // q190 already proves bit-identical cross-engine, tie-broken on
+    // seg — never off the raw double. Same O(groups) shuffle; the rank
+    // window runs over a 5-row frame.
+    "q196_ab_significance_rank" -> QueryDef(
       fn = (s, d) => {
-        val dt = DecimalType(38, 10)
-        val j = orders(s, d)
-          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-          .select(
-            col("c_mktsegment").as("seg"),
-            pmod(col("o_custkey"), lit(2)).as("variant"),
-            col("o_totalprice").as("y"))
-        val m = j.groupBy(col("seg"), col("variant"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("y").cast(dt)).as("s"),
-            sum((col("y") * col("y")).cast(dt)).as("ssq"))
-        def side(v: Int, c: String) = max(when(col("variant") === v, col(c))).as(s"$c$v")
-        val p = m.groupBy(col("seg"))
-          .agg(side(0, "n"), side(0, "s"), side(0, "ssq"),
-               side(1, "n"), side(1, "s"), side(1, "ssq"))
-        def nD(v: Int)  = col(s"n$v").cast("double")
-        def sD(v: Int)  = col(s"s$v").cast("double")
-        def qD(v: Int)  = col(s"ssq$v").cast("double")
-        def mean(v: Int) = sD(v) / nD(v)
-        // sample variance from the exact sums, pinned parenthesization:
-        // (ssq - (s*s)/n) / (n - 1)
-        def vr(v: Int) = (qD(v) - (sD(v) * sD(v)) / nD(v)) / (nD(v) - 1.0)
-        p.select(
+        import org.apache.spark.sql.expressions.Window
+        val t = welchT(s, d)
+        val w = Window.orderBy(abs(col("t_stat")).desc, col("seg").asc)
+        t.select(
+          row_number().over(w).as("sig_rank"),
           col("seg"), col("n0"), col("n1"),
-          round(mean(0), 6).as("mean0"),
-          round(mean(1), 6).as("mean1"),
-          round((mean(0) - mean(1)) /
-            sqrt(vr(0) / nD(0) + vr(1) / nD(1)), 6).as("t_stat"))
+          round(col("mean0") - col("mean1"), 6).as("mean_diff"),
+          abs(col("t_stat")).as("abs_t"),
+          when(col("t_stat") > 0, lit("variant0"))
+            .when(col("t_stat") < 0, lit("variant1"))
+            .otherwise(lit("tie")).as("leader"))
       },
-      oracle = Some("""
-        WITH m AS (
-          SELECT c_mktsegment AS seg, o_custkey % 2 AS variant,
-                 COUNT(*) AS n,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS s,
-                 CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS ssq
-          FROM orders JOIN customer ON o_custkey = c_custkey
-          GROUP BY 1, 2),
-        p AS (
-          SELECT seg,
-                 MAX(CASE WHEN variant = 0 THEN n END) AS n0,
-                 MAX(CASE WHEN variant = 0 THEN s END) AS s0,
-                 MAX(CASE WHEN variant = 0 THEN ssq END) AS ssq0,
-                 MAX(CASE WHEN variant = 1 THEN n END) AS n1,
-                 MAX(CASE WHEN variant = 1 THEN s END) AS s1,
-                 MAX(CASE WHEN variant = 1 THEN ssq END) AS ssq1
-          FROM m GROUP BY seg)
-        SELECT seg, n0, n1,
-               ROUND(s0 / n0, 6) AS mean0,
-               ROUND(s1 / n1, 6) AS mean1,
-               ROUND((s0 / n0 - s1 / n1) /
-                     SQRT(((ssq0 - (s0 * s0) / n0) / (n0 - 1.0)) / n0 +
-                          ((ssq1 - (s1 * s1) / n1) / (n1 - 1.0)) / n1), 6) AS t_stat
-        FROM p"""),
+      oracle = Some(s"""
+        WITH t AS ($welchTSql)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(t_stat) DESC, seg ASC) AS INTEGER) AS sig_rank,
+               seg, n0, n1,
+               ROUND(mean0 - mean1, 6) AS mean_diff,
+               ABS(t_stat) AS abs_t,
+               CASE WHEN t_stat > 0 THEN 'variant0'
+                    WHEN t_stat < 0 THEN 'variant1'
+                    ELSE 'tie' END AS leader
+        FROM t"""),
     ),
 
     // ----------------------------------------------------------------
