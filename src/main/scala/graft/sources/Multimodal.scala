@@ -341,31 +341,297 @@ object Multimodal extends QueryModule {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h, px) = parseBmp24(m.content)
-        val bs = new Array[Long](8)
-        val bn = new Array[Long](8)
-        var total = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p   = px(y * w + x)
-            val lum = ((p >> 16) & 0xff).toLong + 2L * ((p >> 8) & 0xff) + (p & 0xff)
-            val bi  = (y * 2 / h) * 4 + (x * 4 / w)
-            bs(bi) += lum
-            bn(bi) += 1
-            total += lum
-            x += 1
-          }
-          y += 1
+        BmpHashed(m.doc_id, w.toLong, h.toLong, aHashFromPixels(w, h, px))
+      }
+    }
+  }
+
+  /** The container-agnostic aHash kernel over decoded top-down
+    * row-major packed pixels — shared by the BMP (q145) and PNG (q195)
+    * paths so the signature is a property of the IMAGE, not of the
+    * container it arrived in (PngCodecSpec asserts the cross-container
+    * equality).
+    */
+  private[sources] def aHashFromPixels(w: Int, h: Int, px: Array[Int]): Int = {
+    val bs = new Array[Long](8)
+    val bn = new Array[Long](8)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p   = px(y * w + x)
+        val lum = ((p >> 16) & 0xff).toLong + 2L * ((p >> 8) & 0xff) + (p & 0xff)
+        val bi  = (y * 2 / h) * 4 + (x * 4 / w)
+        bs(bi) += lum
+        bn(bi) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0
+    var i = 0
+    while (i < 8) {
+      if (bs(i) * n > total * bn(i)) hash |= 1 << i
+      i += 1
+    }
+    hash
+  }
+
+  // ------------------------------------------------------------------
+  // PNG (8-bit truecolor RGB, non-interlaced) — encode + parse in pure
+  // JVM: java.util.zip Deflater/Inflater for the zlib stream, CRC32 for
+  // chunk integrity, and the five PNG filter predictors (None/Sub/Up/
+  // Average/Paeth) implemented by hand. This is the compressed
+  // real-world image format the codec boundary was missing: unlike
+  // BMP's raw pixels, the scanlines here round-trip through real
+  // DEFLATE compression and per-row filter reconstruction.
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p  = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(bb: java.nio.ByteBuffer, chunkType: String, data: Array[Byte]): Unit = {
+    bb.putInt(data.length)
+    val t = chunkType.getBytes("US-ASCII")
+    bb.put(t)
+    bb.put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+  }
+
+  /** Real PNG writer: 8-bit RGB (color type 2), non-interlaced, one
+    * zlib-deflated IDAT. `filterOfRow` picks each scanline's filter
+    * type (0-4) so a generated corpus can exercise EVERY predictor the
+    * decoder must reconstruct.
+    */
+  def encodePng(
+      width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int),
+      filterOfRow: Int => Int
+  ): Array[Byte] = {
+    val stride = width * 3
+    // raw top-down scanlines
+    val raw = Array.ofDim[Int](height, stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        raw(y)(x * 3) = r & 0xff; raw(y)(x * 3 + 1) = g & 0xff; raw(y)(x * 3 + 2) = b & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    // filtered scanline stream: per row a filter-type byte + residuals
+    val scan = new Array[Byte](height * (1 + stride))
+    y = 0
+    while (y < height) {
+      val ft = filterOfRow(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      scan(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = raw(y)(i)
+        val a = if (i >= 3) raw(y)(i - 3) else 0
+        val b = if (y >= 1) raw(y - 1)(i) else 0
+        val c = if (i >= 3 && y >= 1) raw(y - 1)(i - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
         }
-        val n = w.toLong * h
-        var hash = 0
-        var i = 0
-        while (i < 8) {
-          if (bs(i) * n > total * bn(i)) hash |= 1 << i
-          i += 1
+        scan(y * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // zlib-deflate the scanline stream
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(scan)
+    deflater.finish()
+    val cbuf = new Array[Byte](scan.length + 64)
+    var clen = 0
+    while (!deflater.finished()) {
+      val n = deflater.deflate(cbuf, clen, cbuf.length - clen)
+      clen += n
+      require(clen < cbuf.length || deflater.finished(), "deflate buffer overflow")
+    }
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(cbuf, clen)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte)  // compression: deflate
+      .put(0.toByte)  // filter method 0
+      .put(0.toByte)  // non-interlaced
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + (12 + idat.length) + 12)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    pngChunk(bb, "IHDR", ihdr.array())
+    pngChunk(bb, "IDAT", idat)
+    pngChunk(bb, "IEND", Array.empty[Byte])
+    bb.array()
+  }
+
+  /** Parse an 8-bit RGB non-interlaced PNG: signature check, chunk walk
+    * with CRC32 verification on EVERY chunk (a flipped bit anywhere in
+    * type or data quarantines the file), multi-IDAT concatenation,
+    * zlib inflate, then per-scanline reconstruction through the five
+    * filter predictors. Returns (width, height, pixels) packed
+    * r<<16|g<<8|b in top-down row-major order — the same contract as
+    * [[parseBmp24]], so downstream kernels are container-agnostic.
+    */
+  def parsePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val b = bytes
+    def i32(o: Int): Int =
+      (b(o) & 0xff) << 24 | (b(o + 1) & 0xff) << 16 | (b(o + 2) & 0xff) << 8 | (b(o + 3) & 0xff)
+    require(b.length >= 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte &&
+      b(4) == 0x0d.toByte && b(5) == 0x0a.toByte && b(6) == 0x1a.toByte && b(7) == 0x0a.toByte,
+      "not a PNG payload")
+    var off = 8
+    var width = -1
+    var height = -1
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (off < b.length && !sawIend) {
+      require(b.length - off >= 12, s"truncated chunk header at offset $off")
+      val sz = i32(off)
+      require(sz >= 0 && sz <= b.length - off - 12,
+        s"corrupt PNG chunk: size $sz at offset $off exceeds payload (${b.length} bytes)")
+      val chunkType = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + sz)
+      require(crc.getValue.toInt == i32(off + 8 + sz),
+        s"CRC mismatch in $chunkType chunk at offset $off")
+      chunkType match {
+        case "IHDR" =>
+          require(sz == 13, s"IHDR size $sz")
+          width = i32(off + 8)
+          height = i32(off + 12)
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require((b(off + 16) & 0xff) == 8, "only 8-bit depth supported")
+          require((b(off + 17) & 0xff) == 2, "only truecolor RGB supported")
+          require((b(off + 18) & 0xff) == 0, "bad compression method")
+          require((b(off + 19) & 0xff) == 0, "bad filter method")
+          require((b(off + 20) & 0xff) == 0, "interlaced PNGs unsupported")
+        case "IDAT" => idat.write(b, off + 8, sz)
+        case "IEND" => sawIend = true
+        case _      => () // ancillary chunk — CRC already verified
+      }
+      off += 12 + sz
+    }
+    require(width > 0, "missing IHDR")
+    require(sawIend, "missing IEND")
+    // zlib inflate the concatenated IDAT stream
+    val stride = width * 3
+    val scan = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < scan.length && !inflater.finished()) {
+        val n = inflater.inflate(scan, got, scan.length - got)
+        require(n > 0 || inflater.finished(), "truncated or corrupt zlib stream")
+        got += n
+      }
+    } finally inflater.end()
+    require(got == scan.length, s"inflated $got bytes, expected ${scan.length}")
+    // reconstruct scanlines through the five filter predictors
+    val pixels = new Array[Int](width * height)
+    var prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + stride)
+      val ft = scan(base) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      val cur = new Array[Int](stride)
+      var i = 0
+      while (i < stride) {
+        val x = scan(base + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val up = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        cur(i) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (a + up) / 2) & 0xff
+          case 4 => (x + paeth(a, up, c)) & 0xff
         }
-        BmpHashed(m.doc_id, w.toLong, h.toLong, hash)
+        i += 1
+      }
+      var px = 0
+      while (px < width) {
+        pixels(y * width + px) = cur(px * 3) << 16 | cur(px * 3 + 1) << 8 | cur(px * 3 + 2)
+        px += 1
+      }
+      prev = cur
+      y += 1
+    }
+    (width, height, pixels)
+  }
+
+  /** One PNG per document with the SAME dimensions and channel formulas
+    * as [[bmpTable]] (so the decoded pixels — and therefore the aHash —
+    * are identical across containers), with the scanline filter type
+    * cycling (doc_id + y) % 5 so the corpus exercises every predictor.
+    * Documents with doc_id % 41 == 0 ship CORRUPT payloads — alternately
+    * truncated mid-header and CRC-flipped on the final chunk — the
+    * crawl-reality fixture the quarantine path must absorb (the q108
+    * discipline applied to binary media).
+    */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val bytes = encodePng(w, h, (x, y) => (
+        ((id * 3 + x + 11L * y) % 256).toInt,
+        ((id * 2 + 5L * x + y) % 256).toInt,
+        ((id + 3L * x + 7L * y) % 256).toInt
+      ), y => ((id + y) % 5).toInt)
+      val payload =
+        if (id % 41 != 0) bytes
+        else if ((id / 41) % 2 == 0) java.util.Arrays.copyOf(bytes, 20) // truncated mid-IHDR
+        else { val c = bytes.clone(); c(c.length - 1) = (c(c.length - 1) ^ 0x01).toByte; c } // IEND CRC flip
+      MediaRecord(id, payload, "image/png", payload.length.toLong)
+    }
+  }
+
+  /** PNG aHash with quarantine: a payload that fails ANY decode
+    * invariant (signature, chunk bounds, CRC, zlib, filter types,
+    * scanline count) lands in status='quarantined' with null features
+    * instead of failing the job — corrupt crawl bytes are data, not
+    * exceptions (the q108 rule at the codec boundary).
+    */
+  final case class PngHashed(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long], phash: Option[Int])
+
+  def pngAHash(media: Dataset[MediaRecord]): Dataset[PngHashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val (w, h, px) = parsePng(m.content)
+          PngHashed(m.doc_id, "ok", Some(w.toLong), Some(h.toLong),
+            Some(aHashFromPixels(w, h, px)))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            PngHashed(m.doc_id, "quarantined", None, None, None)
+        }
       }
     }
   }
@@ -647,6 +913,86 @@ object Multimodal extends QueryModule {
                k.keeper_id, k.group_n, hs.doc_id <> k.keeper_id AS is_dup
         FROM hashes hs
         JOIN keep k ON k.w = hs.w AND k.h = hs.h AND k.phash = hs.phash"""),
+    ),
+
+    // PNG DECODE + QUARANTINE + PERCEPTUAL DEDUP — the compressed
+    // real-world image format through the same codec boundary: genuine
+    // PNGs (zlib DEFLATE via java.util.zip, CRC32-checked chunks,
+    // scanline filters cycling through all five predictors per
+    // (doc_id + row) % 5), decoded by hand-rolled filter
+    // reconstruction, routed into the q145 aHash dedup. The corpus
+    // ships deterministically CORRUPT payloads (doc_id % 41 == 0 —
+    // alternately truncated and CRC-flipped) that must land in the
+    // quarantine lane, not fail the job. The oracle replays the clean
+    // docs' pixel closed forms (identical to q145's — the pixels, and
+    // so the hashes, are container-independent) and the corruption
+    // predicate; a hash match proves signature/CRC/inflate/unfilter
+    // are all byte-exact AND that quarantine catches exactly the
+    // corrupt slice. Scale: one mapPartitions decode pass, one
+    // (dims, hash) aggregate — linear, no pairs.
+    "q195_png_phash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        // one decode pass feeds the keeper aggregate, the join probe,
+        // and the quarantine lane — checkpoint like q145
+        val hashed = pngAHash(pngTable(s, d)).toDF().localCheckpoint(true)
+        val ok = hashed.where(col("status") === "ok")
+        val keep = ok
+          .groupBy(col("width"), col("height"), col("phash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+        ok.join(keep, Seq("width", "height", "phash"))
+          .select(
+            col("doc_id"), col("status"), col("width"), col("height"), col("phash"),
+            col("keeper_id"), col("group_n"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+          .unionByName(
+            hashed.where(col("status") === "quarantined")
+              .select(
+                col("doc_id"), col("status"), col("width"), col("height"), col("phash"),
+                lit(null).cast("long").as("keeper_id"),
+                lit(null).cast("long").as("group_n"),
+                lit(null).cast("boolean").as("is_dup")))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+          FROM documents WHERE doc_id % 41 <> 0),
+        xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        pxg AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        lums AS (
+          SELECT doc_id, w, h,
+                 (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 (doc_id * 3 + x + 11 * y) % 256
+                   + 2 * ((doc_id * 2 + 5 * x + y) % 256)
+                   + (doc_id + 3 * x + 7 * y) % 256 AS lum
+          FROM pxg),
+        blocks AS (
+          SELECT doc_id, w, h, bi,
+                 CAST(SUM(lum) AS BIGINT) AS bs, COUNT(*) AS bn
+          FROM lums GROUP BY doc_id, w, h, bi),
+        tot AS (
+          SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bn) AS BIGINT) AS n
+          FROM blocks GROUP BY doc_id),
+        hashes AS (
+          SELECT b.doc_id, b.w, b.h,
+                 CAST(SUM(CASE WHEN b.bs * t.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS phash
+          FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id, b.w, b.h),
+        keep AS (
+          SELECT w, h, phash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_n
+          FROM hashes GROUP BY w, h, phash)
+        SELECT hs.doc_id, 'ok' AS status,
+               hs.w AS width, hs.h AS height, hs.phash,
+               k.keeper_id, k.group_n, hs.doc_id <> k.keeper_id AS is_dup
+        FROM hashes hs
+        JOIN keep k ON k.w = hs.w AND k.h = hs.h AND k.phash = hs.phash
+        UNION ALL
+        SELECT doc_id, 'quarantined' AS status,
+               CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+               CAST(NULL AS INTEGER) AS phash,
+               CAST(NULL AS BIGINT) AS keeper_id, CAST(NULL AS BIGINT) AS group_n,
+               CAST(NULL AS BOOLEAN) AS is_dup
+        FROM documents WHERE doc_id % 41 = 0"""),
     ),
 
     // AUDIO NEAR-DUP via energy fingerprint — q145's audio twin: an
