@@ -29,6 +29,78 @@ object TextQueries extends QueryModule {
     * query map must initialize first).
     */
   private val BpeRounds = 8
+
+  /** The q194/q197 shared BPE train loop: collapse the corpus to its
+    * word-frequency table once, then BpeRounds rounds of count-pairs →
+    * driver top-1 → greedy rewrite (see the q194 comment for the
+    * '..'-delimited replace encoding). Returns the FINAL vocabulary
+    * state (word, seq, wc) — each distinct word's trained subword
+    * segmentation, which is what the apply step joins against — plus
+    * the merge table.
+    */
+  private def bpeTrain(
+      s: org.apache.spark.sql.SparkSession, d: String
+  ): (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
+    var state = documents(s, d)
+      .select(explode(split(normalizeText(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"),
+        concat(lit(".."), regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
+        col("wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = state
+        .select(col("wc"),
+          filter(split(col("seq"), "\\.\\."), x => x =!= "").as("syms"))
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE trainer ran dry at round $r — corpus too small for $BpeRounds merges")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, a, b, cnt))
+      state = state
+        .select(col("word"),
+          expr(s"replace(seq, '.$a..$b.', '.$a$b.')").as("seq"), col("wc"))
+        .localCheckpoint(true)
+    }
+    (state, merges.toSeq)
+  }
+
+  /** The chained-CTE oracle replay of [[bpeTrain]] — s0..s{BpeRounds}
+    * carry (word, seq, wc); w{r} holds round r's winning merge. Every
+    * CTE MATERIALIZED (the q183 lesson: DuckDB inlines plain CTEs at
+    * each reference and a K-deep chain explodes exponentially).
+    */
+  private val bpeOracleCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""
+        p$r AS MATERIALIZED (
+          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(wc) AS cnt
+          FROM (SELECT list_filter(string_split(seq, '..'), x -> x <> '') AS syms, wc
+                FROM s${r - 1}),
+               UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2),
+        w$r AS MATERIALIZED (
+          SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        s$r AS MATERIALIZED (
+          SELECT word, replace(seq, '.' || a || '..' || b || '.', '.' || a || b || '.') AS seq, wc
+          FROM s${r - 1}, w$r)"""
+    }.mkString(",")
+    s"""
+        WITH words AS (
+          SELECT UNNEST(string_split(t, ' ')) AS word FROM ($normSql)),
+        s0 AS MATERIALIZED (
+          SELECT word, '..' || regexp_replace(word, '(.)', '\\1..', 'g') AS seq, wc
+          FROM (SELECT word, COUNT(*) AS wc FROM words
+                WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+                GROUP BY word)),
+        $rounds"""
+  }
   private lazy val markerCntsSql = TextFunctions.langMarkers.map { case (lang, ms) =>
     lang -> s"(len(regexp_split_to_array($paddedSql, '${ms.mkString("|")}')) - 1)"
   }
@@ -1023,67 +1095,57 @@ object TextQueries extends QueryModule {
     // MATERIALIZED CTEs. Ties pinned (cnt DESC, a ASC, b ASC).
     "q194_bpe_trainer" -> QueryDef(
       fn = (s, d) => {
-        var state = documents(s, d)
-          .select(explode(split(normalizeText(col("text")), " ")).as("word"))
-          .where(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
-          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-          .select(
-            concat(lit(".."), regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
-            col("wc"))
-          .localCheckpoint(true)
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        for (r <- 1 to BpeRounds) {
-          val top = state
-            .select(col("wc"),
-              filter(split(col("seq"), "\\.\\."), x => x =!= "").as("syms"))
-            .select(col("wc"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("wc")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()
-          require(top.nonEmpty, s"BPE trainer ran dry at round $r — corpus too small for $BpeRounds merges")
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r, a, b, cnt))
-          state = state
-            .select(expr(s"replace(seq, '.$a..$b.', '.$a$b.')").as("seq"), col("wc"))
-            .localCheckpoint(true)
-        }
+        val (_, merges) = bpeTrain(s, d)
         val spark = s
         import spark.implicits._
-        merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+        merges.toDF("round", "sym_a", "sym_b", "cnt")
           .select(col("round"), col("sym_a"), col("sym_b"),
             concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
       },
-      oracle = Some {
-        val rounds = (1 to BpeRounds).map { r =>
-          s"""
-        p$r AS MATERIALIZED (
-          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(wc) AS cnt
-          FROM (SELECT list_filter(string_split(seq, '..'), x -> x <> '') AS syms, wc
-                FROM s${r - 1}),
-               UNNEST(range(1, len(syms))) AS u(i)
-          GROUP BY 1, 2),
-        w$r AS MATERIALIZED (
-          SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        s$r AS MATERIALIZED (
-          SELECT replace(seq, '.' || a || '..' || b || '.', '.' || a || b || '.') AS seq, wc
-          FROM s${r - 1}, w$r)"""
-        }.mkString(",")
-        s"""
-        WITH words AS (
-          SELECT UNNEST(string_split(t, ' ')) AS word FROM ($normSql)),
-        s0 AS MATERIALIZED (
-          SELECT '..' || regexp_replace(word, '(.)', '\\1..', 'g') AS seq, wc
-          FROM (SELECT word, COUNT(*) AS wc FROM words
-                WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
-                GROUP BY word)),
-        $rounds
+      oracle = Some(s"""
+        $bpeOracleCtes
         ${(1 to BpeRounds).map { r =>
           s"""SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS merged,
                  CAST(cnt AS BIGINT) AS cnt FROM w$r"""
-        }.mkString(" UNION ALL ")}"""
-      }
+        }.mkString(" UNION ALL ")}""")
+    ),
+
+    // ----------------------------------------------------------------
+    // BPE TOKENIZER APPLY — the train→apply composition that closes
+    // the tokenizer loop: tokenize the whole corpus under the q194
+    // trained merge table and report per-document subword counts (the
+    // number every mixture/packing stage budgets by). The scale trick
+    // is that tokenization happens at VOCAB grain, not corpus grain:
+    // the trained final state already holds each distinct word's
+    // subword segmentation, so applying the tokenizer is one keyed
+    // word⋈vocab join (shuffled hash/SMJ at 100 TB vocab — never a
+    // per-document re-merge), and per-doc counts are one doc-grain
+    // aggregate. The oracle replays the full K-round chain and the
+    // same join.
+    "q197_bpe_apply" -> QueryDef(
+      fn = (s, d) => {
+        val (vocab, _) = bpeTrain(s, d)
+        val tok = vocab.select(col("word"),
+          size(filter(split(col("seq"), "\\.\\."), x => x =!= "")).as("n_sub"))
+        documents(s, d)
+          .select(col("doc_id"), explode(split(normalizeText(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+          .join(tok, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      },
+      oracle = Some(s"""
+        $bpeOracleCtes,
+        tok AS MATERIALIZED (
+          SELECT word, len(list_filter(string_split(seq, '..'), x -> x <> '')) AS n_sub
+          FROM s$BpeRounds),
+        dw AS (
+          SELECT doc_id, UNNEST(string_split(t, ' ')) AS word FROM ($normSql))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN tok USING (word)
+        GROUP BY doc_id""")
     ),
 
     // ----------------------------------------------------------------

@@ -631,6 +631,71 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // CHI-SQUARE INDEPENDENCE TEST — the categorical-outcome member of
+    // the experimentation family (q190/q196 cover a continuous metric):
+    // per segment, is conversion to a high-value order independent of
+    // the assigned variant? For a 2x2 contingency table the statistic
+    // has the exact closed form chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)
+    // (b+d)) — pure integer products and ONE division, no expected-
+    // value intermediates, no libm. The products are computed in
+    // DECIMAL(38,0) (exact; DuckDB promotes to HUGEINT — also exact)
+    // and cast to double only for the final division; at gate scale
+    // every integer is far below 2^53, so the casts are value-exact on
+    // both engines and the rounded statistic is bit-identical. The
+    // decision flag needs no CDF either: chi2_0.95(1 dof) = 3.841 is a
+    // CONSTANT, so significant = chi2 > 3.841 ships in the readout —
+    // the same decision-completeness q196 adds for the t family.
+    // Shuffle: one (seg, variant, outcome)-combined aggregate,
+    // O(segments) out.
+    "q198_ab_chi_square" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 0)
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(
+            col("c_mktsegment").as("seg"),
+            pmod(col("o_custkey"), lit(2)).as("variant"),
+            (col("o_totalprice") > 150000).as("hi"))
+        val p = j.groupBy(col("seg")).agg(
+          sum(when(col("variant") === 0 && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("variant") === 0 && not(col("hi")), 1L).otherwise(0L)).as("b"),
+          sum(when(col("variant") === 1 && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("variant") === 1 && not(col("hi")), 1L).otherwise(0L)).as("d"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast(dt)
+        val det  = dc(col("a")) * dc(col("d")) - dc(col("b")) * dc(col("c"))
+        val num  = dc(col("a") + col("b") + col("c") + col("d")) * det * det
+        val den  = dc(col("a") + col("b")) * dc(col("c") + col("d")) *
+          dc(col("a") + col("c")) * dc(col("b") + col("d"))
+        val chi2 = num.cast("double") / den.cast("double")
+        p.select(
+          col("seg"), col("a"), col("b"), col("c"), col("d"),
+          round(chi2, 6).as("chi2"),
+          (chi2 > 3.841).as("significant_95"))
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT c_mktsegment AS seg, o_custkey % 2 AS variant,
+                 o_totalprice > 150000 AS hi
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        p AS (
+          SELECT seg,
+                 CAST(SUM(CASE WHEN variant = 0 AND hi THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN variant = 0 AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN variant = 1 AND hi THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN variant = 1 AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM j GROUP BY seg),
+        x AS (
+          SELECT seg, a, b, c, d,
+                 CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+                   / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) AS chi2
+          FROM p)
+        SELECT seg, a, b, c, d,
+               ROUND(chi2, 6) AS chi2,
+               chi2 > 3.841 AS significant_95
+        FROM x"""),
+    ),
+
+    // ----------------------------------------------------------------
     // Fixed-width histogram: bucket ids come from constant edges
     // (FLOOR(v / width), capped), so binning is a zero-extra-pass
     // projection feeding one hash aggregate — the whole histogram is
