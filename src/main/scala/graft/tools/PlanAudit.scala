@@ -572,7 +572,31 @@ object PlanAudit {
     // streamed through a BNLJ, both top-k heaps in one ObjectHashAgg
     Audit("q139_matryoshka_overlap",
       mustContain = Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // PNG decode + quarantine dedup: the (dims, hash) keeper aggregate
+    // joins back doc-grain — keyed, never all-pairs; the quarantine
+    // union must not force anything quadratic
+    Audit("q195_png_phash_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // |t|-ranked readout: the rank window runs over the O(segments)
+    // aggregate output (a 5-row frame — SinglePartition is the correct
+    // plan there, unlike the raw-data windows gated above), and the
+    // heavy lifting stays in the partial-sum aggregate
+    Audit("q196_ab_significance_rank",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // BPE apply: tokenization at vocab grain — the corpus-word join is
+    // keyed on word (hash/SMJ both fine), never a nested loop; per-doc
+    // counts are one hash aggregate
+    Audit("q197_bpe_apply",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // chi-square: one combined contingency aggregate, closed-form
+    // statistic in the projection — no window, no join fan-out
+    Audit("q198_ab_chi_square",
+      mustContain = Seq("HashAggregate", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -122,6 +122,14 @@ object ScaleTrend {
     // multiplies the vocab 10x, so per-round pair shuffle must track
     // the vocab linearly (never the corpus)
     "q194_bpe_trainer",
+    // and its apply step: the corpus-sized word explode joins the
+    // trained vocab on word — both sides grow 10x with per-key
+    // cardinality unchanged, so the join must track linearly
+    "q197_bpe_apply",
+    // round-9 PNG decode + quarantine into perceptual dedup: decode is
+    // the per-file parallel pass, shuffle is the doc-grain hash table —
+    // must match q145's linear shape
+    "q195_png_phash_dedup",
     // Gram matrix: fixed d^2 state whatever the corpus — the map-side
     // combine should keep shuffle ~constant at 10x vectors
     "q178_gram_matrix",
