@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.DmlQueries,
     graft.operators.AnalyticsQueries,
     graft.operators.SketchQueries,
+    graft.operators.ZOrderQueries,
     graft.operators.GraphQueries,
     graft.functions.ScalarQueries,
     graft.functions.TextQueries,

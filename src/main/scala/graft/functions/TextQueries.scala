@@ -159,6 +159,23 @@ object TextQueries extends QueryModule {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
       )
     val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    perDoc
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .withColumn("score", bm25ScoreExpr)
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** The q85 scoring expression over columns (dl, tf_i, n, sdl, df_i) —
+    * ONE definition shared by the scan-and-score plan (q85) and the
+    * maintained-inverted-index retrieval (q199), so the two gates score
+    * with bit-identical parenthesization by construction. Term scores
+    * are summed in fixed term order (i = 0, 1, 2); a term absent from a
+    * doc contributes exactly +0.0 (tf = 0 ⇒ numerator 0.0), so the
+    * index path — which only materializes PRESENT terms — lands on the
+    * same double as q85's dense tf columns.
+    */
+  private[functions] def bm25ScoreExpr: org.apache.spark.sql.Column = {
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
     def termScore(i: Int) = {
       val tf  = col(s"tf$i").cast("double")
@@ -167,10 +184,86 @@ object TextQueries extends QueryModule {
       idf * (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     }
-    perDoc
-      .crossJoin(broadcast(stats)) // 1-row corpus stats
-      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-      .withColumn("score", terms.indices.map(termScore).reduce(_ + _))
+    Bm25Terms.indices.map(termScore).reduce(_ + _)
+  }
+
+  // ------------------------------------------------------------------
+  // q199 maintained-inverted-index kernel, shared with Bm25IndexSpec so
+  // the spec exercises the exact production build/retrieve paths.
+
+  /** (doc_id, w, dl) — the tokenized corpus an ingest batch slices. */
+  private[graft] def bm25DocTerms(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
+      .withColumn("dl", size(col("w")))
+
+  /** One O(ingest) index maintenance step: the batch's postings
+    * (term, doc_id, dl, tf — dl denormalized in, impact-style, so
+    * retrieval never joins a doc-grain table) appended to the
+    * term-bucketed postings table, and the batch's corpus totals
+    * appended as ONE additive stats row (the q176 MV pattern).
+    */
+  private[graft] def bm25IngestBatch(
+      wh: graft.etl.Warehouse, batchDocTerms: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = batchDocTerms.localCheckpoint(true) // read 2x: pin once
+    val postings = batch
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    if (wh.exists("silver", "bm25_postings"))
+      wh.appendBucketed(postings, "silver", "bm25_postings", Seq("term"))
+    else
+      wh.overwriteBucketed(postings, "silver", "bm25_postings", Seq("term"))
+    val batchStats =
+      batch.agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sdl"))
+    if (wh.exists("silver", "bm25_stats")) wh.append(batchStats, "silver", "bm25_stats")
+    else wh.overwrite(batchStats, "silver", "bm25_stats")
+  }
+
+  /** Execute `f` with the auto-bucketed-scan heuristic off: Spark's
+    * `DisableUnnecessaryBucketedScan` rule only weighs DISTRIBUTION
+    * reuse (a downstream join/agg on the bucket keys) and would drop
+    * the bucket layout from a pruning-only scan — losing exactly the
+    * K-of-32 bucket skip that makes index retrieval O(query-term
+    * postings). The conf is read at physical planning, so the caller
+    * must MATERIALIZE inside `f`, not just build the plan.
+    */
+  private[graft] def withBucketPruning[A](
+      s: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "false")
+    try f finally s.conf.set(k, prev)
+  }
+
+  /** Retrieval against the maintained state: the term filter is an isin
+    * on the BUCKET column, so the scan bucket-prunes to the query
+    * terms' buckets (SelectedBucketsCount K/32 — plan/execute under
+    * [[withBucketPruning]]) and everything downstream — candidate set,
+    * df counts, the pivoted tf columns — is sized by those posting
+    * lists, never by the corpus. Corpus totals are the SUM of the
+    * additive stats rows; the score is q85's shared [[bm25ScoreExpr]].
+    */
+  private[graft] def bm25IndexScores(
+      wh: graft.etl.Warehouse): org.apache.spark.sql.DataFrame = {
+    def queryPostings = wh.load("silver", "bm25_postings")
+      .where(col("term").isin(Bm25Terms: _*))
+    val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val dfs = queryPostings.agg(dfCols.head, dfCols.tail: _*)
+    val stats = wh.load("silver", "bm25_stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+    val tfCols = max(col("dl")).as("dl") +:
+      Bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0)).cast("int").as(s"tf$i")
+      }
+    queryPostings
+      .groupBy(col("doc_id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+      .crossJoin(broadcast(stats.crossJoin(dfs))) // 1-row stats ⨯ 1-row dfs
+      .withColumn("score", bm25ScoreExpr)
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
@@ -1352,6 +1445,55 @@ object TextQueries extends QueryModule {
                ROUND(-list_sum(list_transform(list(term ORDER BY w1, w2), x -> x))
                  / CAST(SUM(c) AS BIGINT), 6) AS nll
         FROM terms GROUP BY doc_id""")
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED BM25 INVERTED INDEX — the retrieval twin of q85, and
+    // the text-retrieval member of the maintained-index family (bands
+    // q182, ANN postings q187, aggregate/sketch MVs q176/q177, Gram
+    // q193). q85 scans and scores the WHOLE corpus per query — fine for
+    // a one-off, wrong at 100 TB where queries outnumber rebuilds. Here
+    // the corpus is ingested in 3 batches into a warehouse-maintained
+    // inverted index:
+    //   postings (term, doc_id, dl, tf)  — bucketed by term, so a query
+    //     on K terms opens only the K matching buckets (bucket pruning:
+    //     SelectedBucketsCount K/32 in the scan) and never touches the
+    //     rest of the index; dl is denormalized into the posting row
+    //     (impact-style) so retrieval needs NO doc-grain join at all.
+    //   stats (n, sdl) — one row appended per ingest; the corpus-grain
+    //     totals are the SUM of the rows (additive state, the q176 MV
+    //     pattern), never a rescan of documents.
+    // Appends are O(ingest) bucketed file adds — history is never
+    // rewritten. Query cost is O(postings of the query terms): the
+    // candidate set is the union of K posting lists, df_k is the length
+    // of list k, and the score reuses q85's exact expression
+    // (bm25ScoreExpr) over per-doc pivoted tf columns, so the gate
+    // below is q85's oracle VERBATIM — the maintained index must land
+    // on the scan-and-score answer to the last bit.
+    "q199_maintained_bm25_index" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q199_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val docTerms = bm25DocTerms(s, d)
+          for (g <- 0 until 3)
+            bm25IngestBatch(wh, docTerms.where(pmod(col("doc_id"), lit(3)) === g))
+          withBucketPruning(s) {
+            bm25IndexScores(wh)
+              .localCheckpoint(true) // pin before the warehouse dir is deleted
+          }
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      // q85's oracle verbatim: the index path must reproduce the
+      // scan-and-score answer exactly
+      oracle = Some(s"""
+        WITH $bm25OracleCtes
+        SELECT doc_id, dl, $bm25ScoreSql AS score
+        FROM perdoc, stats
+        WHERE $bm25MatchSql""")
     )
   )
 }

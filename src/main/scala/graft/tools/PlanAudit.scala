@@ -596,6 +596,12 @@ object PlanAudit {
     // statistic in the projection — no window, no join fan-out
     Audit("q198_ab_chi_square",
       mustContain = Seq("HashAggregate", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // z-order zone map: the Morton key is projected inline (bit ops stay
+    // in codegen) and the cell stats are ONE keyed aggregate with
+    // map-side partials — no window, no join, nothing quadratic
+    Audit("q200_zorder_cell_stats",
+      mustContain = Seq("HashAggregate", "partial_min", "partial_max"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
   )
 
@@ -720,6 +726,68 @@ object PlanAudit {
     }
   }
 
+  /** Round-9 index/layout scans: q199's and q201's SparkEntry results
+    * are pinned via localCheckpoint (their temp warehouses are deleted
+    * before return), so the scans that carry their scale story are
+    * re-audited here against freshly built state:
+    *  - q199 retrieval must BUCKET-prune — SelectedBucketsCount ≤ K of
+    *    32 on the term-bucketed postings scan (K = query terms);
+    *  - q201's box scan must PARTITION-prune — a zbucket partition
+    *    filter, reading exactly the box's candidate cells.
+    * Returns the number of failures.
+    */
+  private val indexScanAuditCount = 2
+
+  private def auditIndexScans(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
+    import org.apache.spark.sql.functions._
+    var failed = 0
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_audit_bm25_").toString
+    val wh = new graft.etl.Warehouse(spark, whRoot)
+    try {
+      graft.functions.TextQueries.bm25IngestBatch(
+        wh, graft.functions.TextQueries.bm25DocTerms(spark, sfDir))
+      val plan = graft.functions.TextQueries.withBucketPruning(spark) {
+        val q = graft.functions.TextQueries.bm25IndexScores(wh)
+        q.collect()
+        q.queryExecution.executedPlan.toString
+      }
+      val pruned = "SelectedBucketsCount: (\\d+) out of 32".r
+        .findFirstMatchIn(plan).exists(_.group(1).toInt <= 3)
+      if (pruned) println("[plan-audit] PASS q199__bucket_pruned_retrieval")
+      else {
+        failed += 1
+        println("[plan-audit] FAIL q199__bucket_pruned_retrieval: no <=3/32 SelectedBucketsCount")
+        println(plan.linesIterator.take(30).mkString("\n"))
+      }
+    } finally {
+      wh.dropCatalogDb()
+      graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+    }
+    val zRoot = java.nio.file.Files.createTempDirectory("graft_audit_zorder_").toString
+    try {
+      import graft.operators.ZOrderQueries
+      graft.Tables.lineitem(spark, sfDir)
+        .withColumn("zbucket", ZOrderQueries.zbucket(col("l_partkey"), col("l_suppkey")))
+        .repartition(col("zbucket"))
+        .write.mode("overwrite").partitionBy("zbucket").parquet(s"$zRoot/lineitem_z")
+      val cells = ZOrderQueries.candidateCells(40L, 160L, 3L, 8L)
+      val q = spark.read.parquet(s"$zRoot/lineitem_z")
+        .where(col("zbucket").isin(cells: _*))
+        .where(col("l_partkey").between(40L, 160L) && col("l_suppkey").between(3L, 8L))
+        .agg(count(lit(1)))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      if ("PartitionFilters: \\[[^\\]]*zbucket".r.findFirstIn(plan).isDefined)
+        println("[plan-audit] PASS q201__partition_pruned_box_scan")
+      else {
+        failed += 1
+        println("[plan-audit] FAIL q201__partition_pruned_box_scan: no zbucket partition filter")
+        println(plan.linesIterator.take(30).mkString("\n"))
+      }
+    } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(zRoot))
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
@@ -749,9 +817,10 @@ object PlanAudit {
     }
     failed += auditProductDemand(spark)
     failed += auditBroadcastFallback(spark, sfDir)
+    failed += auditIndexScans(spark, sfDir)
     spark.stop()
     if (failed > 0) sys.exit(1)
     // +1 = the productDemand broadcast-shape audit
-    println(s"[plan-audit] all ${audits.size + 1 + fallbackAuditCount} plan assertions hold")
+    println(s"[plan-audit] all ${audits.size + 1 + fallbackAuditCount + indexScanAuditCount} plan assertions hold")
   }
 }

@@ -155,6 +155,21 @@ object ScaleTrend {
     // work — assignment + bucketed appends — must track x10; the
     // production rule is the same B ∝ n as ivf_b_scaled
     "q187_ann_index_append",
+    // round-9 maintained BM25 inverted index: the BUILD (explode +
+    // (term,doc) aggregate + bucketed appends) must track the corpus
+    // x10; RETRIEVAL stays O(query-term postings) — the suffixed
+    // copies put the query terms only in copy 0, so the bucket-pruned
+    // read side is ~constant while the index under it grows 10x —
+    // which is exactly the maintained-index asymmetry the query exists
+    // to demonstrate
+    "q199_maintained_bm25_index",
+    // round-9 z-order zone map: one keyed aggregate at cell grain —
+    // shuffle is the (bounded) cell table, wall tracks the scan
+    "q200_zorder_cell_stats",
+    // and the layout+pruned-scan cycle: the WRITE tracks the table
+    // x10 (every layout rewrite does); the box read stays bounded by
+    // the box's cells
+    "q201_zorder_pruned_scan",
     // prefix-filter Jaccard join: constant dup rate + suffixed copies
     // multiply postings 10x with per-key lengths unchanged — candidate
     // volume and shuffle must track linearly
