@@ -97,6 +97,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(catalogName(layer, table))
+    // cross-session writers (see appendBucketed) must not leave this
+    // session's relation cache pointing at the replaced files
+    if (df.sparkSession ne spark)
+      spark.catalog.refreshTable(catalogName(layer, table))
   }
 
   /** O(batch) append to a bucketed table created by [[overwriteBucketed]]:
@@ -112,13 +116,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       table: String,
       bucketKeys: Seq[String],
       buckets: Int = 32
-  ): Unit =
+  ): Unit = {
     bucketAligned(df, bucketKeys, buckets).write
       .mode("append")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(catalogName(layer, table))
+    // the write invalidates the relation cache of DF'S session — which
+    // is not necessarily THIS warehouse's session (inside foreachBatch
+    // the batch frame belongs to the micro-batch's session CLONE, and
+    // each clone has its own relation cache). Without this refresh the
+    // warehouse session keeps serving the pre-append file listing and a
+    // streaming maintenance cycle silently reads a frozen index (the
+    // q202 lesson).
+    if (df.sparkSession ne spark)
+      spark.catalog.refreshTable(catalogName(layer, table))
+  }
 
   /** Drop this warehouse's catalog database (bucketed-table metadata).
     * Temp warehouses MUST call this before deleting their root, or the

@@ -125,6 +125,93 @@ object CorpusBuildQueries extends QueryModule {
           .otherwise("new").as("status"))
   }
 
+  /** Stage the arriving-batch documents (doc_id % 5 == 0) as 3 parquet
+    * slice files (by pmod(doc_id, 3)) with STRICTLY INCREASING mtimes,
+    * so a maxFilesPerTrigger=1 file stream replays them as 3
+    * deterministically-ordered micro-batches (the file source dequeues
+    * oldest-first) — the arrival order q202's oracle replays. Built
+    * once per corpus behind a marker (content-keyed staging dir, the
+    * repo-wide fixture pattern); slice files land under temp names and
+    * move in atomically before the marker does.
+    */
+  private def stageBatchDocSlices(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
+    val dir = graft.Staging.dirFor("graft_stream_doc_slices", src)
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      val nonce =
+        ProcessHandle.current().pid().toString + "_" + Thread.currentThread().getId
+      (0 until 3).foreach { g =>
+        val build = dir.resolve(s"_build_${nonce}_$g")
+        documents(s, d)
+          .where(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(3)) === g)
+          .coalesce(1).write.mode("overwrite").parquet(build.toString)
+        val part = Files.list(build)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val dest = dir.resolve(s"slice_$g.parquet")
+        Files.move(part, dest,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        // fixed epoch + g minutes: order is a property of the fixture,
+        // not of when it was staged (maxFileAge is relative to the
+        // NEWEST file, so ancient absolute times are fine)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + g * 60000L))
+        Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val mt = dir.resolve(s"_READY.$nonce")
+      Files.write(mt, Array.emptyByteArray)
+      Files.move(mt, marker,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    dir.toString
+  }
+
+  /** q202's oracle: replay the 3 ordered admit rounds as chained
+    * MATERIALIZED CTEs (idx0 = corpus; round g classifies slice g
+    * against idx_g — dup-of-index on any shared band key, dup-in-batch
+    * on a shared key with a smaller doc_id in the SAME slice — and
+    * idx_{g+1} adds the admitted docs' bands), then roll the final
+    * state up at band grain. MATERIALIZED is load-bearing: DuckDB
+    * inlines plain CTEs at every reference and the chain is
+    * self-referential 3 deep.
+    */
+  private lazy val streamCycleOracleSql: String = {
+    val rounds = (0 until 3).map { g =>
+      s"""b$g AS MATERIALIZED (
+          SELECT doc_id, band, band_key FROM bands
+          WHERE doc_id % 5 = 0 AND doc_id % 3 = $g),
+        dup${g}c AS (
+          SELECT DISTINCT b.doc_id FROM b$g b
+          JOIN idx$g e ON e.band = b.band AND e.band_key = b.band_key),
+        dup${g}b AS (
+          SELECT DISTINCT a.doc_id FROM b$g a
+          JOIN b$g c ON a.band = c.band AND a.band_key = c.band_key
+                    AND c.doc_id < a.doc_id),
+        adm$g AS (
+          SELECT DISTINCT doc_id FROM b$g
+          WHERE doc_id NOT IN (SELECT doc_id FROM dup${g}c)
+            AND doc_id NOT IN (SELECT doc_id FROM dup${g}b)),
+        idx${g + 1} AS MATERIALIZED (
+          SELECT * FROM idx$g
+          UNION ALL
+          SELECT b.doc_id, b.band, b.band_key FROM b$g b
+          JOIN adm$g a ON a.doc_id = b.doc_id)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH ${DedupQueries.mhBandsCtesSql},
+        idx0 AS MATERIALIZED (
+          SELECT doc_id, band, band_key FROM bands WHERE doc_id % 5 <> 0),
+        $rounds
+        SELECT band, COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(DISTINCT band_key) AS n_keys
+        FROM idx3 GROUP BY band"""
+  }
+
   /** The DedupQueries helpers these queries call register their
     * persisted intermediates with [[graft.CacheLeases]]; draining at
     * every entry keeps repeated invocations bounded.
@@ -579,6 +666,83 @@ object CorpusBuildQueries extends QueryModule {
                COUNT(DISTINCT doc_id) AS n_docs,
                COUNT(DISTINCT band_key) AS n_keys
         FROM final GROUP BY band"""),
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING INDEX MAINTENANCE — q189's nightly cycle made
+    // CONTINUOUS: arriving documents stream in as real micro-batches
+    // (a file source over 3 mtime-ordered slice files,
+    // maxFilesPerTrigger=1), and each micro-batch runs the full
+    // maintenance cycle inside foreachBatch — band the batch, classify
+    // it against the CURRENT index state, append only the keepers'
+    // ('new') bands back into the bucketed table. Batch 1 therefore
+    // dedups against batch 0's admissions with no nightly wait — the
+    // cross-batch semantics q189 can only deliver next day. Arrival
+    // order is pinned (slice mtimes strictly increase, oldest-first
+    // replay), so the oracle can replay the same 3 admit rounds as
+    // chained MATERIALIZED CTEs; the gate is the FINAL index state at
+    // band grain, which breaks if any round admits a doc the
+    // sequential semantics reject (or vice versa). Scale: per batch,
+    // one banded pass over the BATCH + the keyed classify join + an
+    // O(admitted) bucketed append — the index is never rebuilt, never
+    // rescanned corpus-side, and history files are never rewritten.
+    "q202_stream_index_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q202_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            // day-0 corpus index (its incremental build is q182's gate)
+            wh.overwriteBucketed(
+              DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+                .where(col("doc_id") % 5 =!= 0)
+                .select(col("doc_id"), col("band"), col("band_key")),
+              "silver", "band_index", Seq("band", "band_key"))
+            val docSchema = documents(s, d).schema
+            val stream = s.readStream
+              .schema(docSchema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stageBatchDocSlices(s, d))
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  // bands read 3x (classify x2 + write-back) AND the
+                  // append targets the table classify reads — pin both
+                  // eagerly (the q189 lesson)
+                  val bBands = DedupQueries
+                    .mhBandsOf(DedupQueries.shingleDfOf(batch.toDF()))
+                    .localCheckpoint(true)
+                  val keepers = classifyAgainstIndex(
+                    wh.load("silver", "band_index"), bBands,
+                    batch.toDF().select(col("doc_id"), col("source")))
+                    .where(col("status") === "new")
+                    .select(col("doc_id")).localCheckpoint(true)
+                  wh.appendBucketed(
+                    bBands.join(broadcast(keepers), Seq("doc_id"))
+                      .select(col("doc_id"), col("band"), col("band_key")),
+                    "silver", "band_index", Seq("band", "band_key"))
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            wh.load("silver", "band_index")
+              .groupBy(col("band"))
+              .agg(
+                count(lit(1)).as("n_rows"),
+                countDistinct(col("doc_id")).as("n_docs"),
+                countDistinct(col("band_key")).as("n_keys"))
+              .localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some(streamCycleOracleSql),
     ),
 
     // ----------------------------------------------------------------

@@ -73,9 +73,15 @@ object DedupQueries extends QueryModule {
   /** Spark side: distinct (doc_id, shingle) pairs. */
   private[graft] def shingleDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
-    documents(s, d)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+    shingleDfOf(documents(s, d))
   }
+
+  /** Same shingle projection over an arbitrary (doc_id, text) relation —
+    * the streaming index-maintenance cycle (q202) feeds it each
+    * micro-batch's documents inside foreachBatch.
+    */
+  private[graft] def shingleDfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
 
   /** Spark side of q33's banded-minhash candidate generator: distinct-ish
     * (ida, idb) pairs (one row per shared band key, ida < idb). The q32
