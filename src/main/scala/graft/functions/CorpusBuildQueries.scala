@@ -125,50 +125,18 @@ object CorpusBuildQueries extends QueryModule {
           .otherwise("new").as("status"))
   }
 
-  /** Stage the arriving-batch documents (doc_id % 5 == 0) as 3 parquet
-    * slice files (by pmod(doc_id, 3)) with STRICTLY INCREASING mtimes,
-    * so a maxFilesPerTrigger=1 file stream replays them as 3
-    * deterministically-ordered micro-batches (the file source dequeues
-    * oldest-first) — the arrival order q202's oracle replays. Built
-    * once per corpus behind a marker (content-keyed staging dir, the
-    * repo-wide fixture pattern); slice files land under temp names and
-    * move in atomically before the marker does.
+  /** Stage the arriving-batch documents (doc_id % 5 == 0) as 3
+    * mtime-ordered parquet slices (by pmod(doc_id, 3)) — the arrival
+    * order q202's oracle replays. See [[graft.sources.SliceStager]].
     */
   private def stageBatchDocSlices(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
-    val src = Paths.get(d, "documents.parquet").toAbsolutePath.normalize
-    val dir = graft.Staging.dirFor("graft_stream_doc_slices", src)
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      val nonce =
-        ProcessHandle.current().pid().toString + "_" + Thread.currentThread().getId
-      (0 until 3).foreach { g =>
-        val build = dir.resolve(s"_build_${nonce}_$g")
-        documents(s, d)
-          .where(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(3)) === g)
-          .coalesce(1).write.mode("overwrite").parquet(build.toString)
-        val part = Files.list(build)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        val dest = dir.resolve(s"slice_$g.parquet")
-        Files.move(part, dest,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        // fixed epoch + g minutes: order is a property of the fixture,
-        // not of when it was staged (maxFileAge is relative to the
-        // NEWEST file, so ancient absolute times are fine)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + g * 60000L))
-        Files.walk(build).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      val mt = dir.resolve(s"_READY.$nonce")
-      Files.write(mt, Array.emptyByteArray)
-      Files.move(mt, marker,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    }
-    dir.toString
-  }
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.SliceStager.stage(
+      "graft_stream_doc_slices",
+      java.nio.file.Paths.get(d, "documents.parquet"),
+      slices = 3,
+      g => documents(s, d)
+        .where(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(3)) === g))
 
   /** q202's oracle: replay the 3 ordered admit rounds as chained
     * MATERIALIZED CTEs (idx0 = corpus; round g classifies slice g

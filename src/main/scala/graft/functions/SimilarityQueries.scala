@@ -2075,6 +2075,170 @@ object SimilarityQueries extends QueryModule {
                  sim
           FROM pairs)
         WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING ANN INDEX MAINTENANCE WITH A NOVELTY GATE — q187's
+    // maintained posting lists made CONTINUOUS, and made ORDER-
+    // DEPENDENT by the production semantics that justify streaming in
+    // the first place: semantic dedup-at-ingest. Arriving embeddings
+    // stream in as 3 mtime-ordered micro-batches; each batch is
+    // assigned against the frozen codebook (broadcast) and a vector is
+    // admitted to the index ONLY if it is novel — no vector already in
+    // its centroid's posting list within cosine >= 0.30, and no
+    // same-centroid batch-mate with a smaller vec_id within 0.30.
+    // Batch 1's admissions therefore depend on batch 0's (a vector
+    // rejected in round 0 never blocks a round-1 arrival; an admitted
+    // one does) — semantics the nightly q187 append cannot express.
+    // Arrival order is pinned by the slice fixture, so the oracle
+    // replays the same 3 admit rounds as chained MATERIALIZED CTEs;
+    // the gate is the final per-vector index MEMBERSHIP, which breaks
+    // if any round admits or rejects differently from the sequential
+    // semantics. Scale: per batch, one broadcast-codebook assignment +
+    // two novelty semi-joins keyed on cid (the index side reads the
+    // cid-bucketed table — candidate volume is |batch| x list size,
+    // never batch x corpus) + an O(admitted) bucketed append; the
+    // index is never rebuilt and history files are never rewritten.
+    "q203_stream_ann_novelty_gate" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q203_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val e = normedEmbeddings(s, d).persist().leased
+            val isBatch = col("vec_id") % 5 === 0
+            // frozen versioned codebook (the q187 discipline), pinned once
+            val cent = e.where(!isBatch && col("vec_id") < 16)
+              .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+              .localCheckpoint(true)
+            wh.overwriteBucketed(
+              assignToCentroids(e.where(!isBatch), cent),
+              "silver", "ann_postings", Seq("cid"), buckets = 16)
+            val stream = s.readStream
+              .schema(embeddings(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stageBatchEmbSlices(s, d))
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  // assigned batch feeds both novelty joins AND the
+                  // admitted append — pin eagerly (the q202 lesson)
+                  val asg = assignToCentroids(
+                    batch.toDF()
+                      .withColumn("nrm",
+                        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+                      .where(col("nrm") > 0),
+                    cent).localCheckpoint(true)
+                  val novSim =
+                    call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+                  val rejIdx = asg
+                    .select(col("cid").as("acid"), col("vec_id"),
+                      col("embedding").as("ea"), col("nrm").as("na"))
+                    .join(
+                      wh.load("silver", "ann_postings")
+                        .select(col("cid").as("icid"),
+                          col("embedding").as("eb"), col("nrm").as("nb")),
+                      col("acid") === col("icid") && novSim >= lit(0.30),
+                      "left_semi")
+                    .select(col("vec_id"))
+                  val rejBatch = asg
+                    .select(col("cid").as("bcid"), col("vec_id"),
+                      col("embedding").as("eb"), col("nrm").as("nb"))
+                    .join(
+                      asg.select(col("cid").as("mcid"), col("vec_id").as("mvid"),
+                        col("embedding").as("ea"), col("nrm").as("na")),
+                      col("bcid") === col("mcid") && col("mvid") < col("vec_id") &&
+                        novSim >= lit(0.30),
+                      "left_semi")
+                    .select(col("vec_id"))
+                  val admitted = asg
+                    .join(rejIdx.union(rejBatch), Seq("vec_id"), "left_anti")
+                    .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+                    .localCheckpoint(true) // append targets the table rejIdx reads
+                  wh.appendBucketed(admitted, "silver", "ann_postings",
+                    Seq("cid"), buckets = 16)
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            wh.load("silver", "ann_postings")
+              .select(col("cid"), col("vec_id"))
+              .localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some(streamNoveltyOracleSql)
     )
   )
+
+  /** Stage the arriving-batch embeddings (vec_id % 5 == 0) as 3
+    * mtime-ordered parquet slices (by pmod(vec_id, 3)) — the arrival
+    * order q203's oracle replays. See [[graft.sources.SliceStager]].
+    */
+  private def stageBatchEmbSlices(s: SparkSession, d: String): String =
+    graft.sources.SliceStager.stage(
+      "graft_stream_emb_slices",
+      java.nio.file.Paths.get(d, "embeddings.parquet"),
+      slices = 3,
+      g => embeddings(s, d)
+        .where(col("vec_id") % 5 === 0 && pmod(col("vec_id"), lit(3)) === g))
+
+  /** q203's oracle: replay the 3 ordered admit rounds as chained
+    * MATERIALIZED CTEs (idx0 = corpus postings; round g admits a slice
+    * vector iff nothing in idx_g's same-cid list is within cosine
+    * >= 0.30 AND no same-cid slice-mate with a smaller vec_id is
+    * within 0.30; idx_{g+1} adds the admitted postings), then output
+    * the final per-vector membership. MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs at every reference and the chain is
+    * self-referential 3 deep.
+    */
+  private lazy val streamNoveltyOracleSql: String = {
+    def dotOf(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), v -> CAST(v[1] AS DOUBLE) * CAST(v[2] AS DOUBLE)))"
+    def assignCte(name: String, srcCte: String) = s"""
+        $name AS MATERIALIZED (
+          SELECT cid, vec_id, embedding, nrm FROM (
+            SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${"list_sum(list_transform(list_zip(e.embedding, c.ce), v -> CAST(v[1] AS DOUBLE) * CAST(v[2] AS DOUBLE)))"} / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+            FROM $srcCte e CROSS JOIN cent c
+          ) WHERE r = 1)"""
+    val rounds = (0 until 3).map { g =>
+      s"""s$g AS MATERIALIZED (SELECT * FROM ab WHERE vec_id % 3 = $g),
+        rej${g}i AS (
+          SELECT DISTINCT a.vec_id FROM s$g a
+          JOIN idx$g b ON b.cid = a.cid
+           AND ${dotOf("a", "b")} / (a.nrm * b.nrm) >= CAST(0.30 AS DOUBLE)),
+        rej${g}b AS (
+          SELECT DISTINCT b.vec_id FROM s$g b
+          JOIN s$g a ON a.cid = b.cid AND a.vec_id < b.vec_id
+           AND ${dotOf("a", "b")} / (a.nrm * b.nrm) >= CAST(0.30 AS DOUBLE)),
+        adm$g AS (
+          SELECT * FROM s$g
+          WHERE vec_id NOT IN (SELECT vec_id FROM rej${g}i)
+            AND vec_id NOT IN (SELECT vec_id FROM rej${g}b)),
+        idx${g + 1} AS MATERIALIZED (
+          SELECT * FROM idx$g UNION ALL SELECT * FROM adm$g)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        ab_src AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+          FROM corpus WHERE vec_id < 16),
+        ${assignCte("idx0", "corpus")},
+        ${assignCte("ab", "ab_src")},
+        $rounds
+        SELECT cid, vec_id FROM idx3"""
+  }
 }
