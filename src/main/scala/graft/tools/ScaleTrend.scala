@@ -79,6 +79,12 @@ object ScaleTrend {
     // plan + a stream-static join against the corpus band keys — both
     // sides scale with the corpus, the join must track x10
     "q192_stream_dedup_gate",
+    // round-9 streaming band-index maintenance: day-0 index build is
+    // the corpus-sized banded pass (x10); each micro-batch then pays
+    // one batch-sized banded pass + the keyed classify join against
+    // the bucketed index + an O(admitted) append — every stage linear,
+    // so the row must track the corpus x10 like q189
+    "q202_stream_index_maintenance",
     "q150_curriculum_phases",
     "q151_vocab_coverage",
     // corpus diagnostics (post-gate round-7 additions): window-hash
@@ -155,6 +161,12 @@ object ScaleTrend {
     // work — assignment + bucketed appends — must track x10; the
     // production rule is the same B ∝ n as ivf_b_scaled
     "q187_ann_index_append",
+    // round-9 streaming novelty gate: index build + assignment track
+    // x10, but the novelty semi-join at FIXED 16 centroids is the
+    // honest quadratic counter-example (batch x10 against per-cid
+    // lists x10 = x100 candidates) — the same B ∝ n rule as
+    // ivf_b_scaled restores linearity in production
+    "q203_stream_ann_novelty_gate",
     // round-9 maintained BM25 inverted index: the BUILD (explode +
     // (term,doc) aggregate + bucketed appends) must track the corpus
     // x10; RETRIEVAL stays O(query-term postings) — the suffixed
