@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.AnalyticsQueries,
     graft.operators.SketchQueries,
     graft.operators.ZOrderQueries,
+    graft.operators.RegressionQueries,
     graft.operators.GraphQueries,
     graft.functions.ScalarQueries,
     graft.functions.TextQueries,

@@ -602,6 +602,20 @@ object PlanAudit {
     // map-side partials — no window, no join, nothing quadratic
     Audit("q200_zorder_cell_stats",
       mustContain = Seq("HashAggregate", "partial_min", "partial_max"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // OLS fit: part broadcasts into the fact scan and the 10 moment
+    // sums map-side-combine — shuffle is O(brands), the 3×3 Cramer
+    // solve is a projection over the reduced frame. No window, no
+    // sort-merge, nothing row-grain past the aggregate.
+    Audit("q204_ols_fit",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // OLS apply: the O(brands) coefficient frame must come back as a
+    // BROADCAST join onto the observation rows — scoring 100 TB is a
+    // map-only stage, so any SortMergeJoin here means the plan started
+    // shuffling the fact on brand
+    Audit("q205_ols_score",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
   )
 

@@ -312,6 +312,19 @@ object ScaleTrend {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     ).coalesce(8).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // part scales with the same disjoint-copy offsets as lineitem so
+    // the l_partkey = p_partkey join stays total; brands and the
+    // per-brand (discount, retailprice) design repeat identically in
+    // every copy, so the OLS moment state (q204-q207) is size-invariant
+    // while observations grow x10 — the regression family's honest
+    // scaling regime
+    val pt = spark.read.parquet(s"$sfDir/part.parquet")
+    stacked(pt, (p, k) =>
+      p.select(
+        (col("p_partkey") + lit(k * 1000000000L)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    ).coalesce(2).write.mode("overwrite").parquet(s"$outDir/part.parquet")
     val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
     stacked(sup, (t, k) =>
       t.select(
@@ -404,6 +417,20 @@ object ScaleTrend {
           val (base, r0) = graft.operators.GraphQueries.pagerankBase(spark, dir)
           measure("pagerank_iter", tag,
             () => graft.operators.GraphQueries.pagerankIterate(en, base, r0, 1).count())
+        }
+      else Seq.empty
+    } ++ {
+      // distributed OLS (round 9): disjoint part copies keep the brand
+      // count fixed while observations grow x10, so the moment shuffle
+      // must stay KB-scale (per-task partials x O(brands)) as the scan
+      // pays the x10 — wall tracks the scan, the model state does not
+      // grow. q205 adds the broadcast-apply: scoring is map-only, so
+      // its shuffle must be the SAME moment pass and nothing else.
+      if (only.isEmpty || only("ols"))
+        Seq("q204_ols_fit", "q205_ols_score").flatMap { q =>
+          dirs.map { case (tag, dir) =>
+            measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
+          }
         }
       else Seq.empty
     }

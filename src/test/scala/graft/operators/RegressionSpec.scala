@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-traceable cases for the distributed OLS family (q204–q207):
+  * on a noise-free corpus the normal equations must recover the exact
+  * generating coefficients (a property checkable without any tolerance
+  * juggling: the design is integer-valued and tiny), diagnostics must
+  * read a perfect fit, and the maintained-moments refit must equal the
+  * one-shot fit row for row.
+  */
+class RegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Two brands, each with y generated EXACTLY on a plane:
+    *   brand A: y = 2 + 3·x1 + 0.5·x2
+    *   brand B: y = 10 − 1·x1 + 0.25·x2
+    * x-designs are nonsingular (x1, x2 vary independently).
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ols_").toString
+    val rowsA = for {
+      (x1, i) <- Seq(0.0, 1.0, 2.0, 3.0).zipWithIndex
+      (x2, j) <- Seq(4.0, 8.0, 16.0).zipWithIndex
+    } yield (i * 10L + j, i * 3 + j + 1, 1L + i, 2.0 + 3.0 * x1 + 0.5 * x2, x1, x2)
+    val rowsB = for {
+      (x1, i) <- Seq(0.0, 2.0, 5.0).zipWithIndex
+      (x2, j) <- Seq(1.0, 3.0, 9.0, 27.0).zipWithIndex
+    } yield (1000L + i * 10L + j, i * 4 + j + 1, 100L + i, 10.0 - 1.0 * x1 + 0.25 * x2, x1, x2)
+    // partkey encodes (brand, x2); part carries brand + retailprice=x2,
+    // lineitem carries discount=x1 and quantity=y
+    val li = (rowsA ++ rowsB).map { case (ok, ln, pk0, y, x1, x2) =>
+      (ok, ln, pk0 * 100 + x2.toLong, x1, y)
+    }.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_discount", "l_quantity")
+    li.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val parts = (rowsA.map { case (_, _, pk0, _, _, x2) => (pk0 * 100 + x2.toLong, "BrandA", x2) } ++
+      rowsB.map { case (_, _, pk0, _, _, x2) => (pk0 * 100 + x2.toLong, "BrandB", x2) })
+      .distinct
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    parts.coalesce(1).write.parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q204: noise-free corpus recovers the exact generating plane per brand") {
+    val got = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("BrandA") === ((2.0, 3.0, 0.5)))
+    assert(got("BrandB") === ((10.0, -1.0, 0.25)))
+  }
+
+  test("q206: diagnostics read a perfect fit (R²=1, RMSE=0)") {
+    graft.SparkEntry.queries("q206_ols_diagnostics")(spark, dir)
+      .collect()
+      .foreach { r =>
+        assert(r.getDouble(2) === 1.0, s"r2 for ${r.getString(0)}")
+        assert(r.getDouble(3) === 0.0, s"rmse for ${r.getString(0)}")
+      }
+  }
+
+  test("q205: every residual is zero on the noise-free corpus") {
+    val bad = graft.SparkEntry.queries("q205_ols_score")(spark, dir)
+      .where(abs(col("resid")) > 1e-9)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("q207: maintained-moments refit equals the one-shot fit row for row") {
+    val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val merged = graft.SparkEntry.queries("q207_ols_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(merged === oneShot)
+  }
+}
