@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** TIME-SERIES FORECASTING — Holt's linear-trend method (double
+  * exponential smoothing), the missing last mile of the reference's
+  * demand-forecast pipeline: `update_ml_features.py:29-166` assembles
+  * the features and q204-q207 fit the cross-sectional model, but a
+  * bakery plans PRODUCTION against a forecast, and the reference's
+  * `forecast_accuracy` column ships NULL (:150). q209's backtest MAE
+  * is that number.
+  *
+  * Why this shape at 100 TB: a level/trend recursion is inherently
+  * sequential IN TIME, so the only scalable plan is
+  *
+  *   row grain → (group, day) DECIMAL pre-aggregation   [the only
+  *     corpus-sized shuffle — O(groups·days), and days are bounded by
+  *     the CALENDAR, not the corpus]
+  *   → per-group date-ordered array (O(days) each)
+  *   → one sequential fold per group, all groups in parallel.
+  *
+  * A 100 TB corpus has more ROWS per day, never more days: the fold
+  * arrays stay exactly as long as the calendar, so the recursion cost
+  * is invariant while the pre-aggregation tracks the scan. This is the
+  * same state-bounding argument as the Gram/moment families, applied
+  * to the time axis.
+  *
+  * Determinism: smoothing weights are binary fractions (α = 0.5,
+  * β = 0.25) and the recursion is +,* only — every step is an
+  * IEEE-exact double op with parenthesization pinned between the Spark
+  * fold and the oracle. The ORACLE side is a recursive CTE rather than
+  * a list fold: DuckDB 1.0's `list(... ORDER BY)` merges thread-local
+  * partials nondeterministically, and `list_reduce` itself returns
+  * wrong results on sliced/filtered list buffers (both observed here —
+  * byte-identical input arrays, drifting fold output), while the
+  * recursive CTE replays the recursion row by row and is bit-stable.
+  * The backtest's 28-term error sum is NOT a fold at all: each |error|
+  * is cast to DECIMAL(38,10) and summed exactly, so no order pinning
+  * is needed on either side.
+  *
+  * Convention: the fold seeds level = first observation, trend = 0
+  * (the zero-trend init variant of Holt), and smooths over OBSERVED
+  * days — gaps in the calendar advance the recursion by one step, not
+  * by elapsed days. Both conventions are mirrored in the oracle.
+  */
+object ForecastQueries extends QueryModule {
+
+  import Tables._
+
+  private val dt = DecimalType(38, 10)
+  private val H  = 28
+
+  /** (segment, day) daily revenue — the corpus-sized pre-aggregation.
+    * Decimal sums so the daily totals are exact and order-independent.
+    */
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("seg"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast(dt)).as("rev"))
+      .select(col("seg"), col("day"), col("rev").cast("double").as("y"))
+
+  /** Date-ordered per-group element array for the fold: struct fields
+    * (l, b, y) so the accumulator and the elements share one type. The
+    * first element IS the initial state (l = y₀, b = 0).
+    */
+  private val elemsExpr =
+    """transform(sort_array(collect_list(named_struct('day', day, 'y', y))),
+       d -> named_struct('l', d.y, 'b', cast(0 as double), 'y', d.y))"""
+
+  /** One Holt step, text-pinned to the oracle's recursive-CTE step: the
+    * new level is written out twice (lambdas bind no intermediates) so
+    * the parenthesization is identical everywhere.
+    */
+  private def holtFold(arr: String, init: String): String =
+    s"""aggregate($arr, $init,
+        (acc, e) -> named_struct(
+          'l', 0.5 * e.y + 0.5 * (acc.l + acc.b),
+          'b', 0.25 * ((0.5 * e.y + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b,
+          'y', e.y))"""
+
+  private val dailySql = """
+        daily AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        ranked AS MATERIALIZED (
+          SELECT seg, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day)
+                      AS INTEGER) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY seg) AS INTEGER) AS cnt
+          FROM daily),
+        nd AS MATERIALIZED (
+          SELECT seg, COUNT(*) AS n_days FROM daily GROUP BY seg)"""
+
+  /** Recursive-CTE replay of the Holt recursion over `ranked`, bounded
+    * by `bound` (SQL text over r: the last rn to consume).
+    */
+  private def holtStepSql(bound: String) = s"""
+        step AS (
+          SELECT seg, rn, cnt, y AS l, CAST(0 AS DOUBLE) AS b
+          FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.seg, r.rn, r.cnt,
+                 0.5 * r.y + 0.5 * (s.l + s.b) AS l,
+                 0.25 * ((0.5 * r.y + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b AS b
+          FROM step s JOIN ranked r
+            ON r.seg = s.seg AND r.rn = s.rn + 1 AND r.rn <= $bound),
+        fit AS MATERIALIZED (
+          SELECT seg, arg_max(l, rn) AS l, arg_max(b, rn) AS b
+          FROM step GROUP BY seg)"""
+
+  override def queries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // HOLT FIT + FORECAST — terminal level/trend per segment and the
+    // 1-, 7- and 28-step-ahead revenue forecasts (level + h·trend).
+    // The Spark fold consumes elements 2..n with element 1 as the seed
+    // state; the oracle replays the identical recursion as a recursive
+    // CTE and reads the terminal state with arg_max(·, rn).
+    "q208_holt_forecast" -> QueryDef(
+      fn = (s, d) => {
+        val ser = dailyRevenue(s, d)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_days"), expr(elemsExpr).as("elems"))
+        ser
+          .withColumn("fit",
+            expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
+              "element_at(elems, 1)")))
+          .select(
+            col("seg"), col("n_days"),
+            round(col("fit.l"), 6).as("level"),
+            round(col("fit.b"), 6).as("trend"),
+            round(col("fit.l") + lit(1.0) * col("fit.b"), 6).as("fc_1"),
+            round(col("fit.l") + lit(7.0) * col("fit.b"), 6).as("fc_7"),
+            round(col("fit.l") + lit(28.0) * col("fit.b"), 6).as("fc_28"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt")}
+        SELECT nd.seg, nd.n_days,
+               ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
+               ROUND(f.l + 1.0 * f.b, 6) AS fc_1,
+               ROUND(f.l + 7.0 * f.b, 6) AS fc_7,
+               ROUND(f.l + 28.0 * f.b, 6) AS fc_28
+        FROM nd JOIN fit f ON nd.seg = f.seg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // FORECAST BACKTEST — hold out the last 28 observed days, fit on
+    // the prefix, forecast h = 1..28, and report the mean absolute
+    // error: the `forecast_accuracy` number the reference never
+    // computes. The O(groups) fit broadcasts onto the holdout rows and
+    // the |error| terms are DECIMAL-summed — a keyed aggregation, not
+    // a fold, so it needs no order pinning and no array state.
+    "q209_forecast_backtest" -> QueryDef(
+      fn = (s, d) => {
+        val bySeg = Window.partitionBy("seg")
+        val ranked = dailyRevenue(s, d)
+          .withColumn("rn", row_number().over(bySeg.orderBy("day")))
+          .withColumn("cnt", count(lit(1)).over(bySeg))
+        val fit = ranked.where(col("rn") <= col("cnt") - H)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_train"), expr(elemsExpr).as("elems"))
+          .withColumn("fit",
+            expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
+              "element_at(elems, 1)")))
+          .select(col("seg"), col("n_train"),
+            col("fit.l").as("l"), col("fit.b").as("b"))
+        ranked.where(col("rn") > col("cnt") - H)
+          .join(broadcast(fit), Seq("seg"))
+          .select(col("seg"), col("n_train"), col("l"), col("b"),
+            abs(col("y") -
+              (col("l") + (col("rn") - (col("cnt") - H)) * col("b")))
+              .cast(dt).as("ae"))
+          .groupBy(col("seg"), col("n_train"), col("l"), col("b"))
+          .agg(sum(col("ae")).as("sae"))
+          .select(
+            col("seg"), col("n_train"),
+            round(col("l"), 6).as("level"),
+            round(col("b"), 6).as("trend"),
+            round(col("sae").cast("double") / lit(H.toDouble), 6).as("mae"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt - 28")},
+        err AS MATERIALIZED (
+          SELECT r.seg,
+                 CAST(SUM(CAST(ABS(r.y -
+                        (f.l + (r.rn - (r.cnt - 28)) * f.b))
+                      AS DECIMAL(38,10))) AS DOUBLE) AS sae
+          FROM ranked r JOIN fit f ON r.seg = f.seg
+          WHERE r.rn > r.cnt - 28
+          GROUP BY r.seg)
+        SELECT nd.seg, nd.n_days - 28 AS n_train,
+               ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
+               ROUND(e.sae / 28.0, 6) AS mae
+        FROM nd JOIN fit f ON nd.seg = f.seg JOIN err e ON nd.seg = e.seg""")
+    )
+  )
+}

@@ -616,7 +616,21 @@ object PlanAudit {
     // shuffling the fact on brand
     Audit("q205_ols_score",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
-      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // Holt forecast: the day-grain decimal pre-aggregation map-side-
+    // combines (the only corpus-sized shuffle); the fold runs over
+    // collected per-segment day arrays (ObjectHashAggregate) — nothing
+    // row-grain ever windows or nested-loops
+    Audit("q208_holt_forecast",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoop")),
+    // backtest: the O(segments) fit BROADCASTS onto the holdout rows
+    // (scoring is map-side) and the |error| terms decimal-sum in a
+    // keyed aggregate; the only window is the day-grain rank over the
+    // pre-aggregated frame, never over the fact
+    Audit("q209_forecast_backtest",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

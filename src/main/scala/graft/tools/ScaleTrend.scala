@@ -325,6 +325,26 @@ object ScaleTrend {
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
     ).coalesce(2).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    // orders/customer scale with offset keys over the SAME date range
+    // and segment set: the forecast family's honest regime — a bigger
+    // corpus has more rows per day, never more days, so the
+    // (segment, day) pre-aggregation state and the per-segment fold
+    // length must stay calendar-bounded while the scan pays the x10
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    stacked(ord, (o, k) =>
+      o.select(
+        (col("o_orderkey") + lit(k * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(k * 1000000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    ).coalesce(4).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    stacked(cust, (c, k) =>
+      c.select(
+        (col("c_custkey") + lit(k * 1000000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    ).coalesce(2).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
     stacked(sup, (t, k) =>
       t.select(
@@ -428,6 +448,18 @@ object ScaleTrend {
       // its shuffle must be the SAME moment pass and nothing else.
       if (only.isEmpty || only("ols"))
         Seq("q204_ols_fit", "q205_ols_score").flatMap { q =>
+          dirs.map { case (tag, dir) =>
+            measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
+          }
+        }
+      else Seq.empty
+    } ++ {
+      // Holt forecasting (round 9): x10 rows over the SAME calendar —
+      // the (seg, day) pre-aggregation output and the fold arrays are
+      // day-grain, so shuffle past the first aggregate and the
+      // recursion cost must both stay FLAT while the scan pays the x10
+      if (only.isEmpty || only("forecast"))
+        Seq("q208_holt_forecast", "q209_forecast_backtest").flatMap { q =>
           dirs.map { case (tag, dir) =>
             measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
           }
