@@ -201,6 +201,140 @@ object ForecastQueries extends QueryModule {
                ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
                ROUND(e.sae / 28.0, 6) AS mae
         FROM nd JOIN fit f ON nd.seg = f.seg JOIN err e ON nd.seg = e.seg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED FORECAST STATE — the maintained-index twin for
+    // SEQUENTIAL state, the one state class the additive MV pattern
+    // (q176/q193/q207) cannot cover: a Holt fold is not commutative,
+    // but a left fold is CONTINUABLE — fold(s, a ++ b) =
+    // fold(fold(s, a), b) — so the stored per-group (level, trend)
+    // pair plus the day cursor IS the whole state. Four chronological
+    // ingest batches each fold ONLY their own days, seeded from the
+    // stored state; a nightly 100 TB refresh pays O(new days) per
+    // group, never a history re-fold. Gated against the one-shot q208
+    // SQL — the incremental ≡ recompute proof by left-fold identity.
+    "q210_holt_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q210_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val bySeg = Window.partitionBy("seg")
+          val ranked = dailyRevenue(s, d)
+            .withColumn("rn", row_number().over(bySeg.orderBy("day")))
+            .withColumn("cnt", count(lit(1)).over(bySeg))
+          for (bi <- 0 until 4) {
+            // chronological quartiles per group — ingest order, the
+            // only order a sequential state can absorb
+            val batch = ranked
+              .where(col("rn") > col("cnt") * bi / 4 &&
+                col("rn") <= col("cnt") * (bi + 1) / 4)
+              .groupBy(col("seg"))
+              .agg(count(lit(1)).as("n_new"), expr(elemsExpr).as("elems"))
+            val folded =
+              if (wh.exists("gold", "mv_holt_state")) {
+                val st = wh.load("gold", "mv_holt_state")
+                  .select(col("seg"), col("n_days").as("n_prev"),
+                    col("l").as("pl"), col("b").as("pb"))
+                // continue the fold from the stored state; a group
+                // first seen in this batch seeds from its own head, a
+                // group with no new days keeps its state untouched
+                batch.join(st, Seq("seg"), "full")
+                  .withColumn("fit",
+                    when(col("elems").isNull,
+                      expr("named_struct('l', pl, 'b', pb, 'y', pl)"))
+                    .when(col("pl").isNotNull,
+                      expr(holtFold("elems",
+                        "named_struct('l', pl, 'b', pb, 'y', pl)")))
+                    .otherwise(expr(holtFold(
+                      "slice(elems, 2, cardinality(elems) - 1)",
+                      "element_at(elems, 1)"))))
+                  .select(col("seg"),
+                    (coalesce(col("n_prev"), lit(0L)) +
+                      coalesce(col("n_new"), lit(0L))).as("n_days"),
+                    col("fit.l").as("l"), col("fit.b").as("b"))
+              } else
+                batch.withColumn("fit",
+                  expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
+                    "element_at(elems, 1)")))
+                  .select(col("seg"), col("n_new").as("n_days"),
+                    col("fit.l").as("l"), col("fit.b").as("b"))
+            wh.overwrite(folded, "gold", "mv_holt_state")
+          }
+          wh.load("gold", "mv_holt_state")
+            .select(
+              col("seg"), col("n_days"),
+              round(col("l"), 6).as("level"),
+              round(col("b"), 6).as("trend"),
+              round(col("l") + lit(1.0) * col("b"), 6).as("fc_1"),
+              round(col("l") + lit(7.0) * col("b"), 6).as("fc_7"),
+              round(col("l") + lit(28.0) * col("b"), 6).as("fc_28"))
+            .localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt")}
+        SELECT nd.seg, nd.n_days,
+               ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
+               ROUND(f.l + 1.0 * f.b, 6) AS fc_1,
+               ROUND(f.l + 7.0 * f.b, 6) AS fc_7,
+               ROUND(f.l + 28.0 * f.b, 6) AS fc_28
+        FROM nd JOIN fit f ON nd.seg = f.seg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CONFORMAL FORECAST INTERVAL — the q209 backtest's 28 calibration
+    // residuals turned into a distribution-free interval: radius = the
+    // 27th smallest |residual| (split-conformal at ⌈(n+1)·0.9⌉ = 27 of
+    // n = 28, ≈90% coverage), band = fc ± radius for the first
+    // out-of-sample step (h = 29 from the train fit). The radius is an
+    // EXACT order statistic over 28 doubles that are bit-identical in
+    // both engines (pinned residual arithmetic), so sorting and
+    // indexing them is deterministic — no approximate quantile needed
+    // at this grain, the calibration set is O(H) per group by
+    // construction.
+    "q211_forecast_interval" -> QueryDef(
+      fn = (s, d) => {
+        val bySeg = Window.partitionBy("seg")
+        val ranked = dailyRevenue(s, d)
+          .withColumn("rn", row_number().over(bySeg.orderBy("day")))
+          .withColumn("cnt", count(lit(1)).over(bySeg))
+        val fit = ranked.where(col("rn") <= col("cnt") - H)
+          .groupBy(col("seg"))
+          .agg(expr(elemsExpr).as("elems"))
+          .withColumn("fit",
+            expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
+              "element_at(elems, 1)")))
+          .select(col("seg"), col("fit.l").as("l"), col("fit.b").as("b"))
+        ranked.where(col("rn") > col("cnt") - H)
+          .join(broadcast(fit), Seq("seg"))
+          .select(col("seg"), col("l"), col("b"),
+            abs(col("y") -
+              (col("l") + (col("rn") - (col("cnt") - H)) * col("b"))).as("ar"))
+          .groupBy(col("seg"), col("l"), col("b"))
+          .agg(element_at(sort_array(collect_list(col("ar"))), 27).as("radius"))
+          .select(
+            col("seg"), lit(H).as("n_cal"),
+            round(col("radius"), 6).as("radius"),
+            round(col("l") + lit(29.0) * col("b"), 6).as("fc_next"),
+            round((col("l") + lit(29.0) * col("b")) - col("radius"), 6).as("lo"),
+            round((col("l") + lit(29.0) * col("b")) + col("radius"), 6).as("hi"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt - 28")},
+        cal AS MATERIALIZED (
+          SELECT r.seg, f.l, f.b,
+                 list_sort(list(ABS(r.y -
+                   (f.l + (r.rn - (r.cnt - 28)) * f.b))))[27] AS radius
+          FROM ranked r JOIN fit f ON r.seg = f.seg
+          WHERE r.rn > r.cnt - 28
+          GROUP BY r.seg, f.l, f.b)
+        SELECT seg, 28 AS n_cal,
+               ROUND(radius, 6) AS radius,
+               ROUND(l + 29.0 * b, 6) AS fc_next,
+               ROUND((l + 29.0 * b) - radius, 6) AS lo,
+               ROUND((l + 29.0 * b) + radius, 6) AS hi
+        FROM cal""")
     )
   )
 }

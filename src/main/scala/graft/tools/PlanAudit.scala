@@ -630,6 +630,12 @@ object PlanAudit {
     // pre-aggregated frame, never over the fact
     Audit("q209_forecast_backtest",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
+    // conformal interval: same backtest scaffolding — broadcast fit,
+    // keyed O(H)-element calibration aggregate, no fact-grain window
+    // regression, nothing quadratic
+    Audit("q211_forecast_interval",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"))
   )
 

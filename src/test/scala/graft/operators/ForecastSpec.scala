@@ -72,4 +72,40 @@ class ForecastSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("trend") - b) < 1e-6)
     assert(math.abs(r.getAs[Double]("mae") - mae) < 1e-5, s"mae ${r.getAs[Double]("mae")} vs $mae")
   }
+
+  test("q210: four-batch continued fold equals the one-shot q208 row for row") {
+    val ys = (1 to 37).map(t => ((t * 1103515245L) % 777).toDouble / 8.0)
+    val dir = writeCorpus(ys.zipWithIndex.map { case (y, i) =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong)
+      (i.toLong + 1, 1L, y, day.toString)
+    })
+    val oneShot = graft.SparkEntry.queries("q208_holt_forecast")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val continued = graft.SparkEntry.queries("q210_holt_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(continued === oneShot)
+  }
+
+  test("q211: radius is the 27th smallest |calibration residual|") {
+    val ys = (1 to 40).map(t => ((t * 2654435761L) % 1000).toDouble / 4.0)
+    val dir = writeCorpus(ys.zipWithIndex.map { case (y, i) =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      (i.toLong + 1, 1L, y, day.toString)
+    })
+    val r = graft.SparkEntry.queries("q211_forecast_interval")(spark, dir).head()
+    val train = ys.take(12)
+    var l = train.head; var b = 0.0
+    train.tail.foreach { y =>
+      val nl = 0.5 * y + 0.5 * (l + b)
+      b = 0.25 * (nl - l) + 0.75 * b
+      l = nl
+    }
+    val radius = ys.drop(12).zipWithIndex
+      .map { case (y, h0) => math.abs(y - (l + (h0 + 1) * b)) }
+      .sorted.apply(26)
+    val fc = l + 29.0 * b
+    assert(math.abs(r.getAs[Double]("radius") - radius) < 1e-6)
+    assert(math.abs(r.getAs[Double]("lo") - (fc - radius)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hi") - (fc + radius)) < 1e-6)
+  }
 }
