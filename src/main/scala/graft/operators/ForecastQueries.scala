@@ -117,6 +117,76 @@ object ForecastQueries extends QueryModule {
           SELECT seg, arg_max(l, rn) AS l, arg_max(b, rn) AS b
           FROM step GROUP BY seg)"""
 
+  /** Stage orders as 3 mtime-ordered slice files cut on CALENDAR
+    * terciles of the observed date range — chronological arrival with
+    * day-aligned boundaries, the precondition for continued folding.
+    */
+  private def stageOrderSlices(s: SparkSession, d: String): String =
+    graft.sources.SliceStager.stage(
+      "graft_stream_order_slices",
+      java.nio.file.Paths.get(d, "orders.parquet"),
+      slices = 3,
+      g => {
+        val o = orders(s, d)
+          .withColumn("day", col("o_orderdate").cast("date"))
+        val mm = o.agg(min(col("day")), max(col("day"))).head()
+        val lo = mm.getDate(0).toLocalDate
+        val hi = mm.getDate(1).toLocalDate
+        val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+        val c1 = java.sql.Date.valueOf(lo.plusDays(span / 3))
+        val c2 = java.sql.Date.valueOf(lo.plusDays(2 * span / 3))
+        val cond = g match {
+          case 0 => col("day") < lit(c1)
+          case 1 => col("day") >= lit(c1) && col("day") < lit(c2)
+          case _ => col("day") >= lit(c2)
+        }
+        o.where(cond).drop("day")
+      })
+
+  /** Merge one ingest batch's per-group day aggregate into the stored
+    * Holt state: continue the fold from (level, trend) where state
+    * exists, seed from the batch's own head where it doesn't, pass
+    * state through untouched for groups with no new days. `batch` must
+    * carry (seg, n_new, elems) with elems date-sorted.
+    */
+  private def mergeHoltState(
+      wh: graft.etl.Warehouse, batch: DataFrame): DataFrame =
+    if (wh.exists("gold", "mv_holt_state")) {
+      val st = wh.load("gold", "mv_holt_state")
+        .select(col("seg"), col("n_days").as("n_prev"),
+          col("l").as("pl"), col("b").as("pb"))
+      batch.join(st, Seq("seg"), "full")
+        .withColumn("fit",
+          when(col("elems").isNull,
+            expr("named_struct('l', pl, 'b', pb, 'y', pl)"))
+          .when(col("pl").isNotNull,
+            expr(holtFold("elems",
+              "named_struct('l', pl, 'b', pb, 'y', pl)")))
+          .otherwise(expr(holtFold(
+            "slice(elems, 2, cardinality(elems) - 1)",
+            "element_at(elems, 1)"))))
+        .select(col("seg"),
+          (coalesce(col("n_prev"), lit(0L)) +
+            coalesce(col("n_new"), lit(0L))).as("n_days"),
+          col("fit.l").as("l"), col("fit.b").as("b"))
+    } else
+      batch.withColumn("fit",
+        expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
+          "element_at(elems, 1)")))
+        .select(col("seg"), col("n_new").as("n_days"),
+          col("fit.l").as("l"), col("fit.b").as("b"))
+
+  /** Read the stored state out in q208's output contract. */
+  private def holtStateReport(wh: graft.etl.Warehouse): DataFrame =
+    wh.load("gold", "mv_holt_state")
+      .select(
+        col("seg"), col("n_days"),
+        round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"),
+        round(col("l") + lit(1.0) * col("b"), 6).as("fc_1"),
+        round(col("l") + lit(7.0) * col("b"), 6).as("fc_7"),
+        round(col("l") + lit(28.0) * col("b"), 6).as("fc_28"))
+
   override def queries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -231,46 +301,72 @@ object ForecastQueries extends QueryModule {
                 col("rn") <= col("cnt") * (bi + 1) / 4)
               .groupBy(col("seg"))
               .agg(count(lit(1)).as("n_new"), expr(elemsExpr).as("elems"))
-            val folded =
-              if (wh.exists("gold", "mv_holt_state")) {
-                val st = wh.load("gold", "mv_holt_state")
-                  .select(col("seg"), col("n_days").as("n_prev"),
-                    col("l").as("pl"), col("b").as("pb"))
-                // continue the fold from the stored state; a group
-                // first seen in this batch seeds from its own head, a
-                // group with no new days keeps its state untouched
-                batch.join(st, Seq("seg"), "full")
-                  .withColumn("fit",
-                    when(col("elems").isNull,
-                      expr("named_struct('l', pl, 'b', pb, 'y', pl)"))
-                    .when(col("pl").isNotNull,
-                      expr(holtFold("elems",
-                        "named_struct('l', pl, 'b', pb, 'y', pl)")))
-                    .otherwise(expr(holtFold(
-                      "slice(elems, 2, cardinality(elems) - 1)",
-                      "element_at(elems, 1)"))))
-                  .select(col("seg"),
-                    (coalesce(col("n_prev"), lit(0L)) +
-                      coalesce(col("n_new"), lit(0L))).as("n_days"),
-                    col("fit.l").as("l"), col("fit.b").as("b"))
-              } else
-                batch.withColumn("fit",
-                  expr(holtFold("slice(elems, 2, cardinality(elems) - 1)",
-                    "element_at(elems, 1)")))
-                  .select(col("seg"), col("n_new").as("n_days"),
-                    col("fit.l").as("l"), col("fit.b").as("b"))
-            wh.overwrite(folded, "gold", "mv_holt_state")
+            wh.overwrite(mergeHoltState(wh, batch), "gold", "mv_holt_state")
           }
-          wh.load("gold", "mv_holt_state")
-            .select(
-              col("seg"), col("n_days"),
-              round(col("l"), 6).as("level"),
-              round(col("b"), 6).as("trend"),
-              round(col("l") + lit(1.0) * col("b"), 6).as("fc_1"),
-              round(col("l") + lit(7.0) * col("b"), 6).as("fc_7"),
-              round(col("l") + lit(28.0) * col("b"), 6).as("fc_28"))
-            .localCheckpoint(true)
+          holtStateReport(wh).localCheckpoint(true)
         } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt")}
+        SELECT nd.seg, nd.n_days,
+               ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
+               ROUND(f.l + 1.0 * f.b, 6) AS fc_1,
+               ROUND(f.l + 7.0 * f.b, 6) AS fc_7,
+               ROUND(f.l + 28.0 * f.b, 6) AS fc_28
+        FROM nd JOIN fit f ON nd.seg = f.seg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING FORECAST MAINTENANCE — q210's nightly state refresh
+    // made CONTINUOUS, completing the streaming/batch symmetry the
+    // band index (q189/q202) and ANN postings (q187/q203) already
+    // have: orders arrive as 3 real micro-batches (a file source over
+    // mtime-ordered calendar-tercile slices, maxFilesPerTrigger=1) and
+    // each batch's foreachBatch aggregates ITS OWN days and continues
+    // the stored fold. Slices cut on DAY boundaries, so no day is ever
+    // split across batches and per-group day order is preserved —
+    // exactly the precondition under which the left-fold identity
+    // makes 3 continued folds ≡ the one-shot recursion the oracle
+    // runs. Per arrival the cost is O(batch) aggregation + an
+    // O(groups) state merge; history is never re-read.
+    "q212_stream_forecast_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q212_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val stream = s.readStream
+              .schema(orders(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stageOrderSlices(s, d))
+            val cust = customer(s, d)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  val dailyB = batch.toDF()
+                    .join(cust, col("o_custkey") === col("c_custkey"))
+                    .groupBy(
+                      col("c_mktsegment").as("seg"),
+                      col("o_orderdate").cast("date").as("day"))
+                    .agg(sum(col("o_totalprice").cast(dt)).as("rev"))
+                    .select(col("seg"), col("day"),
+                      col("rev").cast("double").as("y"))
+                    .groupBy(col("seg"))
+                    .agg(count(lit(1)).as("n_new"), expr(elemsExpr).as("elems"))
+                  wh.overwrite(mergeHoltState(wh, dailyB), "gold", "mv_holt_state")
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            holtStateReport(wh).localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some(s"""
         WITH RECURSIVE $dailySql, ${holtStepSql("r.cnt")}

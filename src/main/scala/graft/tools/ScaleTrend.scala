@@ -459,7 +459,8 @@ object ScaleTrend {
       // day-grain, so shuffle past the first aggregate and the
       // recursion cost must both stay FLAT while the scan pays the x10
       if (only.isEmpty || only("forecast"))
-        Seq("q208_holt_forecast", "q209_forecast_backtest").flatMap { q =>
+        Seq("q208_holt_forecast", "q209_forecast_backtest",
+            "q212_stream_forecast_maintenance").flatMap { q =>
           dirs.map { case (tag, dir) =>
             measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
           }

@@ -86,6 +86,19 @@ class ForecastSpec extends AnyFunSuite {
     assert(continued === oneShot)
   }
 
+  test("q212: streaming micro-batch maintenance equals the one-shot q208") {
+    val ys = (1 to 37).map(t => ((t * 1103515245L) % 777).toDouble / 8.0)
+    val dir = writeCorpus(ys.zipWithIndex.map { case (y, i) =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong)
+      (i.toLong + 1, 1L, y, day.toString)
+    })
+    val oneShot = graft.SparkEntry.queries("q208_holt_forecast")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.SparkEntry.queries("q212_stream_forecast_maintenance")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+  }
+
   test("q211: radius is the 27th smallest |calibration residual|") {
     val ys = (1 to 40).map(t => ((t * 2654435761L) % 1000).toDouble / 4.0)
     val dir = writeCorpus(ys.zipWithIndex.map { case (y, i) =>
