@@ -60,8 +60,8 @@ object RegressionQueries extends QueryModule {
   /** The 10 normal-equation moments per group — the ONLY state the fit
     * needs, shuffled as O(groups)·10 decimals with map-side combine.
     */
-  private def aggMoments(rows: DataFrame): DataFrame =
-    rows.groupBy(col("brand")).agg(
+  private def aggMoments(rows: DataFrame, keys: Seq[String] = Seq("brand")): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(col("x1").cast(dt)).as("s1"),
       sum(col("x2").cast(dt)).as("s2"),
@@ -78,25 +78,52 @@ object RegressionQueries extends QueryModule {
   /** Closed-form 3×3 Cramer solve of the normal equations A·b = c with
     *   A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],  c = [sy,s1y,s2y].
     * Cofactor expansion along the first row, parenthesization pinned to
-    * the oracle text term for term.
+    * the oracle text term for term. Parameterized over the moment
+    * columns so the ridge (s11+λ, s22+λ) and CV (train = total − fold)
+    * variants reuse the identical pinned solve.
     */
+  private def cramerCols(
+      n: Column, s1: Column, s2: Column, sy: Column,
+      s11: Column, s22: Column, s12: Column,
+      s1y: Column, s2y: Column): (Column, Column, Column) = {
+    val det = n * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    (det0 / det, det1 / det, det2 / det)
+  }
+
+  /** SQL mirror of [[cramerCols]] — emits (b0, b1, b2) expression text
+    * over the given operand texts, same cofactor structure.
+    */
+  private def cramerSql(
+      n: String, s1: String, s2: String, sy: String,
+      s11: String, s22: String, s12: String,
+      s1y: String, s2y: String): (String, String, String) = {
+    val det = s"($n * ($s11 * $s22 - $s12 * $s12) - " +
+      s"$s1 * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s12 - $s11 * $s2))"
+    val det0 = s"($sy * ($s11 * $s22 - $s12 * $s12) - " +
+      s"$s1 * ($s1y * $s22 - $s12 * $s2y) + $s2 * ($s1y * $s12 - $s11 * $s2y))"
+    val det1 = s"($n * ($s1y * $s22 - $s12 * $s2y) - " +
+      s"$sy * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s2y - $s1y * $s2))"
+    val det2 = s"($n * ($s11 * $s2y - $s1y * $s12) - " +
+      s"$s1 * ($s1 * $s2y - $s1y * $s2) + $sy * ($s1 * $s12 - $s11 * $s2))"
+    (s"$det0 / $det", s"$det1 / $det", s"$det2 / $det")
+  }
+
   private def withCoefficients(m: DataFrame): DataFrame = {
-    val n = col("n").cast("double")
-    val det = n * (D("s11") * D("s22") - D("s12") * D("s12")) -
-      D("s1") * (D("s1") * D("s22") - D("s12") * D("s2")) +
-      D("s2") * (D("s1") * D("s12") - D("s11") * D("s2"))
-    val det0 = D("sy") * (D("s11") * D("s22") - D("s12") * D("s12")) -
-      D("s1") * (D("s1y") * D("s22") - D("s12") * D("s2y")) +
-      D("s2") * (D("s1y") * D("s12") - D("s11") * D("s2y"))
-    val det1 = n * (D("s1y") * D("s22") - D("s12") * D("s2y")) -
-      D("sy") * (D("s1") * D("s22") - D("s12") * D("s2")) +
-      D("s2") * (D("s1") * D("s2y") - D("s1y") * D("s2"))
-    val det2 = n * (D("s11") * D("s2y") - D("s1y") * D("s12")) -
-      D("s1") * (D("s1") * D("s2y") - D("s1y") * D("s2")) +
-      D("sy") * (D("s1") * D("s12") - D("s11") * D("s2"))
-    m.withColumn("b0", det0 / det)
-      .withColumn("b1", det1 / det)
-      .withColumn("b2", det2 / det)
+    val (b0, b1, b2) = cramerCols(
+      col("n").cast("double"), D("s1"), D("s2"), D("sy"),
+      D("s11"), D("s22"), D("s12"), D("s1y"), D("s2y"))
+    m.withColumn("b0", b0).withColumn("b1", b1).withColumn("b2", b2)
   }
 
   private def fitOutput(m: DataFrame): DataFrame =
@@ -282,6 +309,154 @@ object RegressionQueries extends QueryModule {
         SELECT brand, n,
                ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
         FROM f""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RIDGE FIT — the same moment pass and Cramer solve with λ added
+    // to the non-intercept diagonal (A + λ·diag(0,1,1)). The
+    // production point is ROBUSTNESS, not shrinkage tuning: with λ > 0
+    // the system is positive definite for EVERY group, so degenerate
+    // groups (constant discount, single product price — det → 0 under
+    // OLS) still fit instead of exploding, with zero change to the
+    // plan shape or the O(groups) state. λ = 64 (an exact power of
+    // two) applies to RAW features — standardize first when the
+    // penalty must be scale-equivariant.
+    "q213_ridge_fit" -> QueryDef(
+      fn = (s, d) => {
+        val m = aggMoments(olsRows(s, d))
+        val (b0, b1, b2) = cramerCols(
+          col("n").cast("double"), D("s1"), D("s2"), D("sy"),
+          D("s11") + lit(64.0), D("s22") + lit(64.0), D("s12"),
+          D("s1y"), D("s2y"))
+        m.select(col("brand"), col("n"),
+          round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"))
+      },
+      oracle = Some {
+        val (b0, b1, b2) = cramerSql("nd", "s1", "s2", "sy",
+          "(s11 + 64.0)", "(s22 + 64.0)", "s12", "s1y", "s2y")
+        s"""
+        WITH $momentsSql,
+        cr AS MATERIALIZED (
+          SELECT brand, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                 CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+                 CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+                 CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y
+          FROM m)
+        SELECT brand, n,
+               ROUND($b0, 6) AS b0, ROUND($b1, 6) AS b1, ROUND($b2, 6) AS b2
+        FROM cr"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // K-FOLD CROSS-VALIDATION — model selection without a second data
+    // pass: per (brand, fold = orderkey % 4) moments, train moments =
+    // total − fold (DECIMAL subtraction, exact), the pinned Cramer
+    // solve per training complement, and the held-out fold's SSE
+    // closed-form from ITS moments with the trained coefficients
+    // (SSE = Σy² − 2bᵀXᵀy + bᵀXᵀXb). Everything after the one moment
+    // pass is O(groups · folds) arithmetic — 4-fold CV at 100 TB costs
+    // exactly one scan, the thing a naive per-fold refit pipeline pays
+    // 4 scans for.
+    "q214_ols_cv" -> QueryDef(
+      fn = (s, d) => {
+        val rows = olsRows(s, d)
+          .withColumn("fold", pmod(col("k"), lit(4)).cast("int"))
+        val mf = aggMoments(rows, Seq("brand", "fold"))
+        val momCols = Seq("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+        val tot = mf.groupBy(col("brand")).agg(
+          sum(col("n")).as("tn"),
+          momCols.map(c => sum(col(c)).as("t" + c)): _*)
+        def trainD(c: String) = (col("t" + c) - col(c)).cast("double")
+        val (b0, b1, b2) = cramerCols(
+          (col("tn") - col("n")).cast("double"),
+          trainD("s1"), trainD("s2"), trainD("sy"), trainD("s11"),
+          trainD("s22"), trainD("s12"), trainD("s1y"), trainD("s2y"))
+        def F(c: String) = col(c).cast("double")
+        val nf = col("n").cast("double")
+        val quad =
+          col("b0") * (col("b0") * nf + col("b1") * F("s1") + col("b2") * F("s2")) +
+          col("b1") * (col("b0") * F("s1") + col("b1") * F("s11") + col("b2") * F("s12")) +
+          col("b2") * (col("b0") * F("s2") + col("b1") * F("s12") + col("b2") * F("s22"))
+        val sse = (F("syy") - lit(2.0) *
+          ((col("b0") * F("sy") + col("b1") * F("s1y")) + col("b2") * F("s2y"))) + quad
+        val perFold = mf.join(tot, Seq("brand"))
+          .withColumn("b0", b0).withColumn("b1", b1).withColumn("b2", b2)
+          .withColumn("sse", sse)
+        perFold.groupBy(col("brand"), col("tn"))
+          .agg(
+            max(when(col("fold") === 0, col("sse"))).as("sse0"),
+            max(when(col("fold") === 1, col("sse"))).as("sse1"),
+            max(when(col("fold") === 2, col("sse"))).as("sse2"),
+            max(when(col("fold") === 3, col("sse"))).as("sse3"))
+          .select(col("brand"), col("tn").as("n"),
+            round(sqrt(((col("sse0") + col("sse1")) + (col("sse2") + col("sse3"))) /
+              col("tn").cast("double")), 6).as("cv_rmse"))
+      },
+      oracle = Some {
+        val (b0, b1, b2) = cramerSql("tnd", "t1", "t2", "ty",
+          "t11", "t22", "t12", "t1y", "t2y")
+        s"""
+        WITH $momentsSql,
+        rf AS MATERIALIZED (
+          SELECT brand, x1, x2, y, k % 4 AS fold FROM r),
+        mf AS MATERIALIZED (
+          SELECT brand, fold, COUNT(*) AS n,
+                 SUM(CAST(x1 AS DECIMAL(38,10))) AS s1,
+                 SUM(CAST(x2 AS DECIMAL(38,10))) AS s2,
+                 SUM(CAST(y AS DECIMAL(38,10))) AS sy,
+                 SUM(CAST(x1 * x1 AS DECIMAL(38,10))) AS s11,
+                 SUM(CAST(x2 * x2 AS DECIMAL(38,10))) AS s22,
+                 SUM(CAST(x1 * x2 AS DECIMAL(38,10))) AS s12,
+                 SUM(CAST(x1 * y AS DECIMAL(38,10))) AS s1y,
+                 SUM(CAST(x2 * y AS DECIMAL(38,10))) AS s2y,
+                 SUM(CAST(y * y AS DECIMAL(38,10))) AS syy
+          FROM rf GROUP BY brand, fold),
+        tot AS MATERIALIZED (
+          SELECT brand, SUM(n) AS tn,
+                 SUM(s1) AS ts1, SUM(s2) AS ts2, SUM(sy) AS tsy,
+                 SUM(s11) AS ts11, SUM(s22) AS ts22, SUM(s12) AS ts12,
+                 SUM(s1y) AS ts1y, SUM(s2y) AS ts2y, SUM(syy) AS tsyy
+          FROM mf GROUP BY brand),
+        tr AS MATERIALIZED (
+          SELECT mf.brand, mf.fold,
+                 CAST(mf.n AS DOUBLE) AS nf,
+                 CAST(mf.s1 AS DOUBLE) AS f1, CAST(mf.s2 AS DOUBLE) AS f2,
+                 CAST(mf.sy AS DOUBLE) AS fy, CAST(mf.s11 AS DOUBLE) AS f11,
+                 CAST(mf.s22 AS DOUBLE) AS f22, CAST(mf.s12 AS DOUBLE) AS f12,
+                 CAST(mf.s1y AS DOUBLE) AS f1y, CAST(mf.s2y AS DOUBLE) AS f2y,
+                 CAST(mf.syy AS DOUBLE) AS fyy,
+                 CAST((tn - mf.n) AS DOUBLE) AS tnd,
+                 CAST((ts1 - mf.s1) AS DOUBLE) AS t1,
+                 CAST((ts2 - mf.s2) AS DOUBLE) AS t2,
+                 CAST((tsy - mf.sy) AS DOUBLE) AS ty,
+                 CAST((ts11 - mf.s11) AS DOUBLE) AS t11,
+                 CAST((ts22 - mf.s22) AS DOUBLE) AS t22,
+                 CAST((ts12 - mf.s12) AS DOUBLE) AS t12,
+                 CAST((ts1y - mf.s1y) AS DOUBLE) AS t1y,
+                 CAST((ts2y - mf.s2y) AS DOUBLE) AS t2y,
+                 tn
+          FROM mf JOIN tot ON mf.brand = tot.brand),
+        cf AS MATERIALIZED (
+          SELECT brand, fold, nf, f1, f2, fy, f11, f22, f12, f1y, f2y, fyy, tn,
+                 $b0 AS b0, $b1 AS b1, $b2 AS b2
+          FROM tr),
+        sf AS MATERIALIZED (
+          SELECT brand, fold, tn,
+                 (fyy - 2.0 * ((b0 * fy + b1 * f1y) + b2 * f2y)) +
+                 (b0 * (b0 * nf + b1 * f1 + b2 * f2) +
+                  b1 * (b0 * f1 + b1 * f11 + b2 * f12) +
+                  b2 * (b0 * f2 + b1 * f12 + b2 * f22)) AS sse
+          FROM cf)
+        SELECT brand, CAST(tn AS BIGINT) AS n,
+               ROUND(SQRT(((MAX(CASE WHEN fold = 0 THEN sse END) +
+                            MAX(CASE WHEN fold = 1 THEN sse END)) +
+                           (MAX(CASE WHEN fold = 2 THEN sse END) +
+                            MAX(CASE WHEN fold = 3 THEN sse END))) /
+                          CAST(tn AS DOUBLE)), 6) AS cv_rmse
+        FROM sf GROUP BY brand, tn"""
+      }
     )
   )
 }

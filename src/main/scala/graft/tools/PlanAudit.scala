@@ -617,6 +617,17 @@ object PlanAudit {
     Audit("q205_ols_score",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // ridge: identical plan contract to the OLS fit — the λ diagonal
+    // is a literal in the reduced-side projection, costs nothing
+    Audit("q213_ridge_fit",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // 4-fold CV: ONE moment pass at (brand, fold) grain; the total
+    // rollup, train subtraction, per-fold solve and SSE all happen on
+    // the O(groups·folds) reduced frame — no second scan of the fact
+    Audit("q214_ols_cv",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
     // Holt forecast: the day-grain decimal pre-aggregation map-side-
     // combines (the only corpus-sized shuffle); the fold runs over
     // collected per-segment day arrays (ObjectHashAggregate) — nothing

@@ -447,7 +447,7 @@ object ScaleTrend {
       // grow. q205 adds the broadcast-apply: scoring is map-only, so
       // its shuffle must be the SAME moment pass and nothing else.
       if (only.isEmpty || only("ols"))
-        Seq("q204_ols_fit", "q205_ols_score").flatMap { q =>
+        Seq("q204_ols_fit", "q205_ols_score", "q214_ols_cv").flatMap { q =>
           dirs.map { case (tag, dir) =>
             measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
           }

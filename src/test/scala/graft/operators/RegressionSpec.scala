@@ -69,6 +69,38 @@ class RegressionSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("q214: 4-fold CV reads zero error on the noise-free corpus") {
+    graft.SparkEntry.queries("q214_ols_cv")(spark, dir)
+      .collect()
+      .foreach(r => assert(r.getDouble(2) === 0.0, s"cv_rmse for ${r.getString(0)}"))
+  }
+
+  test("q213: ridge fits the degenerate group OLS cannot") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ridge_").toString
+    // x1 is CONSTANT zero → the OLS normal matrix is singular (det = 0,
+    // coefficients 0/0 = NaN); ridge's λ on the diagonal keeps the
+    // system positive definite
+    val rows = for ((x2, j) <- Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex)
+      yield (j.toLong, j + 1, 500L + x2.toLong, 0.0, 3.0 + 2.0 * x2)
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_discount", "l_quantity")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    Seq(1.0, 2.0, 4.0, 8.0).map(x2 => (500L + x2.toLong, "BrandC", x2))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    // ANSI mode (the session default) surfaces the singular system as
+    // a loud DIVIDE_BY_ZERO instead of silent NaNs — assert exactly that
+    val ex = intercept[Exception] {
+      graft.SparkEntry.queries("q204_ols_fit")(spark, d).collect()
+    }
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"), ex.getMessage.take(200))
+    val ridge = graft.SparkEntry.queries("q213_ridge_fit")(spark, d).head()
+    Seq(2, 3, 4).foreach { i =>
+      assert(!ridge.getDouble(i).isNaN && !ridge.getDouble(i).isInfinite,
+        s"ridge coefficient $i")
+    }
+  }
+
   test("q207: maintained-moments refit equals the one-shot fit row for row") {
     val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
       .collect().map(_.toSeq).toSet
