@@ -732,6 +732,95 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // BINARY-QUANTIZED (1-bit) ANN — the 32× compression lever of
+    // modern vector stores: each 64-dim float vector collapses to its
+    // 64 sign bits, packed as TWO 32-bit words (two BIGINT halves —
+    // a single 64-bit word needs bit 63, which DuckDB's checked left
+    // shift refuses, and the gate must hash-match). Candidate search
+    // is a Hamming scan: bit_count(xor) over the packed words — pure
+    // integer ops, bit-identical cross-engine — keeping the 16 closest
+    // codes per query; the float vectors are touched ONLY for the
+    // 16-candidate exact-cosine rerank. At 100 TB the scan reads
+    // 8 bytes/vector instead of 256: memory-bandwidth-bound where the
+    // float scan is, at 1/32nd the bytes; the rerank is O(queries·16).
+    // Ties pinned (hamming, nid) and (sim desc, nid) on both engines.
+    "q215_ann_binary" -> QueryDef(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val lo = (1 to 32)
+          .map(i => when(element_at(col("embedding"), i) >= 0f,
+            lit(1L << (i - 1))).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val hi = (33 to 64)
+          .map(i => when(element_at(col("embedding"), i) >= 0f,
+            lit(1L << (i - 33))).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val e = embeddings(s, d)
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+          .where(col("nrm") > 0)
+          .withColumn("lo", lo)
+          .withColumn("hi", hi)
+          .persist().leased
+        val q = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+            col("nrm").as("nq"), col("lo").as("qlo"), col("hi").as("qhi"))
+        val wH = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("nid").asc)
+        val wS = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        e.select(col("vec_id").as("nid"), col("embedding").as("en"),
+            col("nrm").as("nn"), col("lo"), col("hi"))
+          .crossJoin(broadcast(q))
+          .where(col("qid") =!= col("nid"))
+          .withColumn("ham",
+            bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("hi").bitwiseXOR(col("qhi"))))
+          .withColumn("hrank", row_number().over(wH))
+          .where(col("hrank") <= 16)
+          .withColumn("sim",
+            call_function("vec_dot", col("en"), col("eq")) / (col("nn") * col("nq")))
+          .withColumn("rank", row_number().over(wS))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("ham"), col("sim"))
+      },
+      oracle = Some {
+        val loSql = (1 to 32)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        val hiSql = (33 to 64)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 33)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm,
+                 CAST($loSql AS BIGINT) AS lo, CAST($hiSql AS BIGINT) AS hi
+          FROM embeddings WHERE $normSqlFrag > 0),
+        q AS MATERIALIZED (
+          SELECT vec_id AS qid, embedding AS eq, nrm AS nq, lo AS qlo, hi AS qhi
+          FROM e WHERE vec_id % 50 = 0),
+        cand AS (
+          SELECT q.qid, e.vec_id AS nid, e.embedding AS en, e.nrm AS nn,
+                 q.eq, q.nq,
+                 CAST(bit_count(xor(e.lo, q.qlo)) +
+                      bit_count(xor(e.hi, q.qhi)) AS INTEGER) AS ham
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        top AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ham ASC, nid ASC) AS hrank
+            FROM cand) WHERE hrank <= 16)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, ham, sim FROM (
+          SELECT qid, nid, ham,
+                 list_sum(list_transform(list_zip(en, eq),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (nn * nq) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                   list_sum(list_transform(list_zip(en, eq),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (nn * nq) DESC,
+                   nid ASC) AS rank
+          FROM top)
+        WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Scalar-quantized (int8) ANN: per-dimension min/max over the corpus
     // maps each float to a centered 8-bit code — the 4x memory/bandwidth
     // lever that makes a 100 TB vector store scannable — then sign-LSH

@@ -617,6 +617,13 @@ object PlanAudit {
     Audit("q205_ols_score",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // binary-quantized ANN: the tiny query side broadcasts through a
+    // BNLJ Hamming scan (bit_count stays in codegen); the float
+    // vectors are only touched in the 16-candidate rerank — no
+    // shuffled join of corpus-grain relations anywhere
+    Audit("q215_ann_binary",
+      mustContain = Seq("BroadcastNestedLoopJoin", "bit_count", "vec_dot"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
     // ridge: identical plan contract to the OLS fit — the λ diagonal
     // is a literal in the reduced-side projection, costs nothing
     Audit("q213_ridge_fit",

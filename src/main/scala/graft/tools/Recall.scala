@@ -72,6 +72,21 @@ object Recall {
     * equality gate (AnnIndexAppendSpec: staged search ≡ recompute)
     * proves the cycle is faithful; this gives it a measured floor.
     */
+  /** recall@3 of q215 (binary-quantized Hamming candidates + exact
+    * rerank) vs the exact q35 baseline restricted to q215's query set
+    * (vec_id % 50 == 0) — measures exactly what the 1-bit code loses
+    * in the 16-candidate Hamming shortlist.
+    */
+  def binaryRecallAt3(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.col
+    val exact = SparkEntry.queries("q35_cosine_topk")(spark, sfDir)
+      .where(col("qid") % 50 === 0).select("qid", "nid")
+    val ann = SparkEntry.queries("q215_ann_binary")(spark, sfDir)
+      .select("qid", "nid")
+    val total = exact.count().toDouble
+    exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
+  }
+
   def maintainedIndexRecallAt3(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

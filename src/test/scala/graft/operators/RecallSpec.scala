@@ -102,6 +102,19 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("binary-quantized ANN (q215) clears its floor at both scale factors") {
+    // measured 0.633 at both corpora — the full-vector 64-bit Hamming
+    // shortlist beats the 8-bit sign-LSH bucket variants (q36/q74 at
+    // ~0.5-0.7 with far more candidates) because every dimension's
+    // sign contributes to the distance, not just the first 8
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      assume(new java.io.File(sf).isDirectory, s"recall corpus absent: $sf")
+      val r = Recall.binaryRecallAt3(spark, sf)
+      spark.catalog.clearCache()
+      assert(r >= 0.55, s"q215 binary recall $r at $sf")
+    }
+  }
+
   test("sign-LSH-bucketed variants (q36/q74/q78) clear their floor") {
     requireCorpus()
     // 8 hyperplane bits over a near-uniform corpus leave ~n/256 candidates
