@@ -75,6 +75,17 @@ object RegressionQueries extends QueryModule {
 
   private def D(c: String): Column = col(c).cast("double")
 
+  /** Stage lineitem as 3 mtime-ordered slice files (orderkey thirds —
+    * additive moment state needs no chronology, only a deterministic
+    * partition the oracle's one-shot aggregate is invariant to).
+    */
+  private def stageLineitemSlices(s: SparkSession, d: String): String =
+    graft.sources.SliceStager.stage(
+      "graft_stream_li_slices",
+      java.nio.file.Paths.get(d, "lineitem.parquet"),
+      slices = 3,
+      g => lineitem(s, d).where(pmod(col("l_orderkey"), lit(3)) === g))
+
   /** Closed-form 3×3 Cramer solve of the normal equations A·b = c with
     *   A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],  c = [sy,s1y,s2y].
     * Cofactor expansion along the first row, parenthesization pinned to
@@ -303,6 +314,83 @@ object RegressionQueries extends QueryModule {
                 col("syy").cast(dt).as("syy")))
             .localCheckpoint(true)
         } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(s"""
+        WITH $momentsSql, $coefSql
+        SELECT brand, n,
+               ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+        FROM f""")
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING MODEL MAINTENANCE — q207's nightly moment refresh as
+    // real micro-batches: lineitem rows arrive as 3 mtime-ordered
+    // slices (orderkey thirds — moments are ADDITIVE, so unlike the
+    // forecast state no arrival order is required at all) and each
+    // foreachBatch aggregates ITS rows' moments and decimal-sums them
+    // into the stored table; the fit re-solves from the KB-scale
+    // merged state. The OLS family thereby has the same batch +
+    // streaming maintenance pair as bands (q189/q202), postings
+    // (q187/q203) and forecast state (q210/q212). Gated against the
+    // one-shot q204 SQL.
+    "q216_stream_model_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q216_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val stream = s.readStream
+              .schema(lineitem(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stageLineitemSlices(s, d))
+            val pt = part(s, d)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  val rows = batch.toDF()
+                    .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+                    .select(
+                      col("p_brand").as("brand"),
+                      col("l_discount").as("x1"),
+                      col("p_retailprice").as("x2"),
+                      col("l_quantity").as("y"),
+                      col("l_orderkey").as("k"),
+                      col("l_linenumber").as("ln"))
+                  val bm = aggMoments(rows)
+                  val merged =
+                    if (wh.exists("gold", "mv_stream_ols_moments"))
+                      wh.load("gold", "mv_stream_ols_moments").unionByName(bm)
+                        .groupBy(col("brand"))
+                        .agg(
+                          sum(col("n")).as("n"),
+                          sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
+                          sum(col("sy")).as("sy"), sum(col("s11")).as("s11"),
+                          sum(col("s22")).as("s22"), sum(col("s12")).as("s12"),
+                          sum(col("s1y")).as("s1y"), sum(col("s2y")).as("s2y"),
+                          sum(col("syy")).as("syy"))
+                    else bm
+                  wh.overwrite(merged, "gold", "mv_stream_ols_moments")
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            fitOutput(
+              wh.load("gold", "mv_stream_ols_moments")
+                .select(col("brand"), col("n").cast("long").as("n"),
+                  col("s1").cast(dt).as("s1"), col("s2").cast(dt).as("s2"),
+                  col("sy").cast(dt).as("sy"), col("s11").cast(dt).as("s11"),
+                  col("s22").cast(dt).as("s22"), col("s12").cast(dt).as("s12"),
+                  col("s1y").cast(dt).as("s1y"), col("s2y").cast(dt).as("s2y"),
+                  col("syy").cast(dt).as("syy")))
+              .localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some(s"""
         WITH $momentsSql, $coefSql

@@ -101,6 +101,14 @@ class RegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q216: streaming micro-batch moment maintenance equals the one-shot fit") {
+    val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.SparkEntry.queries("q216_stream_model_maintenance")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+  }
+
   test("q207: maintained-moments refit equals the one-shot fit row for row") {
     val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
       .collect().map(_.toSeq).toSet
