@@ -75,6 +75,9 @@ object RegressionQueries extends QueryModule {
 
   private def D(c: String): Column = col(c).cast("double")
 
+  private val momentCols =
+    Seq("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+
   /** Stage lineitem as 3 mtime-ordered slice files (orderkey thirds —
     * additive moment state needs no chronology, only a deterministic
     * partition the oracle's one-shot aggregate is invariant to).
@@ -144,12 +147,15 @@ object RegressionQueries extends QueryModule {
       round(col("b1"), 6).as("b1"),
       round(col("b2"), 6).as("b2"))
 
-  /** Shared oracle CTE text: observation rows + moments. */
-  private val momentsSql = """
+  /** Shared oracle CTE text: observation rows + moments; `where` is an
+    * optional row predicate (the unlearning oracle fits on the
+    * surviving rows only).
+    */
+  private def momentsSqlWhere(where: String): String = s"""
         r AS MATERIALIZED (
           SELECT p_brand AS brand, l_discount AS x1, p_retailprice AS x2,
                  l_quantity AS y, l_orderkey AS k, l_linenumber AS ln
-          FROM lineitem JOIN part ON l_partkey = p_partkey),
+          FROM lineitem JOIN part ON l_partkey = p_partkey$where),
         m AS MATERIALIZED (
           SELECT brand, COUNT(*) AS n,
                  SUM(CAST(x1 AS DECIMAL(38,10))) AS s1,
@@ -162,6 +168,8 @@ object RegressionQueries extends QueryModule {
                  SUM(CAST(x2 * y AS DECIMAL(38,10))) AS s2y,
                  SUM(CAST(y * y AS DECIMAL(38,10))) AS syy
           FROM r GROUP BY brand)"""
+
+  private val momentsSql = momentsSqlWhere("")
 
   /** Oracle mirror of [[withCoefficients]] — doubles derived from the
     * decimal moments, Cramer terms pinned to the Scala expressions.
@@ -394,6 +402,43 @@ object RegressionQueries extends QueryModule {
       },
       oracle = Some(s"""
         WITH $momentsSql, $coefSql
+        SELECT brand, n,
+               ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+        FROM f""")
+    ),
+
+    // ----------------------------------------------------------------
+    // EXACT MODEL UNLEARNING — the GDPR-erasure story (q132) extended
+    // to MODEL STATE: when a customer's rows must be forgotten, a
+    // linear model maintained as moment sums can subtract their
+    // contribution EXACTLY (decimal arithmetic has no catastrophic
+    // cancellation) and refit from the corrected KB-scale state —
+    // machine unlearning with a bit-exact guarantee, no retraining
+    // pass over the surviving 100 TB. The erase pass aggregates ONLY
+    // the erased rows (O(erased), like q132's anti-join); the gate
+    // proves subtract-then-refit ≡ refit-on-survivors, which is the
+    // entire compliance claim.
+    "q217_model_unlearning" -> QueryDef(
+      fn = (s, d) => {
+        val rows = olsRows(s, d)
+        val full = aggMoments(rows)
+        val erased = aggMoments(rows.where(col("k") % 97 === 0))
+          .select(col("brand") +: momentCols.map(c => col(c).as("e_" + c)): _*)
+        def z(c: String) =
+          if (c == "n") coalesce(col("e_n"), lit(0L))
+          else coalesce(col("e_" + c), lit(0).cast(dt))
+        val corrected = full.join(erased, Seq("brand"), "left")
+          .select(col("brand") +:
+            momentCols.map(c => (col(c) - z(c)).as(c)): _*)
+        fitOutput(corrected.select(col("brand"), col("n").cast("long").as("n"),
+          col("s1").cast(dt).as("s1"), col("s2").cast(dt).as("s2"),
+          col("sy").cast(dt).as("sy"), col("s11").cast(dt).as("s11"),
+          col("s22").cast(dt).as("s22"), col("s12").cast(dt).as("s12"),
+          col("s1y").cast(dt).as("s1y"), col("s2y").cast(dt).as("s2y"),
+          col("syy").cast(dt).as("syy")))
+      },
+      oracle = Some(s"""
+        WITH ${momentsSqlWhere(" WHERE l_orderkey % 97 <> 0")}, $coefSql
         SELECT brand, n,
                ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
         FROM f""")

@@ -624,6 +624,12 @@ object PlanAudit {
     Audit("q215_ann_binary",
       mustContain = Seq("BroadcastNestedLoopJoin", "bit_count", "vec_dot"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // unlearning: TWO moment aggregates (full + erased-only, the
+    // erased side filter-pushed) joined at O(groups) grain — no
+    // corpus-sized join, no window, nothing quadratic
+    Audit("q217_model_unlearning",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
     // ridge: identical plan contract to the OLS fit — the λ diagonal
     // is a literal in the reduced-side projection, costs nothing
     Audit("q213_ridge_fit",

@@ -109,6 +109,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("q217: unlearning erases exactly the k%97 rows and still recovers the plane") {
+    // on the noise-free corpus only brand A's k=0 row matches the
+    // erasure predicate; the surviving design still spans the plane,
+    // so the refit recovers the exact coefficients with n reduced by 1
+    val got = graft.SparkEntry.queries("q217_model_unlearning")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("BrandA") === ((11L, 2.0, 3.0, 0.5)))
+    assert(got("BrandB") === ((12L, 10.0, -1.0, 0.25)))
+  }
+
   test("q207: maintained-moments refit equals the one-shot fit row for row") {
     val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
       .collect().map(_.toSeq).toSet
