@@ -187,7 +187,109 @@ object ForecastQueries extends QueryModule {
         round(col("l") + lit(7.0) * col("b"), 6).as("fc_7"),
         round(col("l") + lit(28.0) * col("b"), 6).as("fc_28"))
 
+  /** Pinned 7-day init mean over the head of the element array —
+    * matches the oracle's ((((((y1+y2)+y3)+y4)+y5)+y6)+y7)/7.0 because
+    * the fold's 0.0 + y1 is bit-exact y1.
+    */
+  private val hwMeanTxt =
+    "(aggregate(slice(elems, 1, 7), cast(0 as double), (a, e) -> a + e.y) / 7.0)"
+
+  /** Holt-Winters additive fold over elements 8..n: the accumulator
+    * carries (l, b, s1..s7) with the seasonal slots rotating one
+    * position per step (s1 is always the CURRENT position's seasonal).
+    * The new level is written out three times — lambdas bind no
+    * intermediates — so the text pins the arithmetic exactly.
+    */
+  private val hwFoldTxt = s"""
+    aggregate(slice(elems, 8, cardinality(elems) - 7),
+      named_struct('l', $hwMeanTxt, 'b', cast(0 as double),
+        's1', element_at(elems, 1).y - $hwMeanTxt,
+        's2', element_at(elems, 2).y - $hwMeanTxt,
+        's3', element_at(elems, 3).y - $hwMeanTxt,
+        's4', element_at(elems, 4).y - $hwMeanTxt,
+        's5', element_at(elems, 5).y - $hwMeanTxt,
+        's6', element_at(elems, 6).y - $hwMeanTxt,
+        's7', element_at(elems, 7).y - $hwMeanTxt),
+      (acc, e) -> named_struct(
+        'l', 0.5 * (e.y - acc.s1) + 0.5 * (acc.l + acc.b),
+        'b', 0.25 * ((0.5 * (e.y - acc.s1) + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b,
+        's1', acc.s2, 's2', acc.s3, 's3', acc.s4, 's4', acc.s5,
+        's5', acc.s6, 's6', acc.s7,
+        's7', 0.25 * (e.y - (0.5 * (e.y - acc.s1) + 0.5 * (acc.l + acc.b))) + 0.75 * acc.s1))"""
+
   override def queries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // HOLT-WINTERS (additive, period 7) — the bakery forecaster: a
+    // weekly demand rhythm is THE structure in retail food sales, and
+    // q52's seasonality indices only describe it; this fits it jointly
+    // with level and trend. Same scalable shape as q208 (day-grain
+    // pre-aggregation, per-group sequential fold — the 7 seasonal
+    // slots ride the fold accumulator and rotate one position per
+    // step), same determinism contract (α=0.5, β=γ=0.25 binary
+    // fractions, +,* only). Seasonality indexes OBSERVED-day position
+    // mod 7 — with a dense daily series that IS the weekday; under
+    // gaps it is the documented convention, mirrored in the oracle's
+    // recursive CTE which threads the 7 slots as rotating columns.
+    // Init: l = mean of the first 7 observations, b = 0, sᵢ = yᵢ − l̄.
+    "q218_holt_winters" -> QueryDef(
+      fn = (s, d) => {
+        val ser = dailyRevenue(s, d)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_days"), expr(elemsExpr).as("elems"))
+        ser
+          .withColumn("fit", expr(hwFoldTxt))
+          .select(
+            col("seg"), col("n_days"),
+            round(col("fit.l"), 6).as("level"),
+            round(col("fit.b"), 6).as("trend"),
+            round(col("fit.s1"), 6).as("s_next"),
+            round((col("fit.l") + lit(1.0) * col("fit.b")) + col("fit.s1"), 6).as("fc_1"),
+            round((col("fit.l") + lit(7.0) * col("fit.b")) + col("fit.s7"), 6).as("fc_7"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $dailySql,
+        first7 AS MATERIALIZED (
+          SELECT seg,
+                 MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+                 MAX(CASE WHEN rn = 2 THEN y END) AS y2,
+                 MAX(CASE WHEN rn = 3 THEN y END) AS y3,
+                 MAX(CASE WHEN rn = 4 THEN y END) AS y4,
+                 MAX(CASE WHEN rn = 5 THEN y END) AS y5,
+                 MAX(CASE WHEN rn = 6 THEN y END) AS y6,
+                 MAX(CASE WHEN rn = 7 THEN y END) AS y7
+          FROM ranked WHERE rn <= 7 GROUP BY seg),
+        step AS (
+          SELECT seg, 7 AS rn,
+                 ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS l,
+                 CAST(0 AS DOUBLE) AS b,
+                 y1 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s1,
+                 y2 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s2,
+                 y3 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s3,
+                 y4 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s4,
+                 y5 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s5,
+                 y6 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s6,
+                 y7 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS s7
+          FROM first7
+          UNION ALL
+          SELECT r.seg, r.rn,
+                 0.5 * (r.y - s.s1) + 0.5 * (s.l + s.b) AS l,
+                 0.25 * ((0.5 * (r.y - s.s1) + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b AS b,
+                 s.s2 AS s1, s.s3 AS s2, s.s4 AS s3, s.s5 AS s4,
+                 s.s6 AS s5, s.s7 AS s6,
+                 0.25 * (r.y - (0.5 * (r.y - s.s1) + 0.5 * (s.l + s.b))) + 0.75 * s.s1 AS s7
+          FROM step s JOIN ranked r ON r.seg = s.seg AND r.rn = s.rn + 1),
+        fit AS MATERIALIZED (
+          SELECT seg, arg_max(l, rn) AS l, arg_max(b, rn) AS b,
+                 arg_max(s1, rn) AS s1, arg_max(s7, rn) AS s7
+          FROM step GROUP BY seg)
+        SELECT nd.seg, nd.n_days,
+               ROUND(f.l, 6) AS level, ROUND(f.b, 6) AS trend,
+               ROUND(f.s1, 6) AS s_next,
+               ROUND((f.l + 1.0 * f.b) + f.s1, 6) AS fc_1,
+               ROUND((f.l + 7.0 * f.b) + f.s7, 6) AS fc_7
+        FROM nd JOIN fit f ON nd.seg = f.seg""")
+    ),
 
     // ----------------------------------------------------------------
     // HOLT FIT + FORECAST — terminal level/trend per segment and the

@@ -648,6 +648,12 @@ object PlanAudit {
     Audit("q208_holt_forecast",
       mustContain = Seq("partial_sum", "ObjectHashAggregate"),
       mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoop")),
+    // Holt-Winters: q208's contract — day-grain partial-sum pre-agg,
+    // per-group array fold (the 7 seasonal slots ride the accumulator,
+    // costing nothing in plan shape)
+    Audit("q218_holt_winters",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoop")),
     // backtest: the O(segments) fit BROADCASTS onto the holdout rows
     // (scoring is map-side) and the |error| terms decimal-sum in a
     // keyed aggregate; the only window is the day-grain rank over the

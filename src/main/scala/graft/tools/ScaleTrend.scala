@@ -460,7 +460,7 @@ object ScaleTrend {
       // recursion cost must both stay FLAT while the scan pays the x10
       if (only.isEmpty || only("forecast"))
         Seq("q208_holt_forecast", "q209_forecast_backtest",
-            "q212_stream_forecast_maintenance").flatMap { q =>
+            "q212_stream_forecast_maintenance", "q218_holt_winters").flatMap { q =>
           dirs.map { case (tag, dir) =>
             measure(q, tag, () => SparkEntry.queries(q)(spark, dir).count())
           }

@@ -99,6 +99,27 @@ class ForecastSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("q218: nine-day hand series folds to the exact Holt-Winters state") {
+    // y = 1..9: init after day 7 → l = 4, b = 0, s = [-3..3]
+    //   day 8 (y=8, s1=-3): l = .5*11 + .5*4        = 7.5
+    //                       b = .25*3.5             = 0.875
+    //                       s7' = .25*.5 + .75*(-3) = -2.125
+    //   day 9 (y=9, s1=-2): l = .5*11 + .5*8.375    = 9.6875
+    //                       b = .25*2.1875+.75*.875 = 1.203125
+    // final slots rotate to s_next = -1
+    val dir = writeCorpus((1 to 9).map { i =>
+      val day = java.time.LocalDate.of(2024, 5, 1).plusDays(i.toLong - 1)
+      (i.toLong, 1L, i.toDouble, day.toString)
+    })
+    val r = graft.SparkEntry.queries("q218_holt_winters")(spark, dir).head()
+    assert(r.getAs[Long]("n_days") === 9L)
+    assert(r.getAs[Double]("level") === 9.6875)
+    assert(r.getAs[Double]("trend") === 1.203125)
+    assert(r.getAs[Double]("s_next") === -1.0)
+    assert(r.getAs[Double]("fc_1") === (9.6875 + 1.203125) - 1.0)
+    assert(r.getAs[Double]("fc_7") === (9.6875 + 7.0 * 1.203125) - 1.671875)
+  }
+
   test("q211: radius is the 27th smallest |calibration residual|") {
     val ys = (1 to 40).map(t => ((t * 2654435761L) % 1000).toDouble / 4.0)
     val dir = writeCorpus(ys.zipWithIndex.map { case (y, i) =>
