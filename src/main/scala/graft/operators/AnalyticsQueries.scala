@@ -593,6 +593,110 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // EXACT TWO-SAMPLE KOLMOGOROV-SMIRNOV — distribution drift as the
+    // exact sup-norm statistic, complementing q161's bucketed
+    // chi-square (which can miss shape changes inside a bucket) and
+    // q190's mean test (which misses variance/shape entirely). The
+    // statistic is kept INTEGER until the last division:
+    // D·n0·n1 = max over pooled distinct values of
+    // |cum0·n1 − cum1·n0| — counts and products are exact longs, so
+    // the gate needs no float story at all; the 1.36·sqrt((n0+n1)/
+    // (n0·n1)) 95% critical value is one pinned sqrt.
+    //
+    // Scale shape (the RankSelect philosophy — no per-group sort of
+    // row-grain data): collapse to (seg, value) counts first; 64
+    // range buckets give bucket-grain offsets via a 64-row window;
+    // the exact within-bucket sweep windows over (seg, bucket) —
+    // fine-grained partitions, never one ordered pass per segment.
+    "q219_ks_drift" -> QueryDef(
+      fn = (s, d) => {
+        val j = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            pmod(col("o_custkey"), lit(2)).as("variant"),
+            col("o_totalprice").as("y"))
+        val atY = j.groupBy(col("seg"), col("y"))
+          .agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+        val mm = atY.groupBy(col("seg"))
+          .agg(min(col("y")).as("mn"), max(col("y")).as("mx"),
+            sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+        val withB = atY.join(broadcast(mm), Seq("seg"))
+          .withColumn("b",
+            when(col("mx") > col("mn"),
+              least(floor((col("y") - col("mn")) * 64.0 / (col("mx") - col("mn")))
+                .cast("int"), lit(63)))
+            .otherwise(lit(0)))
+        val bt = withB.groupBy(col("seg"), col("b"))
+          .agg(sum(col("c0")).as("bt0"), sum(col("c1")).as("bt1"))
+        val wB = Window.partitionBy(col("seg")).orderBy(col("b"))
+        val off = bt
+          .withColumn("o0", sum(col("bt0")).over(wB) - col("bt0"))
+          .withColumn("o1", sum(col("bt1")).over(wB) - col("bt1"))
+          .select(col("seg"), col("b"), col("o0"), col("o1"))
+        val wIn = Window.partitionBy(col("seg"), col("b")).orderBy(col("y"))
+        val swept = withB.join(off, Seq("seg", "b"))
+          .withColumn("in0", sum(col("c0")).over(wIn))
+          .withColumn("in1", sum(col("c1")).over(wIn))
+          .withColumn("dnum",
+            abs((col("o0") + col("in0")) * col("n1") -
+              (col("o1") + col("in1")) * col("n0")))
+        val ks = col("d_num").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double"))
+        val crit = lit(1.36) * sqrt((col("n0") + col("n1")).cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double")))
+        swept.groupBy(col("seg"), col("n0"), col("n1"))
+          .agg(max(col("dnum")).as("d_num"))
+          .select(col("seg"), col("n0"), col("n1"), col("d_num"),
+            round(ks, 6).as("ks"),
+            (ks > crit).as("significant"))
+      },
+      oracle = Some("""
+        WITH j AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, o_custkey % 2 AS variant,
+                 o_totalprice AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        aty AS MATERIALIZED (
+          SELECT seg, y,
+                 SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+                 SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+          FROM j GROUP BY seg, y),
+        mm AS MATERIALIZED (
+          SELECT seg, MIN(y) AS mn, MAX(y) AS mx,
+                 CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+          FROM aty GROUP BY seg),
+        wb AS MATERIALIZED (
+          SELECT aty.seg, y, c0, c1, n0, n1,
+                 CASE WHEN mx > mn THEN
+                   LEAST(CAST(FLOOR((y - mn) * 64.0 / (mx - mn)) AS INTEGER), 63)
+                 ELSE 0 END AS b
+          FROM aty JOIN mm ON aty.seg = mm.seg),
+        bt AS MATERIALIZED (
+          SELECT seg, b, SUM(c0) AS bt0, SUM(c1) AS bt1
+          FROM wb GROUP BY seg, b),
+        off AS MATERIALIZED (
+          SELECT seg, b,
+                 SUM(bt0) OVER (PARTITION BY seg ORDER BY b) - bt0 AS o0,
+                 SUM(bt1) OVER (PARTITION BY seg ORDER BY b) - bt1 AS o1
+          FROM bt),
+        swept AS MATERIALIZED (
+          SELECT wb.seg, n0, n1,
+                 ABS((o0 + SUM(c0) OVER (PARTITION BY wb.seg, wb.b ORDER BY y)) * n1 -
+                     (o1 + SUM(c1) OVER (PARTITION BY wb.seg, wb.b ORDER BY y)) * n0)
+                   AS dnum
+          FROM wb JOIN off ON wb.seg = off.seg AND wb.b = off.b)
+        SELECT seg, n0, n1, CAST(MAX(dnum) AS BIGINT) AS d_num,
+               ROUND(CAST(MAX(dnum) AS DOUBLE) /
+                     (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks,
+               CAST(MAX(dnum) AS DOUBLE) /
+                 (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) >
+                 1.36 * SQRT(CAST(n0 + n1 AS DOUBLE) /
+                   (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) AS significant
+        FROM swept GROUP BY seg, n0, n1"""),
+    ),
+
+    // ----------------------------------------------------------------
     // |t|-RANKED SIGNIFICANCE ORDERING — q190 made decision-complete
     // without a t-table: segments ranked by |t| descending (most
     // significant experiment effect first) with the sign read out as

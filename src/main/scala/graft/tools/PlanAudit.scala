@@ -624,6 +624,12 @@ object PlanAudit {
     Audit("q215_ann_binary",
       mustContain = Seq("BroadcastNestedLoopJoin", "bit_count", "vec_dot"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // exact KS: value-grain collapse first (partial_sum), bucket
+    // offsets via a 64-row window, the exact sweep windowed at
+    // (seg, bucket) grain — no sort of row-grain data, no quadratic
+    Audit("q219_ks_drift",
+      mustContain = Seq("partial_sum", "Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // unlearning: TWO moment aggregates (full + erased-only, the
     // erased side filter-pushed) joined at O(groups) grain — no
     // corpus-sized join, no window, nothing quadratic

@@ -50,6 +50,33 @@ class ExperimentStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6, s"got ${r.getAs[Double]("t_stat")} want $t")
   }
 
+  test("q219: exact KS on a hand corpus — interleaved samples give D = 1/2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks_").toString
+    // variant 0 (even custkey) bought {1, 3}; variant 1 bought {2, 4}:
+    // pooled sweep |F0 - F1| peaks at 1/2 after y=1 and y=3
+    val orders = Seq(
+      (1L, 2L, 1.0), (2L, 2L, 3.0), (3L, 3L, 2.0), (4L, 3L, 4.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit("2025-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    orders.coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((2L, "BUILDING"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+      .withColumn("c_name", lit("x"))
+      .withColumn("c_nationkey", lit(1))
+      .withColumn("c_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val r = graft.SparkEntry.queries("q219_ks_drift")(spark, dir).head()
+    assert(r.getAs[Long]("n0") === 2L)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("d_num") === 2L) // |1*2 - 0*2| after y = 1
+    assert(r.getAs[Double]("ks") === 0.5)
+    // crit = 1.36*sqrt(4/4) = 1.36 > 0.5 — tiny samples, not significant
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
   test("q191: blocked edit-distance pairs on hand titles") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_").toString
