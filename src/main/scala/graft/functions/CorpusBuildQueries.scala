@@ -637,6 +637,56 @@ object CorpusBuildQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // INDEX UNLEARNING — the GDPR-erasure story (q132 tables, q217
+    // model state) applied to the MAINTAINED BAND INDEX: when docs
+    // must be forgotten, their band rows leave the bucketed index and
+    // every later classify behaves as if the docs never existed. The
+    // honest cost accounting: bucketing is by (band, band_key), so an
+    // erased doc's rows scatter across every bucket and deletion pays
+    // ONE O(index) bucketed rewrite — the same cost class as
+    // compaction, amortized in production by tombstoning erased ids in
+    // the classify's anti-join until the next scheduled rewrite. The
+    // gate proves rewrite ≡ rebuild-from-survivors at band grain,
+    // which is the compliance claim (no residual of the erased docs in
+    // any band).
+    "q220_index_unlearning" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q220_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          wh.overwriteBucketed(
+            DedupQueries.mhBandsOf(DedupQueries.shingleDf(s, d))
+              .select(col("doc_id"), col("band"), col("band_key")),
+            "silver", "band_index_ul", Seq("band", "band_key"))
+          // pin survivors BEFORE overwriting the table they read from
+          // (the q189 lesson)
+          val survivors = wh.load("silver", "band_index_ul")
+            .where(pmod(col("doc_id"), lit(31)) =!= 0)
+            .localCheckpoint(true)
+          wh.overwriteBucketed(survivors, "silver", "band_index_ul",
+            Seq("band", "band_key"))
+          wh.load("silver", "band_index_ul")
+            .groupBy(col("band"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              countDistinct(col("band_key")).as("n_keys"))
+            .localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = Some(s"""
+        WITH ${DedupQueries.mhBandsCtesSql}
+        SELECT band, COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(DISTINCT band_key) AS n_keys
+        FROM bands WHERE doc_id % 31 <> 0 GROUP BY band"""),
+    ),
+
+    // ----------------------------------------------------------------
     // STREAMING INDEX MAINTENANCE — q189's nightly cycle made
     // CONTINUOUS: arriving documents stream in as real micro-batches
     // (a file source over 3 mtime-ordered slice files,
