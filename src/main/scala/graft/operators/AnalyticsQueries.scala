@@ -697,6 +697,80 @@ object AnalyticsQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // SPEARMAN RANK CORRELATION — monotone association where q97's
+    // Pearson sees only linear: does a segment's daily ORDER VOLUME
+    // move with its daily REVENUE in rank space? Exactness contract:
+    // ties get midranks, and the classic (2·rank + ties − 1) doubling
+    // keeps every rank an INTEGER (correlation is scale-invariant, so
+    // doubled ranks give the identical ρ); Pearson over the integer
+    // ranks then runs on exact DECIMAL moment sums with the q97 pinned
+    // closed form. Shape: the corpus collapses to the day grain first,
+    // so the rank windows order O(days) rows per group — never the
+    // fact table.
+    "q221_spearman_corr" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 10)
+        val daily = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(col("o_totalprice").cast(dt)).as("rev"))
+          .select(col("seg"), col("day"), col("x"),
+            col("rev").cast("double").as("y"))
+        def ranked2(c: String) =
+          lit(2) * rank().over(Window.partitionBy(col("seg")).orderBy(col(c))) +
+            count(lit(1)).over(Window.partitionBy(col("seg"), col(c))) - lit(1)
+        val r = daily
+          .withColumn("rx", ranked2("x"))
+          .withColumn("ry", ranked2("y"))
+        val m = r.groupBy(col("seg")).agg(
+          count(lit(1)).as("n"),
+          sum(col("rx").cast(dt)).as("sx"),
+          sum(col("ry").cast(dt)).as("sy"),
+          sum((col("rx") * col("ry")).cast(dt)).as("sxy"),
+          sum((col("rx") * col("rx")).cast(dt)).as("sxx"),
+          sum((col("ry") * col("ry")).cast(dt)).as("syy"))
+        def D(c: String) = col(c).cast("double")
+        val n = col("n").cast("double")
+        m.select(col("seg"), col("n").as("n_days"),
+          round((n * D("sxy") - D("sx") * D("sy")) /
+            sqrt((n * D("sxx") - D("sx") * D("sx")) *
+                 (n * D("syy") - D("sy") * D("sy"))), 6).as("rho"))
+      },
+      oracle = Some("""
+        WITH daily AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+                 COUNT(*) AS x,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        rk AS MATERIALIZED (
+          SELECT seg,
+                 2 * RANK() OVER (PARTITION BY seg ORDER BY x) +
+                   COUNT(*) OVER (PARTITION BY seg, x) - 1 AS rx,
+                 2 * RANK() OVER (PARTITION BY seg ORDER BY y) +
+                   COUNT(*) OVER (PARTITION BY seg, y) - 1 AS ry
+          FROM daily),
+        m AS MATERIALIZED (
+          SELECT seg, COUNT(*) AS n,
+                 SUM(CAST(rx AS DECIMAL(38,10))) AS sx,
+                 SUM(CAST(ry AS DECIMAL(38,10))) AS sy,
+                 SUM(CAST(rx * ry AS DECIMAL(38,10))) AS sxy,
+                 SUM(CAST(rx * rx AS DECIMAL(38,10))) AS sxx,
+                 SUM(CAST(ry * ry AS DECIMAL(38,10))) AS syy
+          FROM rk GROUP BY seg)
+        SELECT seg, n AS n_days,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+        FROM m"""),
+    ),
+
+    // ----------------------------------------------------------------
     // |t|-RANKED SIGNIFICANCE ORDERING — q190 made decision-complete
     // without a t-table: segments ranked by |t| descending (most
     // significant experiment effect first) with the sign read out as

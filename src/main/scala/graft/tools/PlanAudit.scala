@@ -624,6 +624,11 @@ object PlanAudit {
     Audit("q215_ann_binary",
       mustContain = Seq("BroadcastNestedLoopJoin", "bit_count", "vec_dot"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // Spearman: day-grain collapse first; rank windows order O(days)
+    // rows per group, Pearson-on-ranks is one decimal moment aggregate
+    Audit("q221_spearman_corr",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
     // exact KS: value-grain collapse first (partial_sum), bucket
     // offsets via a 64-row window, the exact sweep windowed at
     // (seg, bucket) grain — no sort of row-grain data, no quadratic

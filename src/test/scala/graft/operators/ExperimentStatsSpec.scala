@@ -77,6 +77,42 @@ class ExperimentStatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("q221: Spearman midranks on a hand corpus match the plain computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spear_").toString
+    // 4 days: order counts x = [1,2,2,3] (a tie), revenue y = [10,20,30,5]
+    val rows = Seq(
+      (1L, "2025-01-01", 10.0),
+      (2L, "2025-01-02", 8.0), (3L, "2025-01-02", 12.0),
+      (4L, "2025-01-03", 14.0), (5L, "2025-01-03", 16.0),
+      (6L, "2025-01-04", 1.0), (7L, "2025-01-04", 2.0), (8L, "2025-01-04", 2.0))
+    rows.toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_custkey", lit(2L))
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((2L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+      .withColumn("c_name", lit("x"))
+      .withColumn("c_nationkey", lit(1))
+      .withColumn("c_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val r = graft.SparkEntry.queries("q221_spearman_corr")(spark, dir).head()
+    // doubled midranks 2·rank + ties − 1:
+    //   x = [1,2,2,3] -> [2, 5, 5, 8] (midranks 1, 2.5, 2.5, 4)
+    //   y = [10,20,30,5] -> [4, 6, 8, 2]
+    val rx = Seq(2.0, 5.0, 5.0, 8.0); val ry = Seq(4.0, 6.0, 8.0, 2.0)
+    val n = 4.0
+    def s(v: Seq[Double]) = v.sum
+    def sq(v: Seq[Double]) = v.map(a => a * a).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val rho = (n * sxy - s(rx) * s(ry)) /
+      math.sqrt((n * sq(rx) - s(rx) * s(rx)) * (n * sq(ry) - s(ry) * s(ry)))
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(math.abs(r.getAs[Double]("rho") - rho) < 1e-6,
+      s"rho ${r.getAs[Double]("rho")} vs $rho")
+  }
+
   test("q191: blocked edit-distance pairs on hand titles") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_").toString
