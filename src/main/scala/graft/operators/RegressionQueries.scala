@@ -206,6 +206,85 @@ object RegressionQueries extends QueryModule {
                   s2 * (s1 * s12 - s11 * s2)) AS b2
           FROM c)"""
 
+  // ------------------------------------------------------------------
+  // GENERAL-d NORMAL-EQUATION SOLVER (q222) — the 3×3 Cramer solve
+  // does not scale past a few features; the general path is Gaussian
+  // elimination on the (d+1)² normal matrix. Determinism across two
+  // engines is achieved by GENERATION: one shared step program (a DAG
+  // of binary double ops) is interpreted twice — over driver-side
+  // doubles on the collected O(groups·d²) moment state (the
+  // q179-eigensolve discipline: reduce distributed, solve local on
+  // dimension-bounded state), and as a level-batched MATERIALIZED-CTE
+  // chain forming the DuckDB oracle. Both sides therefore execute the
+  // IDENTICAL op sequence; nothing is hand-pinned. No pivoting: XᵀX of
+  // a full-rank design is positive definite, so the pivots are
+  // positive by construction.
+
+  /** One binary double op: `name = a <op> b` over prior names. */
+  private final case class EStep(name: String, op: String, a: String, b: String)
+
+  /** Forward elimination + back substitution over the augmented
+    * (d+1)×(d+2) system; entry names `a_i_j` (j = d+1 is the RHS).
+    * Returns the step program; solutions land in names `b_0..b_d`.
+    */
+  private def eliminationProgram(d: Int): Vector[EStep] = {
+    val steps = Vector.newBuilder[EStep]
+    var cur = Map.empty[(Int, Int), String] // live name of entry (i, j)
+    for (i <- 0 to d; j <- 0 to d + 1) cur += (i, j) -> s"a_${i}_$j"
+    for (k <- 0 to d; i <- k + 1 to d) {
+      val f = s"f_${i}_$k"
+      steps += EStep(f, "/", cur(i -> k), cur(k -> k))
+      for (j <- k + 1 to d + 1) {
+        val t = s"t_${i}_${j}_$k"
+        steps += EStep(t, "*", f, cur(k -> j))
+        val u = s"u_${i}_${j}_$k"
+        steps += EStep(u, "-", cur(i -> j), t)
+        cur += (i -> j) -> u
+      }
+    }
+    for (i <- d to 0 by -1) {
+      var acc = cur(i -> (d + 1))
+      for (j <- i + 1 to d) {
+        val p = s"p_${i}_$j"
+        steps += EStep(p, "*", cur(i -> j), s"b_$j")
+        val r = s"r_${i}_$j"
+        steps += EStep(r, "-", acc, p)
+        acc = r
+      }
+      steps += EStep(s"b_$i", "/", acc, cur(i -> i))
+    }
+    steps.result()
+  }
+
+  /** Interpret the program over doubles (the Spark-side solve). */
+  private def runProgram(steps: Vector[EStep], init: Map[String, Double]): Map[String, Double] =
+    steps.foldLeft(init) { (env, s) =>
+      val (a, b) = (env(s.a), env(s.b))
+      env + (s.name -> (s.op match {
+        case "/" => a / b
+        case "*" => a * b
+        case "-" => a - b
+      }))
+    }
+
+  /** Emit the program as a chain of MATERIALIZED CTEs over `src` —
+    * steps batched by dependency level so every expression references
+    * only prior CTEs (a same-SELECT alias is illegal in SQL).
+    */
+  private def programSql(steps: Vector[EStep], src: String): (String, String) = {
+    var level = Map.empty[String, Int]
+    val batched = steps.map { s =>
+      val l = 1 + math.max(level.getOrElse(s.a, 0), level.getOrElse(s.b, 0))
+      level += s.name -> l
+      (l, s)
+    }
+    val ctes = batched.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ss) =>
+      val cols = ss.map { case (_, s) => s"(${s.a} ${s.op} ${s.b}) AS ${s.name}" }
+      s"e$l AS MATERIALIZED (SELECT *, ${cols.mkString(", ")} FROM ${if (l == 1) src else s"e${l - 1}"})"
+    }
+    (ctes.mkString(",\n        "), s"e${batched.map(_._1).max}")
+  }
+
   override def queries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -328,6 +407,77 @@ object RegressionQueries extends QueryModule {
         SELECT brand, n,
                ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
         FROM f""")
+    ),
+
+    // ----------------------------------------------------------------
+    // GENERAL-d OLS VIA GENERATED GAUSSIAN ELIMINATION — see the
+    // eliminationProgram scaladoc. Five-coefficient demand model
+    // (intercept, discount, retailprice, size, tax); the distributed
+    // pass is ONE moment aggregation (21 decimal sums per brand); the
+    // solve runs on the collected O(brands·d²) state — 25 rows × 21
+    // doubles, the q179 "solve local on dimension-bounded state"
+    // discipline — and the oracle executes the very same generated op
+    // sequence as ~30 level-batched MATERIALIZED CTEs.
+    "q222_ols_gauss_d4" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val rows = lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            lit(1.0).as("x0"), col("l_discount").as("x1"),
+            col("p_retailprice").as("x2"),
+            col("p_size").cast("double").as("x3"), col("l_tax").as("x4"),
+            col("l_quantity").as("y"))
+        def f(i: Int) = if (i == 5) col("y") else col(s"x$i")
+        val moments = for { i <- 0 to 4; j <- i to 5 }
+          yield sum((f(i) * f(j)).cast(dt)).cast("double").as(s"m_${i}_$j")
+        val m = rows.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"), moments: _*)
+        val steps = eliminationProgram(4)
+        val solved = m.collect().toSeq.map { row =>
+          val init = (for { i <- 0 to 4; j <- 0 to 5 } yield {
+            val src = if (j == 5) s"m_${i}_5" else s"m_${math.min(i, j)}_${math.max(i, j)}"
+            s"a_${i}_$j" -> row.getAs[Double](src)
+          }).toMap
+          val env = runProgram(steps, init)
+          (row.getAs[String]("brand"), row.getAs[Long]("n"),
+            env("b_0"), env("b_1"), env("b_2"), env("b_3"), env("b_4"))
+        }
+        solved.toDF("brand", "n", "rb0", "rb1", "rb2", "rb3", "rb4")
+          .select(col("brand"), col("n"),
+            round(col("rb0"), 6).as("b0"), round(col("rb1"), 6).as("b1"),
+            round(col("rb2"), 6).as("b2"), round(col("rb3"), 6).as("b3"),
+            round(col("rb4"), 6).as("b4"))
+      },
+      oracle = Some {
+        val momentSql = (for { i <- 0 to 4; j <- i to 5 } yield {
+          val a = if (i == 5) "y" else s"x$i"
+          val b = if (j == 5) "y" else s"x$j"
+          s"CAST(SUM(CAST($a * $b AS DECIMAL(38,10))) AS DOUBLE) AS m_${i}_$j"
+        }).mkString(",\n                 ")
+        val aliases = (for { i <- 0 to 4; j <- 0 to 5 } yield {
+          val src = if (j == 5) s"m_${i}_5" else s"m_${math.min(i, j)}_${math.max(i, j)}"
+          s"$src AS a_${i}_$j"
+        }).mkString(", ")
+        val (ctes, last) = programSql(eliminationProgram(4), "a0")
+        s"""
+        WITH rf AS MATERIALIZED (
+          SELECT p_brand AS brand, 1.0 AS x0, l_discount AS x1,
+                 p_retailprice AS x2, CAST(p_size AS DOUBLE) AS x3,
+                 l_tax AS x4, l_quantity AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        md AS MATERIALIZED (
+          SELECT brand, COUNT(*) AS n,
+                 $momentSql
+          FROM rf GROUP BY brand),
+        a0 AS MATERIALIZED (SELECT brand, n, $aliases FROM md),
+        $ctes
+        SELECT brand, n,
+               ROUND(b_0, 6) AS b0, ROUND(b_1, 6) AS b1,
+               ROUND(b_2, 6) AS b2, ROUND(b_3, 6) AS b3,
+               ROUND(b_4, 6) AS b4
+        FROM $last"""
+      }
     ),
 
     // ----------------------------------------------------------------

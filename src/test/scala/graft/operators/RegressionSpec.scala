@@ -121,6 +121,29 @@ class RegressionSpec extends AnyFunSuite {
     assert(got("BrandB") === ((12L, 10.0, -1.0, 0.25)))
   }
 
+  test("q222: generated elimination recovers the exact 5-coefficient plane") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_gauss_").toString
+    // y = 1 + 2·x1 + 0.5·x2 + 0.25·x3 + 4·x4 over a full factorial —
+    // all binary fractions, nonsingular design
+    val combos = for {
+      x1 <- Seq(0.0, 1.0, 2.0); x2 <- Seq(1.0, 2.0)
+      x3 <- Seq(1, 3); x4 <- Seq(0.0, 0.5)
+    } yield (x1, x2, x3, x4)
+    val li = combos.zipWithIndex.map { case ((x1, x2, x3, x4), i) =>
+      (i.toLong, 1, x2.toLong * 10 + x3, x1, x4,
+        1.0 + 2.0 * x1 + 0.5 * x2 + 0.25 * x3 + 4.0 * x4)
+    }.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_discount", "l_tax", "l_quantity")
+    li.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    combos.map { case (_, x2, x3, _) => (x2.toLong * 10 + x3, "BrandG", x2, x3) }
+      .distinct
+      .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    val r = graft.SparkEntry.queries("q222_ols_gauss_d4")(spark, d).head()
+    assert(r.getAs[Long]("n") === 24L)
+    assert((2 to 6).map(r.getDouble) === Seq(1.0, 2.0, 0.5, 0.25, 4.0))
+  }
+
   test("q207: maintained-moments refit equals the one-shot fit row for row") {
     val oneShot = graft.SparkEntry.queries("q204_ols_fit")(spark, dir)
       .collect().map(_.toSeq).toSet
