@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.SketchQueries,
     graft.operators.ZOrderQueries,
     graft.operators.RegressionQueries,
+    graft.operators.TreeQueries,
     graft.operators.ForecastQueries,
     graft.operators.GraphQueries,
     graft.functions.ScalarQueries,

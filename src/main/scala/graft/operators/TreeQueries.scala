@@ -1,0 +1,469 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DISTRIBUTED HISTOGRAM-BASED TREE LEARNING — the split-finding /
+  * boosting shape every production GBDT system (LightGBM, XGBoost
+  * hist) runs on a cluster, expressed as declarative Spark plans. The
+  * reference assembles demand-model features and stubs the actual
+  * learner (`update_ml_features.py:29-166`, `forecast_accuracy` left
+  * NULL at :150); the OLS family (q204+) fits the linear member of
+  * that family — this module fits the nonlinear one.
+  *
+  * Scale contract (the histogram algorithm's whole point): split
+  * finding NEVER sorts or shuffles rows. One scan bins every feature,
+  * a map-side-combinable aggregate reduces the corpus to O(features ×
+  * bins) cells, and every candidate split is scored from prefix sums
+  * over that reduced frame. At 100 TB the scan dominates and the
+  * reduced state is a few hundred rows regardless of corpus size.
+  *
+  * Boosting (q224) adds rounds WITHOUT adding row-grain state: with
+  * squared loss the per-bin residual sum decomposes over the leaf
+  * partition of the previous stumps —
+  *   Σ_bin r = Σ_bin y − Σ_leafpattern n(bin∩pattern)·F(pattern)
+  * — so each round is again ONE histogram aggregate, now at
+  * (feature, bin) grain with 2^(round−1) pattern-conditional decimal
+  * sums as columns. Gradients are never materialized per row.
+  *
+  * Determinism contract (the q190/q204 rules): per-cell sums are
+  * DECIMAL(38,10) (exact, order-independent); every double expression
+  * (gains, leaf values, pattern offsets) pins its parenthesization
+  * identically in the Scala plan, the driver-side constant folding,
+  * and the DuckDB oracle text; split argmax ties break on
+  * (feature, bin) so the chosen stump is engine-independent.
+  */
+object TreeQueries extends QueryModule {
+
+  import Tables._
+
+  private val dt = DecimalType(38, 10)
+
+  private val Rounds       = 3
+  private val LearningRate = 0.5
+
+  /** Feature definitions: name → integer-bin SQL expression (shared
+    * text between the Spark plan and the oracle; all ops are exact
+    * IEEE, no libm). Ordered bins make every feature splittable as
+    * `bin <= thr`.
+    */
+  private val features: Seq[(String, String)] = Seq(
+    "discount" -> "CAST(FLOOR(l_discount * 100 + 0.5) AS INT)",
+    "month"    -> "CAST(MONTH(l_shipdate) AS INT)",
+    "size"     -> "CAST(p_size AS INT)",
+    "tax"      -> "CAST(FLOOR(l_tax * 100 + 0.5) AS INT)"
+  )
+
+  /** Observation rows: one row per lineitem with every feature binned
+    * and the target; the part dim broadcasts into the scan.
+    */
+  private def obsRows(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(
+        Seq(col("l_quantity").as("y"),
+          col("l_orderkey").as("k"), col("l_linenumber").as("ln")) ++
+          features.map { case (n, e) => expr(e).as(s"bin_$n") }: _*)
+
+  /** Long-form (feature, bin, y): the one-generator equivalent of
+    * "update all feature histograms in one pass over rows" — the
+    * stack stays in whole-stage codegen and the very next operator is
+    * the partial aggregate, so nothing row-grain ever shuffles.
+    */
+  private def longForm(rows: DataFrame): DataFrame = {
+    val stackArgs = features
+      .map { case (n, _) => s"'$n', bin_$n" }
+      .mkString(", ")
+    rows.select(col("y"),
+      expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")))
+  }
+
+  /** SQL mirror of [[longForm]] over the `r` rows CTE. */
+  private def longFormSql: String =
+    features
+      .map { case (n, _) => s"SELECT '$n' AS feature, bin_$n AS bin, y FROM r" }
+      .mkString("\n          UNION ALL ")
+
+  private val rowsSql: String = s"""
+        r AS MATERIALIZED (
+          SELECT l_quantity AS y, l_orderkey AS k, l_linenumber AS ln,
+                 ${features.map { case (n, e) => s"$e AS bin_$n" }.mkString(",\n                 ")}
+          FROM lineitem JOIN part ON l_partkey = p_partkey)"""
+
+  /** The pinned split-gain expression: for squared loss the Σy² terms
+    * cancel out of (SSE_parent − SSE_left − SSE_right), leaving
+    *   gain = Sl²/nl + Sr²/nr − St²/nt
+    * over residual (= target) sums. Identical text in Scala and SQL.
+    */
+  private def gainCols(sl: Column, sr: Column, st: Column,
+      nl: Column, nr: Column, nt: Column): Column =
+    ((sl * sl) / nl + (sr * sr) / nr) - (st * st) / nt
+
+  private def gainSql(sl: String, sr: String, st: String,
+      nl: String, nr: String, nt: String): String =
+    s"(($sl * $sl) / $nl + ($sr * $sr) / $nr) - ($st * $st) / $nt"
+
+  // ------------------------------------------------------------------
+  // BOOSTING MACHINERY (q224/q225). One trained stump; `lv`/`rv` are
+  // the UNROUNDED leaf values (mean residual) that parameterize later
+  // rounds, so the driver-side constant folding and the oracle's CTE
+  // chain stay bit-identical.
+  private final case class Stump(
+      feature: String, thr: Int, lv: Double, rv: Double,
+      gain: Double, nl: Long, nr: Long)
+
+  /** Prediction offset of leaf-pattern `p` under `stumps` — the
+    * driver-side fold; MUST mirror [[fpSql]] op for op (left-assoc
+    * adds, one multiply per round).
+    */
+  private def fpVal(p: Int, stumps: Seq[Stump], f0: Double): Double =
+    stumps.zipWithIndex.foldLeft(f0) { case (acc, (st, j)) =>
+      acc + LearningRate * (if (((p >> j) & 1) == 1) st.lv else st.rv)
+    }
+
+  /** SQL text of [[fpVal]] over the 1-row stump CTEs s1..s_{m-1}. */
+  private def fpSql(p: Int, prevRounds: Int): String =
+    (1 to prevRounds).foldLeft("f0.v") { (acc, j) =>
+      val leaf = if (((p >> (j - 1)) & 1) == 1) s"s$j.slv" else s"s$j.srv"
+      s"($acc + $LearningRate * $leaf)"
+    }
+
+  /** `CASE s$j.sf WHEN 'discount' THEN bin_discount … END` — the bin
+    * of whichever feature stump j split on.
+    */
+  private def featCaseSql(j: Int): String =
+    s"CASE s$j.sf " +
+      features.map { case (n, _) => s"WHEN '$n' THEN bin_$n" }.mkString(" ") +
+      " END"
+
+  /** Leaf-membership bit of stump j for a row (SQL). */
+  private def bitSql(j: Int): String =
+    s"(CASE WHEN (${featCaseSql(j)}) <= s$j.sthr THEN 1 ELSE 0 END)"
+
+  /** Leaf-membership bit of stump j for a row (Spark Column). */
+  private def bitCol(st: Stump): Column =
+    when(col(s"bin_${st.feature}") <= st.thr, 1).otherwise(0)
+
+  /** One boosting round on Spark: histogram the residual sums at
+    * (feature, bin) grain with one pattern-conditional decimal column
+    * per leaf pattern of the previous stumps, prefix-sum over the
+    * reduced frame, assemble Sl/St from the pattern columns and the
+    * CONSTANT pattern offsets F_p, and take the argmax split. Returns
+    * the collected stump (O(1) driver state — the q179 solve-local
+    * discipline; everything row-grain stays distributed).
+    */
+  private def trainRound(rows: DataFrame, stumps: Seq[Stump], f0: Double): Stump = {
+    val nPats = 1 << stumps.size
+    val patCol = stumps.zipWithIndex
+      .map { case (st, j) => bitCol(st) * lit(1 << j) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val stackArgs = features.map { case (n, _) => s"'$n', bin_$n" }.mkString(", ")
+    val long = rows.withColumn("pat", patCol)
+      .select(col("y"), col("pat"),
+        expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")))
+    val aggs = (0 until nPats).flatMap { p =>
+      Seq(
+        sum(when(col("pat") === p, 1L).otherwise(0L)).as(s"n_$p"),
+        sum(when(col("pat") === p, col("y").cast(dt))).as(s"sy_$p"))
+    }
+    val h = long.groupBy(col("feature"), col("bin")).agg(aggs.head, aggs.tail: _*)
+    val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+    val pCols = (0 until nPats).flatMap { p =>
+      Seq(
+        sum(col(s"n_$p")).over(wPre).as(s"nl_$p"),
+        sum(col(s"sy_$p")).over(wPre).as(s"syl_$p"),
+        sum(col(s"n_$p")).over(wAll).as(s"nt_$p"),
+        sum(col(s"sy_$p")).over(wAll).as(s"syt_$p"))
+    }
+    val pf = h.select(col("feature") +: col("bin") +: pCols: _*)
+    def assemble(side: String): Column =
+      (0 until nPats).map { p =>
+        coalesce(col(s"sy$side$p").cast("double"), lit(0.0)) -
+          col(s"n$side$p").cast("double") * lit(fpVal(p, stumps, f0))
+      }.reduce(_ + _)
+    val nlSum = (0 until nPats).map(p => col(s"nl_$p")).reduce(_ + _)
+    val ntSum = (0 until nPats).map(p => col(s"nt_$p")).reduce(_ + _)
+    val a = pf.select(col("feature"), col("bin"),
+      nlSum.as("nl"), ntSum.as("nt"),
+      assemble("l_").as("sl"), assemble("t_").as("st"))
+    val g = a.where(col("nl") < col("nt")).select(
+      col("feature"), col("bin"), col("nl"),
+      (col("nt") - col("nl")).as("nr"),
+      col("sl"), (col("st") - col("sl")).as("sr"), col("st"),
+      col("nl").cast("double").as("nld"),
+      (col("nt") - col("nl")).cast("double").as("nrd"),
+      col("nt").cast("double").as("ntd"))
+    val best = g.withColumn("gain", gainCols(
+        col("sl"), col("sr"), col("st"),
+        col("nld"), col("nrd"), col("ntd")))
+      .withColumn("slv", col("sl") / col("nld"))
+      .withColumn("srv", col("sr") / col("nrd"))
+      .orderBy(col("gain").desc, col("feature").asc, col("bin").asc)
+      .limit(1)
+      .head()
+    Stump(best.getAs[String]("feature"), best.getAs[Int]("bin"),
+      best.getAs[Double]("slv"), best.getAs[Double]("srv"),
+      best.getAs[Double]("gain"), best.getAs[Long]("nl"), best.getAs[Long]("nr"))
+  }
+
+  /** Train the full model: F0 = global mean (decimal-exact mean, the
+    * same division the oracle's f0 CTE performs), then `Rounds`
+    * histogram rounds over the leased row cache.
+    */
+  private def trainModel(s: SparkSession, d: String): (Double, Seq[Stump]) = {
+    val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+    val f0 = rows
+      .agg((sum(col("y").cast(dt)).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+      .head().getDouble(0)
+    val stumps = (1 to Rounds).foldLeft(Seq.empty[Stump]) { (acc, _) =>
+      acc :+ trainRound(rows, acc, f0)
+    }
+    (f0, stumps)
+  }
+
+  /** The shared WITH-clause body for the boosting oracles: rows, f0,
+    * and per round m the pattern-augmented long form, the histogram,
+    * the prefix frame, the Sl/St assembly, and the 1-row argmax stump
+    * s$m — the very same op sequence the Spark side executes,
+    * level-batched as MATERIALIZED CTEs.
+    */
+  private def gbmCtesSql: String = {
+    val sb = new StringBuilder
+    sb ++= rowsSql
+    sb ++= s""",
+        f0 AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS v FROM r)"""
+    for (m <- 1 to Rounds) {
+      val prev = m - 1
+      val nPats = 1 << prev
+      val joins = (1 to prev).map(j => s" CROSS JOIN s$j").mkString
+      val patExpr =
+        if (prev == 0) "0"
+        else (1 to prev).map(j => s"${bitSql(j)} * ${1 << (j - 1)}").mkString(" + ")
+      val longSql = features
+        .map { case (n, _) => s"SELECT '$n' AS feature, bin_$n AS bin, y, pat FROM rr$m" }
+        .mkString("\n          UNION ALL ")
+      val histCols = (0 until nPats).flatMap { p =>
+        Seq(
+          s"SUM(CASE WHEN pat = $p THEN 1 ELSE 0 END) AS n_$p",
+          s"SUM(CASE WHEN pat = $p THEN CAST(y AS DECIMAL(38,10)) END) AS sy_$p")
+      }.mkString(",\n                 ")
+      val preCols = (0 until nPats).flatMap { p =>
+        Seq(
+          s"SUM(n_$p) OVER w AS nl_$p",
+          s"SUM(sy_$p) OVER w AS syl_$p",
+          s"SUM(n_$p) OVER (PARTITION BY feature) AS nt_$p",
+          s"SUM(sy_$p) OVER (PARTITION BY feature) AS syt_$p")
+      }.mkString(",\n                 ")
+      def assembleSql(side: String): String =
+        (0 until nPats).map { p =>
+          s"(COALESCE(CAST(p.sy$side$p AS DOUBLE), 0.0) - " +
+            s"CAST(p.n$side$p AS DOUBLE) * ${fpSql(p, prev)})"
+        }.mkString(" + ")
+      val nlSum = (0 until nPats).map(p => s"p.nl_$p").mkString(" + ")
+      val ntSum = (0 until nPats).map(p => s"p.nt_$p").mkString(" + ")
+      sb ++= s""",
+        rr$m AS MATERIALIZED (
+          SELECT r.*, $patExpr AS pat FROM r$joins),
+        fb$m AS MATERIALIZED (
+          $longSql),
+        h$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 $histCols
+          FROM fb$m GROUP BY feature, bin),
+        p$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 $preCols
+          FROM h$m
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        a$m AS MATERIALIZED (
+          SELECT p.feature, p.bin,
+                 ($nlSum) AS nl, ($ntSum) AS nt,
+                 ${assembleSql("l_")} AS sl,
+                 ${assembleSql("t_")} AS st
+          FROM p$m p CROSS JOIN f0$joins),
+        g$m AS MATERIALIZED (
+          SELECT feature, bin, nl, nt - nl AS nr, sl, st - sl AS sr, st,
+                 CAST(nl AS DOUBLE) AS nld,
+                 CAST(nt - nl AS DOUBLE) AS nrd,
+                 CAST(nt AS DOUBLE) AS ntd
+          FROM a$m WHERE nl < nt),
+        s$m AS MATERIALIZED (
+          SELECT feature AS sf, bin AS sthr, nl, nr,
+                 ${gainSql("sl", "sr", "st", "nld", "nrd", "ntd")} AS gain,
+                 sl / nld AS slv, sr / nrd AS srv
+          FROM g$m ORDER BY gain DESC, feature ASC, bin ASC LIMIT 1)"""
+    }
+    sb.result()
+  }
+
+  /** SQL text of the final additive model over a row of `r` joined
+    * with s1..sK and f0 — mirrors the Spark-side literal fold.
+    */
+  private def predSql: String =
+    (1 to Rounds).foldLeft("f0.v") { (acc, j) =>
+      s"($acc + $LearningRate * (CASE WHEN (${featCaseSql(j)}) <= s$j.sthr" +
+        s" THEN s$j.slv ELSE s$j.srv END))"
+    }
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // HISTOGRAM SPLIT FINDING — the regression-stump trainer: one scan
+    // bins 4 features, ONE map-side-combined aggregate reduces to
+    // O(features × bins) cells, prefix sums over the reduced frame
+    // score every candidate split, and the best split per feature
+    // falls out of a window rank. Output: each feature's best split
+    // with its gain, ranked across features. The window operators
+    // only ever see the few-hundred-row reduced frame.
+    "q223_tree_split" -> QueryDef(
+      fn = (s, d) => {
+        val h = longForm(obsRows(s, d))
+          .groupBy(col("feature"), col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y").cast(dt)).as("sy"))
+        val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("feature"))
+        val p = h.select(col("feature"), col("bin"),
+          sum(col("n")).over(wPre).as("nl"),
+          sum(col("sy")).over(wPre).as("syl"),
+          sum(col("n")).over(wAll).as("nt"),
+          sum(col("sy")).over(wAll).as("syt"))
+        val g = p.where(col("nl") < col("nt")).select(
+          col("feature"), col("bin"), col("nl"),
+          (col("nt") - col("nl")).as("nr"),
+          col("syl").cast("double").as("sl"),
+          (col("syt") - col("syl")).cast("double").as("sr"),
+          col("syt").cast("double").as("st"),
+          col("nl").cast("double").as("nld"),
+          (col("nt") - col("nl")).cast("double").as("nrd"),
+          col("nt").cast("double").as("ntd"))
+          .withColumn("gain", gainCols(
+            col("sl"), col("sr"), col("st"),
+            col("nld"), col("nrd"), col("ntd")))
+        val wBest = Window.partitionBy(col("feature"))
+          .orderBy(col("gain").desc, col("bin").asc)
+        g.withColumn("rk", row_number().over(wBest))
+          .where(col("rk") === 1)
+          .select(col("feature"), col("bin").as("thr"),
+            col("nl").as("n_left"), col("nr").as("n_right"),
+            round(col("gain"), 6).as("gain"),
+            round(col("sl") / col("nld"), 6).as("left_mean"),
+            round(col("sr") / col("nrd"), 6).as("right_mean"))
+      },
+      oracle = Some(s"""
+        WITH $rowsSql,
+        fb AS MATERIALIZED (
+          ${longFormSql}),
+        h AS MATERIALIZED (
+          SELECT feature, bin, COUNT(*) AS n,
+                 SUM(CAST(y AS DECIMAL(38,10))) AS sy
+          FROM fb GROUP BY feature, bin),
+        p AS MATERIALIZED (
+          SELECT feature, bin,
+                 SUM(n) OVER w AS nl, SUM(sy) OVER w AS syl,
+                 SUM(n) OVER (PARTITION BY feature) AS nt,
+                 SUM(sy) OVER (PARTITION BY feature) AS syt
+          FROM h
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        g AS MATERIALIZED (
+          SELECT feature, bin, nl, nt - nl AS nr,
+                 CAST(syl AS DOUBLE) AS sl,
+                 CAST(syt - syl AS DOUBLE) AS sr,
+                 CAST(syt AS DOUBLE) AS st,
+                 CAST(nl AS DOUBLE) AS nld,
+                 CAST(nt - nl AS DOUBLE) AS nrd,
+                 CAST(nt AS DOUBLE) AS ntd,
+                 ${gainSql("CAST(syl AS DOUBLE)", "CAST(syt - syl AS DOUBLE)",
+                   "CAST(syt AS DOUBLE)", "CAST(nl AS DOUBLE)",
+                   "CAST(nt - nl AS DOUBLE)", "CAST(nt AS DOUBLE)")} AS gain
+          FROM p WHERE nl < nt)
+        SELECT feature, bin AS thr,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               ROUND(gain, 6) AS gain,
+               ROUND(sl / nld, 6) AS left_mean,
+               ROUND(sr / nrd, 6) AS right_mean
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                ORDER BY gain DESC, bin ASC) AS rk FROM g)
+        WHERE rk = 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // GRADIENT-BOOSTED STUMPS — K=3 rounds of squared-loss boosting
+    // (Friedman 2001) with learning rate 0.5 from a global-mean base.
+    // Per round: ONE (feature, bin)-grain histogram aggregate whose
+    // 2^(round−1) pattern-conditional decimal columns decompose the
+    // residual sums over the previous stumps' leaf partition — so
+    // residuals/gradients are NEVER materialized per row, each round
+    // costs one corpus scan + an O(features × bins) shuffle, and the
+    // collected model state is 3 stumps (the q179 solve-local-on-
+    // bounded-state discipline). The oracle replays the identical op
+    // sequence as a generated MATERIALIZED-CTE chain.
+    "q224_gbdt_train" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (_, stumps) = trainModel(s, d)
+        stumps.zipWithIndex
+          .map { case (st, i) =>
+            (i + 1, st.feature, st.thr, st.nl, st.nr, st.gain, st.lv, st.rv)
+          }
+          .toDF("round", "feature", "thr", "n_left", "n_right",
+            "rgain", "rlv", "rrv")
+          .select(col("round"), col("feature"), col("thr"),
+            col("n_left"), col("n_right"),
+            round(col("rgain"), 6).as("gain"),
+            round(col("rlv"), 6).as("leaf_left"),
+            round(col("rrv"), 6).as("leaf_right"))
+      },
+      oracle = Some(s"""
+        WITH $gbmCtesSql
+        SELECT round, sf AS feature, sthr AS thr,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               ROUND(gain, 6) AS gain,
+               ROUND(slv, 6) AS leaf_left, ROUND(srv, 6) AS leaf_right
+        FROM (${(1 to Rounds)
+          .map(m => s"SELECT $m AS round, * FROM s$m")
+          .mkString("\n              UNION ALL ")})""")
+    ),
+
+    // ----------------------------------------------------------------
+    // BOOSTED-MODEL APPLY — score every row with the trained additive
+    // model. Training reduces to 3 collected stumps, so the apply is a
+    // pure map stage: the model rides the plan as literals (no join at
+    // all — stricter than broadcast) and a 100 TB scoring pass shuffles
+    // NOTHING. Row-grain output gates the whole train→apply pipeline.
+    "q225_gbdt_score" -> QueryDef(
+      fn = (s, d) => {
+        val (f0, stumps) = trainModel(s, d)
+        val pred = stumps.foldLeft[Column](lit(f0)) { (acc, st) =>
+          acc + lit(LearningRate) *
+            when(col(s"bin_${st.feature}") <= st.thr, lit(st.lv)).otherwise(lit(st.rv))
+        }
+        obsRows(s, d).select(
+          col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+          round(pred, 6).as("pred"),
+          round(col("y") - pred, 6).as("resid"))
+      },
+      oracle = Some(s"""
+        WITH $gbmCtesSql,
+        scored AS MATERIALIZED (
+          SELECT r.k, r.ln, r.y, $predSql AS pred
+          FROM r CROSS JOIN f0${(1 to Rounds).map(j => s" CROSS JOIN s$j").mkString})
+        SELECT k AS l_orderkey, ln AS l_linenumber,
+               ROUND(pred, 6) AS pred, ROUND(y - pred, 6) AS resid
+        FROM scored""")
+    )
+  )
+}

@@ -677,7 +677,20 @@ object PlanAudit {
     // regression, nothing quadratic
     Audit("q211_forecast_interval",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
+    // histogram split finding: the part dim broadcasts into the scan,
+    // the (feature, bin) histogram map-side-combines, and the window
+    // operators only ever see the O(features × bins) reduced frame —
+    // nothing row-grain is ever sorted or sort-merge-joined
+    Audit("q223_tree_split",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // boosted-model apply: training reduces to 3 collected stumps, so
+    // the scoring plan is scan + literal projection — the model needs
+    // no join at all and nothing in the apply path windows or shuffles
+    Audit("q225_gbdt_score",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-traceable cases for the histogram tree family (q223–q225): a
+  * corpus whose target is an exact step function of ONE feature, so
+  * every split gain, leaf value, and boosted residual is computable by
+  * hand (squared loss + lr 0.5 ⇒ residuals halve per round and gains
+  * shrink 4× per round).
+  */
+class TreeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 8 rows: p_size ∈ {1,2} → y = 10 (4 rows), p_size ∈ {5,6} → y = 20
+    * (4 rows); every other feature is constant (single bin → never
+    * splittable). By hand: f0 = 15; the only valid splits are size ≤
+    * {1,2,5}; thr=2 wins with gain (40²/4 + 80²/4) − 120²/8 = 200.
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tree_").toString
+    val rows = for {
+      (sz, y) <- Seq(1 -> 10.0, 2 -> 10.0, 5 -> 20.0, 6 -> 20.0)
+      i <- 0 to 1
+    } yield (sz.toLong * 10 + i, i + 1, sz.toLong, 0.0, 0.0, y)
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey",
+        "l_discount", "l_tax", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(lit("2025-03-15 00:00:00")))
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    Seq(1, 2, 5, 6).map(sz => (sz.toLong, sz))
+      .toDF("p_partkey", "p_size")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q223: constant features are unsplittable; the step split is exact") {
+    val got = graft.SparkEntry.queries("q223_tree_split")(spark, dir).collect()
+    assert(got.length === 1, "only the stepped feature has >1 bin")
+    val r = got.head
+    assert(r.getAs[String]("feature") === "size")
+    assert(r.getAs[Int]("thr") === 2)
+    assert(r.getAs[Long]("n_left") === 4L && r.getAs[Long]("n_right") === 4L)
+    assert(r.getAs[Double]("gain") === 200.0)
+    assert(r.getAs[Double]("left_mean") === 10.0)
+    assert(r.getAs[Double]("right_mean") === 20.0)
+  }
+
+  test("q224: residuals halve per round, gains shrink 4x, same split re-chosen") {
+    val rounds = graft.SparkEntry.queries("q224_gbdt_train")(spark, dir)
+      .orderBy(col("round")).collect()
+    assert(rounds.map(_.getAs[String]("feature")).toSeq === Seq("size", "size", "size"))
+    assert(rounds.map(_.getAs[Int]("thr")).toSeq === Seq(2, 2, 2))
+    assert(rounds.map(_.getAs[Double]("gain")).toSeq === Seq(200.0, 50.0, 12.5))
+    assert(rounds.map(_.getAs[Double]("leaf_left")).toSeq === Seq(-5.0, -2.5, -1.25))
+    assert(rounds.map(_.getAs[Double]("leaf_right")).toSeq === Seq(5.0, 2.5, 1.25))
+  }
+
+  test("q225: after 3 rounds every residual is the geometric tail ±0.625") {
+    val resids = graft.SparkEntry.queries("q225_gbdt_score")(spark, dir)
+      .select(col("resid")).collect().map(_.getDouble(0))
+    assert(resids.length === 8)
+    assert(resids.forall(r => math.abs(r) === 0.625), resids.mkString(","))
+  }
+}
