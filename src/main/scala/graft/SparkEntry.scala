@@ -27,6 +27,7 @@ object SparkEntry {
     graft.functions.DedupQueries,
     graft.functions.CorpusBuildQueries,
     graft.functions.SimilarityQueries,
+    graft.functions.ClusteringQueries,
     graft.streaming.StreamingQueries,
     graft.sources.Multimodal,
     graft.sources.TextFormats,

@@ -145,6 +145,91 @@ object GraphQueries extends QueryModule {
         $steps
         SELECT node, ROUND(r * 1e6, 6) AS pr_ppm FROM r$Iterations"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // TRIANGLE COUNTING via DEGREE-ORDERED ORIENTATION (the
+    // compact-forward algorithm, Latapy 2008 / Suri & Vassilvitskii
+    // 2011 "Counting triangles and the curse of the last reducer"):
+    // orient every undirected edge from its (deg, id)-smaller endpoint
+    // to the larger, so each triangle is counted exactly once at its
+    // order-lowest vertex and — the scale property — every node's
+    // ORIENTED out-degree is O(√m), which bounds the wedge join at
+    // O(m^{3/2}) regardless of raw degree skew (the hub that breaks
+    // naive wedge counting has huge in-degree but tiny out-degree
+    // here). Graph: strong co-supply ties (suppliers sharing ≥ 2
+    // parts, the q167 graph thresholded). Everything is integer
+    // arithmetic over keyed equi-joins: ONE bounded self-join builds
+    // wedges, one semi-join closes them, one aggregate counts — no
+    // cartesian, no window, no global rank (the orientation compares
+    // (deg, id) tuples in the join condition instead of materializing
+    // a total order).
+    "q227_triangle_count" -> QueryDef(
+      fn = (s, d) => {
+        val ps = lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val e0 = ps.as("a")
+          .join(ps.as("b"),
+            col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .select(col("u"), col("v"))
+        val deg = e0.select(col("u").as("node"))
+          .unionAll(e0.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val ed = e0
+          .join(deg.as("nu"), col("nu.node") === col("u"))
+          .join(deg.as("nv"), col("nv.node") === col("v"))
+          .select(col("u"), col("v"),
+            col("nu.deg").as("du"), col("nv.deg").as("dv"))
+        val fwd = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val arcs = ed.select(
+          when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+        val wedges = arcs.as("x")
+          .join(arcs.as("y"),
+            col("x.src") === col("y.src") &&
+              (col("x.ddeg") < col("y.ddeg") ||
+                (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+          .select(col("x.src").as("tu"), col("x.dst").as("tv"),
+            col("y.dst").as("tw"))
+        wedges
+          .join(arcs.select(col("src"), col("dst")),
+            col("tv") === col("src") && col("tw") === col("dst"), "leftsemi")
+          .groupBy(col("tu").as("node"))
+          .agg(count(lit(1)).as("tri"))
+      },
+      oracle = Some("""
+        WITH ps AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.sk AS u, b.sk AS v
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        n AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY node),
+        ed AS MATERIALIZED (
+          SELECT u, v, nu.deg AS du, nv.deg AS dv
+          FROM e0 JOIN n nu ON nu.node = u JOIN n nv ON nv.node = v),
+        arcs AS MATERIALIZED (
+          SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+                 CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+                 CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+          FROM ed),
+        wedges AS MATERIALIZED (
+          SELECT x.src AS tu, x.dst AS tv, y.dst AS tw
+          FROM arcs x JOIN arcs y ON x.src = y.src
+           AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst)))
+        SELECT tu AS node, COUNT(*) AS tri
+        FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM arcs z WHERE z.src = w.tv AND z.dst = w.tw)
+        GROUP BY tu""")
     )
   )
 }

@@ -690,7 +690,20 @@ object PlanAudit {
     // no join at all and nothing in the apply path windows or shuffles
     Audit("q225_gbdt_score",
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // k-means assignment: the K×d centroid table broadcasts (BNLJ over
+    // the streamed corpus) and the argmin is an aggregation — never a
+    // window or sort over corpus-grain rows; the seed window lives
+    // behind the localCheckpoint and must not appear in the final plan
+    Audit("q226_kmeans_lloyd",
+      mustContain = Seq("BroadcastNestedLoopJoin", "partial_min"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
+    // triangle counting: wedge build and closure are keyed equi-joins
+    // (the closure a LeftSemi), orientation compares (deg, id) tuples
+    // in the join condition — no global rank window, no cartesian
+    Audit("q227_triangle_count",
+      mustContain = Seq("LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "Window", "BroadcastNestedLoop"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

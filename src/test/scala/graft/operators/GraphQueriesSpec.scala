@@ -43,4 +43,26 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(total > 0.15e6 && total <= 1e6 + 1.0)
     out.unpersist()
   }
+
+  test("q227: K4 of strong ties yields 4 triangles at the right lowest vertices") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri_").toString
+    // every K4 pair {1,2,3,4} shares TWO parts (strong tie, kept);
+    // the pendant pair {4,5} shares ONE part (dropped by the w >= 2
+    // threshold). K4 has triangles {123},{124},{134},{234}; with all
+    // degrees equal the (deg, id) orientation counts 3 at node 1 and
+    // 1 at node 2.
+    val k4pairs = for {
+      u <- 1L to 4L; v <- (u + 1) to 4L
+    } yield (u, v)
+    val rows = k4pairs.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq(0L, 1L).flatMap(c =>
+        Seq((i.toLong * 10 + c, u), (i.toLong * 10 + c, v)))
+    } ++ Seq((900L, 4L), (900L, 5L))
+    rows.toDF("l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("q227_triangle_count")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L))
+  }
 }
