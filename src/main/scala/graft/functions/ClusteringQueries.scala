@@ -87,6 +87,81 @@ object ClusteringQueries extends QueryModule {
       .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
       .localCheckpoint(true)
 
+  // ------------------------------------------------------------------
+  // NEAREST-CENTROID CLASSIFIER MACHINERY (q228/q229): train = one
+  // (label, dim)-grain decimal-mean aggregate; apply = broadcast the
+  // per-class centroids and take the aggregation-argmin. The per-class
+  // (n, Σv) state is ADDITIVE — the maintained-state twin (q228)
+  // merges per-batch partial sums by decimal addition, the q176/q207
+  // MV pattern applied to centroid state.
+
+  private def trainTest(e: DataFrame): (DataFrame, DataFrame) =
+    (e.where(pmod(col("vec_id"), lit(5)) =!= 0),
+      e.where(pmod(col("vec_id"), lit(5)) === 0))
+
+  /** (label, pos)-grain additive state: count + decimal coordinate sum. */
+  private def centroidState(train: DataFrame): DataFrame =
+    train.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast(dt)).as("sv"))
+
+  /** Fold state to float-narrowed per-class centroid arrays. */
+  private def centroidsFromState(st: DataFrame): DataFrame =
+    st.select(col("label"), col("pos"),
+        (col("sv").cast("double") / col("n")).cast("float").as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("clabel"), expr("transform(pm, x -> x.m)").as("cvec"))
+
+  /** Classify the held-out vectors against the class centroids and
+    * reduce to the (label, pred) confusion matrix.
+    */
+  private def confusion(test: DataFrame, cents: DataFrame): DataFrame =
+    test.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"),
+        first(col("label")).as("label"))
+      .groupBy(col("label"), col("m.clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Shared q228/q229 oracle: the one-shot train→classify SQL — the
+    * incremental variant hash-matching it IS the merge ≡ recompute
+    * proof.
+    */
+  private val confusionOracleSql: String = {
+    val d2Sql =
+      "list_sum(list_transform(list_zip(t.embedding, c.cvec), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    s"""
+        WITH tr AS MATERIALIZED (
+          SELECT label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        te AS MATERIALIZED (
+          SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        st AS MATERIALIZED (
+          SELECT label, CAST(u.i AS INT) AS pos, COUNT(*) AS n,
+                 SUM(CAST(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE)
+                   AS DECIMAL(28,12))) AS sv
+          FROM tr, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY label, CAST(u.i AS INT)),
+        m AS MATERIALIZED (
+          SELECT label, pos, CAST(CAST(sv AS DOUBLE) / n AS REAL) AS m
+          FROM st),
+        c AS MATERIALIZED (
+          SELECT label AS clabel, list(m ORDER BY pos) AS cvec
+          FROM m GROUP BY label),
+        p AS MATERIALIZED (
+          SELECT t.vec_id, t.label, c.clabel, $d2Sql AS d2
+          FROM te t CROSS JOIN c),
+        cl AS MATERIALIZED (
+          SELECT vec_id, label, clabel AS pred FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, clabel ASC) AS rn FROM p) WHERE rn = 1)
+        SELECT label, pred, COUNT(*) AS n FROM cl GROUP BY label, pred"""
+  }
+
   private lazy val rawQueries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -141,6 +216,141 @@ object ClusteringQueries extends QueryModule {
         SELECT vec_id, cid, ROUND(d2, 6) AS dist2 FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
             ORDER BY d2 ASC, cid ASC) AS rn FROM pf) WHERE rn = 1"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // NEAREST-CENTROID (Rocchio) CLASSIFIER — the embedding-space
+    // quality/label classifier a curation pipeline trains constantly:
+    // per-class centroid from the train split (vec_id % 5 ≠ 0), argmin
+    // classification of the holdout, confusion matrix out. Train is
+    // ONE (label, dim)-grain decimal aggregate (shuffle O(classes × d));
+    // apply broadcasts the KB-scale centroid table — at 100 TB both
+    // sides are one scan each.
+    "q229_centroid_classifier" -> QueryDef(
+      fn = (s, d) => {
+        val (train, test) = trainTest(embeddings(s, d))
+        confusion(test, centroidsFromState(centroidState(train)))
+      },
+      oracle = Some(confusionOracleSql)
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED CENTROID STATE — the centroid-state maintained-index
+    // twin (the q176/q207 MV-merge pattern applied to q229): four
+    // ingest batches each aggregate ONLY their own rows' (label, dim)
+    // count+sum state (O(batch) work), merged into the stored table by
+    // decimal addition; the classifier then folds centroids from the
+    // merged state. Gated against q229's ONE-SHOT oracle — the hash
+    // match IS the append ≡ recompute proof. At 100 TB a nightly
+    // embedding ingest pays O(day) to refresh the classifier, never
+    // O(history).
+    "q228_centroid_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q228_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val (train, test) = trainTest(embeddings(s, d))
+          for (b <- 0 until 4) {
+            val batch = centroidState(train.where(pmod(col("vec_id"), lit(4)) === b))
+            val merged =
+              if (wh.exists("gold", "mv_centroid_state"))
+                wh.load("gold", "mv_centroid_state").unionByName(batch)
+                  .groupBy(col("label"), col("pos"))
+                  .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+              else batch
+            wh.overwrite(merged, "gold", "mv_centroid_state")
+          }
+          val st = wh.load("gold", "mv_centroid_state")
+            .select(col("label"), col("pos"),
+              col("n").cast("long").as("n"), col("sv").cast(dt).as("sv"))
+          confusion(test, centroidsFromState(st)).localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(confusionOracleSql)
+    ),
+
+    // ----------------------------------------------------------------
+    // CLUSTER QUALITY — simplified silhouette (the scalable variant:
+    // distance-to-centroids only, never pairwise): per vector a = dist
+    // to its own centroid, b = dist to the nearest OTHER centroid,
+    // s = (b − a) / max(a, b); reported per cluster. Both distances
+    // fall out of the SAME n×K frame q226's assignment already
+    // computes — the sorted 8-element per-vector list gives first and
+    // second nearest in one aggregate, so the metric costs one extra
+    // scan over the final centroids, no pairwise pass.
+    "q230_cluster_silhouette" -> QueryDef(
+      fn = (s, d) => {
+        val e = graft.CacheLeases.lease(embeddings(s, d).persist())
+        val c0 = seedCentroids(e)
+        val cT = (1 to Iters).foldLeft(c0)((c, _) => update(assign(e, c)))
+        val two = e.crossJoin(broadcast(cT))
+          .withColumn("dist", sqrt(dist2))
+          .groupBy(col("vec_id"))
+          .agg(slice(sort_array(collect_list(struct(col("dist"), col("cid")))), 1, 2).as("t2"))
+          .select(col("vec_id"),
+            col("t2")(0).getField("cid").as("cid"),
+            col("t2")(0).getField("dist").as("a"),
+            col("t2")(1).getField("dist").as("b"))
+        val sil = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+        two.withColumn("sil", sil)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(sil.cast(DecimalType(38, 10))).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_sil"))
+      },
+      oracle = Some {
+        val d2Sql =
+          "list_sum(list_transform(list_zip(e.embedding, c.cvec), " +
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        def iterSql(i: Int, prev: String): String = s"""
+        p$i AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, e.embedding, $d2Sql AS d2
+          FROM e CROSS JOIN $prev c),
+        a$i AS MATERIALIZED (
+          SELECT vec_id, cid, d2, embedding FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, cid ASC) AS rn FROM p$i) WHERE rn = 1),
+        m$i AS MATERIALIZED (
+          SELECT cid, CAST(u.i AS INT) AS i,
+                 CAST(CAST(SUM(CAST(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE)
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM a$i, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY cid, CAST(u.i AS INT)),
+        c$i AS MATERIALIZED (
+          SELECT cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
+        val iters = (1 to Iters)
+          .map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+          .mkString(",")
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
+        $iters,
+        pf AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, SQRT($d2Sql) AS dist
+          FROM e CROSS JOIN c$Iters c),
+        two AS MATERIALIZED (
+          SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+                 MAX(CASE WHEN rn = 1 THEN dist END) AS a,
+                 MAX(CASE WHEN rn = 2 THEN dist END) AS b
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cid ASC) AS rn FROM pf)
+          WHERE rn <= 2 GROUP BY vec_id),
+        sil AS MATERIALIZED (
+          SELECT vec_id, cid,
+                 CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+                      ELSE (b - a) / GREATEST(a, b) END AS sil
+          FROM two)
+        SELECT cid, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(sil AS DECIMAL(38,10))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS avg_sil
+        FROM sil GROUP BY cid"""
       }
     )
   )

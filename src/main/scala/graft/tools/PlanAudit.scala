@@ -703,7 +703,19 @@ object PlanAudit {
     // in the join condition — no global rank window, no cartesian
     Audit("q227_triangle_count",
       mustContain = Seq("LeftSemi"),
-      mustNotContain = Seq("CartesianProduct", "Window", "BroadcastNestedLoop"))
+      mustNotContain = Seq("CartesianProduct", "Window", "BroadcastNestedLoop")),
+    // nearest-centroid classifier: the O(classes × d) centroid table
+    // broadcasts (BNLJ over the streamed holdout), argmin is an
+    // aggregation — no corpus-grain window or sort-merge anywhere
+    Audit("q229_centroid_classifier",
+      mustContain = Seq("BroadcastNestedLoopJoin", "partial_min"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
+    // silhouette: both distances come from ONE broadcast pass over the
+    // final centroids; first/second-nearest fall out of a per-vector
+    // 8-element sorted-list aggregate, never a pairwise join or window
+    Audit("q230_cluster_silhouette",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -34,4 +34,47 @@ class ClusteringSpec extends AnyFunSuite {
       assert(got(8L + g) === ((g, 1.0)), s"high point of group $g")
     }
   }
+
+  test("q230: hand-computed simplified silhouettes on the 8-group line") {
+    // per cluster g the two points sit at distance a = 1 from their own
+    // centroid 10g; the nearest other centroid is 9 away for inner-
+    // facing points (sil = 8/9) and 11 away at the line's two outer
+    // ends (sil = 10/11) — so clusters 0 and 7 average 89/99, the six
+    // interior clusters average 8/9.
+    val got = graft.SparkEntry.queries("q230_cluster_silhouette")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Int]("cid") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_sil"))))
+      .toMap
+    (0 until 8).foreach { g =>
+      val expected = if (g == 0 || g == 7) 0.89899 else 0.888889
+      assert(got(g) === ((2L, expected)), s"cluster $g")
+    }
+  }
+
+  test("q229: separated classes classify the holdout perfectly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_rocchio_").toString
+    // 20 vectors, label = vec_id % 2, coordinates exactly ±10 —
+    // centroids land on ±10 and every holdout (vec_id % 5 = 0) vector
+    // classifies to its own label at distance 0
+    (0 until 20).map(i => (i.toLong, i % 2, Array(if (i % 2 == 0) -10f else 10f)))
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = graft.SparkEntry.queries("q229_centroid_classifier")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pred")) -> r.getAs[Long]("n"))
+      .toMap
+    // holdout ids 0,5,10,15 → labels 0,1,0,1 → two per class, all diagonal
+    assert(got === Map((0, 0) -> 2L, (1, 1) -> 2L))
+  }
+
+  test("q228: maintained centroid state equals the one-shot classifier") {
+    val corpus = "/root/testdata/sf0.001"
+    val oneShot = graft.SparkEntry.queries("q229_centroid_classifier")(spark, corpus)
+      .collect().map(_.toSeq).toSet
+    val merged = graft.SparkEntry.queries("q228_centroid_incremental")(spark, corpus)
+      .collect().map(_.toSeq).toSet
+    assert(merged === oneShot)
+  }
 }
