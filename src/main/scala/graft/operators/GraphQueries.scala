@@ -150,32 +150,47 @@ object GraphQueries extends QueryModule {
     // ----------------------------------------------------------------
     // TRIANGLE COUNTING via DEGREE-ORDERED ORIENTATION (the
     // compact-forward algorithm, Latapy 2008 / Suri & Vassilvitskii
-    // 2011 "Counting triangles and the curse of the last reducer"):
-    // orient every undirected edge from its (deg, id)-smaller endpoint
-    // to the larger, so each triangle is counted exactly once at its
-    // order-lowest vertex and — the scale property — every node's
-    // ORIENTED out-degree is O(√m), which bounds the wedge join at
-    // O(m^{3/2}) regardless of raw degree skew (the hub that breaks
-    // naive wedge counting has huge in-degree but tiny out-degree
-    // here). Graph: strong co-supply ties (suppliers sharing ≥ 2
-    // parts, the q167 graph thresholded). Everything is integer
-    // arithmetic over keyed equi-joins: ONE bounded self-join builds
-    // wedges, one semi-join closes them, one aggregate counts — no
-    // cartesian, no window, no global rank (the orientation compares
-    // (deg, id) tuples in the join condition instead of materializing
-    // a total order).
+    // 2011 "Counting triangles and the curse of the last reducer") on
+    // the MUTUAL TOP-3 co-supply kNN graph. Graph construction matters
+    // at scale: this corpus's raw co-supply graph is COMPLETE (~30
+    // suppliers touch every part, so every supplier pair shares parts
+    // — measured: 499,500 = C(1000,2) weighted edges at sf0.1), and no
+    // absolute weight threshold is scale-free because expected shared
+    // parts grow with the corpus. The kNN sparsification — keep each
+    // node's 3 strongest partners (w desc, id asc), union both
+    // directions — is the standard similarity-graph construction and
+    // bounds the edge set at O(k·n) BY CONSTRUCTION at every scale.
+    // Then orient every undirected edge from its (deg, id)-smaller
+    // endpoint to the larger, so each triangle is counted exactly once
+    // at its order-lowest vertex and every node's ORIENTED out-degree
+    // is O(√m), bounding the wedge join at O(m^{3/2}) regardless of
+    // degree skew. Everything is integer arithmetic over keyed
+    // equi-joins: the only window partitions by node over its ≤n−1
+    // weighted partners, wedges are one bounded self-join, closure one
+    // semi-join — no cartesian, no global rank (the orientation
+    // compares (deg, id) tuples in the join condition instead of
+    // materializing a total order).
     "q227_triangle_count" -> QueryDef(
       fn = (s, d) => {
         val ps = lineitem(s, d)
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .distinct()
-        val e0 = ps.as("a")
+        val ew = ps.as("a")
           .join(ps.as("b"),
             col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
           .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
           .agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-          .select(col("u"), col("v"))
+        // both directions, top-3 partners per node, back to undirected
+        val dirW = ew.select(col("u").as("s"), col("v").as("t"), col("w"))
+          .unionAll(ew.select(col("v").as("s"), col("u").as("t"), col("w")))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("w").desc, col("t").asc)
+        val e0 = dirW
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") <= 3)
+          .select(least(col("s"), col("t")).as("u"),
+            greatest(col("s"), col("t")).as("v"))
+          .distinct()
         val deg = e0.select(col("u").as("node"))
           .unionAll(e0.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -206,10 +221,18 @@ object GraphQueries extends QueryModule {
       oracle = Some("""
         WITH ps AS MATERIALIZED (
           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-        e0 AS MATERIALIZED (
-          SELECT a.sk AS u, b.sk AS v
+        ew AS MATERIALIZED (
+          SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
           FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          GROUP BY 1, 2),
+        dw AS MATERIALIZED (
+          SELECT u AS s, v AS t, w FROM ew
+          UNION ALL SELECT v AS s, u AS t, w FROM ew),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+              ORDER BY w DESC, t ASC) AS rk FROM dw)
+          WHERE rk <= 3),
         n AS MATERIALIZED (
           SELECT node, COUNT(*) AS deg FROM (
             SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)

@@ -700,10 +700,12 @@ object PlanAudit {
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
     // triangle counting: wedge build and closure are keyed equi-joins
     // (the closure a LeftSemi), orientation compares (deg, id) tuples
-    // in the join condition — no global rank window, no cartesian
+    // in the join condition — no cartesian; the ONLY window is the
+    // per-node top-3 partner rank (partitioned by node, never global)
     Audit("q227_triangle_count",
-      mustContain = Seq("LeftSemi"),
-      mustNotContain = Seq("CartesianProduct", "Window", "BroadcastNestedLoop")),
+      mustContain = Seq("LeftSemi", "Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SinglePartition"),
+      minWindowPartCols = 1),
     // nearest-centroid classifier: the O(classes × d) centroid table
     // broadcasts (BNLJ over the streamed holdout), argmin is an
     // aggregation — no corpus-grain window or sort-merge anywhere

@@ -210,6 +210,31 @@ object ScaleTrend {
     "q79_stream_left_outer_join",
     "q173_stream_full_outer_join",
     "q91_stream_window_append",
+    // round-9 GBDT family: the histogram reduces the corpus to
+    // O(features × bins) cells, so split-finding shuffle must stay
+    // FLAT at 10x rows while the scan pays the x10; boosting repeats
+    // the same pass per round (pattern columns don't change the cell
+    // count); the apply is a literal-projection map stage — wall
+    // tracks the scan, no new shuffle class appears
+    "q223_tree_split",
+    "q224_gbdt_train",
+    "q225_gbdt_score",
+    // round-9 k-means: per iteration the argmin shuffle carries O(n)
+    // assignment rows (x10 — they carry the vectors) and the update
+    // O(parts × K × d) partial means (~flat); the silhouette adds one
+    // more broadcast pass over the final centroids — linear overall
+    "q226_kmeans_lloyd",
+    "q230_cluster_silhouette",
+    // round-9 centroid classifier + its maintained-state twin: train
+    // state is (classes × d) partials (~flat); the argmin/confusion
+    // shuffle is O(holdout) — x10; the incremental variant adds four
+    // O(batch) merges into the stored state, same totals
+    "q229_centroid_classifier",
+    "q228_centroid_incremental",
+    // round-9 triangles: disjoint graph copies hold suppliers-per-part
+    // (and so per-node oriented out-degree) constant — edges, wedges,
+    // and semi-join closures must all track x10, never x100
+    "q227_triangle_count",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly

@@ -47,11 +47,12 @@ class GraphQueriesSpec extends AnyFunSuite {
   test("q227: K4 of strong ties yields 4 triangles at the right lowest vertices") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tri_").toString
-    // every K4 pair {1,2,3,4} shares TWO parts (strong tie, kept);
-    // the pendant pair {4,5} shares ONE part (dropped by the w >= 2
-    // threshold). K4 has triangles {123},{124},{134},{234}; with all
-    // degrees equal the (deg, id) orientation counts 3 at node 1 and
-    // 1 at node 2.
+    // every K4 pair {1,2,3,4} shares TWO parts; the pendant pair
+    // {4,5} shares ONE. Top-3 lists: each K4 node keeps its three
+    // w=2 partners (node 4 drops the w=1 pendant), but node 5's own
+    // top-3 re-adds {4,5} via the union — so the kNN graph is K4 +
+    // pendant. Triangles {123},{124},{134},{234}; degrees 3,3,3,4,1,
+    // so the (deg, id) orientation counts 3 at node 1 and 1 at node 2.
     val k4pairs = for {
       u <- 1L to 4L; v <- (u + 1) to 4L
     } yield (u, v)
