@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.ZOrderQueries,
     graft.operators.RegressionQueries,
     graft.operators.TreeQueries,
+    graft.operators.RecommenderQueries,
     graft.operators.ForecastQueries,
     graft.operators.GraphQueries,
     graft.functions.ScalarQueries,

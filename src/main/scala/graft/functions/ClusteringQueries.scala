@@ -271,6 +271,65 @@ object ClusteringQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // STREAMING CENTROID MAINTENANCE — q228's batch merge run as a
+    // real Structured Streaming pipeline (the q216/q212 foreachBatch
+    // discipline): train embeddings arrive as 3 mtime-ordered
+    // micro-batch slices, each batch aggregates its OWN (label, dim)
+    // count+sum partials and merges them into the stored state table;
+    // the classifier folds centroids from the final state. Additive
+    // state needs no arrival order, so streamed ≡ one-shot — gated
+    // against q229's oracle. Completes the streaming/batch maintenance
+    // symmetry for the centroid state class (bands q189/q202, postings
+    // q187/q203, OLS moments q207/q216, forecast q210/q212).
+    "q231_stream_centroid_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q231_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val staged = graft.sources.SliceStager.stage(
+              "graft_stream_centroid_slices",
+              java.nio.file.Paths.get(d, "embeddings.parquet"),
+              slices = 3,
+              g => embeddings(s, d).where(pmod(col("vec_id"), lit(3)) === g))
+            val stream = s.readStream
+              .schema(embeddings(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(staged)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  val bm = centroidState(
+                    batch.toDF().where(pmod(col("vec_id"), lit(5)) =!= 0))
+                  val merged =
+                    if (wh.exists("gold", "mv_stream_centroid_state"))
+                      wh.load("gold", "mv_stream_centroid_state").unionByName(bm)
+                        .groupBy(col("label"), col("pos"))
+                        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+                    else bm
+                  wh.overwrite(merged, "gold", "mv_stream_centroid_state")
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            val st = wh.load("gold", "mv_stream_centroid_state")
+              .select(col("label"), col("pos"),
+                col("n").cast("long").as("n"), col("sv").cast(dt).as("sv"))
+            confusion(trainTest(embeddings(s, d))._2, centroidsFromState(st))
+              .localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      oracle = Some(confusionOracleSql)
+    ),
+
+    // ----------------------------------------------------------------
     // CLUSTER QUALITY — simplified silhouette (the scalable variant:
     // distance-to-centroids only, never pairwise): per vector a = dist
     // to its own centroid, b = dist to the nearest OTHER centroid,

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DISTRIBUTED ALS MATRIX FACTORIZATION (Zhou et al. 2008,
+  * "Large-scale parallel collaborative filtering for the Netflix
+  * prize") — implicit-feedback recommender training over the
+  * customer × part purchase matrix. The reference's dashboards rank
+  * products by raw popularity (`load_to_olap.py` top-seller marts);
+  * factorization is the personalization step it has no engine for.
+  *
+  * Why ALS (and not SGD) is THE distributed shape: with one side's
+  * factors fixed, every row of the other side solves an INDEPENDENT
+  * r×r ridge system from ITS OWN ratings — so a half-step is one
+  * keyed equi-join (ratings ⋈ factors) + one grouped aggregation of
+  * r(r+3)/2 moment sums + a closed-form solve projected over the
+  * reduced frame. No iteration ever shuffles more than the ratings
+  * once; factor state is entity-grain (≪ ratings) and checkpointed
+  * per half-step so plan depth stays constant (the q167 BSP rule).
+  *
+  * Determinism contract (q204 rules): factor products are IEEE-exact
+  * doubles summed as DECIMAL(38,10); the 2×2 solve pins its
+  * parenthesization identically in Scala and the oracle text; the
+  * deterministic item-factor init ((i % 7 + 1)/8 — exact binary
+  * fractions) replaces the usual random init, and λ = 0.25 on the
+  * diagonal keeps every per-entity system positive definite (the
+  * q213 ridge argument — users/items with one rating still solve).
+  */
+object RecommenderQueries extends QueryModule {
+
+  import Tables._
+
+  private val dt     = DecimalType(38, 10)
+  private val Lambda = 0.25
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  /** Implicit ratings: total quantity per (customer, part). */
+  private def ratings(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(sum(col("l_quantity").cast(dt)).cast("double").as("r"))
+
+  /** Deterministic rank-2 item init: [1, (i % 7 + 1)/8]. */
+  private def initItemFactors(r: DataFrame): DataFrame =
+    r.select(col("i")).distinct()
+      .select(col("i"), lit(1.0).as("f1"),
+        ((col("i") % 7 + 1).cast("double") / lit(8.0)).as("f2"))
+
+  /** One ALS half-step: solve `solveKey`'s factors given the fixed
+    * `fixedKey` factors. Join ratings to the fixed side, aggregate the
+    * 5 normal-equation moments per solved entity, ridge-solve 2×2
+    * closed form. Output is entity-grain, localCheckpoint'ed.
+    */
+  private def halfStep(
+      rat: DataFrame, fixed: DataFrame,
+      solveKey: String, fixedKey: String): DataFrame = {
+    val m = rat.join(fixed, fixedKey)
+      .groupBy(col(solveKey))
+      .agg(
+        sum((col("f1") * col("f1")).cast(dt)).as("s11"),
+        sum((col("f1") * col("f2")).cast(dt)).as("s12"),
+        sum((col("f2") * col("f2")).cast(dt)).as("s22"),
+        sum((col("r") * col("f1")).cast(dt)).as("b1"),
+        sum((col("r") * col("f2")).cast(dt)).as("b2"))
+    val a11 = col("s11").cast("double") + lit(Lambda)
+    val a12 = col("s12").cast("double")
+    val a22 = col("s22").cast("double") + lit(Lambda)
+    val b1  = col("b1").cast("double")
+    val b2  = col("b2").cast("double")
+    val det = a11 * a22 - a12 * a12
+    m.select(col(solveKey),
+        ((b1 * a22 - b2 * a12) / det).as("f1"),
+        ((a11 * b2 - a12 * b1) / det).as("f2"))
+      .localCheckpoint(true)
+  }
+
+  /** SQL mirror of [[halfStep]]: (sums CTE, solve CTE) text. */
+  private def halfStepSql(
+      name: String, ratSrc: String, fixedSrc: String,
+      solveKey: String, fixedKey: String): String = s"""
+        ${name}_s AS MATERIALIZED (
+          SELECT t.$solveKey,
+                 SUM(CAST(f.f1 * f.f1 AS DECIMAL(38,10))) AS s11,
+                 SUM(CAST(f.f1 * f.f2 AS DECIMAL(38,10))) AS s12,
+                 SUM(CAST(f.f2 * f.f2 AS DECIMAL(38,10))) AS s22,
+                 SUM(CAST(t.r * f.f1 AS DECIMAL(38,10))) AS b1,
+                 SUM(CAST(t.r * f.f2 AS DECIMAL(38,10))) AS b2
+          FROM $ratSrc t JOIN $fixedSrc f ON t.$fixedKey = f.$fixedKey
+          GROUP BY t.$solveKey),
+        $name AS MATERIALIZED (
+          SELECT $solveKey,
+                 (CAST(b1 AS DOUBLE) * (CAST(s22 AS DOUBLE) + $Lambda) -
+                  CAST(b2 AS DOUBLE) * CAST(s12 AS DOUBLE)) /
+                 ((CAST(s11 AS DOUBLE) + $Lambda) * (CAST(s22 AS DOUBLE) + $Lambda) -
+                  CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS f1,
+                 ((CAST(s11 AS DOUBLE) + $Lambda) * CAST(b2 AS DOUBLE) -
+                  CAST(s12 AS DOUBLE) * CAST(b1 AS DOUBLE)) /
+                 ((CAST(s11 AS DOUBLE) + $Lambda) * (CAST(s22 AS DOUBLE) + $Lambda) -
+                  CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS f2
+          FROM ${name}_s)"""
+
+  private val ratingsSql = """
+        rat AS MATERIALIZED (
+          SELECT o_custkey AS u, l_partkey AS i,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey, l_partkey),
+        q0 AS MATERIALIZED (
+          SELECT i, 1.0 AS f1, CAST((i % 7) + 1 AS DOUBLE) / 8.0 AS f2
+          FROM (SELECT DISTINCT i FROM rat))"""
+
+  /** Shared train chain: q0 → u1 → q1 → u2 (three half-steps). */
+  private def trainedUserFactors(s: SparkSession, d: String): DataFrame = {
+    val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+    val q0  = initItemFactors(rat)
+    val u1  = halfStep(rat, q0, "u", "i")
+    val q1  = halfStep(rat, u1, "i", "u")
+    halfStep(rat, q1, "u", "i")
+  }
+
+  private val trainCtesSql: String = s"""$ratingsSql,
+        ${halfStepSql("u1", "rat", "q0", "u", "i")},
+        ${halfStepSql("q1", "rat", "u1", "i", "u")},
+        ${halfStepSql("u2", "rat", "q1", "u", "i")}"""
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // ALS TRAINING — three alternating half-steps (q0 → u1 → q1 → u2)
+    // over the purchase matrix; output is the user factor table. Per
+    // half-step the ratings shuffle ONCE on the join key and the
+    // solved state is entity-grain — at 100 TB the ratings pass
+    // dominates and factor state stays a rounding error next to it.
+    "q232_als_train" -> QueryDef(
+      fn = (s, d) =>
+        trainedUserFactors(s, d)
+          .select(col("u").as("custkey"),
+            round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2")),
+      oracle = Some(s"""
+        WITH $trainCtesSql
+        SELECT u AS custkey, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
+        FROM u2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // TOP-3 RECOMMENDATIONS — the candidate-generation + scoring shape
+    // every production recommender serves with: a BOUNDED candidate
+    // set (the 50 most-rated items — broadcastable at any corpus
+    // size), already-purchased pairs removed by a keyed anti-join on
+    // (u, i), dot-product scoring against the trained factors, top-3
+    // per user from a window over ≤50 candidate rows. The full-
+    // catalog argmax that ALS papers benchmark is deliberately NOT the
+    // shape here — users × catalog is the cross join that never ships;
+    // candidates bound the fanout the way bands bound dedup.
+    "q233_als_recommend" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val q0  = initItemFactors(rat)
+        val u1  = halfStep(rat, q0, "u", "i")
+        val q1  = halfStep(rat, u1, "i", "u")
+        val u2  = halfStep(rat, q1, "u", "i")
+        val pop = rat.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("i").asc).limit(50)
+          .join(q1, "i")
+          .select(col("i"), col("f1").as("g1"), col("f2").as("g2"))
+        val cands = u2.crossJoin(broadcast(pop))
+          .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+          .withColumn("score", col("f1") * col("g1") + col("f2") * col("g2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+        cands.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("u").as("custkey"), col("rank"),
+            col("i").as("partkey"), round(col("score"), 6).as("score"))
+      },
+      oracle = Some(s"""
+        WITH $trainCtesSql,
+        pop AS MATERIALIZED (
+          SELECT i, f1 AS g1, f2 AS g2 FROM (
+            SELECT i FROM (
+              SELECT i, COUNT(*) AS cnt FROM rat GROUP BY i)
+            ORDER BY cnt DESC, i ASC LIMIT 50) JOIN q1 USING (i)),
+        cands AS MATERIALIZED (
+          SELECT u2.u, pop.i, u2.f1 * pop.g1 + u2.f2 * pop.g2 AS score
+          FROM u2 CROSS JOIN pop
+          WHERE NOT EXISTS (
+            SELECT 1 FROM rat WHERE rat.u = u2.u AND rat.i = pop.i))
+        SELECT u AS custkey, CAST(rank AS INTEGER) AS rank,
+               i AS partkey, ROUND(score, 6) AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                ORDER BY score DESC, i ASC) AS rank FROM cands)
+        WHERE rank <= 3""")
+    )
+  )
+}

@@ -717,7 +717,15 @@ object PlanAudit {
     // 8-element sorted-list aggregate, never a pairwise join or window
     Audit("q230_cluster_silhouette",
       mustContain = Seq("BroadcastNestedLoopJoin"),
-      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition"))
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
+    // ALS recommend: the BOUNDED candidate set broadcasts (BNLJ), the
+    // already-purchased filter is a keyed LeftAnti on (u, i), and the
+    // top-3 window partitions by user over ≤50 candidate rows — the
+    // users × catalog cartesian never appears
+    Audit("q233_als_recommend",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition"),
+      minWindowPartCols = 1)
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

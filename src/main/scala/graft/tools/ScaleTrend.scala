@@ -235,6 +235,17 @@ object ScaleTrend {
     // (and so per-node oriented out-degree) constant — edges, wedges,
     // and semi-join closures must all track x10, never x100
     "q227_triangle_count",
+    // round-9 streaming centroid maintenance: per micro-batch one
+    // O(batch) state aggregate + the fixed (classes × d) merge — the
+    // continued-state shuffle must stay ~flat like q228's
+    "q231_stream_centroid_maintenance",
+    // round-9 ALS: disjoint key copies grow users/items/ratings x10
+    // with per-entity rating counts unchanged — each half-step is one
+    // ratings-keyed join + entity-grain solves, so shuffle must track
+    // the ratings x10, never user×item; the recommend step's bounded
+    // 50-candidate broadcast + (u,i) anti-join tracks users x10
+    "q232_als_train",
+    "q233_als_recommend",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly

@@ -77,4 +77,13 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(merged === oneShot)
   }
+
+  test("q231: streamed micro-batch centroid maintenance equals the one-shot classifier") {
+    val corpus = "/root/testdata/sf0.001"
+    val oneShot = graft.SparkEntry.queries("q229_centroid_classifier")(spark, corpus)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.SparkEntry.queries("q231_stream_centroid_maintenance")(spark, corpus)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+  }
 }
