@@ -95,6 +95,112 @@ object GraphQueries extends QueryModule {
     (base, base.select(col("node"), (lit(1.0) / col("nn")).as("r")))
   }
 
+  /** The MUTUAL TOP-3 co-supply kNN graph (undirected distinct
+    * {u, v} pairs): each supplier keeps its 3 strongest co-supply
+    * partners (shared-part count desc, id asc), both directions
+    * unioned. The sparsification is what makes graph analytics honest
+    * on this corpus — the raw co-supply graph is COMPLETE (~30
+    * suppliers per part), and kNN bounds edges at O(k·n) BY
+    * CONSTRUCTION at every scale. Shared by q227/q234/q235.
+    */
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val ps = lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val ew = ps.as("a")
+      .join(ps.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val dirW = ew.select(col("u").as("s"), col("v").as("t"), col("w"))
+      .unionAll(ew.select(col("v").as("s"), col("u").as("t"), col("w")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("w").desc, col("t").asc)
+    dirW
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 3)
+      .select(least(col("s"), col("t")).as("u"),
+        greatest(col("s"), col("t")).as("v"))
+      .distinct()
+  }
+
+  /** SQL mirror of [[knnEdges]] — the shared `ps → ew → dw → e0` CTE
+    * prefix of the kNN-graph oracles.
+    */
+  private val knnEdgesSql: String = """
+        ps AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        ew AS MATERIALIZED (
+          SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+          GROUP BY 1, 2),
+        dw AS MATERIALIZED (
+          SELECT u AS s, v AS t, w FROM ew
+          UNION ALL SELECT v AS s, u AS t, w FROM ew),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+              ORDER BY w DESC, t ASC) AS rk FROM dw)
+          WHERE rk <= 3)"""
+
+  /** Undirected degree of every node of the {u < v} edge set. */
+  private def degrees(e0: DataFrame): DataFrame =
+    e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Closed triangles (tu, tv, tw) of the undirected edge set under
+    * the (deg, id) orientation — each triangle appears exactly once
+    * with tu its order-lowest vertex. See q227's scaladoc for the
+    * compact-forward argument.
+    */
+  private def closedTriangles(e0: DataFrame, deg: DataFrame): DataFrame = {
+    val ed = e0
+      .join(deg.as("nu"), col("nu.node") === col("u"))
+      .join(deg.as("nv"), col("nv.node") === col("v"))
+      .select(col("u"), col("v"),
+        col("nu.deg").as("du"), col("nv.deg").as("dv"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val arcs = ed.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+    val wedges = arcs.as("x")
+      .join(arcs.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddeg") < col("y.ddeg") ||
+            (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("tu"), col("x.dst").as("tv"),
+        col("y.dst").as("tw"))
+    wedges.join(arcs.select(col("src"), col("dst")),
+      col("tv") === col("src") && col("tw") === col("dst"), "leftsemi")
+  }
+
+  /** SQL mirror of [[degrees]] + [[closedTriangles]] over `e0` —
+    * yields CTEs `n` (degrees) and `tri` (closed triangles).
+    */
+  private val trianglesSql: String = """
+        n AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY node),
+        ed AS MATERIALIZED (
+          SELECT u, v, nu.deg AS du, nv.deg AS dv
+          FROM e0 JOIN n nu ON nu.node = u JOIN n nv ON nv.node = v),
+        arcs AS MATERIALIZED (
+          SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+                 CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+                 CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+          FROM ed),
+        wedges AS MATERIALIZED (
+          SELECT x.src AS tu, x.dst AS tv, y.dst AS tw
+          FROM arcs x JOIN arcs y ON x.src = y.src
+           AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+        tri AS MATERIALIZED (
+          SELECT tu, tv, tw FROM wedges w
+          WHERE EXISTS (SELECT 1 FROM arcs z WHERE z.src = w.tv AND z.dst = w.tw))"""
+
   private lazy val rawQueries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -172,87 +278,117 @@ object GraphQueries extends QueryModule {
     // materializing a total order).
     "q227_triangle_count" -> QueryDef(
       fn = (s, d) => {
-        val ps = lineitem(s, d)
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val ew = ps.as("a")
-          .join(ps.as("b"),
-            col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-          .agg(count(lit(1)).as("w"))
-        // both directions, top-3 partners per node, back to undirected
-        val dirW = ew.select(col("u").as("s"), col("v").as("t"), col("w"))
-          .unionAll(ew.select(col("v").as("s"), col("u").as("t"), col("w")))
-        val wTop = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("s")).orderBy(col("w").desc, col("t").asc)
-        val e0 = dirW
-          .withColumn("rk", row_number().over(wTop))
-          .where(col("rk") <= 3)
-          .select(least(col("s"), col("t")).as("u"),
-            greatest(col("s"), col("t")).as("v"))
-          .distinct()
-        val deg = e0.select(col("u").as("node"))
-          .unionAll(e0.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val ed = e0
-          .join(deg.as("nu"), col("nu.node") === col("u"))
-          .join(deg.as("nv"), col("nv.node") === col("v"))
-          .select(col("u"), col("v"),
-            col("nu.deg").as("du"), col("nv.deg").as("dv"))
-        val fwd = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val arcs = ed.select(
-          when(fwd, col("u")).otherwise(col("v")).as("src"),
-          when(fwd, col("v")).otherwise(col("u")).as("dst"),
-          when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-        val wedges = arcs.as("x")
-          .join(arcs.as("y"),
-            col("x.src") === col("y.src") &&
-              (col("x.ddeg") < col("y.ddeg") ||
-                (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
-          .select(col("x.src").as("tu"), col("x.dst").as("tv"),
-            col("y.dst").as("tw"))
-        wedges
-          .join(arcs.select(col("src"), col("dst")),
-            col("tv") === col("src") && col("tw") === col("dst"), "leftsemi")
+        val e0 = knnEdges(s, d)
+        closedTriangles(e0, degrees(e0))
           .groupBy(col("tu").as("node"))
           .agg(count(lit(1)).as("tri"))
       },
-      oracle = Some("""
-        WITH ps AS MATERIALIZED (
-          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-        ew AS MATERIALIZED (
-          SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
-          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
-          GROUP BY 1, 2),
-        dw AS MATERIALIZED (
-          SELECT u AS s, v AS t, w FROM ew
-          UNION ALL SELECT v AS s, u AS t, w FROM ew),
-        e0 AS MATERIALIZED (
-          SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM (
+      oracle = Some(s"""
+        WITH $knnEdgesSql,
+        $trianglesSql
+        SELECT tu AS node, COUNT(*) AS tri FROM tri GROUP BY tu""")
+    ),
+
+    // ----------------------------------------------------------------
+    // LOCAL CLUSTERING COEFFICIENT — per-node cohesion of the kNN
+    // graph: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the probability two
+    // of v's partners are themselves partnered (the "community
+    // tightness" signal used to rank crawl seeds and detect template
+    // farms). T(v) counts EVERY triangle at all three corners — one
+    // 3-way corner explode of the closed-triangle table q227 already
+    // derives — so the cost beyond q227 is a corner-grain aggregate
+    // and one keyed join to the degree table. Exact integer counts;
+    // the only double is the final pinned ratio.
+    "q235_clustering_coefficient" -> QueryDef(
+      fn = (s, d) => {
+        val e0  = knnEdges(s, d)
+        val deg = degrees(e0)
+        val tri = closedTriangles(e0, deg)
+        val corners = tri.select(col("tu").as("node"))
+          .unionAll(tri.select(col("tv").as("node")))
+          .unionAll(tri.select(col("tw").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+        val dd = col("deg").cast("double")
+        deg.join(corners, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"),
+            when(col("deg") < 2, lit(0.0))
+              .otherwise((lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")) /
+                (dd * (dd - lit(1.0))))
+              .as("coeff"))
+          .select(col("node"), col("deg"), col("tri"),
+            round(col("coeff"), 6).as("coeff"))
+      },
+      oracle = Some(s"""
+        WITH $knnEdgesSql,
+        $trianglesSql,
+        corners AS MATERIALIZED (
+          SELECT node, COUNT(*) AS tri FROM (
+            SELECT tu AS node FROM tri
+            UNION ALL SELECT tv FROM tri
+            UNION ALL SELECT tw FROM tri)
+          GROUP BY node)
+        SELECT n.node, CAST(n.deg AS BIGINT) AS deg,
+               CAST(COALESCE(c.tri, 0) AS BIGINT) AS tri,
+               ROUND(CASE WHEN n.deg < 2 THEN 0.0
+                 ELSE (2.0 * CAST(COALESCE(c.tri, 0) AS DOUBLE)) /
+                      (CAST(n.deg AS DOUBLE) * (CAST(n.deg AS DOUBLE) - 1.0))
+                 END, 6) AS coeff
+        FROM n LEFT JOIN corners c ON c.node = n.node""")
+    ),
+
+    // ----------------------------------------------------------------
+    // LABEL PROPAGATION community detection (Raghavan et al. 2007),
+    // K=3 SYNCHRONOUS rounds on the kNN graph: every node adopts the
+    // most frequent label among its neighbors, ties to the SMALLEST
+    // label — which makes the synchronous schedule deterministic (the
+    // usual async-random variant is not reproducible, so it is not
+    // gateable; the deterministic variant is what a pipeline should
+    // run anyway). One keyed shuffle per round ((node, label) counts),
+    // argmax as an aggregation (min(struct(-cnt, lbl))), node-grain
+    // state localCheckpoint'ed — the q167 BSP contract, integer-only.
+    "q234_label_propagation" -> QueryDef(
+      fn = (s, d) => {
+        val e0 = knnEdges(s, d)
+        val dirE = graft.CacheLeases.lease(
+          e0.select(col("u").as("s"), col("v").as("t"))
+            .unionAll(e0.select(col("v").as("s"), col("u").as("t")))
+            .persist())
+        val l0 = dirE.select(col("s").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+        def step(lbls: DataFrame): DataFrame =
+          dirE.join(lbls, col("t") === col("node"))
+            .groupBy(col("s"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("s"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+            .select(col("s").as("node"), col("m.l").as("lbl"))
+            .localCheckpoint(true)
+        val lK = (1 to 3).foldLeft(l0)((l, _) => step(l))
+        lK.select(col("node"), col("lbl"))
+      },
+      oracle = Some {
+        def stepSql(i: Int, prev: String): String = s"""
+        c$i AS MATERIALIZED (
+          SELECT e.s, l.lbl, COUNT(*) AS cnt
+          FROM de e JOIN $prev l ON l.node = e.t
+          GROUP BY e.s, l.lbl),
+        l$i AS MATERIALIZED (
+          SELECT s AS node, lbl FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY s
-              ORDER BY w DESC, t ASC) AS rk FROM dw)
-          WHERE rk <= 3),
-        n AS MATERIALIZED (
-          SELECT node, COUNT(*) AS deg FROM (
-            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
-          GROUP BY node),
-        ed AS MATERIALIZED (
-          SELECT u, v, nu.deg AS du, nv.deg AS dv
-          FROM e0 JOIN n nu ON nu.node = u JOIN n nv ON nv.node = v),
-        arcs AS MATERIALIZED (
-          SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
-                 CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
-                 CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
-          FROM ed),
-        wedges AS MATERIALIZED (
-          SELECT x.src AS tu, x.dst AS tv, y.dst AS tw
-          FROM arcs x JOIN arcs y ON x.src = y.src
-           AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst)))
-        SELECT tu AS node, COUNT(*) AS tri
-        FROM wedges w
-        WHERE EXISTS (SELECT 1 FROM arcs z WHERE z.src = w.tv AND z.dst = w.tw)
-        GROUP BY tu""")
+              ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1)"""
+        val steps = (1 to 3)
+          .map(i => stepSql(i, if (i == 1) "l0" else s"l${i - 1}"))
+          .mkString(",")
+        s"""
+        WITH $knnEdgesSql,
+        de AS MATERIALIZED (
+          SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v AS s, u AS t FROM e0),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT s AS node, s AS lbl FROM de),
+        $steps
+        SELECT node, lbl FROM l3"""
+      }
     )
   )
 }

@@ -196,6 +196,81 @@ object RecommenderQueries extends QueryModule {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
                 ORDER BY score DESC, i ASC) AS rank FROM cands)
         WHERE rank <= 3""")
+    ),
+
+    // ----------------------------------------------------------------
+    // HOLDOUT EVALUATION — the train/eval split every model query
+    // needs before it ships (the q209-backtest discipline applied to
+    // the recommender): (u, i) pairs with (u + i) % 5 = 0 are held
+    // out, ALS trains on the rest, and each held-out user's top-3
+    // recommendations (from the bounded candidate set, train
+    // purchases excluded) are checked against their held-out items.
+    // Output is the per-user hit flag — the row-grain gate covers the
+    // split, the training, the candidate generation, and the ranking
+    // at once. Same plan shapes as q232/q233; the extra work is two
+    // keyed semi-joins at holdout grain.
+    "q237_als_eval" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val q0 = initItemFactors(tr)
+        val u1 = halfStep(tr, q0, "u", "i")
+        val q1 = halfStep(tr, u1, "i", "u")
+        val u2 = halfStep(tr, q1, "u", "i")
+        val pop = tr.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("i").asc).limit(50)
+          .join(q1, "i")
+          .select(col("i"), col("f1").as("g1"), col("f2").as("g2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+        val recs = u2.crossJoin(broadcast(pop))
+          .join(tr.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+          .withColumn("score", col("f1") * col("g1") + col("f2") * col("g2"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("u"), col("i"))
+        val testUsers = te.select(col("u")).distinct()
+          .join(u2.select(col("u")), Seq("u"), "left_semi")
+        val hits = recs.join(te, Seq("u", "i"), "left_semi")
+          .select(col("u")).distinct().withColumn("h", lit(1))
+        testUsers.join(hits, Seq("u"), "left")
+          .select(col("u").as("custkey"),
+            coalesce(col("h"), lit(0)).as("hit"))
+      },
+      oracle = Some(s"""
+        WITH $ratingsSql,
+        tr AS MATERIALIZED (SELECT * FROM rat WHERE (u + i) % 5 <> 0),
+        te AS MATERIALIZED (SELECT u, i FROM rat WHERE (u + i) % 5 = 0),
+        q0t AS MATERIALIZED (
+          SELECT i, 1.0 AS f1, CAST((i % 7) + 1 AS DOUBLE) / 8.0 AS f2
+          FROM (SELECT DISTINCT i FROM tr)),
+        ${halfStepSql("v1", "tr", "q0t", "u", "i")},
+        ${halfStepSql("p1", "tr", "v1", "i", "u")},
+        ${halfStepSql("v2", "tr", "p1", "u", "i")},
+        pop AS MATERIALIZED (
+          SELECT i, f1 AS g1, f2 AS g2 FROM (
+            SELECT i FROM (
+              SELECT i, COUNT(*) AS cnt FROM tr GROUP BY i)
+            ORDER BY cnt DESC, i ASC LIMIT 50) JOIN p1 USING (i)),
+        recs AS MATERIALIZED (
+          SELECT u, i FROM (
+            SELECT v2.u, pop.i,
+                   ROW_NUMBER() OVER (PARTITION BY v2.u
+                     ORDER BY v2.f1 * pop.g1 + v2.f2 * pop.g2 DESC,
+                              pop.i ASC) AS rank
+            FROM v2 CROSS JOIN pop
+            WHERE NOT EXISTS (
+              SELECT 1 FROM tr WHERE tr.u = v2.u AND tr.i = pop.i))
+          WHERE rank <= 3),
+        tu AS MATERIALIZED (
+          SELECT DISTINCT te.u FROM te JOIN v2 ON v2.u = te.u),
+        hits AS MATERIALIZED (
+          SELECT DISTINCT r.u FROM recs r JOIN te ON te.u = r.u AND te.i = r.i)
+        SELECT tu.u AS custkey,
+               CAST(CASE WHEN hits.u IS NULL THEN 0 ELSE 1 END AS INTEGER) AS hit
+        FROM tu LEFT JOIN hits ON hits.u = tu.u""")
     )
   )
 }

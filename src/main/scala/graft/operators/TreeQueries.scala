@@ -314,55 +314,56 @@ object TreeQueries extends QueryModule {
         s" THEN s$j.slv ELSE s$j.srv END))"
     }
 
-  override def queries: Map[String, QueryDef] =
-    graft.CacheLeases.draining(rawQueries)
+  /** The (feature, bin) histogram — counts + decimal target sums, the
+    * ADDITIVE state split finding runs on (and therefore the state a
+    * maintained-index twin can merge batch-over-batch — q236).
+    */
+  private def histogram(rows: DataFrame): DataFrame =
+    longForm(rows)
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast(dt)).as("sy"))
 
-  private lazy val rawQueries: Map[String, QueryDef] = Map(
+  /** Split finding over a histogram frame: prefix sums per feature,
+    * pinned gain, per-feature argmax. Only ever sees the O(features ×
+    * bins) reduced state.
+    */
+  private def splitFromHistogram(h: DataFrame): DataFrame = {
+    val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+    val p = h.select(col("feature"), col("bin"),
+      sum(col("n")).over(wPre).as("nl"),
+      sum(col("sy")).over(wPre).as("syl"),
+      sum(col("n")).over(wAll).as("nt"),
+      sum(col("sy")).over(wAll).as("syt"))
+    val g = p.where(col("nl") < col("nt")).select(
+      col("feature"), col("bin"), col("nl"),
+      (col("nt") - col("nl")).as("nr"),
+      col("syl").cast("double").as("sl"),
+      (col("syt") - col("syl")).cast("double").as("sr"),
+      col("syt").cast("double").as("st"),
+      col("nl").cast("double").as("nld"),
+      (col("nt") - col("nl")).cast("double").as("nrd"),
+      col("nt").cast("double").as("ntd"))
+      .withColumn("gain", gainCols(
+        col("sl"), col("sr"), col("st"),
+        col("nld"), col("nrd"), col("ntd")))
+    val wBest = Window.partitionBy(col("feature"))
+      .orderBy(col("gain").desc, col("bin").asc)
+    g.withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("feature"), col("bin").as("thr"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("gain"), 6).as("gain"),
+        round(col("sl") / col("nld"), 6).as("left_mean"),
+        round(col("sr") / col("nrd"), 6).as("right_mean"))
+  }
 
-    // ----------------------------------------------------------------
-    // HISTOGRAM SPLIT FINDING — the regression-stump trainer: one scan
-    // bins 4 features, ONE map-side-combined aggregate reduces to
-    // O(features × bins) cells, prefix sums over the reduced frame
-    // score every candidate split, and the best split per feature
-    // falls out of a window rank. Output: each feature's best split
-    // with its gain, ranked across features. The window operators
-    // only ever see the few-hundred-row reduced frame.
-    "q223_tree_split" -> QueryDef(
-      fn = (s, d) => {
-        val h = longForm(obsRows(s, d))
-          .groupBy(col("feature"), col("bin"))
-          .agg(count(lit(1)).as("n"), sum(col("y").cast(dt)).as("sy"))
-        val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(col("feature"))
-        val p = h.select(col("feature"), col("bin"),
-          sum(col("n")).over(wPre).as("nl"),
-          sum(col("sy")).over(wPre).as("syl"),
-          sum(col("n")).over(wAll).as("nt"),
-          sum(col("sy")).over(wAll).as("syt"))
-        val g = p.where(col("nl") < col("nt")).select(
-          col("feature"), col("bin"), col("nl"),
-          (col("nt") - col("nl")).as("nr"),
-          col("syl").cast("double").as("sl"),
-          (col("syt") - col("syl")).cast("double").as("sr"),
-          col("syt").cast("double").as("st"),
-          col("nl").cast("double").as("nld"),
-          (col("nt") - col("nl")).cast("double").as("nrd"),
-          col("nt").cast("double").as("ntd"))
-          .withColumn("gain", gainCols(
-            col("sl"), col("sr"), col("st"),
-            col("nld"), col("nrd"), col("ntd")))
-        val wBest = Window.partitionBy(col("feature"))
-          .orderBy(col("gain").desc, col("bin").asc)
-        g.withColumn("rk", row_number().over(wBest))
-          .where(col("rk") === 1)
-          .select(col("feature"), col("bin").as("thr"),
-            col("nl").as("n_left"), col("nr").as("n_right"),
-            round(col("gain"), 6).as("gain"),
-            round(col("sl") / col("nld"), 6).as("left_mean"),
-            round(col("sr") / col("nrd"), 6).as("right_mean"))
-      },
-      oracle = Some(s"""
+  /** The one-shot split-finding oracle — shared by q223 and its
+    * maintained-state twin q236 (whose hash match against the SAME
+    * text is the merge ≡ recompute proof).
+    */
+  private lazy val rawQ223Oracle: Option[String] = Some(s"""
         WITH $rowsSql,
         fb AS MATERIALIZED (
           ${longFormSql}),
@@ -398,6 +399,61 @@ object TreeQueries extends QueryModule {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
                 ORDER BY gain DESC, bin ASC) AS rk FROM g)
         WHERE rk = 1""")
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // HISTOGRAM SPLIT FINDING — the regression-stump trainer: one scan
+    // bins 4 features, ONE map-side-combined aggregate reduces to
+    // O(features × bins) cells, prefix sums over the reduced frame
+    // score every candidate split, and the best split per feature
+    // falls out of a window rank. Output: each feature's best split
+    // with its gain, ranked across features. The window operators
+    // only ever see the few-hundred-row reduced frame.
+    "q223_tree_split" -> QueryDef(
+      fn = (s, d) => splitFromHistogram(histogram(obsRows(s, d))),
+      oracle = rawQ223Oracle
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED HISTOGRAM STATE — the tree-training state class gets
+    // its maintained-index twin (the q176/q207/q228 MV-merge pattern):
+    // the (feature, bin) histogram is ADDITIVE (a count + a decimal
+    // sum per cell), so four ingest batches each histogram ONLY their
+    // own rows and merge into the stored table by addition; split
+    // finding then runs on the merged O(features × bins) state. Gated
+    // against q223's ONE-SHOT oracle — the hash match is the merge ≡
+    // recompute proof. This is literally how distributed GBDT systems
+    // work (LightGBM's feature-parallel histogram merge); at 100 TB a
+    // nightly refresh pays O(day) to update the cells and re-derives
+    // the split from KB-scale state, never rescanning history.
+    "q236_histogram_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q236_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val rows = obsRows(s, d)
+          for (b <- 0 until 4) {
+            val batch = histogram(rows.where(col("k") % 4 === b))
+            val merged =
+              if (wh.exists("gold", "mv_histogram_state"))
+                wh.load("gold", "mv_histogram_state").unionByName(batch)
+                  .groupBy(col("feature"), col("bin"))
+                  .agg(sum(col("n")).as("n"), sum(col("sy")).as("sy"))
+              else batch
+            wh.overwrite(merged, "gold", "mv_histogram_state")
+          }
+          splitFromHistogram(
+            wh.load("gold", "mv_histogram_state")
+              .select(col("feature"), col("bin"),
+                col("n").cast("long").as("n"), col("sy").cast(dt).as("sy")))
+            .localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = rawQ223Oracle
     ),
 
     // ----------------------------------------------------------------

@@ -725,6 +725,26 @@ object PlanAudit {
     Audit("q233_als_recommend",
       mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition"),
+      minWindowPartCols = 1),
+    // clustering coefficient: triangle closure is a keyed LeftSemi,
+    // corner counts are a plain aggregate, and the only window is the
+    // per-node top-3 partner rank of the kNN build — no cartesian, no
+    // global sort
+    Audit("q235_clustering_coefficient",
+      mustContain = Seq("LeftSemi", "Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop", "SinglePartition"),
+      minWindowPartCols = 1),
+    // ALS holdout eval: candidate set broadcasts (BNLJ), train
+    // purchases excluded by LeftAnti, hits found by keyed LeftSemi at
+    // holdout grain; the ranking window partitions by user.
+    // SinglePartition is NOT banned here: Catalyst injects its own
+    // runtime bloom-filter (partial/final bloom_filter_agg over a
+    // SinglePartition reduce — a constant-size sketch, not a data
+    // sort) for the holdout semi-joins, which is exactly the pushdown
+    // we want at scale.
+    Audit("q237_als_eval",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct"),
       minWindowPartCols = 1)
   )
 

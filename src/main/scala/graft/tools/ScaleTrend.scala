@@ -235,6 +235,19 @@ object ScaleTrend {
     // (and so per-node oriented out-degree) constant — edges, wedges,
     // and semi-join closures must all track x10, never x100
     "q227_triangle_count",
+    // round-9 kNN-graph analytics: label propagation is one keyed
+    // (node, label) shuffle per round over the O(k·n) edge set, and
+    // the clustering coefficient adds a corner-grain aggregate to the
+    // q227 closure — both must track the disjoint-copy graph x10
+    "q234_label_propagation",
+    "q235_clustering_coefficient",
+    // round-9 maintained histogram state: four O(batch) histogram
+    // partials + the fixed (features × bins) merge — shuffle must
+    // stay KB-scale like q223's (the additive-state signature)
+    "q236_histogram_incremental",
+    // round-9 ALS holdout eval: inherits q232/q233's ratings-linear
+    // shape plus two holdout-grain semi-joins
+    "q237_als_eval",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

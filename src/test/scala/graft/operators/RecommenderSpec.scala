@@ -96,4 +96,20 @@ class RecommenderSpec extends AnyFunSuite {
       assert(bad === 0L, "scores non-increasing in rank")
     } finally recs.unpersist()
   }
+
+  test("q237: holdout eval covers exactly the evaluable users and finds real hits") {
+    val corpus = "/root/testdata/sf0.001"
+    val eval = graft.SparkEntry.queries("q237_als_eval")(spark, corpus)
+      .collect().map(r => r.getAs[Long]("custkey") -> r.getAs[Int]("hit")).toMap
+    // every evaluated user really has a held-out pair
+    val rat = graft.Tables.lineitem(spark, corpus)
+      .join(graft.Tables.orders(spark, corpus), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i")).count()
+    val heldOutUsers = rat.where(pmod(col("u") + col("i"), lit(5)) === 0)
+      .select(col("u")).distinct().collect().map(_.getLong(0)).toSet
+    assert(eval.keySet.subsetOf(heldOutUsers))
+    assert(eval.values.forall(h => h == 0 || h == 1))
+    // the trained model beats "never": some held-out item lands in a top-3
+    assert(eval.values.sum > 0, "at least one hit")
+  }
 }

@@ -57,6 +57,14 @@ class TreeSpec extends AnyFunSuite {
     assert(rounds.map(_.getAs[Double]("leaf_right")).toSeq === Seq(5.0, 2.5, 1.25))
   }
 
+  test("q236: maintained histogram state equals the one-shot split finder") {
+    val oneShot = graft.SparkEntry.queries("q223_tree_split")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val merged = graft.SparkEntry.queries("q236_histogram_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(merged === oneShot)
+  }
+
   test("q225: after 3 rounds every residual is the geometric tail ±0.625") {
     val resids = graft.SparkEntry.queries("q225_gbdt_score")(spark, dir)
       .select(col("resid")).collect().map(_.getDouble(0))
