@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.RegressionQueries,
     graft.operators.TreeQueries,
     graft.operators.RecommenderQueries,
+    graft.operators.SurvivalQueries,
     graft.operators.ForecastQueries,
     graft.operators.GraphQueries,
     graft.functions.ScalarQueries,

@@ -745,7 +745,15 @@ object PlanAudit {
     Audit("q237_als_eval",
       mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct"),
-      minWindowPartCols = 1)
+      minWindowPartCols = 1),
+    // Kaplan-Meier: the corpus collapses to customer grain then to
+    // (segment, duration-day) grain in map-side-combined aggregates;
+    // the at-risk window and the per-segment product fold
+    // (ObjectHashAggregate collect) only ever see the calendar-bounded
+    // life table — nothing fact-grain windows or nested-loops
+    Audit("q238_kaplan_meier",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -248,6 +248,11 @@ object ScaleTrend {
     // round-9 ALS holdout eval: inherits q232/q233's ratings-linear
     // shape plus two holdout-grain semi-joins
     "q237_als_eval",
+    // round-9 Kaplan-Meier: x10 customers over the SAME calendar —
+    // the life table is (segment, duration-day)-grain so the product
+    // fold length is calendar-bounded; shuffle past the customer
+    // aggregate must stay ~flat while the scan pays the x10
+    "q238_kaplan_meier",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's
