@@ -4,15 +4,19 @@ import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVIVAL ANALYSIS — the Kaplan-Meier product-limit estimator
-  * (Kaplan & Meier 1958) over customer lifetimes: the churn/retention
-  * curve every subscription and repeat-purchase business reads, which
-  * the reference's retention cohort mart (`load_to_olap.py` cohort
-  * counts; our q102) only approximates by calendar buckets. KM
-  * handles CENSORING correctly: customers still active at the end of
-  * the observation window contribute to the at-risk denominators
-  * without ever counting as churned.
+  * (Kaplan & Meier 1958) over customer lifetimes, plus the two
+  * readouts every retention team asks for next: a log-rank test
+  * (Mantel 1966) for "are these two segments' churn curves actually
+  * different?", and a rank-based AUC for "does this score separate
+  * churners from survivors?". The reference's retention cohort mart
+  * (`load_to_olap.py` cohort counts; our q102) only approximates the
+  * curve by calendar buckets. KM handles CENSORING correctly:
+  * customers still active at the end of the observation window
+  * contribute to the at-risk denominators without ever counting as
+  * churned.
   *
   * Scale contract (the q208 calendar-bound discipline): the corpus
   * collapses to customer grain in one aggregate, then to (segment,
@@ -28,7 +32,9 @@ import org.apache.spark.sql.functions._
   * `aggregate` lambda over the date-sorted array, emitting the
   * running product per step via array_append; DuckDB: a recursive
   * CTE threading the same product step by step — DuckDB 1.0's
-  * ordered-list folds are unreliable, the ForecastQueries finding).
+  * ordered-list REDUCTIONS are unreliable, the ForecastQueries
+  * finding; its ordered list SUM is fine, the q167 precedent, which
+  * is what the log-rank sums use).
   */
 object SurvivalQueries extends QueryModule {
 
@@ -37,43 +43,92 @@ object SurvivalQueries extends QueryModule {
   /** Churn horizon: no order in the final 60 days ⇒ churn observed. */
   private val HorizonDays = 60
 
-  /** (segment, duration)-grain life table: churn events d, censorings
-    * c, at-risk n (descending cumulative), step index rn.
+  /** Customer-grain spans: one row per (cust, seg) with first/last
+    * order date — THE corpus-contracting aggregate every query here
+    * hangs off. `withSpend` adds the exact DECIMAL lifetime spend
+    * (only q241 pays for it; the others keep the aggregate lean).
     */
-  private def lifeTable(s: SparkSession, d: String): DataFrame = {
-    val perCust = orders(s, d)
+  private def custSpans(s: SparkSession, d: String, withSpend: Boolean = false): DataFrame = {
+    val base = orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey").as("cust"), col("c_mktsegment").as("seg"))
-      .agg(min(col("o_orderdate").cast("date")).as("f"),
-        max(col("o_orderdate").cast("date")).as("l"))
-    val horizon = perCust.agg(date_sub(max(col("l")), HorizonDays).as("cutoff"))
-    val spans = perCust.crossJoin(broadcast(horizon))
-      .select(col("seg"), datediff(col("l"), col("f")).as("dur"),
-        when(col("l") <= col("cutoff"), 1).otherwise(0).as("event"))
-    val byDay = spans.groupBy(col("seg"), col("dur"))
-      .agg(sum(col("event")).as("d"),
-        sum(lit(1) - col("event")).as("c"))
+    val aggs = Seq(
+      min(col("o_orderdate").cast("date")).as("f"),
+      max(col("o_orderdate").cast("date")).as("l")) ++
+      (if (withSpend)
+        Seq(sum(col("o_totalprice").cast(DecimalType(38, 4))).as("spend"))
+      else Nil)
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** spans → + (dur, event): churn observed iff the last order is at
+    * least HorizonDays before the corpus's latest activity. The
+    * cutoff is a 1-row broadcast — never a shuffle.
+    */
+  private def withEvent(spans: DataFrame): DataFrame = {
+    val horizon = spans.agg(date_sub(max(col("l")), HorizonDays).as("cutoff"))
+    spans.crossJoin(broadcast(horizon))
+      .withColumn("dur", datediff(col("l"), col("f")))
+      .withColumn("event", when(col("l") <= col("cutoff"), 1).otherwise(0))
+  }
+
+  /** (seg, duration-day)-grain event counts: churn events d,
+    * censorings c. Calendar-bounded from here on.
+    */
+  private def byDay(ev: DataFrame): DataFrame =
+    ev.groupBy(col("seg"), col("dur"))
+      .agg(sum(col("event")).as("d"), sum(lit(1) - col("event")).as("c"))
+
+  /** + at-risk n (descending cumulative) and step index rn. */
+  private def lifeTable(bd: DataFrame): DataFrame = {
     val wRisk = Window.partitionBy(col("seg")).orderBy(col("dur").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wStep = Window.partitionBy(col("seg")).orderBy(col("dur").asc)
-    byDay
-      .withColumn("n", sum(col("d") + col("c")).over(wRisk))
+    bd.withColumn("n", sum(col("d") + col("c")).over(wRisk))
       .withColumn("rn", row_number().over(wStep))
   }
 
-  /** Shared life-table SQL (CTEs `lt` with seg, dur, d, c, n, rn). */
-  private val lifeTableSql: String = s"""
+  /** KM survival curve from a life table: per-segment duration-sorted
+    * fold emitting the RUNNING product per step; censor-only steps
+    * multiply by exactly 1.0 (d = 0), so iterating every step keeps
+    * the fold uniform.
+    */
+  private def kmCurve(lt: DataFrame): DataFrame = {
+    val foldTxt = """
+      aggregate(
+        elems,
+        named_struct('s', CAST(1.0 AS DOUBLE),
+          'out', CAST(array() AS ARRAY<STRUCT<dur: INT, n: BIGINT, d: BIGINT, s: DOUBLE>>)),
+        (acc, e) -> named_struct(
+          's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+          'out', array_append(acc.out, named_struct(
+            'dur', e.dur, 'n', e.n, 'd', e.d,
+            's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))))"""
+    lt.groupBy(col("seg"))
+      .agg(sort_array(collect_list(struct(
+        col("rn"), col("dur"), col("d"), col("c"), col("n")))).as("elems"))
+      .select(col("seg"), explode(expr(s"($foldTxt).out")).as("e"))
+      .where(col("e.d") > 0)
+      .select(col("seg"), col("e.dur").as("dur"),
+        col("e.n").as("n_at_risk"), col("e.d").as("churned"),
+        round(col("e.s"), 6).as("survival"))
+  }
+
+  /** Shared span/life-table SQL (CTEs `pc/hz/sp/bd/lt`). `pcExtra`
+    * threads extra per-customer aggregates (q241's spend) through.
+    */
+  private def lifeTableSql(pcExtra: String = "", spExtra: String = ""): String = s"""
         pc AS MATERIALIZED (
           SELECT o_custkey AS cust, c_mktsegment AS seg,
                  MIN(CAST(o_orderdate AS DATE)) AS f,
-                 MAX(CAST(o_orderdate AS DATE)) AS l
+                 MAX(CAST(o_orderdate AS DATE)) AS l$pcExtra
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY o_custkey, c_mktsegment),
         hz AS MATERIALIZED (
           SELECT CAST(MAX(l) - INTERVAL $HorizonDays DAY AS DATE) AS cutoff FROM pc),
         sp AS MATERIALIZED (
           SELECT seg, DATEDIFF('day', f, l) AS dur,
-                 CASE WHEN l <= hz.cutoff THEN 1 ELSE 0 END AS event
+                 CASE WHEN l <= hz.cutoff THEN 1 ELSE 0 END AS event$spExtra
           FROM pc CROSS JOIN hz),
         bd AS MATERIALIZED (
           SELECT seg, dur, SUM(event) AS d, SUM(1 - event) AS c
@@ -85,41 +140,12 @@ object SurvivalQueries extends QueryModule {
                  ROW_NUMBER() OVER (PARTITION BY seg ORDER BY dur ASC) AS rn
           FROM bd)"""
 
-  override def queries: Map[String, QueryDef] = Map(
-
-    // ----------------------------------------------------------------
-    // KAPLAN-MEIER retention curve per market segment: S(t) =
-    // Π_{s ≤ t} (1 − d_s / n_s) over churn-event durations, censored
-    // customers leaving the at-risk set without an event. One row per
-    // (segment, event duration) with the at-risk count, the events,
-    // and the survival estimate — the curve a dashboard plots as-is.
-    "q238_kaplan_meier" -> QueryDef(
-      fn = (s, d) => {
-        val lt = lifeTable(s, d)
-        // per-segment duration-sorted fold emitting the RUNNING
-        // product per step; censor-only steps multiply by exactly 1.0
-        // (d = 0), so iterating every step keeps the fold uniform
-        val foldTxt = """
-          aggregate(
-            elems,
-            named_struct('s', CAST(1.0 AS DOUBLE),
-              'out', CAST(array() AS ARRAY<STRUCT<dur: INT, n: BIGINT, d: BIGINT, s: DOUBLE>>)),
-            (acc, e) -> named_struct(
-              's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
-              'out', array_append(acc.out, named_struct(
-                'dur', e.dur, 'n', e.n, 'd', e.d,
-                's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))))"""
-        lt.groupBy(col("seg"))
-          .agg(sort_array(collect_list(struct(
-            col("rn"), col("dur"), col("d"), col("c"), col("n")))).as("elems"))
-          .select(col("seg"), explode(expr(s"($foldTxt).out")).as("e"))
-          .where(col("e.d") > 0)
-          .select(col("seg"), col("e.dur").as("dur"),
-            col("e.n").as("n_at_risk"), col("e.d").as("churned"),
-            round(col("e.s"), 6).as("survival"))
-      },
-      oracle = Some(s"""
-        WITH RECURSIVE $lifeTableSql,
+  /** The KM recursion + final projection — shared by q238 (one-shot)
+    * and q240 (maintained state), which are gated against the SAME
+    * oracle: incremental ≡ recompute.
+    */
+  private val kmSql: String = s"""
+        WITH RECURSIVE ${lifeTableSql()},
         km AS (
           SELECT seg, rn, dur, d, c, n,
                  1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
@@ -131,7 +157,231 @@ object SurvivalQueries extends QueryModule {
         SELECT seg, CAST(dur AS INTEGER) AS dur,
                CAST(n AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS churned,
                ROUND(s, 6) AS survival
-        FROM km WHERE d > 0""")
+        FROM km WHERE d > 0"""
+
+  override def queries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // KAPLAN-MEIER retention curve per market segment: S(t) =
+    // Π_{s ≤ t} (1 − d_s / n_s) over churn-event durations, censored
+    // customers leaving the at-risk set without an event. One row per
+    // (segment, event duration) with the at-risk count, the events,
+    // and the survival estimate — the curve a dashboard plots as-is.
+    "q238_kaplan_meier" -> QueryDef(
+      fn = (s, d) => kmCurve(lifeTable(byDay(withEvent(custSpans(s, d))))),
+      oracle = Some(kmSql)
+    ),
+
+    // ----------------------------------------------------------------
+    // LOG-RANK TEST (Mantel 1966) for every segment PAIR: is the
+    // difference between two KM curves signal or noise? At each
+    // combined event duration t the observed events in segment A are
+    // compared with the hypergeometric expectation d·n1/N under
+    // "curves identical"; χ² = (O−E)²/V. All inputs stay integer to
+    // the division; the E and V sums fold duration-ascending on both
+    // engines (Spark: aggregate over sort_array; DuckDB: ordered
+    // list_sum — the q167 pinned-sum pattern), so every double is
+    // bit-identical cross-engine. The pair grid is segments² (tiny,
+    // broadcast); the per-pair frame is the union of two
+    // calendar-bounded life tables — never customer grain.
+    "q239_logrank" -> QueryDef(
+      fn = (s, d) => {
+        val bd = byDay(withEvent(custSpans(s, d)))
+        val segs = bd.select(col("seg")).distinct()
+        val pairs = broadcast(segs.select(col("seg").as("sa")))
+          .join(broadcast(segs.select(col("seg").as("sb"))), col("sa") < col("sb"))
+        val sideA = bd.join(broadcast(pairs), col("seg") === col("sa"))
+          .select(col("sa"), col("sb"), col("dur"),
+            col("d").as("d1"), col("c").as("c1"),
+            lit(0L).as("d2"), lit(0L).as("c2"))
+        val sideB = bd.join(broadcast(pairs), col("seg") === col("sb"))
+          .select(col("sa"), col("sb"), col("dur"),
+            lit(0L).as("d1"), lit(0L).as("c1"),
+            col("d").as("d2"), col("c").as("c2"))
+        // zero-filled union grid: the descending cumsum then yields
+        // each side's at-risk count at EVERY combined duration
+        val grid = sideA.unionByName(sideB)
+          .groupBy(col("sa"), col("sb"), col("dur"))
+          .agg(sum(col("d1")).as("d1"), sum(col("c1")).as("c1"),
+            sum(col("d2")).as("d2"), sum(col("c2")).as("c2"))
+        val wRisk = Window.partitionBy(col("sa"), col("sb"))
+          .orderBy(col("dur").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = grid
+          .withColumn("n1", sum(col("d1") + col("c1")).over(wRisk))
+          .withColumn("n2", sum(col("d2") + col("c2")).over(wRisk))
+          .where(col("d1") + col("d2") > 0)
+          .withColumn("dd", (col("d1") + col("d2")).cast("double"))
+          .withColumn("n1d", col("n1").cast("double"))
+          .withColumn("n2d", col("n2").cast("double"))
+          .withColumn("nd", (col("n1") + col("n2")).cast("double"))
+        // pinned parenthesization, mirrored verbatim in the oracle
+        val tm = ev
+          .withColumn("e_term", col("dd") * col("n1d") / col("nd"))
+          .withColumn("v_term",
+            when(col("n1") + col("n2") > 1,
+              col("dd") * (col("n1d") / col("nd")) * (col("n2d") / col("nd")) *
+                ((col("nd") - col("dd")) / (col("nd") - lit(1.0))))
+              .otherwise(lit(0.0)))
+        def orderedSum(term: String) = expr(s"""
+          aggregate(
+            sort_array(collect_list(struct(dur, $term))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.$term)""")
+        val ag = tm.groupBy(col("sa"), col("sb")).agg(
+          sum(col("d1")).as("o1"),
+          orderedSum("e_term").as("e1"),
+          orderedSum("v_term").as("v"))
+        ag.select(col("sa").as("seg_a"), col("sb").as("seg_b"),
+          col("o1").as("events_a"), round(col("e1"), 6).as("expected_a"),
+          round(
+            when(col("v") > 0,
+              (col("o1").cast("double") - col("e1")) *
+                (col("o1").cast("double") - col("e1")) / col("v"))
+              .otherwise(lit(0.0)), 6).as("chi2"))
+      },
+      oracle = Some(s"""
+        WITH ${lifeTableSql()},
+        segs AS (SELECT DISTINCT seg FROM bd),
+        pr AS (SELECT a.seg AS sa, b.seg AS sb FROM segs a JOIN segs b ON a.seg < b.seg),
+        grid AS MATERIALIZED (
+          SELECT sa, sb, dur,
+                 SUM(d1) AS d1, SUM(c1) AS c1, SUM(d2) AS d2, SUM(c2) AS c2
+          FROM (
+            SELECT pr.sa, pr.sb, bd.dur, bd.d AS d1, bd.c AS c1,
+                   0 AS d2, 0 AS c2
+            FROM bd JOIN pr ON bd.seg = pr.sa
+            UNION ALL
+            SELECT pr.sa, pr.sb, bd.dur, 0, 0, bd.d, bd.c
+            FROM bd JOIN pr ON bd.seg = pr.sb) u
+          GROUP BY sa, sb, dur),
+        ar AS MATERIALIZED (
+          SELECT sa, sb, dur, d1, d2,
+                 SUM(d1 + c1) OVER (PARTITION BY sa, sb ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+                 SUM(d2 + c2) OVER (PARTITION BY sa, sb ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2
+          FROM grid),
+        ev AS MATERIALIZED (
+          SELECT sa, sb, dur, d1, n1, n2,
+                 CAST(d1 + d2 AS DOUBLE) AS dd,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                 CAST(n1 + n2 AS DOUBLE) AS nd
+          FROM ar WHERE d1 + d2 > 0),
+        tm AS MATERIALIZED (
+          SELECT sa, sb, dur, d1,
+                 dd * n1d / nd AS e_term,
+                 CASE WHEN n1 + n2 > 1 THEN
+                   dd * (n1d / nd) * (n2d / nd) * ((nd - dd) / (nd - 1.0))
+                 ELSE 0.0 END AS v_term
+          FROM ev),
+        ag AS MATERIALIZED (
+          SELECT sa, sb, CAST(SUM(d1) AS BIGINT) AS o1,
+                 list_sum(list_transform(list(e_term ORDER BY dur), x -> x)) AS e1,
+                 list_sum(list_transform(list(v_term ORDER BY dur), x -> x)) AS v
+          FROM tm GROUP BY sa, sb)
+        SELECT sa AS seg_a, sb AS seg_b, o1 AS events_a,
+               ROUND(e1, 6) AS expected_a,
+               ROUND(CASE WHEN v > 0 THEN
+                 (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+               ELSE 0.0 END, 6) AS chi2
+        FROM ag""")
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED CUSTOMER-SPAN STATE — the KM life table's upstream
+    // state is a (min first-order, max last-order) pair per customer,
+    // a SEMILATTICE merge: min/max absorb new orders without ever
+    // re-reading history. Three chronological day-tercile ingest
+    // batches each collapse to customer grain and merge into the
+    // stored span table (O(batch) + O(customers) per refresh); the
+    // curve recomputes from the merged state — which is calendar-
+    // bounded work. Gated against the SAME oracle as q238:
+    // incremental ≡ recompute, by min/max associativity.
+    "q240_km_maintained" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q240_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val days = orders(s, d)
+            .select(col("o_orderdate").cast("date").as("day")).distinct()
+            .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+            .withColumn("cnt", count(lit(1)).over(
+              Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          for (bi <- 0 until 3) {
+            val slice = orders(s, d)
+              .join(broadcast(days.where(
+                col("rn") > col("cnt") * bi / 3 &&
+                  col("rn") <= col("cnt") * (bi + 1) / 3)),
+                col("o_orderdate").cast("date") === col("day"))
+            val batchSpans = slice
+              .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+              .groupBy(col("o_custkey").as("cust"), col("c_mktsegment").as("seg"))
+              .agg(min(col("o_orderdate").cast("date")).as("f"),
+                max(col("o_orderdate").cast("date")).as("l"))
+            val merged = wh.loadOr("gold", "mv_cust_spans", batchSpans.schema)
+              .unionByName(batchSpans)
+              .groupBy(col("cust"), col("seg"))
+              .agg(min(col("f")).as("f"), max(col("l")).as("l"))
+              .localCheckpoint(true)
+            wh.overwrite(merged, "gold", "mv_cust_spans")
+          }
+          kmCurve(lifeTable(byDay(withEvent(
+            wh.load("gold", "mv_cust_spans"))))).localCheckpoint(true)
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = Some(kmSql)
+    ),
+
+    // ----------------------------------------------------------------
+    // RETENTION AUC (Mann-Whitney) — does lifetime spend SEPARATE the
+    // customers who stayed from the ones who churned? AUC = P(spend
+    // of a random survivor > spend of a random churner), ties ½ —
+    // computed exactly from integer midranks (the q221 doubling: 2·
+    // rank + ties − 1 keeps every rank an integer), so AUC is one
+    // IEEE-exact division of two BIGINTs. Per segment: rank windows
+    // order customer-grain rows (never the fact table); no fold, no
+    // rounding ambiguity. (At 3e9+ customers per segment the BIGINT
+    // rank-sum would need DECIMAL — noted, not needed at any gated
+    // scale.)
+    "q241_retention_auc" -> QueryDef(
+      fn = (s, d) => {
+        val ev = withEvent(custSpans(s, d, withSpend = true))
+          .select(col("seg"), col("event"), col("spend"))
+        val r2 = lit(2) * rank().over(
+          Window.partitionBy(col("seg")).orderBy(col("spend"))) +
+          count(lit(1)).over(Window.partitionBy(col("seg"), col("spend"))) - lit(1)
+        val m = ev.withColumn("r2", r2)
+          .groupBy(col("seg")).agg(
+            sum(when(col("event") === 0, col("r2")).otherwise(lit(0L))).as("s2"),
+            sum(when(col("event") === 0, 1L).otherwise(0L)).as("p"),
+            sum(when(col("event") === 1, 1L).otherwise(0L)).as("n"))
+        m.where(col("p") > 0 && col("n") > 0)
+          .select(col("seg"), col("p").as("n_retained"), col("n").as("n_churned"),
+            round((col("s2") - col("p") * (col("p") + 1)).cast("double") /
+              (lit(2L) * col("p") * col("n")).cast("double"), 6).as("auc"))
+      },
+      oracle = Some(s"""
+        WITH ${lifeTableSql(
+          pcExtra = ",\n                 SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS spend",
+          spExtra = ", spend")},
+        rk AS MATERIALIZED (
+          SELECT seg, event,
+                 2 * RANK() OVER (PARTITION BY seg ORDER BY spend) +
+                   COUNT(*) OVER (PARTITION BY seg, spend) - 1 AS r2
+          FROM sp),
+        m AS MATERIALIZED (
+          SELECT seg,
+                 CAST(SUM(CASE WHEN event = 0 THEN r2 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN event = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+          FROM rk GROUP BY seg)
+        SELECT seg, p AS n_retained, n AS n_churned,
+               ROUND(CAST(s2 - p * (p + 1) AS DOUBLE) /
+                     CAST(2 * p * n AS DOUBLE), 6) AS auc
+        FROM m WHERE p > 0 AND n > 0""")
     )
   )
 }

@@ -753,7 +753,22 @@ object PlanAudit {
     // life table — nothing fact-grain windows or nested-loops
     Audit("q238_kaplan_meier",
       mustContain = Seq("partial_sum", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // log-rank: same customer→day-grain collapse as q238; the segment
+    // pair grid is a tiny broadcast (the < self-join is the one
+    // legitimate BNLJ) and the E/V folds are ObjectHashAggregate
+    // collects over the calendar-bounded paired life table — no keyed
+    // join ever reaches fact grain
+    Audit("q239_logrank",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // retention AUC: one customer-grain aggregate, rank/tie windows
+    // partitioned by segment over customer-grain rows, one final
+    // O(segments) aggregate; the horizon is a 1-row broadcast
+    Audit("q241_retention_auc",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1)
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -253,6 +253,18 @@ object ScaleTrend {
     // fold length is calendar-bounded; shuffle past the customer
     // aggregate must stay ~flat while the scan pays the x10
     "q238_kaplan_meier",
+    // round-9 log-rank: inherits q238's customer→calendar collapse;
+    // the pair grid multiplies the LIFE TABLE (segments² × days), not
+    // the corpus, so shuffle past the span aggregate stays ~flat
+    "q239_logrank",
+    // round-9 maintained spans: three O(batch) customer-grain merges
+    // into the stored min/max state + the calendar-bounded curve —
+    // the additive-state signature (state shuffle ~flat at ×10)
+    "q240_km_maintained",
+    // round-9 retention AUC: rank windows at customer grain — the one
+    // survival query whose windowed frame grows WITH the corpus;
+    // linear by design, measured to keep it honest
+    "q241_retention_auc",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's
