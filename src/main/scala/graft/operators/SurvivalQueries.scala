@@ -159,6 +159,52 @@ object SurvivalQueries extends QueryModule {
                ROUND(s, 6) AS survival
         FROM km WHERE d > 0"""
 
+  /** Stage orders as 3 mtime-ordered slice files cut on CALENDAR
+    * terciles (the q212 arrival model). Day-aligned boundaries are a
+    * nicety here, not a precondition: unlike the Holt fold, the
+    * min/max span merge is fully commutative, so ANY arrival order
+    * yields the same state.
+    */
+  private def stageOrderSlices(s: SparkSession, d: String): String =
+    graft.sources.SliceStager.stage(
+      "graft_km_order_slices",
+      java.nio.file.Paths.get(d, "orders.parquet"),
+      slices = 3,
+      g => {
+        val o = orders(s, d)
+          .withColumn("day", col("o_orderdate").cast("date"))
+        val mm = o.agg(min(col("day")), max(col("day"))).head()
+        val lo = mm.getDate(0).toLocalDate
+        val hi = mm.getDate(1).toLocalDate
+        val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+        val c1 = java.sql.Date.valueOf(lo.plusDays(span / 3))
+        val c2 = java.sql.Date.valueOf(lo.plusDays(2 * span / 3))
+        val cond = g match {
+          case 0 => col("day") < lit(c1)
+          case 1 => col("day") >= lit(c1) && col("day") < lit(c2)
+          case _ => col("day") >= lit(c2)
+        }
+        o.where(cond).drop("day")
+      })
+
+  /** Merge one batch of orders into the stored customer-span state:
+    * collapse the batch to customer grain, union with the stored
+    * spans, re-aggregate min/max. O(batch) + O(customers) per call.
+    */
+  private def mergeSpanState(wh: graft.etl.Warehouse, batch: DataFrame, cust: DataFrame): Unit = {
+    val batchSpans = batch
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("cust"), col("c_mktsegment").as("seg"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+        max(col("o_orderdate").cast("date")).as("l"))
+    val merged = wh.loadOr("gold", "mv_cust_spans", batchSpans.schema)
+      .unionByName(batchSpans)
+      .groupBy(col("cust"), col("seg"))
+      .agg(min(col("f")).as("f"), max(col("l")).as("l"))
+      .localCheckpoint(true)
+    wh.overwrite(merged, "gold", "mv_cust_spans")
+  }
+
   override def queries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -313,17 +359,7 @@ object SurvivalQueries extends QueryModule {
                 col("rn") > col("cnt") * bi / 3 &&
                   col("rn") <= col("cnt") * (bi + 1) / 3)),
                 col("o_orderdate").cast("date") === col("day"))
-            val batchSpans = slice
-              .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-              .groupBy(col("o_custkey").as("cust"), col("c_mktsegment").as("seg"))
-              .agg(min(col("o_orderdate").cast("date")).as("f"),
-                max(col("o_orderdate").cast("date")).as("l"))
-            val merged = wh.loadOr("gold", "mv_cust_spans", batchSpans.schema)
-              .unionByName(batchSpans)
-              .groupBy(col("cust"), col("seg"))
-              .agg(min(col("f")).as("f"), max(col("l")).as("l"))
-              .localCheckpoint(true)
-            wh.overwrite(merged, "gold", "mv_cust_spans")
+            mergeSpanState(wh, slice, customer(s, d))
           }
           kmCurve(lifeTable(byDay(withEvent(
             wh.load("gold", "mv_cust_spans"))))).localCheckpoint(true)
@@ -331,6 +367,49 @@ object SurvivalQueries extends QueryModule {
           wh.dropCatalogDb()
           graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
         }
+      },
+      oracle = Some(kmSql)
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING SPAN MAINTENANCE — q240's nightly refresh made
+    // CONTINUOUS, completing the streaming/batch symmetry every other
+    // maintained state class already has (bands q189/q202, postings
+    // q187/q203, forecast q210/q212, centroids q229/q231): orders
+    // arrive as 3 real micro-batches (file source over mtime-ordered
+    // calendar-tercile slices, maxFilesPerTrigger=1) and each batch's
+    // foreachBatch merges its customer-grain spans into the stored
+    // state. min/max is commutative AND idempotent-per-order, so no
+    // arrival-order precondition exists at all — the easiest state
+    // class to stream. Gated against the SAME oracle as q238.
+    "q242_stream_km_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot = java.nio.file.Files.createTempDirectory("graft_q242_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val stream = s.readStream
+              .schema(orders(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stageOrderSlices(s, d))
+            val cust = customer(s, d)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                  mergeSpanState(wh, batch.toDF(), cust)
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            kmCurve(lifeTable(byDay(withEvent(
+              wh.load("gold", "mv_cust_spans"))))).localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = Some(kmSql)
     ),

@@ -265,6 +265,10 @@ object ScaleTrend {
     // survival query whose windowed frame grows WITH the corpus;
     // linear by design, measured to keep it honest
     "q241_retention_auc",
+    // round-9 streaming span maintenance: per micro-batch one
+    // O(batch) customer-grain aggregate + the state merge — the
+    // continued-state shuffle must track the batch spans, like q240's
+    "q242_stream_km_maintenance",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

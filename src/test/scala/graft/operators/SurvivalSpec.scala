@@ -92,6 +92,7 @@ class SurvivalSpec extends AnyFunSuite {
           r.getAs[Long]("n_at_risk"), r.getAs[Long]("churned"),
           r.getAs[Double]("survival"))).sorted.toSeq
     assert(rows("q240_km_maintained") === rows("q238_kaplan_meier"))
+    assert(rows("q242_stream_km_maintenance") === rows("q238_kaplan_meier"))
   }
 
   test("q241: midrank AUC handles ties as half-wins") {
