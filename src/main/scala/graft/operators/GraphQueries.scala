@@ -389,6 +389,66 @@ object GraphQueries extends QueryModule {
         $steps
         SELECT node, lbl FROM l3"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // MULTI-SOURCE BFS HOP DISTANCE (fixed K=4 rounds) from the
+    // lowest-nation supplier cohort over the mutual top-3 kNN graph —
+    // the MIN-PLUS semiring twin of q167's sum-times PageRank, and the
+    // "blast radius" query every supply-chain dashboard wants: how
+    // many co-supply hops is each supplier from the seed region?
+    // One relaxation = ONE keyed shuffle (dist ⋈ arcs on src, then a
+    // dst-grain MIN); the distance vector is node-grain and
+    // localCheckpoint'ed per round, so plan depth stays constant.
+    // Everything is INTEGER — no numeric contract needed at all.
+    // Fixed K bounds work by construction (K rounds = exact distances
+    // for every node within K hops; farther nodes are absent, which
+    // is the honest answer a bounded scan can give at 100 TB).
+    "q243_bfs_hops" -> QueryDef(
+      fn = (s, d) => {
+        val e0 = knnEdges(s, d)
+        val arcs = graft.CacheLeases.lease(
+          e0.select(col("u").as("src"), col("v").as("dst"))
+            .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+            .persist())
+        val mn = supplier(s, d).agg(min(col("s_nationkey")).as("m"))
+        val seeds = supplier(s, d).crossJoin(broadcast(mn))
+          .where(col("s_nationkey") === col("m"))
+          .select(col("s_suppkey").as("node"), lit(0).as("h"))
+        def relax(dist: DataFrame): DataFrame =
+          dist.unionByName(
+            arcs.join(dist, col("node") === col("src"))
+              .select(col("dst").as("node"), (col("h") + 1).as("h")))
+            .groupBy(col("node"))
+            .agg(min(col("h")).as("h"))
+            .localCheckpoint(true)
+        val dK = (1 to 4).foldLeft(seeds)((dd, _) => relax(dd))
+        dK.select(col("node"), col("h").as("hops"))
+      },
+      oracle = Some {
+        def stepSql(i: Int, prev: String): String = s"""
+        d$i AS MATERIALIZED (
+          SELECT node, MIN(h) AS h FROM (
+            SELECT node, h FROM $prev
+            UNION ALL
+            SELECT a.dst AS node, p.h + 1 AS h
+            FROM arcs a JOIN $prev p ON p.node = a.src) r
+          GROUP BY node)"""
+        val steps = (1 to 4)
+          .map(i => stepSql(i, if (i == 1) "d0" else s"d${i - 1}"))
+          .mkString(",")
+        s"""
+        WITH $knnEdgesSql,
+        arcs AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM e0
+          UNION ALL SELECT v AS src, u AS dst FROM e0),
+        mn AS (SELECT MIN(s_nationkey) AS m FROM supplier),
+        d0 AS MATERIALIZED (
+          SELECT s_suppkey AS node, 0 AS h
+          FROM supplier, mn WHERE s_nationkey = mn.m),
+        $steps
+        SELECT node, CAST(h AS INTEGER) AS hops FROM d4"""
+      }
     )
   )
 }

@@ -241,6 +241,10 @@ object ScaleTrend {
     // q227 closure — both must track the disjoint-copy graph x10
     "q234_label_propagation",
     "q235_clustering_coefficient",
+    // round-9 multi-source BFS: one keyed relaxation shuffle per
+    // round over the O(k·n) kNN edge set; the distance vector is
+    // node-grain — must track the disjoint-copy graph x10
+    "q243_bfs_hops",
     // round-9 maintained histogram state: four O(batch) histogram
     // partials + the fixed (features × bins) merge — shuffle must
     // stay KB-scale like q223's (the additive-state signature)

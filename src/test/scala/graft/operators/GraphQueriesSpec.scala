@@ -66,4 +66,22 @@ class GraphQueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("q243: hop distances on a 6-node path, seeds = lowest nation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs_").toString
+    // path graph 1-2-3-4-5-6 (consecutive suppliers share one part);
+    // each node's co-supply partners are its path neighbors, so the
+    // top-3 kNN graph IS the path. Seeds: nation 0 = {1}. K=4 rounds
+    // reach nodes up to hop 4; node 6 (hop 5) stays absent.
+    (1L to 5L).flatMap(u => Seq((u * 10, u), (u * 10, u + 1)))
+      .toDF("l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    (1L to 6L).map(k => (k, if (k == 1L) 0L else 1L))
+      .toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
+    val got = graft.SparkEntry.queries("q243_bfs_hops")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
 }
