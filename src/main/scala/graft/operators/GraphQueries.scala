@@ -449,6 +449,81 @@ object GraphQueries extends QueryModule {
         $steps
         SELECT node, CAST(h AS INTEGER) AS hops FROM d4"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // K-CORE DECOMPOSITION (k=3) of the kNN co-supply graph — the
+    // classic density filter (Seidman 1983): iteratively peel nodes
+    // with degree < k until the fixpoint; what survives is the
+    // maximal subgraph where EVERY node keeps ≥ k neighbors. The
+    // "structurally robust" supplier set a risk team actually wants
+    // (BFS reachability alone counts pendant chains as connected).
+    // One peel round = one node-grain degree aggregate + two semi-
+    // joins, edge set localCheckpoint'ed per round; the Spark side
+    // peels to a FINGERPRINT-VERIFIED fixpoint (the q83 star-
+    // contraction discipline, require-guarded), the oracle unrolls
+    // MaxPeels rounds — identical because peeling is idempotent after
+    // convergence.
+    "q244_kcore" -> QueryDef(
+      fn = (s, d) => {
+        val K = 3
+        val MaxPeels = 8
+        var e = knnEdges(s, d).localCheckpoint(true)
+        def fingerprint(df: DataFrame): (Long, Long) = {
+          val r = df
+            .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+        def peel(cur: DataFrame): DataFrame = {
+          val deg = cur.select(col("u").as("node"))
+            .unionAll(cur.select(col("v").as("node")))
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          val keep = deg.where(col("deg") >= K).select(col("node"))
+          cur
+            .join(keep.select(col("node").as("u")), Seq("u"), "leftsemi")
+            .join(keep.select(col("node").as("v")), Seq("v"), "leftsemi")
+            .select(col("u"), col("v"))
+        }
+        var prevFp    = fingerprint(e)
+        var converged = false
+        var pass      = 0
+        while (!converged && pass < MaxPeels) {
+          val next  = peel(e).localCheckpoint(true)
+          val newFp = fingerprint(next)
+          e = next
+          converged = newFp == prevFp
+          prevFp = newFp
+          pass += 1
+        }
+        require(converged,
+          s"k-core peeling did not converge in $MaxPeels rounds — " +
+            "the oracle unrolls exactly that many; raise MaxPeels")
+        e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      },
+      oracle = Some {
+        def peelSql(i: Int, prev: String): String = s"""
+        dg$i AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+          GROUP BY node),
+        ke$i AS MATERIALIZED (SELECT node FROM dg$i WHERE deg >= 3),
+        pe$i AS MATERIALIZED (
+          SELECT u, v FROM $prev p
+          WHERE EXISTS (SELECT 1 FROM ke$i a WHERE a.node = p.u)
+            AND EXISTS (SELECT 1 FROM ke$i b WHERE b.node = p.v))"""
+        val steps = (1 to 8)
+          .map(i => peelSql(i, if (i == 1) "e0" else s"pe${i - 1}"))
+          .mkString(",")
+        s"""
+        WITH $knnEdgesSql,
+        $steps
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+          SELECT u AS node FROM pe8 UNION ALL SELECT v FROM pe8)
+        GROUP BY node"""
+      }
     )
   )
 }

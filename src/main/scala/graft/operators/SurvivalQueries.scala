@@ -415,6 +415,87 @@ object SurvivalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // ISOTONIC CALIBRATION (PAVA closed form) — q241 says spend RANKS
+    // churn risk; this turns the ranking into a CALIBRATED curve:
+    // retention rate as a non-decreasing function of spend decile,
+    // the monotone regression every score-calibration pipeline runs
+    // (Zadrozny & Elkan 2002). Instead of the sequential
+    // pool-adjacent-violators sweep, the fit uses its max-min closed
+    // form  iso(k) = max_{i≤k} min_{j≥k} mean(i..j)  over the
+    // DECILE-grain frame: 10 rows per segment → 55 intervals → a
+    // decile-grid join, all O(segments × 100) after the one
+    // customer-grain pass. Interval means are single IEEE-exact
+    // divisions of BIGINT prefix-sum differences; min/max need no
+    // order pinning at all.
+    "q245_isotonic_calibration" -> QueryDef(
+      fn = (s, d) => {
+        val ev = withEvent(custSpans(s, d, withSpend = true))
+          .select(col("seg"), col("cust"), col("spend"), col("event"))
+        // (spend, cust) is a total order -> ntile is deterministic
+        val dec = ev.withColumn("dd", ntile(10).over(
+          Window.partitionBy(col("seg")).orderBy(col("spend"), col("cust"))))
+          .groupBy(col("seg"), col("dd"))
+          .agg(count(lit(1)).as("cnt"), sum(lit(1) - col("event")).as("ret"))
+        val wAsc = Window.partitionBy(col("seg")).orderBy(col("dd"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pf = dec
+          .withColumn("ccnt", sum(col("cnt")).over(wAsc))
+          .withColumn("cret", sum(col("ret")).over(wAsc))
+        val iv = pf.as("a").join(pf.as("b"),
+          col("a.seg") === col("b.seg") && col("a.dd") <= col("b.dd"))
+          .select(col("a.seg").as("seg"), col("a.dd").as("i"), col("b.dd").as("j"),
+            (col("b.cret") - (col("a.cret") - col("a.ret"))).as("sr"),
+            (col("b.ccnt") - (col("a.ccnt") - col("a.cnt"))).as("sc"))
+          .withColumn("m", col("sr").cast("double") / col("sc").cast("double"))
+        val fit = iv.join(pf.select(col("seg").as("ks"), col("dd").as("k")),
+          col("seg") === col("ks") && col("i") <= col("k") && col("k") <= col("j"))
+          .groupBy(col("seg"), col("k"), col("i")).agg(min(col("m")).as("mn"))
+          .groupBy(col("seg"), col("k")).agg(max(col("mn")).as("iso"))
+        dec.join(fit, col("dd") === col("k") && dec("seg") === fit("seg"))
+          .select(dec("seg"), col("dd").as("decile"),
+            col("cnt").as("n_cust"), col("ret").as("retained"),
+            round(col("ret").cast("double") / col("cnt").cast("double"), 6).as("rate_raw"),
+            round(col("iso"), 6).as("rate_iso"))
+      },
+      oracle = Some(s"""
+        WITH ${lifeTableSql(
+          pcExtra = ",\n                 SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS spend",
+          spExtra = ", spend, cust")},
+        dc AS MATERIALIZED (
+          SELECT seg, NTILE(10) OVER (PARTITION BY seg ORDER BY spend, cust) AS dd,
+                 event
+          FROM sp),
+        dec AS MATERIALIZED (
+          SELECT seg, dd, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(1 - event) AS BIGINT) AS ret
+          FROM dc GROUP BY seg, dd),
+        pf AS MATERIALIZED (
+          SELECT seg, dd, cnt, ret,
+                 SUM(cnt) OVER (PARTITION BY seg ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccnt,
+                 SUM(ret) OVER (PARTITION BY seg ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cret
+          FROM dec),
+        iv AS MATERIALIZED (
+          SELECT a.seg, a.dd AS i, b.dd AS j,
+                 CAST(b.cret - (a.cret - a.ret) AS DOUBLE) /
+                   CAST(b.ccnt - (a.ccnt - a.cnt) AS DOUBLE) AS m
+          FROM pf a JOIN pf b ON a.seg = b.seg AND a.dd <= b.dd),
+        fit AS MATERIALIZED (
+          SELECT seg, k, MAX(mn) AS iso FROM (
+            SELECT iv.seg, p.dd AS k, iv.i, MIN(iv.m) AS mn
+            FROM iv JOIN pf p ON p.seg = iv.seg
+              AND iv.i <= p.dd AND p.dd <= iv.j
+            GROUP BY iv.seg, p.dd, iv.i) q
+          GROUP BY seg, k)
+        SELECT dec.seg, CAST(dec.dd AS INTEGER) AS decile,
+               dec.cnt AS n_cust, dec.ret AS retained,
+               ROUND(CAST(dec.ret AS DOUBLE) / CAST(dec.cnt AS DOUBLE), 6) AS rate_raw,
+               ROUND(fit.iso, 6) AS rate_iso
+        FROM dec JOIN fit ON fit.seg = dec.seg AND fit.k = dec.dd""")
+    ),
+
+    // ----------------------------------------------------------------
     // RETENTION AUC (Mann-Whitney) — does lifetime spend SEPARATE the
     // customers who stayed from the ones who churned? AUC = P(spend
     // of a random survivor > spend of a random churner), ties ½ —

@@ -768,6 +768,14 @@ object PlanAudit {
     Audit("q241_retention_auc",
       mustContain = Seq("partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
+    // isotonic calibration: the customer-grain pass feeds decile
+    // windows partitioned by segment; everything after the decile
+    // aggregate is O(segments × 100) interval/grid joins — keyed on
+    // seg, never a cartesian
+    Audit("q245_isotonic_calibration",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct"),
       minWindowPartCols = 1)
   )
 

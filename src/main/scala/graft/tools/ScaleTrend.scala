@@ -245,6 +245,10 @@ object ScaleTrend {
     // round over the O(k·n) kNN edge set; the distance vector is
     // node-grain — must track the disjoint-copy graph x10
     "q243_bfs_hops",
+    // round-9 k-core: per peel round a node-grain degree aggregate +
+    // two semi-joins over the shrinking edge set — bounded above by
+    // the kNN edge set at every round, so x10 graph => x10 peel cost
+    "q244_kcore",
     // round-9 maintained histogram state: four O(batch) histogram
     // partials + the fixed (features × bins) merge — shuffle must
     // stay KB-scale like q223's (the additive-state signature)
@@ -273,6 +277,10 @@ object ScaleTrend {
     // O(batch) customer-grain aggregate + the state merge — the
     // continued-state shuffle must track the batch spans, like q240's
     "q242_stream_km_maintenance",
+    // round-9 isotonic calibration: q241's customer-grain decile
+    // windows + O(segments × 100) PAVA grid — shuffle must track the
+    // customer pass linearly, the grid cost invisible
+    "q245_isotonic_calibration",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

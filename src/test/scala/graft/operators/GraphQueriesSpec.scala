@@ -67,6 +67,25 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("q244: 3-core peels the pendant chain and keeps K4") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore_").toString
+    // K4 {1,2,3,4} (two shared parts per pair) + pendant CHAIN 4-5-6
+    // (one shared part per link): peeling must cascade — node 6 falls
+    // in round 1, node 5 only after 6 is gone; the 3-core is K4 with
+    // every degree exactly 3.
+    val k4pairs = for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)
+    val rows = k4pairs.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq(0L, 1L).flatMap(c =>
+        Seq((i.toLong * 10 + c, u), (i.toLong * 10 + c, v)))
+    } ++ Seq((900L, 4L), (900L, 5L), (910L, 5L), (910L, 6L))
+    rows.toDF("l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("q244_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("q243: hop distances on a 6-node path, seeds = lowest nation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bfs_").toString

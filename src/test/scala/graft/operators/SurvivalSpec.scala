@@ -95,6 +95,30 @@ class SurvivalSpec extends AnyFunSuite {
     assert(rows("q242_stream_km_maintenance") === rows("q238_kaplan_meier"))
   }
 
+  test("q245: PAVA pools the adjacent violator pair") {
+    // retention by ascending spend: [1, 0, 1] — the classic violation.
+    // PAVA pools the first two into 0.5; fit = [0.5, 0.5, 1.0].
+    val d = writeFixture(
+      Seq(
+        (1L, "S", 280, 290), // retained, spend 10
+        (2L, "S", 0, 10),    // churned,  spend 20
+        (3L, "S", 270, 300)  // retained, spend 30
+      ),
+      prices = Map(
+        1L -> ((5.0, 5.0)),
+        2L -> ((10.0, 10.0)),
+        3L -> ((15.0, 15.0))))
+    val got = graft.SparkEntry.queries("q245_isotonic_calibration")(spark, d)
+      .collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Double]("rate_raw"), r.getAs[Double]("rate_iso"))))
+      .toMap
+    assert(got === Map(
+      1 -> ((1.0, 0.5)),
+      2 -> ((0.0, 0.5)),
+      3 -> ((1.0, 1.0))))
+  }
+
   test("q241: midrank AUC handles ties as half-wins") {
     // Retained (event=0): spends 60, 80; churned: 20, 60.
     // Pairwise: 60>20 win, 60=60 half, 80>20 win, 80>60 win → 3.5/4.
