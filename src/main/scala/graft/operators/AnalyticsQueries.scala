@@ -1773,6 +1773,98 @@ object AnalyticsQueries extends QueryModule {
                CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
         FROM sess s
         LEFT JOIN ov ON ov.user_id = s.user_id AND ov.session_seq = s.session_seq""")
+    ),
+
+    // ----------------------------------------------------------------
+    // ROBUST ANOMALY DAYS (median/MAD, Iglewicz & Hoaglin 1993) — the
+    // monitor that survives the outliers it hunts: per segment, the
+    // 5 most deviant daily order-volume days by MODIFIED z-score
+    // 0.6745·(x−med)/MAD, flagged anomalous above the classic 3.5 cut.
+    // Mean/stddev monitors (q161's drift shape) move WITH a spike;
+    // median and MAD do not. q129 is the SUMMARY twin (outlier counts
+    // per event type); this is the report a pager needs — WHICH days,
+    // scored, with the zero-MAD degenerate case handled instead of
+    // silently dividing by zero. Exactness: the day-grain values are
+    // INTEGER counts, both medians come from the RankSelect kernel in
+    // doubled form (med2 = lo+hi rank values, mad4 = lo+hi of the
+    // 2×deviations), so the 3.5-MAD flag is a pure BIGINT comparison
+    // (13490·dev2 > 35000·mad4) and the reported score divides exact
+    // integers. Shape: one fact-grain aggregate to day grain, then
+    // RankSelect's histogram kernel twice (bounded per-task input,
+    // no global sort), then a day-grain top-5 window per segment.
+    "q246_mad_anomalies" -> QueryDef(
+      fn = (s, d) => {
+        val daily = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("v"))
+          .localCheckpoint(true)
+        val mid = Seq("lo" -> "(n + 1) div 2", "hi" -> "(n + 2) div 2")
+        val med = RankSelect.selectRanks(daily.select(col("seg"), col("v")), "seg", "v", mid)
+          .groupBy(col("seg")).agg(sum(col("v")).as("med2"))
+        val dev = daily.join(broadcast(med), "seg")
+          .withColumn("dev2", abs(lit(2) * col("v") - col("med2")))
+          .localCheckpoint(true)
+        val mad = RankSelect.selectRanks(dev.select(col("seg"), col("dev2")), "seg", "dev2", mid)
+          .groupBy(col("seg")).agg(sum(col("dev2")).as("mad4"))
+        // zero-MAD degenerate case (over half the days share the median
+        // count — real at small scale): no dispersion estimate exists,
+        // so the score is NULL and ANY deviation from the median flags
+        val wTop = Window.partitionBy(col("seg"))
+          .orderBy(col("dev2").desc, col("day").asc)
+        dev.join(broadcast(mad), "seg")
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") <= 5)
+          .select(col("seg"), col("day"), col("v").as("n_orders"),
+            when(col("mad4") > 0,
+              round(lit(0.6745) * (col("dev2").cast("double") / lit(2.0)) /
+                (col("mad4").cast("double") / lit(4.0)), 6)).as("score"),
+            when(col("mad4") > 0,
+              lit(13490) * col("dev2") > lit(35000) * col("mad4"))
+              .otherwise(col("dev2") > 0).as("is_anomaly"))
+      },
+      oracle = Some("""
+        WITH daily AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        rk1 AS MATERIALIZED (
+          SELECT seg, v,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY seg) AS n
+          FROM daily),
+        med AS MATERIALIZED (
+          SELECT seg,
+                 CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END) +
+                      SUM(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END) AS BIGINT) AS med2
+          FROM rk1 GROUP BY seg),
+        dv AS MATERIALIZED (
+          SELECT d.seg, d.day, d.v, ABS(2 * d.v - m.med2) AS dev2
+          FROM daily d JOIN med m ON d.seg = m.seg),
+        rk2 AS MATERIALIZED (
+          SELECT seg, dev2,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY dev2 ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY seg) AS n
+          FROM dv),
+        mad AS MATERIALIZED (
+          SELECT seg,
+                 CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END) +
+                      SUM(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+          FROM rk2 GROUP BY seg)
+        SELECT seg, day, n_orders, score, is_anomaly FROM (
+          SELECT dv.seg, dv.day, dv.v AS n_orders,
+                 CASE WHEN ma.mad4 > 0 THEN
+                   ROUND(0.6745 * (CAST(dv.dev2 AS DOUBLE) / 2.0) /
+                         (CAST(ma.mad4 AS DOUBLE) / 4.0), 6)
+                 END AS score,
+                 CASE WHEN ma.mad4 > 0 THEN 13490 * dv.dev2 > 35000 * ma.mad4
+                      ELSE dv.dev2 > 0 END AS is_anomaly,
+                 ROW_NUMBER() OVER (PARTITION BY dv.seg
+                   ORDER BY dv.dev2 DESC, dv.day ASC) AS rk
+          FROM dv JOIN mad ma ON ma.seg = dv.seg) t
+        WHERE rk <= 5""")
     )
   )
 }

@@ -776,6 +776,13 @@ object PlanAudit {
     Audit("q245_isotonic_calibration",
       mustContain = Seq("partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct"),
+      minWindowPartCols = 1),
+    // MAD anomaly report: two RankSelect histogram kernels (their
+    // windows partition on (group, bucket)) + the seg-partitioned
+    // top-5 window; medians broadcast back onto the day grain
+    Audit("q246_mad_anomalies",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
       minWindowPartCols = 1)
   )
 

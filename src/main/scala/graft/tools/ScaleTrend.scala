@@ -281,6 +281,10 @@ object ScaleTrend {
     // windows + O(segments × 100) PAVA grid — shuffle must track the
     // customer pass linearly, the grid cost invisible
     "q245_isotonic_calibration",
+    // round-9 MAD anomaly report: one fact aggregate to day grain +
+    // two bounded RankSelect kernels — shuffle tracks the fact scan,
+    // the day-grain kernels stay calendar-bounded
+    "q246_mad_anomalies",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

@@ -183,4 +183,33 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     val week0 = rows.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
     assert(week0 === cohortSizes)
   }
+
+  test("q246: MAD flags the spike a mean/stddev monitor would absorb") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mad_").toString
+    val day0 = java.time.LocalDate.parse("2025-01-01")
+    def ts(k: Int) = java.sql.Timestamp.valueOf(day0.plusDays(k).atStartOfDay)
+    // daily counts [8,9,10,11,12,13,50]: med = 11, MAD = 2 (dev2 sorted
+    // 0,2,2,4,4,6,78 → rank-4 value 4, mad4 = 8); only the 50-day
+    // clears 3.5 MADs, score = 0.6745·39/2 = 13.15275. Top-5 by
+    // (dev2 desc, day asc): days 6, 0, 1, 5, 2.
+    val counts = Seq(8, 9, 10, 11, 12, 13, 50)
+    counts.zipWithIndex.flatMap { case (c, k) =>
+      (0 until c).map(i => (k.toLong * 1000 + i, 1L, ts(k)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    Seq((1L, "S")).toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    val rows = graft.SparkEntry.queries("q246_mad_anomalies")(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("n_orders") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("is_anomaly"))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.keySet === Set(50L, 8L, 9L, 13L, 10L))
+    assert(rows(50L) === ((r6(0.6745 * 39.0 / 2.0), true)))
+    assert(rows(8L) === ((r6(0.6745 * 3.0 / 2.0), false)))
+    assert(!rows.removed(50L).values.exists(_._2))
+  }
 }
