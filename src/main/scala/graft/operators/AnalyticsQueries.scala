@@ -1865,6 +1865,76 @@ object AnalyticsQueries extends QueryModule {
                    ORDER BY dv.dev2 DESC, dv.day ASC) AS rk
           FROM dv JOIN mad ma ON ma.seg = dv.seg) t
         WHERE rk <= 5""")
+    ),
+
+    // ----------------------------------------------------------------
+    // THEIL-SEN ROBUST TREND (Sen 1968) — the median of all pairwise
+    // slopes over each segment's last-120-day order volume: the trend
+    // estimate with a 29% breakdown point where q97's OLS slope is
+    // dragged by a single spike day (exactly the days q246 flags).
+    // The pair set is CALENDAR²-bounded BY CONSTRUCTION (≤ C(120,2) =
+    // 7140 pairs per segment at any corpus size — the q208 discipline
+    // applied quadratically), so the slope-rank window orders a fixed-
+    // size frame while only the day-grain aggregate sees the corpus.
+    // Exactness: y is an integer count, x an integer day offset, so
+    // each slope is ONE IEEE-exact division; the median picks values
+    // at ranks (value-at-rank is tie-safe) and averages at most two
+    // doubles — one exact add and halving.
+    "q247_theil_sen" -> QueryDef(
+      fn = (s, d) => {
+        val daily = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val mx = daily.agg(max(col("day")).as("mxd"))
+        val recent = daily.crossJoin(broadcast(mx))
+          .where(col("day") > date_sub(col("mxd"), 120))
+          .select(col("seg"),
+            datediff(col("day"), col("mxd")).as("x"), col("y"))
+          .localCheckpoint(true)
+        // the 120-day frame is ≤ segments × 120 rows at ANY corpus
+        // size — broadcast the right side of the pair join outright
+        val pairs = recent.as("a").join(broadcast(recent.as("b")),
+          col("a.seg") === col("b.seg") && col("a.x") < col("b.x"))
+          .select(col("a.seg").as("seg"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.x") - col("a.x")).cast("double")).as("slope"))
+        val wSeg = Window.partitionBy(col("seg"))
+        pairs
+          .withColumn("rn", row_number().over(wSeg.orderBy(col("slope").asc)))
+          .withColumn("np", count(lit(1)).over(wSeg))
+          .where(col("rn") === expr("(np + 1) div 2") ||
+            col("rn") === expr("(np + 2) div 2"))
+          .groupBy(col("seg"))
+          .agg(round(avg(col("slope")), 6).as("slope_per_day"),
+            max(col("np")).as("n_pairs"))
+      },
+      oracle = Some("""
+        WITH daily AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        mx AS (SELECT MAX(day) AS mxd FROM daily),
+        recent AS MATERIALIZED (
+          SELECT seg, DATEDIFF('day', mxd, day) AS x, y
+          FROM daily CROSS JOIN mx
+          WHERE day > mxd - INTERVAL 120 DAY),
+        pairs AS MATERIALIZED (
+          SELECT a.seg,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+          FROM recent a JOIN recent b ON a.seg = b.seg AND a.x < b.x),
+        rk AS MATERIALIZED (
+          SELECT seg, slope,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY slope ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY seg) AS np
+          FROM pairs)
+        SELECT seg, ROUND(AVG(slope), 6) AS slope_per_day,
+               CAST(MAX(np) AS BIGINT) AS n_pairs
+        FROM rk
+        WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        GROUP BY seg""")
     )
   )
 }

@@ -783,6 +783,15 @@ object PlanAudit {
     Audit("q246_mad_anomalies",
       mustContain = Seq("Window", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 1),
+    // Theil-Sen: the pair self-join is seg-keyed over the 120-day
+    // frame (calendar²-bounded, right side broadcast outright); the
+    // slope-rank window partitions by segment. The day aggregate sits
+    // behind the localCheckpoint (the q99 audit-scope caveat), so the
+    // guarded shape is the pair join + window.
+    Audit("q247_theil_sen",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
       minWindowPartCols = 1)
   )
 

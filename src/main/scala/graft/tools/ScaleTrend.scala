@@ -285,6 +285,9 @@ object ScaleTrend {
     // two bounded RankSelect kernels — shuffle tracks the fact scan,
     // the day-grain kernels stay calendar-bounded
     "q246_mad_anomalies",
+    // round-9 Theil-Sen: pair frame is C(120,2) per segment BY
+    // CONSTRUCTION — shuffle past the day aggregate must be flat
+    "q247_theil_sen",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

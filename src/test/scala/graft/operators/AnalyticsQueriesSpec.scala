@@ -212,4 +212,25 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(rows(8L) === ((r6(0.6745 * 3.0 / 2.0), false)))
     assert(!rows.removed(50L).values.exists(_._2))
   }
+
+  test("q247: Theil-Sen shrugs off the spike that drags OLS") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts_").toString
+    val day0 = java.time.LocalDate.parse("2025-01-01")
+    def ts(k: Int) = java.sql.Timestamp.valueOf(day0.plusDays(k).atStartOfDay)
+    // counts [1,2,3,100] on consecutive days: pairwise slopes
+    // {1,1,1,33,49,97} → median = (1+33)/2 = 17; OLS slope would be
+    // ~30.6. n_pairs = C(4,2) = 6.
+    val counts = Seq(1, 2, 3, 100)
+    counts.zipWithIndex.flatMap { case (c, k) =>
+      (0 until c).map(i => (k.toLong * 1000 + i, 1L, ts(k)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    Seq((1L, "S")).toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    val rows = graft.SparkEntry.queries("q247_theil_sen")(spark, tmp).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("slope_per_day") === 17.0)
+    assert(rows.head.getAs[Long]("n_pairs") === 6L)
+  }
 }
