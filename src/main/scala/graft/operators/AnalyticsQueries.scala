@@ -1935,6 +1935,56 @@ object AnalyticsQueries extends QueryModule {
         FROM rk
         WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
         GROUP BY seg""")
+    ),
+
+    // ----------------------------------------------------------------
+    // GINI CONCENTRATION of customer order volume per segment — the
+    // "do 20% of customers drive 80% of volume?" number, from the
+    // rank-sum identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    // ascending-sorted per-customer counts. Tie-safe BY ALGEBRA: tied
+    // x values contribute the same Σ i·x₍ᵢ₎ whatever order the window
+    // numbers them, so cross-engine ROW_NUMBER tie divergence cannot
+    // leak into the result. Everything is BIGINT until one final
+    // IEEE-exact division (rank sums stay < 2⁵³ to ~10⁸ customers per
+    // segment; DECIMAL territory beyond — documented, not needed at
+    // gated scale). Shape: one fact-grain aggregate, one
+    // segment-partitioned rank window over customer grain, one
+    // O(segments) reduce.
+    "q248_gini" -> QueryDef(
+      fn = (s, d) => {
+        val pc = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"))
+          .agg(count(lit(1)).as("x"))
+        val rk = pc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("x").asc, col("cust").asc)))
+        rk.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("rn") * col("x")).as("srx"))
+          .select(col("seg"), col("n").as("n_cust"), col("sx").as("total_orders"),
+            round((lit(2L) * col("srx") - (col("n") + 1) * col("sx")).cast("double") /
+              (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      },
+      oracle = Some("""
+        WITH pc AS MATERIALIZED (
+          SELECT c_mktsegment AS seg, o_custkey AS cust,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        rk AS MATERIALIZED (
+          SELECT seg, x,
+                 ROW_NUMBER() OVER (PARTITION BY seg
+                   ORDER BY x ASC, cust ASC) AS rn
+          FROM pc),
+        m AS MATERIALIZED (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(rn * x) AS BIGINT) AS srx
+          FROM rk GROUP BY seg)
+        SELECT seg, n AS n_cust, sx AS total_orders,
+               ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE) /
+                     CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM m""")
     )
   )
 }

@@ -792,6 +792,12 @@ object PlanAudit {
     Audit("q247_theil_sen",
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
+    // Gini: one map-side-combined fact aggregate, one seg-partitioned
+    // rank window at customer grain, one O(segments) reduce
+    Audit("q248_gini",
+      mustContain = Seq("partial_count", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
       minWindowPartCols = 1)
   )
 

@@ -288,6 +288,9 @@ object ScaleTrend {
     // round-9 Theil-Sen: pair frame is C(120,2) per segment BY
     // CONSTRUCTION — shuffle past the day aggregate must be flat
     "q247_theil_sen",
+    // round-9 Gini: customer-grain rank window per segment — tracks
+    // the corpus linearly like q241
+    "q248_gini",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

@@ -233,4 +233,23 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("slope_per_day") === 17.0)
     assert(rows.head.getAs[Long]("n_pairs") === 6L)
   }
+
+  test("q248: Gini is 0 for equal counts and 0.25 for the (1,3) split") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gini_").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    // segment E: two customers with 2 orders each (perfect equality);
+    // segment U: counts (1, 3) — mean 2, mean abs diff 1, G = 1/(2·2).
+    val custOrders = Seq((1L, 2), (2L, 2), (3L, 1), (4L, 3))
+    custOrders.flatMap { case (cu, c) =>
+      (0 until c).map(i => (cu * 100 + i, cu, t0))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    Seq((1L, "E"), (2L, "E"), (3L, "U"), (4L, "U"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    val got = graft.SparkEntry.queries("q248_gini")(spark, tmp)
+      .collect().map(r => r.getAs[String]("seg") -> r.getAs[Double]("gini")).toMap
+    assert(got === Map("E" -> 0.0, "U" -> 0.25))
+  }
 }
