@@ -1985,6 +1985,117 @@ object AnalyticsQueries extends QueryModule {
                ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE) /
                      CAST(n * sx AS DOUBLE), 6) AS gini
         FROM m""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RFM SEGMENTATION (Recency / Frequency / Monetary quintiles) —
+    // the classic retail customer segmentation, built SCALE-HONEST:
+    // the naive formulation is a global ntile (one sort of every
+    // customer on a single partition, three times); instead the four
+    // quintile BOUNDARIES per metric come from the RankSelect
+    // histogram kernel (bounded per-task input, no global sort) and
+    // broadcast back, so scoring is map-only. Scores are value-based
+    // ("1 + #boundaries strictly below"), which is tie-deterministic
+    // cross-engine where positional ntile is not. Output is the
+    // (r, f, m, label) cell census — the table a lifecycle-marketing
+    // dashboard reads directly.
+    "q249_rfm" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 4)
+        val mx = orders(s, d).agg(max(col("o_orderdate").cast("date")).as("mxd"))
+        val pc = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .crossJoin(broadcast(mx))
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(min(datediff(col("mxd"), col("o_orderdate").cast("date"))).as("r"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast(dt)).as("m"))
+          .localCheckpoint(true) // 3 kernel scans + the scoring pass
+        val ranks = (1 to 4).map(i => s"b$i" -> s"($i * n) div 5")
+        def bounds(c: String) = {
+          val bAggs = (1 to 4).map(i =>
+            max(when(col("label") === s"b$i", col(c))).as(s"${c}_b$i"))
+          broadcast(
+            RankSelect.selectRanks(pc.select(lit("all").as("g"), col(c)), "g", c, ranks)
+              .groupBy(col("g"))
+              .agg(bAggs.head, bAggs.tail: _*)
+              .drop("g"))
+        }
+        def score(c: String) = (1 to 4)
+          .map(i => when(col(c) > col(s"${c}_b$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+        val scored = pc
+          .crossJoin(bounds("r")) // 1-row broadcasts
+          .crossJoin(bounds("f"))
+          .crossJoin(bounds("m"))
+          .select(col("cust"),
+            (lit(6) - score("r")).as("r_score"), // recent = small r = high score
+            score("f").as("f_score"), score("m").as("m_score"))
+        scored
+          .withColumn("label",
+            when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+              .when(col("r_score") <= 2 && (col("f_score") >= 4 || col("m_score") >= 4), "at_risk")
+              .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+              .otherwise("regular"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"), col("label"))
+          .agg(count(lit(1)).as("n_cust"))
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        pc AS MATERIALIZED (
+          SELECT o_custkey AS cust,
+                 MIN(DATEDIFF('day', CAST(o_orderdate AS DATE), mxd)) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS m
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          CROSS JOIN mx
+          GROUP BY o_custkey),
+        rr AS MATERIALIZED (
+          SELECT r AS v, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+                 COUNT(*) OVER () AS n FROM pc),
+        rf AS MATERIALIZED (
+          SELECT f AS v, ROW_NUMBER() OVER (ORDER BY f) AS rn,
+                 COUNT(*) OVER () AS n FROM pc),
+        rm AS MATERIALIZED (
+          SELECT m AS v, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+                 COUNT(*) OVER () AS n FROM pc),
+        rb AS (SELECT MAX(CASE WHEN rn = (1*n)//5 THEN v END) AS b1,
+                      MAX(CASE WHEN rn = (2*n)//5 THEN v END) AS b2,
+                      MAX(CASE WHEN rn = (3*n)//5 THEN v END) AS b3,
+                      MAX(CASE WHEN rn = (4*n)//5 THEN v END) AS b4 FROM rr),
+        fb AS (SELECT MAX(CASE WHEN rn = (1*n)//5 THEN v END) AS b1,
+                      MAX(CASE WHEN rn = (2*n)//5 THEN v END) AS b2,
+                      MAX(CASE WHEN rn = (3*n)//5 THEN v END) AS b3,
+                      MAX(CASE WHEN rn = (4*n)//5 THEN v END) AS b4 FROM rf),
+        mb AS (SELECT MAX(CASE WHEN rn = (1*n)//5 THEN v END) AS b1,
+                      MAX(CASE WHEN rn = (2*n)//5 THEN v END) AS b2,
+                      MAX(CASE WHEN rn = (3*n)//5 THEN v END) AS b3,
+                      MAX(CASE WHEN rn = (4*n)//5 THEN v END) AS b4 FROM rm),
+        sc AS MATERIALIZED (
+          SELECT cust,
+                 6 - (1 + (CASE WHEN r > rb.b1 THEN 1 ELSE 0 END) +
+                          (CASE WHEN r > rb.b2 THEN 1 ELSE 0 END) +
+                          (CASE WHEN r > rb.b3 THEN 1 ELSE 0 END) +
+                          (CASE WHEN r > rb.b4 THEN 1 ELSE 0 END)) AS r_score,
+                 1 + (CASE WHEN f > fb.b1 THEN 1 ELSE 0 END) +
+                     (CASE WHEN f > fb.b2 THEN 1 ELSE 0 END) +
+                     (CASE WHEN f > fb.b3 THEN 1 ELSE 0 END) +
+                     (CASE WHEN f > fb.b4 THEN 1 ELSE 0 END) AS f_score,
+                 1 + (CASE WHEN m > mb.b1 THEN 1 ELSE 0 END) +
+                     (CASE WHEN m > mb.b2 THEN 1 ELSE 0 END) +
+                     (CASE WHEN m > mb.b3 THEN 1 ELSE 0 END) +
+                     (CASE WHEN m > mb.b4 THEN 1 ELSE 0 END) AS m_score
+          FROM pc CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb)
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                    WHEN r_score <= 2 AND (f_score >= 4 OR m_score >= 4) THEN 'at_risk'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+                    ELSE 'regular' END AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM sc
+        GROUP BY 1, 2, 3, 4""")
     )
   )
 }

@@ -798,6 +798,17 @@ object PlanAudit {
     Audit("q248_gini",
       mustContain = Seq("partial_count", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
+    // RFM: the whole point is NO global ntile sort — quintile
+    // boundaries come from RankSelect's (group, bucket)-partitioned
+    // kernel and broadcast back; scoring is map-only over the
+    // customer grain. The group key is a literal ("all"), which
+    // Catalyst folds out of the window partition, so the kernel's
+    // windows show bucket-only (1 col) — still bucket-bounded,
+    // never a global sort (SinglePartition stays banned).
+    Audit("q249_rfm",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
       minWindowPartCols = 1)
   )
 

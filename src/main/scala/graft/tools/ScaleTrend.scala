@@ -291,6 +291,9 @@ object ScaleTrend {
     // round-9 Gini: customer-grain rank window per segment — tracks
     // the corpus linearly like q241
     "q248_gini",
+    // round-9 RFM: three RankSelect kernels + map-only scoring — no
+    // global sort anywhere; shuffle tracks the customer aggregate
+    "q249_rfm",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's

@@ -252,4 +252,25 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("seg") -> r.getAs[Double]("gini")).toMap
     assert(got === Map("E" -> 0.0, "U" -> 0.25))
   }
+
+  test("q249: RFM cell census covers every customer with scores in 1..5") {
+    val rows = q("q249_rfm").collect()
+    val nCust = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum === nCust)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 5, s"$c out of range: $v")
+      }
+      val (rs, fs, m) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+      val expect =
+        if (rs >= 4 && fs >= 4 && m >= 4) "champion"
+        else if (rs <= 2 && (fs >= 4 || m >= 4)) "at_risk"
+        else if (rs >= 4 && fs <= 2) "recent"
+        else "regular"
+      assert(r.getAs[String]("label") === expect)
+    }
+  }
 }
