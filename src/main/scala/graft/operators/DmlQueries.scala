@@ -476,6 +476,81 @@ object DmlQueries extends QueryModule {
                  / CAST(COUNT(*) AS DOUBLE) AS avg_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1""")
+    ),
+
+    // ----------------------------------------------------------------
+    // REFERENTIAL-INTEGRITY AUDIT — the star schema's six FK edges
+    // checked in one report: fact rows whose key has no parent (the
+    // q134 profiler covers per-column nulls/ranges; this covers the
+    // CROSS-table contract nothing else gates). Each edge is one
+    // left-anti join on the key — at 100 TB the lineitem→orders edge
+    // is a genuine keyed shuffle and that IS the honest plan; the
+    // small dims (nation/part/supplier/customer) broadcast. Counts
+    // are exact; the ppm rate is one exact division.
+    "q251_fk_audit" -> QueryDef(
+      fn = (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+                 parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val total = child.agg(count(lit(1)).as("n_rows"))
+          val orph = child.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          total.crossJoin(orph)
+            .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+              round(col("n_orphans").cast("double") * lit(1000000.0) /
+                col("n_rows").cast("double"), 6).as("orphan_ppm"))
+        }
+        Seq(
+          edge("lineitem.orderkey->orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+          edge("lineitem.partkey->part", lineitem(s, d), "l_partkey", part(s, d), "p_partkey"),
+          edge("lineitem.suppkey->supplier", lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"),
+          edge("orders.custkey->customer", orders(s, d), "o_custkey", customer(s, d), "c_custkey"),
+          edge("customer.nationkey->nation", customer(s, d), "c_nationkey", nation(s, d), "n_nationkey"),
+          edge("supplier.nationkey->nation", supplier(s, d), "s_nationkey", nation(s, d), "n_nationkey")
+        ).reduce(_ unionByName _)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT 'lineitem.orderkey->orders' AS fk_edge,
+                 (SELECT COUNT(*) FROM lineitem) AS n_rows,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+          UNION ALL
+          SELECT 'lineitem.partkey->part',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM part p
+                                    WHERE p.p_partkey = l.l_partkey))
+          UNION ALL
+          SELECT 'lineitem.suppkey->supplier',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                    WHERE s.s_suppkey = l.l_suppkey))
+          UNION ALL
+          SELECT 'orders.custkey->customer',
+                 (SELECT COUNT(*) FROM orders),
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+          UNION ALL
+          SELECT 'customer.nationkey->nation',
+                 (SELECT COUNT(*) FROM customer),
+                 (SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = c.c_nationkey))
+          UNION ALL
+          SELECT 'supplier.nationkey->nation',
+                 (SELECT COUNT(*) FROM supplier),
+                 (SELECT COUNT(*) FROM supplier s
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = s.s_nationkey))
+        )
+        SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               ROUND(CAST(n_orphans AS DOUBLE) * 1000000.0 /
+                     CAST(n_rows AS DOUBLE), 6) AS orphan_ppm
+        FROM e""")
     )
   )
 }

@@ -415,6 +415,55 @@ object SurvivalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // RESTRICTED MEAN SURVIVAL TIME (RMST, τ = 365) — the KM curve
+    // reduced to the number a finance model consumes: expected
+    // retained days within the first year, per segment — the area
+    // under the survival curve up to τ. Computed inside the SAME
+    // duration-ordered fold shape as q238, threading (s, prev, area):
+    // each step adds s_before · (min(dur, τ) − min(prev, τ)) — one
+    // multiply and one exact integer-difference cast per step — and
+    // the finish adds the flat tail s_last · (τ − min(last, τ)).
+    // Censor-only steps split a constant-s segment into two equal-s
+    // pieces, so iterating every life-table row is exact. The oracle
+    // threads the identical arithmetic through the recursive CTE.
+    "q250_rmst" -> QueryDef(
+      fn = (s, d) => {
+        val lt = lifeTable(byDay(withEvent(custSpans(s, d))))
+        val foldTxt = """
+          aggregate(
+            elems,
+            named_struct('s', CAST(1.0 AS DOUBLE), 'p', 0,
+              'r', CAST(0.0 AS DOUBLE)),
+            (acc, e) -> named_struct(
+              's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+              'p', e.dur,
+              'r', acc.r + acc.s * CAST(least(e.dur, 365) - least(acc.p, 365) AS DOUBLE)),
+            acc -> acc.r + acc.s * CAST(365 - least(acc.p, 365) AS DOUBLE))"""
+        lt.groupBy(col("seg"))
+          .agg(sort_array(collect_list(struct(
+            col("rn"), col("dur"), col("d"), col("c"), col("n")))).as("elems"))
+          .select(col("seg"), round(expr(foldTxt), 6).as("rmst_days"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${lifeTableSql()},
+        km AS (
+          SELECT seg, rn, dur, n, d,
+                 1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s,
+                 0.0 + 1.0 * CAST(LEAST(dur, 365) - 0 AS DOUBLE) AS r
+          FROM lt WHERE rn = 1
+          UNION ALL
+          SELECT lt.seg, lt.rn, lt.dur, lt.n, lt.d,
+                 km.s * (1.0 - CAST(lt.d AS DOUBLE) / CAST(lt.n AS DOUBLE)),
+                 km.r + km.s * CAST(LEAST(lt.dur, 365) - LEAST(km.dur, 365) AS DOUBLE)
+          FROM km JOIN lt ON lt.seg = km.seg AND lt.rn = km.rn + 1),
+        ms AS (SELECT seg, MAX(rn) AS mr FROM lt GROUP BY seg)
+        SELECT km.seg,
+               ROUND(km.r + km.s * CAST(365 - LEAST(km.dur, 365) AS DOUBLE), 6)
+                 AS rmst_days
+        FROM km JOIN ms ON ms.seg = km.seg AND km.rn = ms.mr""")
+    ),
+
+    // ----------------------------------------------------------------
     // ISOTONIC CALIBRATION (PAVA closed form) — q241 says spend RANKS
     // churn risk; this turns the ranking into a CALIBRATED curve:
     // retention rate as a non-decreasing function of spend decile,

@@ -809,7 +809,17 @@ object PlanAudit {
     Audit("q249_rfm",
       mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
-      minWindowPartCols = 1)
+      minWindowPartCols = 1),
+    // RMST rides q238's exact shape: customer→day-grain aggregates,
+    // the per-segment fold an ObjectHashAggregate collect
+    Audit("q250_rmst",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // FK audit: six keyed LeftAnti probes — never a cartesian; the
+    // per-edge counts are 1-row broadcasts composed by union
+    Audit("q251_fk_audit",
+      mustContain = Seq("LeftAnti"),
+      mustNotContain = Seq("CartesianProduct"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -294,6 +294,12 @@ object ScaleTrend {
     // round-9 RFM: three RankSelect kernels + map-only scoring — no
     // global sort anywhere; shuffle tracks the customer aggregate
     "q249_rfm",
+    // round-9 RMST: q238's customer→calendar collapse with the area
+    // fold — same sub-linear signature expected
+    "q250_rmst",
+    // round-9 FK audit: six keyed anti-joins — the lineitem edges are
+    // genuine fact-grain probes and must track the corpus linearly
+    "q251_fk_audit",
     // round-9 streaming centroid maintenance: per micro-batch one
     // O(batch) state aggregate + the fixed (classes × d) merge — the
     // continued-state shuffle must stay ~flat like q228's
@@ -446,6 +452,13 @@ object ScaleTrend {
         (col("s_suppkey") + lit(k * 1000000000L)).as("s_suppkey"),
         col("s_name"), col("s_nationkey"), col("s_acctbal"))
     ).coalesce(2).write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    // fixed-cardinality dims pass through verbatim: copies keep their
+    // original nation/region keys, so FK edges stay orphan-free at 10x
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")

@@ -52,6 +52,21 @@ class SurvivalSpec extends AnyFunSuite {
       20 -> ((2L, 1L, 0.375))))
   }
 
+  test("q250: RMST is the hand-summed area under the q238 curve") {
+    // same fixture as q238: steps (10: S 1→0.75), (20: 0.75→0.375),
+    // (30: censor-only, S stays 0.375). Area to τ=365:
+    // 1·10 + 0.75·10 + 0.375·10 + 0.375·(365−30) = 146.875.
+    val d = writeFixture(Seq(
+      (1L, "S", 0, 10),
+      (2L, "S", 280, 290),
+      (3L, "S", 0, 20),
+      (4L, "S", 270, 300)
+    ))
+    val rows = graft.SparkEntry.queries("q250_rmst")(spark, d).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("rmst_days") === 146.875)
+  }
+
   test("q239: log-rank O/E/V match the hand-computed hypergeometrics") {
     // A churns at 10 and 15; B is censored at durations 20 and 35
     // (active past cutoff = 300 − 60). Combined event times:
