@@ -415,6 +415,69 @@ object SurvivalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // GREENWOOD CONFIDENCE BAND — q238's curve with the error bars a
+    // statistician demands before acting on it: Greenwood's variance
+    // estimate Var[S(t)] = S(t)² · Σ_{s≤t} d/(n(n−d)) and the plain
+    // 95% band S ± 1.96·SE. Every operation is IEEE-exact (+, *, /,
+    // sqrt — no libm), so the band gates bit-identically: the fold
+    // threads (s, g) where g is the running Greenwood sum, and the
+    // oracle's recursive CTE threads the same two columns. Steps with
+    // d = n (everyone at risk dies) would divide by zero in g; the
+    // standard convention (variance undefined, band collapses to the
+    // point) is mirrored by carrying g = NULL from that step on —
+    // identical NULL semantics both engines.
+    "q252_km_greenwood" -> QueryDef(
+      fn = (s, d) => {
+        val lt = lifeTable(byDay(withEvent(custSpans(s, d))))
+        val foldTxt = """
+          aggregate(
+            elems,
+            named_struct('s', CAST(1.0 AS DOUBLE), 'g', CAST(0.0 AS DOUBLE),
+              'out', CAST(array() AS ARRAY<STRUCT<dur: INT, d: BIGINT, s: DOUBLE, g: DOUBLE>>)),
+            (acc, e) -> named_struct(
+              's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+              'g', acc.g + IF(e.n > e.d, CAST(e.d AS DOUBLE) /
+                (CAST(e.n AS DOUBLE) * CAST(e.n - e.d AS DOUBLE)),
+                CAST(NULL AS DOUBLE)),
+              'out', array_append(acc.out, named_struct(
+                'dur', e.dur, 'd', e.d,
+                's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+                'g', acc.g + IF(e.n > e.d, CAST(e.d AS DOUBLE) /
+                  (CAST(e.n AS DOUBLE) * CAST(e.n - e.d AS DOUBLE)),
+                  CAST(NULL AS DOUBLE))))))"""
+        lt.groupBy(col("seg"))
+          .agg(sort_array(collect_list(struct(
+            col("rn"), col("dur"), col("d"), col("c"), col("n")))).as("elems"))
+          .select(col("seg"), explode(expr(s"($foldTxt).out")).as("e"))
+          .where(col("e.d") > 0)
+          .select(col("seg"), col("e.dur").as("dur"),
+            round(col("e.s"), 6).as("survival"),
+            round(col("e.s") - lit(1.96) * sqrt(col("e.s") * col("e.s") * col("e.g")), 6).as("lo95"),
+            round(col("e.s") + lit(1.96) * sqrt(col("e.s") * col("e.s") * col("e.g")), 6).as("hi95"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${lifeTableSql()},
+        km AS (
+          SELECT seg, rn, dur, d, n,
+                 1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s,
+                 0.0 + CASE WHEN n > d THEN CAST(d AS DOUBLE) /
+                   (CAST(n AS DOUBLE) * CAST(n - d AS DOUBLE))
+                   ELSE CAST(NULL AS DOUBLE) END AS g
+          FROM lt WHERE rn = 1
+          UNION ALL
+          SELECT lt.seg, lt.rn, lt.dur, lt.d, lt.n,
+                 km.s * (1.0 - CAST(lt.d AS DOUBLE) / CAST(lt.n AS DOUBLE)),
+                 km.g + CASE WHEN lt.n > lt.d THEN CAST(lt.d AS DOUBLE) /
+                   (CAST(lt.n AS DOUBLE) * CAST(lt.n - lt.d AS DOUBLE))
+                   ELSE CAST(NULL AS DOUBLE) END
+          FROM km JOIN lt ON lt.seg = km.seg AND lt.rn = km.rn + 1)
+        SELECT seg, CAST(dur AS INTEGER) AS dur, ROUND(s, 6) AS survival,
+               ROUND(s - 1.96 * SQRT(s * s * g), 6) AS lo95,
+               ROUND(s + 1.96 * SQRT(s * s * g), 6) AS hi95
+        FROM km WHERE d > 0""")
+    ),
+
+    // ----------------------------------------------------------------
     // RESTRICTED MEAN SURVIVAL TIME (RMST, τ = 365) — the KM curve
     // reduced to the number a finance model consumes: expected
     // retained days within the first year, per segment — the area

@@ -819,7 +819,11 @@ object PlanAudit {
     // per-edge counts are 1-row broadcasts composed by union
     Audit("q251_fk_audit",
       mustContain = Seq("LeftAnti"),
-      mustNotContain = Seq("CartesianProduct"))
+      mustNotContain = Seq("CartesianProduct")),
+    // Greenwood band: q238's exact shape with a second fold column
+    Audit("q252_km_greenwood",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -297,6 +297,9 @@ object ScaleTrend {
     // round-9 RMST: q238's customer→calendar collapse with the area
     // fold — same sub-linear signature expected
     "q250_rmst",
+    // round-9 Greenwood band: q238's shape + one more fold column —
+    // must match q238's sub-linear signature exactly
+    "q252_km_greenwood",
     // round-9 FK audit: six keyed anti-joins — the lineitem edges are
     // genuine fact-grain probes and must track the corpus linearly
     "q251_fk_audit",

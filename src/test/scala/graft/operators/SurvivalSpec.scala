@@ -52,6 +52,32 @@ class SurvivalSpec extends AnyFunSuite {
       20 -> ((2L, 1L, 0.375))))
   }
 
+  test("q252: Greenwood band matches the hand-threaded variance") {
+    // q238 fixture: step 10 has d=1, n=4 → g = 1/12; step 20 adds
+    // d=1, n=2 → g = 1/12 + 1/2. Band = S ± 1.96·sqrt(S²·g).
+    val d = writeFixture(Seq(
+      (1L, "S", 0, 10),
+      (2L, "S", 280, 290),
+      (3L, "S", 0, 20),
+      (4L, "S", 270, 300)
+    ))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.SparkEntry.queries("q252_km_greenwood")(spark, d)
+      .collect()
+      .map(r => r.getAs[Int]("dur") ->
+        ((r.getAs[Double]("survival"), r.getAs[Double]("lo95"), r.getAs[Double]("hi95"))))
+      .toMap
+    val g10 = 0.0 + 1.0 / (4.0 * 3.0)
+    val g20 = g10 + 1.0 / (2.0 * 1.0)
+    assert(got(10) === ((0.75,
+      r6(0.75 - 1.96 * math.sqrt(0.75 * 0.75 * g10)),
+      r6(0.75 + 1.96 * math.sqrt(0.75 * 0.75 * g10)))))
+    assert(got(20) === ((0.375,
+      r6(0.375 - 1.96 * math.sqrt(0.375 * 0.375 * g20)),
+      r6(0.375 + 1.96 * math.sqrt(0.375 * 0.375 * g20)))))
+  }
+
   test("q250: RMST is the hand-summed area under the q238 curve") {
     // same fixture as q238: steps (10: S 1→0.75), (20: 0.75→0.375),
     // (30: censor-only, S stays 0.375). Area to τ=365:
