@@ -608,6 +608,77 @@ object SurvivalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // COHORT LTV CURVE — the revenue twin of the q238 retention curve
+    // and the other half of the q102 cohort mart: average CUMULATIVE
+    // spend per customer by month-age, per acquisition-quarter
+    // cohort. The number that tells a finance team when a cohort pays
+    // back. Shape: one customer-grain aggregate fixes each customer's
+    // cohort; one keyed join tags every order with its (cohort, age)
+    // — the honest fact-grain pass; then a (cohort, month-age)
+    // DECIMAL aggregate and a calendar²-bounded cumulative window.
+    // Ages are exact integer month arithmetic (y·12+m differences,
+    // never months_between's fractional days); the final per-customer
+    // average is the one decimal→double cast, rounded 6 (the q93
+    // contract).
+    "q253_cohort_ltv" -> QueryDef(
+      fn = (s, d) => {
+        val dt = DecimalType(38, 4)
+        val oc = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("o_custkey").as("cust"),
+            col("o_orderdate").cast("date").as("day"),
+            col("o_totalprice"))
+        val spans = oc.groupBy(col("cust"))
+          .agg(min(col("day")).as("f"))
+          .select(col("cust"),
+            date_trunc("quarter", col("f")).cast("date").as("cohort_q"),
+            (year(col("f")) * 12 + month(col("f"))).as("m0"))
+        val sizes = spans.groupBy(col("cohort_q"))
+          .agg(count(lit(1)).as("n_cust"))
+        val aged = oc.join(spans, "cust")
+          .groupBy(col("cohort_q"),
+            (year(col("day")) * 12 + month(col("day")) - col("m0")).as("age_months"))
+          .agg(sum(col("o_totalprice").cast(dt)).as("rev"))
+        val wCum = Window.partitionBy(col("cohort_q")).orderBy(col("age_months"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aged
+          .withColumn("cum", sum(col("rev")).over(wCum))
+          .join(broadcast(sizes), "cohort_q")
+          .select(col("cohort_q"), col("age_months"), col("n_cust"),
+            round(col("cum").cast("double") / col("n_cust").cast("double"), 6)
+              .as("ltv_per_cust"))
+      },
+      oracle = Some("""
+        WITH oc AS MATERIALIZED (
+          SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+                 o_totalprice
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        sp AS MATERIALIZED (
+          SELECT cust, CAST(DATE_TRUNC('quarter', MIN(day)) AS DATE) AS cohort_q,
+                 YEAR(MIN(day)) * 12 + MONTH(MIN(day)) AS m0
+          FROM oc GROUP BY cust),
+        sz AS MATERIALIZED (
+          SELECT cohort_q, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM sp GROUP BY cohort_q),
+        aged AS MATERIALIZED (
+          SELECT sp.cohort_q,
+                 CAST(YEAR(oc.day) * 12 + MONTH(oc.day) - sp.m0 AS INTEGER)
+                   AS age_months,
+                 SUM(CAST(oc.o_totalprice AS DECIMAL(38,4))) AS rev
+          FROM oc JOIN sp ON oc.cust = sp.cust
+          GROUP BY 1, 2),
+        cm AS MATERIALIZED (
+          SELECT cohort_q, age_months,
+                 SUM(rev) OVER (PARTITION BY cohort_q ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM aged)
+        SELECT cm.cohort_q, cm.age_months, sz.n_cust,
+               ROUND(CAST(cm.cum AS DOUBLE) / CAST(sz.n_cust AS DOUBLE), 6)
+                 AS ltv_per_cust
+        FROM cm JOIN sz ON sz.cohort_q = cm.cohort_q""")
+    ),
+
+    // ----------------------------------------------------------------
     // RETENTION AUC (Mann-Whitney) — does lifetime spend SEPARATE the
     // customers who stayed from the ones who churned? AUC = P(spend
     // of a random survivor > spend of a random churner), ties ½ —

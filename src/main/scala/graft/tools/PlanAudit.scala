@@ -823,7 +823,13 @@ object PlanAudit {
     // Greenwood band: q238's exact shape with a second fold column
     Audit("q252_km_greenwood",
       mustContain = Seq("partial_sum", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // cohort LTV: one customer-grain aggregate, one keyed fact join,
+    // a (cohort, month-age) aggregate and a cohort-partitioned cumsum
+    Audit("q253_cohort_ltv",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct"),
+      minWindowPartCols = 1)
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -300,6 +300,9 @@ object ScaleTrend {
     // round-9 Greenwood band: q238's shape + one more fold column —
     // must match q238's sub-linear signature exactly
     "q252_km_greenwood",
+    // round-9 cohort LTV: the keyed cohort-tag join is fact-grain and
+    // must track the corpus; the LTV frame is calendar²-bounded
+    "q253_cohort_ltv",
     // round-9 FK audit: six keyed anti-joins — the lineitem edges are
     // genuine fact-grain probes and must track the corpus linearly
     "q251_fk_audit",

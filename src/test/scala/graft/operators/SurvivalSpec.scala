@@ -160,6 +160,31 @@ class SurvivalSpec extends AnyFunSuite {
       3 -> ((1.0, 1.0))))
   }
 
+  test("q253: cohort LTV accumulates spend by month-age per cohort") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ltv_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // both customers acquired in 2025-Q1; ages 0/1 for cust1, 0 for
+    // cust2 → cum rev 50, 70; per-customer LTV 25 then 35
+    Seq(
+      (1L, 1L, ts("2025-01-15"), 10.0),
+      (2L, 1L, ts("2025-02-20"), 20.0),
+      (3L, 2L, ts("2025-02-01"), 40.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    Seq((1L, "S"), (2L, "S")).toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    val got = graft.SparkEntry.queries("q253_cohort_ltv")(spark, d)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_q").toString,
+        r.getAs[Int]("age_months")) ->
+        ((r.getAs[Long]("n_cust"), r.getAs[Double]("ltv_per_cust"))))
+      .toMap
+    assert(got === Map(
+      ("2025-01-01", 0) -> ((2L, 25.0)),
+      ("2025-01-01", 1) -> ((2L, 35.0))))
+  }
+
   test("q241: midrank AUC handles ties as half-wins") {
     // Retained (event=0): spends 60, 80; churned: 20, 60.
     // Pairwise: 60>20 win, 60=60 half, 80>20 win, 80>60 win → 3.5/4.
