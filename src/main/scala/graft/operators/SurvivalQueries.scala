@@ -478,6 +478,55 @@ object SurvivalQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // SURVIVAL QUARTILE LIFETIMES — the KM curve read as the three
+    // numbers a capacity planner quotes: the durations at which
+    // survival first reaches 0.75 / 0.50 / 0.25 (upper-quartile,
+    // MEDIAN, and lower-quartile customer lifetime) per segment.
+    // Derived from the same fold as q238; the crossing test compares
+    // bit-identical doubles, so MIN(dur | s ≤ q) gates exactly. A
+    // curve that never crosses a threshold (heavily censored segment)
+    // reports NULL — the honest answer, mirrored in the oracle.
+    "q254_km_quartiles" -> QueryDef(
+      fn = (s, d) => {
+        val lt = lifeTable(byDay(withEvent(custSpans(s, d))))
+        val foldTxt = """
+          aggregate(
+            elems,
+            named_struct('s', CAST(1.0 AS DOUBLE),
+              'out', CAST(array() AS ARRAY<STRUCT<dur: INT, s: DOUBLE>>)),
+            (acc, e) -> named_struct(
+              's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+              'out', array_append(acc.out, named_struct(
+                'dur', e.dur,
+                's', acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))))"""
+        lt.groupBy(col("seg"))
+          .agg(sort_array(collect_list(struct(
+            col("rn"), col("dur"), col("d"), col("c"), col("n")))).as("elems"))
+          .select(col("seg"), explode(expr(s"($foldTxt).out")).as("e"))
+          .groupBy(col("seg"))
+          .agg(
+            min(when(col("e.s") <= 0.75, col("e.dur"))).as("q1_days"),
+            min(when(col("e.s") <= 0.5, col("e.dur"))).as("median_days"),
+            min(when(col("e.s") <= 0.25, col("e.dur"))).as("q3_days"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${lifeTableSql()},
+        km AS (
+          SELECT seg, rn, dur,
+                 1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+          FROM lt WHERE rn = 1
+          UNION ALL
+          SELECT lt.seg, lt.rn, lt.dur,
+                 km.s * (1.0 - CAST(lt.d AS DOUBLE) / CAST(lt.n AS DOUBLE))
+          FROM km JOIN lt ON lt.seg = km.seg AND lt.rn = km.rn + 1)
+        SELECT seg,
+               CAST(MIN(CASE WHEN s <= 0.75 THEN dur END) AS INTEGER) AS q1_days,
+               CAST(MIN(CASE WHEN s <= 0.5  THEN dur END) AS INTEGER) AS median_days,
+               CAST(MIN(CASE WHEN s <= 0.25 THEN dur END) AS INTEGER) AS q3_days
+        FROM km GROUP BY seg""")
+    ),
+
+    // ----------------------------------------------------------------
     // RESTRICTED MEAN SURVIVAL TIME (RMST, τ = 365) — the KM curve
     // reduced to the number a finance model consumes: expected
     // retained days within the first year, per segment — the area

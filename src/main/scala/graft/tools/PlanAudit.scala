@@ -829,7 +829,11 @@ object PlanAudit {
     Audit("q253_cohort_ltv",
       mustContain = Seq("partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct"),
-      minWindowPartCols = 1)
+      minWindowPartCols = 1),
+    // quartile lifetimes: the q238 fold read three ways — same shape
+    Audit("q254_km_quartiles",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -303,6 +303,9 @@ object ScaleTrend {
     // round-9 cohort LTV: the keyed cohort-tag join is fact-grain and
     // must track the corpus; the LTV frame is calendar²-bounded
     "q253_cohort_ltv",
+    // round-9 quartile lifetimes: the q238 fold read three ways —
+    // identical sub-linear signature
+    "q254_km_quartiles",
     // round-9 FK audit: six keyed anti-joins — the lineitem edges are
     // genuine fact-grain probes and must track the corpus linearly
     "q251_fk_audit",

@@ -78,6 +78,23 @@ class SurvivalSpec extends AnyFunSuite {
       r6(0.375 + 1.96 * math.sqrt(0.375 * 0.375 * g20)))))
   }
 
+  test("q254: quartile lifetimes read off the q238 curve") {
+    // S: 1 → 0.75 (dur 10) → 0.375 (dur 20), never ≤ 0.25.
+    // q1 crossing at 10 (s = 0.75 ≤ 0.75), median at 20, q3 NULL.
+    val d = writeFixture(Seq(
+      (1L, "S", 0, 10),
+      (2L, "S", 280, 290),
+      (3L, "S", 0, 20),
+      (4L, "S", 270, 300)
+    ))
+    val rows = graft.SparkEntry.queries("q254_km_quartiles")(spark, d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Integer]("q1_days") === 10)
+    assert(r.getAs[Integer]("median_days") === 20)
+    assert(r.isNullAt(r.fieldIndex("q3_days")))
+  }
+
   test("q250: RMST is the hand-summed area under the q238 curve") {
     // same fixture as q238: steps (10: S 1→0.75), (20: 0.75→0.375),
     // (30: censor-only, S stays 0.375). Area to τ=365:
