@@ -1947,20 +1947,31 @@ object AnalyticsQueries extends QueryModule {
     // leak into the result. Everything is BIGINT until one final
     // IEEE-exact division (rank sums stay < 2⁵³ to ~10⁸ customers per
     // segment; DECIMAL territory beyond — documented, not needed at
-    // gated scale). Shape: one fact-grain aggregate, one
-    // segment-partitioned rank window over customer grain, one
-    // O(segments) reduce.
+    // gated scale). Shape: one fact-grain aggregate, then — because
+    // per-customer order COUNTS are discrete and bounded — a VALUE-
+    // grain aggregate (one row per (segment, distinct count), dozens
+    // of rows however big the corpus) whose sorted-array fold applies
+    // the tie-block identity Σ rn·x over ranks cum+1..cum+t = x·(t·cum
+    // + t(t+1)/2) directly. No rank window AT ALL: the round-9 per-
+    // segment single-task customer sort is gone, and the only state
+    // past the fact aggregate is bounded by the distinct-value count.
     "q248_gini" -> QueryDef(
       fn = (s, d) => {
         val pc = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"))
           .agg(count(lit(1)).as("x"))
-        val rk = pc.withColumn("rn", row_number().over(
-          Window.partitionBy(col("seg")).orderBy(col("x").asc, col("cust").asc)))
-        rk.groupBy(col("seg"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("rn") * col("x")).as("srx"))
+        val vc = pc.groupBy(col("seg"), col("x")).agg(count(lit(1)).as("t"))
+        vc.groupBy(col("seg"))
+          .agg(sort_array(collect_list(struct(col("x"), col("t")))).as("a"))
+          .select(col("seg"), expr("""
+            aggregate(a, named_struct('cum', 0L, 'sx', 0L, 'srx', 0L),
+              (acc, e) -> named_struct(
+                'cum', acc.cum + e.t,
+                'sx',  acc.sx + e.x * e.t,
+                'srx', acc.srx + e.x * (e.t * acc.cum + (e.t * (e.t + 1)) div 2)))""").as("m"))
+          .select(col("seg"), col("m.cum").as("n"), col("m.sx").as("sx"),
+            col("m.srx").as("srx"))
           .select(col("seg"), col("n").as("n_cust"), col("sx").as("total_orders"),
             round((lit(2L) * col("srx") - (col("n") + 1) * col("sx")).cast("double") /
               (col("n") * col("sx")).cast("double"), 6).as("gini"))

@@ -273,6 +273,117 @@ object RankSelect {
     picked.unionByName(constAns)
   }
 
+  /** Distributed FULL ranking: append global per-group rank columns to
+    * EVERY row without a per-group single-task sort — the row-grain
+    * complement of [[selectRanks]] (which answers one rank per group).
+    * The naive `rank() OVER (PARTITION BY g ORDER BY v)` serializes each
+    * group through one task, so rank statistics grouped by a ≤5-value
+    * key (AUC, decile calibration) inherit the same straggler/OOM shape
+    * the selection kernel exists to avoid. Same cure: bucket by value
+    * range (monotone — TIES ALWAYS SHARE A BUCKET, so local tie counts
+    * are global tie counts), fold the ≤B-entry per-group bucket
+    * histogram into cumulative-before offsets (pure array arithmetic,
+    * no window), broadcast them back, and rank WITHIN (group, bucket) —
+    * per-task window input is ~n/B rows however few groups there are.
+    * Global rank = bucket offset + within-bucket rank, exactly.
+    *
+    * Appends four columns:
+    *   - `__rk_rn`   global row_number under (v, tieBreak…) ascending —
+    *                 only deterministic when (v, tieBreak…) totally
+    *                 orders the group (callers who don't pass a total
+    *                 order shouldn't read it);
+    *   - `__rk_rank` global min-rank of v (RANK() semantics);
+    *   - `__rk_ties` global tie count of v (COUNT(*) OVER (g, v));
+    *   - `__rk_n`    group row count.
+    *
+    * Cost: two extra column-pruned passes (stats, histogram) before the
+    * ranking pass — the trade for bounded per-task memory. The offsets
+    * relation is O(groups·B) rows and must broadcast; with MANY groups
+    * use the plain window instead (parallelism is then free). A single
+    * massive tie block still lands in one bucket: irreducible for full
+    * ranking (every row of the block must be emitted with the same
+    * rank), bounded in practice by the tie mass, not the group.
+    *
+    * Contract: `v` non-null, castable to double (bucketing only — the
+    * within-bucket ordering compares original values).
+    */
+  def withGroupRanks(
+      in: DataFrame,
+      g: String,
+      v: String,
+      tieBreak: Seq[String] = Nil,
+      buckets: Int = 1024): DataFrame = {
+    val B = buckets
+    val stats = in
+      .groupBy(col(g))
+      .agg(
+        count(lit(1)).as("__rk_n"),
+        min(col(v)).as("__rk_lo"),
+        max(col(v)).as("__rk_hi"))
+
+    val lo = col("__rk_lo").cast("double")
+    val hi = col("__rk_hi").cast("double")
+    val vd = col(v).cast("double")
+    val bucketed = in
+      .join(broadcast(stats), g)
+      .withColumn(
+        "__rk_b",
+        when(hi > lo, least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__rk_lo", "__rk_hi")
+
+    // cumulative-before offsets from the ≤B-entry per-group histogram —
+    // an array fold over a bounded frame, never a window over the fact
+    val offs = bucketed
+      .groupBy(col(g), col("__rk_b"))
+      .agg(count(lit(1)).as("__rk_c"))
+      .groupBy(col(g))
+      .agg(sort_array(
+        collect_list(struct(col("__rk_b").as("b"), col("__rk_c").as("c")))).as("__rk_hs"))
+      .select(col(g), explode(expr(
+        """aggregate(__rk_hs,
+             named_struct('cum', 0L,
+               'out', CAST(array() AS ARRAY<STRUCT<b: INT, off: BIGINT>>)),
+             (a, x) -> named_struct('cum', a.cum + x.c,
+               'out', array_append(a.out, named_struct('b', x.b, 'off', a.cum)))).out"""))
+        .as("__rk_o"))
+      .select(col(g), col("__rk_o.b").as("__rk_b"), col("__rk_o.off").as("__rk_off"))
+
+    // one exchange on (g, bucket); the three window expressions share it
+    // (the (v, tieBreak…) sort satisfies the (v)-ordered frames). The
+    // RANGE current-row frame counts the peer group of v, giving the
+    // in-bucket max-rank without re-partitioning on (g, bucket, v).
+    val wB = Window.partitionBy(col(g), col("__rk_b"))
+    val ordCols = col(v).asc +: tieBreak.map(col(_).asc)
+    val localRn = row_number().over(wB.orderBy(ordCols: _*))
+    val localRank = rank().over(wB.orderBy(col(v).asc))
+    val localCum = count(lit(1)).over(
+      wB.orderBy(col(v).asc).rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    bucketed
+      .join(broadcast(offs), Seq(g, "__rk_b"))
+      .withColumn("__rk_rn", col("__rk_off") + localRn)
+      .withColumn("__rk_rank", col("__rk_off") + localRank)
+      .withColumn("__rk_ties", localCum - localRank + 1)
+      .drop("__rk_b", "__rk_off")
+  }
+
+  /** SQL-standard NTILE(k) computed arithmetically from
+    * [[withGroupRanks]]'s (`__rk_rn`, `__rk_n`): the first (n % k)
+    * buckets take ceil(n/k) rows, the rest floor(n/k) — the split both
+    * Spark's and DuckDB's window NTILE implement, without the
+    * single-task per-group sort the window form costs. The guarded
+    * divisor is never reached when n < k (every row then falls in the
+    * first branch), it only keeps the unevaluated ELSE ANSI-safe.
+    */
+  def ntileSql(k: Int): String = s"""
+    CAST(CASE
+      WHEN __rk_rn <= (__rk_n % $k) * (__rk_n div $k + 1)
+      THEN (__rk_rn - 1) div (__rk_n div $k + 1) + 1
+      ELSE (__rk_n % $k) +
+           (__rk_rn - (__rk_n % $k) * (__rk_n div $k + 1) - 1)
+             div greatest(__rk_n div $k, 1L) + 1
+    END AS INT)"""
+
   /** Refinement step: the exact value at per-group rank `kCol` (constant
     * within a group) for each group of `gcols`. Groups whose values are
     * ALL equal answer directly; at depth 0 the rest fall back to the

@@ -592,16 +592,34 @@ object SurvivalQueries extends QueryModule {
       fn = (s, d) => {
         val ev = withEvent(custSpans(s, d, withSpend = true))
           .select(col("seg"), col("cust"), col("spend"), col("event"))
-        // (spend, cust) is a total order -> ntile is deterministic
-        val dec = ev.withColumn("dd", ntile(10).over(
-          Window.partitionBy(col("seg")).orderBy(col("spend"), col("cust"))))
+        // (spend, cust) is a total order -> the row_number (and hence the
+        // decile) is deterministic. The global row_number comes from the
+        // RankSelect bucket kernel (per-task input ~n/1024, never a whole
+        // segment in one task); the decile is then NTILE(10) arithmetic —
+        // the first (n % 10) buckets take ceil(n/10) rows, the SQL-
+        // standard split both engines implement — applied to (rn, n).
+        val rk = RankSelect.withGroupRanks(ev, "seg", "spend", tieBreak = Seq("cust"))
+        val dec = rk.withColumn("dd", expr(RankSelect.ntileSql(10)))
           .groupBy(col("seg"), col("dd"))
           .agg(count(lit(1)).as("cnt"), sum(lit(1) - col("event")).as("ret"))
-        val wAsc = Window.partitionBy(col("seg")).orderBy(col("dd"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // decile-grain prefix sums via an array fold over the ≤10-entry
+        // per-segment frame — no seg-partitioned window anywhere
         val pf = dec
-          .withColumn("ccnt", sum(col("cnt")).over(wAsc))
-          .withColumn("cret", sum(col("ret")).over(wAsc))
+          .groupBy(col("seg"))
+          .agg(sort_array(collect_list(
+            struct(col("dd"), col("cnt"), col("ret")))).as("a"))
+          .select(col("seg"), explode(expr("""
+            aggregate(a,
+              named_struct('cc', 0L, 'cr', 0L,
+                'out', CAST(array() AS ARRAY<STRUCT<
+                  dd: INT, cnt: BIGINT, ret: BIGINT, ccnt: BIGINT, cret: BIGINT>>)),
+              (acc, x) -> named_struct(
+                'cc', acc.cc + x.cnt, 'cr', acc.cr + x.ret,
+                'out', array_append(acc.out, named_struct(
+                  'dd', x.dd, 'cnt', x.cnt, 'ret', x.ret,
+                  'ccnt', acc.cc + x.cnt, 'cret', acc.cr + x.ret)))).out""")).as("e"))
+          .select(col("seg"), col("e.dd").as("dd"), col("e.cnt").as("cnt"),
+            col("e.ret").as("ret"), col("e.ccnt").as("ccnt"), col("e.cret").as("cret"))
         val iv = pf.as("a").join(pf.as("b"),
           col("a.seg") === col("b.seg") && col("a.dd") <= col("b.dd"))
           .select(col("a.seg").as("seg"), col("a.dd").as("i"), col("b.dd").as("j"),
@@ -733,19 +751,23 @@ object SurvivalQueries extends QueryModule {
     // of a random survivor > spend of a random churner), ties ½ —
     // computed exactly from integer midranks (the q221 doubling: 2·
     // rank + ties − 1 keeps every rank an integer), so AUC is one
-    // IEEE-exact division of two BIGINTs. Per segment: rank windows
-    // order customer-grain rows (never the fact table); no fold, no
-    // rounding ambiguity. (At 3e9+ customers per segment the BIGINT
-    // rank-sum would need DECIMAL — noted, not needed at any gated
-    // scale.)
+    // IEEE-exact division of two BIGINTs. The ranks come from the
+    // RankSelect.withGroupRanks bucket kernel — global min-rank and tie
+    // count assembled from (segment, value-bucket)-partitioned windows
+    // plus broadcast bucket offsets — so no task ever sorts more than
+    // ~n/1024 customer rows however few segments there are (a plain
+    // seg-partitioned rank window would serialize each segment through
+    // ONE task: the round-9 scale-killer this replaces). (At 3e9+
+    // customers per segment the BIGINT rank-sum would need DECIMAL —
+    // noted, not needed at any gated scale.)
     "q241_retention_auc" -> QueryDef(
       fn = (s, d) => {
         val ev = withEvent(custSpans(s, d, withSpend = true))
           .select(col("seg"), col("event"), col("spend"))
-        val r2 = lit(2) * rank().over(
-          Window.partitionBy(col("seg")).orderBy(col("spend"))) +
-          count(lit(1)).over(Window.partitionBy(col("seg"), col("spend"))) - lit(1)
-        val m = ev.withColumn("r2", r2)
+        val rk = RankSelect.withGroupRanks(ev, "seg", "spend")
+        val m = rk
+          .withColumn("r2",
+            lit(2L) * col("__rk_rank") + col("__rk_ties") - lit(1L))
           .groupBy(col("seg")).agg(
             sum(when(col("event") === 0, col("r2")).otherwise(lit(0L))).as("s2"),
             sum(when(col("event") === 0, 1L).otherwise(0L)).as("p"),

@@ -323,11 +323,12 @@ object TreeQueries extends QueryModule {
       .groupBy(col("feature"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y").cast(dt)).as("sy"))
 
-  /** Split finding over a histogram frame: prefix sums per feature,
-    * pinned gain, per-feature argmax. Only ever sees the O(features ×
-    * bins) reduced state.
+  /** Candidate-split gain frame over a histogram: prefix sums per
+    * feature, pinned gain — the shared core of per-feature argmax
+    * (q223), global argmax (q255's root), and per-leaf argmax (q255's
+    * leaves). Only ever sees the O(features × bins) reduced state.
     */
-  private def splitFromHistogram(h: DataFrame): DataFrame = {
+  private def gainFrame(h: DataFrame): DataFrame = {
     val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("feature"))
@@ -336,7 +337,7 @@ object TreeQueries extends QueryModule {
       sum(col("sy")).over(wPre).as("syl"),
       sum(col("n")).over(wAll).as("nt"),
       sum(col("sy")).over(wAll).as("syt"))
-    val g = p.where(col("nl") < col("nt")).select(
+    p.where(col("nl") < col("nt")).select(
       col("feature"), col("bin"), col("nl"),
       (col("nt") - col("nl")).as("nr"),
       col("syl").cast("double").as("sl"),
@@ -348,6 +349,13 @@ object TreeQueries extends QueryModule {
       .withColumn("gain", gainCols(
         col("sl"), col("sr"), col("st"),
         col("nld"), col("nrd"), col("ntd")))
+  }
+
+  /** Split finding over a histogram frame: per-feature argmax of the
+    * gain frame.
+    */
+  private def splitFromHistogram(h: DataFrame): DataFrame = {
+    val g = gainFrame(h)
     val wBest = Window.partitionBy(col("feature"))
       .orderBy(col("gain").desc, col("bin").asc)
     g.withColumn("rk", row_number().over(wBest))
@@ -358,6 +366,96 @@ object TreeQueries extends QueryModule {
         round(col("sl") / col("nld"), 6).as("left_mean"),
         round(col("sr") / col("nrd"), 6).as("right_mean"))
   }
+
+  /** GLOBAL argmax split of a histogram, unrounded — 1 row: (feature,
+    * thr, nl, nr, gain, lmean, rmean). Ties break (feature, bin) so
+    * the chosen node is engine-independent.
+    */
+  private def bestSplit(h: DataFrame): DataFrame =
+    gainFrame(h)
+      .withColumn("lmean", col("sl") / col("nld"))
+      .withColumn("rmean", col("sr") / col("nrd"))
+      .orderBy(col("gain").desc, col("feature").asc, col("bin").asc)
+      .limit(1)
+      .select(col("feature"), col("bin").as("thr"), col("nl"), col("nr"),
+        col("gain"), col("lmean"), col("rmean"))
+
+  /** One DEPTH-2 tree, grown leaf-wise (q255): global-argmax root from
+    * the q223 histogram, then ONE more corpus scan histogramming both
+    * root leaves side by side (leaf-conditional count/sum columns — the
+    * q224 pattern-column trick at depth instead of across rounds), and
+    * a per-leaf global argmax over each leaf's own O(features × bins)
+    * cells. Shuffle is O(features × bins × leaves); rows never sort.
+    * Exposed at obs-rows grain so TreeSpec can hand-trace a tiny frame.
+    */
+  private[operators] def depth2Splits(rows: DataFrame): DataFrame = {
+    val root = bestSplit(histogram(rows)).head()
+    val (rf, rthr) = (root.getAs[String]("feature"), root.getAs[Int]("thr"))
+    val stackArgs = features.map { case (n, _) => s"'$n', bin_$n" }.mkString(", ")
+    val h2 = rows
+      .withColumn("lf", when(col(s"bin_$rf") <= rthr, 1).otherwise(0))
+      .select(col("y"), col("lf"),
+        expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")))
+      .groupBy(col("feature"), col("bin"))
+      .agg(
+        sum(when(col("lf") === 1, 1L).otherwise(0L)).as("n_1"),
+        sum(when(col("lf") === 1, col("y").cast(dt))).as("sy_1"),
+        sum(when(col("lf") === 0, 1L).otherwise(0L)).as("n_0"),
+        sum(when(col("lf") === 0, col("y").cast(dt))).as("sy_0"))
+      .localCheckpoint() // O(features × bins); read once per leaf
+    def leafBest(side: Int): DataFrame = bestSplit(
+      h2.select(col("feature"), col("bin"),
+        col(s"n_$side").as("n"), col(s"sy_$side").as("sy"))
+        .where(col("n") > 0))
+    val sess = rows.sparkSession
+    import sess.implicits._
+    val rootDf = Seq((
+      root.getAs[String]("feature"), root.getAs[Int]("thr"),
+      root.getAs[Long]("nl"), root.getAs[Long]("nr"),
+      root.getAs[Double]("gain"), root.getAs[Double]("lmean"),
+      root.getAs[Double]("rmean")))
+      .toDF("feature", "thr", "nl", "nr", "gain", "lmean", "rmean")
+    def shape(df: DataFrame, node: String): DataFrame =
+      df.select(lit(node).as("node"), col("feature"), col("thr"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("gain"), 6).as("gain"),
+        round(col("lmean"), 6).as("left_mean"),
+        round(col("rmean"), 6).as("right_mean"))
+    shape(rootDf, "root")
+      .unionByName(shape(leafBest(1), "left"))
+      .unionByName(shape(leafBest(0), "right"))
+  }
+
+  /** p/g/s split-finding CTE triple over histogram CTE `$h` (columns
+    * feature, bin, n, sy), prefixed `$pfx` — the SQL mirror of
+    * [[gainFrame]] + [[bestSplit]], reused for q255's root and both
+    * leaves.
+    */
+  private def splitCtesSql(h: String, pfx: String): String = s"""
+        ${pfx}p AS MATERIALIZED (
+          SELECT feature, bin,
+                 SUM(n) OVER w AS nl, SUM(sy) OVER w AS syl,
+                 SUM(n) OVER (PARTITION BY feature) AS nt,
+                 SUM(sy) OVER (PARTITION BY feature) AS syt
+          FROM $h
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ${pfx}g AS MATERIALIZED (
+          SELECT feature, bin, nl, nt - nl AS nr,
+                 CAST(syl AS DOUBLE) AS sl,
+                 CAST(syt - syl AS DOUBLE) AS sr,
+                 CAST(syt AS DOUBLE) AS st,
+                 CAST(nl AS DOUBLE) AS nld,
+                 CAST(nt - nl AS DOUBLE) AS nrd,
+                 CAST(nt AS DOUBLE) AS ntd,
+                 ${gainSql("CAST(syl AS DOUBLE)", "CAST(syt - syl AS DOUBLE)",
+                   "CAST(syt AS DOUBLE)", "CAST(nl AS DOUBLE)",
+                   "CAST(nt - nl AS DOUBLE)", "CAST(nt AS DOUBLE)")} AS gain
+          FROM ${pfx}p WHERE nl < nt),
+        ${pfx}s AS MATERIALIZED (
+          SELECT feature, bin AS thr, nl, nr, gain,
+                 sl / nld AS lmean, sr / nrd AS rmean
+          FROM ${pfx}g ORDER BY gain DESC, feature ASC, bin ASC LIMIT 1)"""
 
   /** The one-shot split-finding oracle — shared by q223 and its
     * maintained-state twin q236 (whose hash match against the SAME
@@ -454,6 +552,69 @@ object TreeQueries extends QueryModule {
         } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
       },
       oracle = rawQ223Oracle
+    ),
+
+    // ----------------------------------------------------------------
+    // DEPTH-2 LEAF-WISE TREE — the next rung past q223's stump: find
+    // the global-argmax root split, then condition ONE more histogram
+    // pass on the root's leaf (two conditional count/sum column pairs —
+    // the q224 pattern trick applied across DEPTH instead of rounds)
+    // and take the best split WITHIN each leaf. This is LightGBM's
+    // leaf-wise growth step: per level one corpus scan, an O(features ×
+    // bins × leaves) shuffle, argmax over bounded state — rows never
+    // sort, residuals never materialize. Output: the 3-node tree (root
+    // + both leaf splits) with per-node sizes, gains, and child means.
+    // The oracle replays the identical op sequence: the q223 CTEs, a
+    // 1-row root argmax, the leaf-conditional histogram, and the same
+    // p/g/s split triple per leaf.
+    "q255_tree_depth2" -> QueryDef(
+      fn = (s, d) =>
+        depth2Splits(graft.CacheLeases.lease(obsRows(s, d).persist())),
+      oracle = {
+        val featCaseRoot = "CASE r0s.feature " +
+          features.map { case (n, _) => s"WHEN '$n' THEN bin_$n" }.mkString(" ") +
+          " END"
+        val longSql2 = features
+          .map { case (n, _) => s"SELECT '$n' AS feature, bin_$n AS bin, y, lf FROM rr" }
+          .mkString("\n          UNION ALL ")
+        def out(cte: String, node: String): String = s"""
+        SELECT '$node' AS node, feature, CAST(thr AS INT) AS thr,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               ROUND(gain, 6) AS gain,
+               ROUND(lmean, 6) AS left_mean, ROUND(rmean, 6) AS right_mean
+        FROM $cte"""
+        Some(s"""
+        WITH $rowsSql,
+        fb AS MATERIALIZED (
+          ${longFormSql}),
+        h AS MATERIALIZED (
+          SELECT feature, bin, COUNT(*) AS n,
+                 SUM(CAST(y AS DECIMAL(38,10))) AS sy
+          FROM fb GROUP BY feature, bin),
+        ${splitCtesSql("h", "r0")},
+        rr AS MATERIALIZED (
+          SELECT r.*,
+                 CASE WHEN ($featCaseRoot) <= r0s.thr THEN 1 ELSE 0 END AS lf
+          FROM r CROSS JOIN r0s),
+        fb2 AS MATERIALIZED (
+          $longSql2),
+        h2 AS MATERIALIZED (
+          SELECT feature, bin,
+                 SUM(CASE WHEN lf = 1 THEN 1 ELSE 0 END) AS n_1,
+                 SUM(CASE WHEN lf = 1 THEN CAST(y AS DECIMAL(38,10)) END) AS sy_1,
+                 SUM(CASE WHEN lf = 0 THEN 1 ELSE 0 END) AS n_0,
+                 SUM(CASE WHEN lf = 0 THEN CAST(y AS DECIMAL(38,10)) END) AS sy_0
+          FROM fb2 GROUP BY feature, bin),
+        hl AS MATERIALIZED (
+          SELECT feature, bin, n_1 AS n, sy_1 AS sy FROM h2 WHERE n_1 > 0),
+        hr AS MATERIALIZED (
+          SELECT feature, bin, n_0 AS n, sy_0 AS sy FROM h2 WHERE n_0 > 0),
+        ${splitCtesSql("hl", "lf")},
+        ${splitCtesSql("hr", "rt")}
+        ${out("r0s", "root")}
+        UNION ALL ${out("lfs", "left")}
+        UNION ALL ${out("rts", "right")}""")
+      }
     ),
 
     // ----------------------------------------------------------------

@@ -534,9 +534,21 @@ object Multimodal extends QueryModule {
     }
     require(width > 0, "missing IHDR")
     require(sawIend, "missing IEND")
+    // A crafted header claiming huge dimensions would force a multi-GB
+    // allocation here before the inflate even starts — and the resulting
+    // OutOfMemoryError is not NonFatal, so it would fail the job instead
+    // of quarantining the record. Bound the scanline buffer by what the
+    // compressed payload could possibly inflate to (zlib's theoretical
+    // maximum expansion is ~1032:1) BEFORE allocating anything sized from
+    // header-claimed dimensions; the long arithmetic also keeps a huge
+    // claimed width from overflowing `width * 3`.
+    val scanLenL = height.toLong * (1L + 3L * width)
+    require(scanLenL <= 1032L * idat.size() + 4096L,
+      s"claimed dimensions ${width}x$height ($scanLenL raw bytes) exceed " +
+        s"what the ${idat.size()}-byte compressed payload could inflate to")
     // zlib inflate the concatenated IDAT stream
     val stride = width * 3
-    val scan = new Array[Byte](height * (1 + stride))
+    val scan = new Array[Byte](scanLenL.toInt)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(idat.toByteArray)
     var got = 0

@@ -30,7 +30,7 @@ object PlanAudit {
     * last bracket group is the partition spec; attributes in it are plain
     * `name#id` refs, so a top-level comma count is the column count.
     */
-  private[tools] def windowPartCounts(plan: String): Seq[Int] =
+  private[graft] def windowPartCounts(plan: String): Seq[Int] =
     plan.linesIterator
       .filter(_.contains("windowspecdefinition"))
       .flatMap { line =>
@@ -685,6 +685,15 @@ object PlanAudit {
     Audit("q223_tree_split",
       mustContain = Seq("BroadcastHashJoin", "partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // depth-2 leaf-wise tree: the root argmax collects and the leaf-
+    // conditional histogram sits behind a localCheckpoint (the q247
+    // audit-scope caveat — its scan + part broadcast + aggregate are
+    // the same audited q223 shape), so the visible plan is the per-leaf
+    // split finding: prefix windows over the O(features × bins) frame
+    // and a TakeOrderedAndProject argmax — never a sort-merge of rows
+    Audit("q255_tree_depth2",
+      mustContain = Seq("Window", "TakeOrderedAndProject"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition")),
     // boosted-model apply: training reduces to 3 collected stumps, so
     // the scoring plan is scan + literal projection — the model needs
     // no join at all and nothing in the apply path windows or shuffles
@@ -762,21 +771,25 @@ object PlanAudit {
     Audit("q239_logrank",
       mustContain = Seq("partial_sum", "ObjectHashAggregate"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
-    // retention AUC: one customer-grain aggregate, rank/tie windows
-    // partitioned by segment over customer-grain rows, one final
-    // O(segments) aggregate; the horizon is a 1-row broadcast
+    // retention AUC: one customer-grain aggregate, then the RankSelect
+    // full-ranking kernel — EVERY window partitions on (segment,
+    // value-bucket), so no task ever sorts more than ~n/1024 rows; a
+    // window partitioned on the segment alone (the round-9 single-task
+    // sort) is structurally banned by the 2-column floor
     Audit("q241_retention_auc",
       mustContain = Seq("partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
-      minWindowPartCols = 1),
-    // isotonic calibration: the customer-grain pass feeds decile
-    // windows partitioned by segment; everything after the decile
+      minWindowPartCols = 2),
+    // isotonic calibration: deciles come from the RankSelect full-
+    // ranking kernel ((segment, bucket)-partitioned windows only — the
+    // 2-column floor bans a segment-grain ntile sort); the decile
+    // prefix sums are an array fold, and everything after the decile
     // aggregate is O(segments × 100) interval/grid joins — keyed on
     // seg, never a cartesian
     Audit("q245_isotonic_calibration",
       mustContain = Seq("partial_sum", "Window"),
       mustNotContain = Seq("CartesianProduct"),
-      minWindowPartCols = 1),
+      minWindowPartCols = 2),
     // MAD anomaly report: two RankSelect histogram kernels (their
     // windows partition on (group, bucket)) + the seg-partitioned
     // top-5 window; medians broadcast back onto the day grain
@@ -793,12 +806,13 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
       minWindowPartCols = 1),
-    // Gini: one map-side-combined fact aggregate, one seg-partitioned
-    // rank window at customer grain, one O(segments) reduce
+    // Gini: one map-side-combined fact aggregate, a value-grain
+    // aggregate (distinct order counts are bounded), and the tie-block
+    // rank-sum identity applied in a sorted-array fold — NO window of
+    // any kind remains (the round-9 per-segment customer sort is gone)
     Audit("q248_gini",
-      mustContain = Seq("partial_count", "Window"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
-      minWindowPartCols = 1),
+      mustContain = Seq("partial_count", "ObjectHashAggregate"),
+      mustNotContain = Seq("windowspecdefinition", "CartesianProduct", "SortMergeJoin")),
     // RFM: the whole point is NO global ntile sort — quintile
     // boundaries come from RankSelect's (group, bucket)-partitioned
     // kernel and broadcast back; scoring is map-only over the
@@ -1021,10 +1035,13 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // trailing args (if any) restrict the run to the named audits — the
+    // single-query iteration path; the full run stays the gate
+    val only  = args.drop(1).toSet
     val spark = GraftSession.getOrCreate()
     val qs    = SparkEntry.queries
     var failed = 0
-    audits.foreach { a =>
+    audits.filter(a => only.isEmpty || only(a.query)).foreach { a =>
       val df = qs(a.query)(spark, sfDir)
       df.collect() // finalize the adaptive plan before inspecting it
       val plan = df.queryExecution.executedPlan.toString
@@ -1046,12 +1063,15 @@ object PlanAudit {
         println(plan.linesIterator.take(40).mkString("\n"))
       }
     }
-    failed += auditProductDemand(spark)
-    failed += auditBroadcastFallback(spark, sfDir)
-    failed += auditIndexScans(spark, sfDir)
+    if (only.isEmpty) {
+      failed += auditProductDemand(spark)
+      failed += auditBroadcastFallback(spark, sfDir)
+      failed += auditIndexScans(spark, sfDir)
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
     // +1 = the productDemand broadcast-shape audit
-    println(s"[plan-audit] all ${audits.size + 1 + fallbackAuditCount + indexScanAuditCount} plan assertions hold")
+    if (only.isEmpty)
+      println(s"[plan-audit] all ${audits.size + 1 + fallbackAuditCount + indexScanAuditCount} plan assertions hold")
   }
 }

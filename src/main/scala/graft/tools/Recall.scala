@@ -63,15 +63,6 @@ object Recall {
     exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
   }
 
-  /** recall@3 of q187 (the maintained posting-list index) vs the exact
-    * batch-vs-corpus baseline — the same query/candidate split as the
-    * index cycle (queries vec_id%5==0 search the appended corpus
-    * postings), so what this measures is what single-probe assignment
-    * against the frozen 16-centroid codebook loses PLUS any staleness
-    * or drift introduced by the stage/append/reload cycle itself. The
-    * equality gate (AnnIndexAppendSpec: staged search ≡ recompute)
-    * proves the cycle is faithful; this gives it a measured floor.
-    */
   /** recall@3 of q215 (binary-quantized Hamming candidates + exact
     * rerank) vs the exact q35 baseline restricted to q215's query set
     * (vec_id % 50 == 0) — measures exactly what the 1-bit code loses
@@ -87,6 +78,15 @@ object Recall {
     exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / total
   }
 
+  /** recall@3 of q187 (the maintained posting-list index) vs the exact
+    * batch-vs-corpus baseline — the same query/candidate split as the
+    * index cycle (queries vec_id%5==0 search the appended corpus
+    * postings), so what this measures is what single-probe assignment
+    * against the frozen 16-centroid codebook loses PLUS any staleness
+    * or drift introduced by the stage/append/reload cycle itself. The
+    * equality gate (AnnIndexAppendSpec: staged search ≡ recompute)
+    * proves the cycle is faithful; this gives it a measured floor.
+    */
   def maintainedIndexRecallAt3(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -123,6 +123,8 @@ object Recall {
     println(f"[recall] q163_filtered_ann       recall@3 = $fr%.4f vs exact-same-label ($sfDir)")
     val mr = maintainedIndexRecallAt3(spark, sfDir)
     println(f"[recall] q187_ann_index_append   recall@3 = $mr%.4f vs exact batch-vs-corpus ($sfDir)")
+    val br = binaryRecallAt3(spark, sfDir)
+    println(f"[recall] q215_ann_binary         recall@3 = $br%.4f vs exact q35 on its query set ($sfDir)")
     spark.stop()
   }
 }

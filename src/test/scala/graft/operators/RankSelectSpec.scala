@@ -121,6 +121,76 @@ class RankSelectSpec extends AnyFunSuite {
     assert(skewKernel(df, gridRanks) === sortBased(df, "g", "v", gridRanks))
   }
 
+  // ------------------------------------------------------------------
+  // withGroupRanks: the FULL-ranking kernel (every row gets its global
+  // rank) must agree row-for-row with the naive per-group windows it
+  // replaces, on tie-heavy, continuous, constant, and tiny groups.
+
+  private def naiveRanks(df: DataFrame): Seq[(String, Long, Long, Long, Long, Long)] =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)))
+      .withColumn("rk", rank().over(Window.partitionBy(col("g")).orderBy(col("v").asc)))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy(col("g"), col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("id"), col("rn").cast("long"), col("rk").cast("long"),
+        col("t"), col("n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+
+  private def kernelRanks(df: DataFrame, buckets: Int): Seq[(String, Long, Long, Long, Long, Long)] =
+    RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"), buckets = buckets)
+      .select(col("g"), col("id"), col("__rk_rn"), col("__rk_rank"),
+        col("__rk_ties"), col("__rk_n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("withGroupRanks reproduces the naive rank/ties/row_number windows on tie-heavy data") {
+    // 11 distinct values across 4 buckets: ties inside buckets AND
+    // multiple values per bucket, three groups of different sizes
+    val df = (1 to 3000).map(i => (s"g${i % 3}", (i % 11).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    assert(kernelRanks(df, buckets = 4) === naiveRanks(df))
+  }
+
+  test("withGroupRanks on continuous values, constant groups, and tiny groups") {
+    val df = ((1 to 999).map(i => ("x", math.sin(i.toDouble) * 1e6, i.toLong)) ++
+      (1 to 100).map(i => ("c", 42.0, 10000L + i)) ++
+      Seq(("s1", 5.0, 1L), ("s2", 1.0, 2L), ("s2", 9.0, 3L)))
+      .toDF("g", "v", "id")
+    assert(kernelRanks(df, buckets = 64) === naiveRanks(df))
+  }
+
+  test("withGroupRanks matches the naive windows on the orders fact (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"),
+        col("o_orderkey").as("id"))
+    assert(kernelRanks(df, buckets = 1024) === naiveRanks(df))
+  }
+
+  test("ntileSql matches the ntile() window for awkward group sizes") {
+    for (n <- Seq(1, 3, 7, 10, 11, 99, 100, 101, 1007)) {
+      val df = (1 to n).map(i => ("g", (i % 13).toDouble, i.toLong)).toDF("g", "v", "id")
+      val naive = df.withColumn("dd", ntile(10).over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .select(col("id"), col("dd")).as[(Long, Int)].collect().toSeq.sorted
+      val got = RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"), buckets = 8)
+        .withColumn("dd", expr(RankSelect.ntileSql(10)))
+        .select(col("id"), col("dd")).as[(Long, Int)].collect().toSeq.sorted
+      assert(got === naive, s"n = $n")
+    }
+  }
+
+  test("withGroupRanks windows never partition on the group alone") {
+    val df = (1 to 100).map(i => (s"g${i % 2}", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val plan = RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"))
+      .queryExecution.executedPlan.toString
+    val counts = graft.tools.PlanAudit.windowPartCounts(plan)
+    assert(counts.nonEmpty && counts.forall(_ >= 2),
+      s"window partition column counts: $counts")
+  }
+
   test("nested clusters exhaust the recursion depth and fall back to a bounded sort") {
     // three nesting levels, each keeping >16x the even-split share in
     // one bucket of the level below, so depth 2 runs out and the final

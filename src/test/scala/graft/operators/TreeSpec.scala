@@ -71,4 +71,62 @@ class TreeSpec extends AnyFunSuite {
     assert(resids.length === 8)
     assert(resids.forall(r => math.abs(r) === 0.625), resids.mkString(","))
   }
+
+  /** Depth-2 corpus: 16 rows, 2 per (size, discount) cell. y is a step
+    * in size (10/20 left of size 2, 100/140 right) with a discount step
+    * INSIDE each size leaf, so the root must pick size and each leaf
+    * must pick discount. By hand (St = 1080, n = 16):
+    *   root size≤2:      120²/8 + 960²/8 − 1080²/16          = 44100
+    *   (size≤1: 14700, size≤5: 14700, discount≤0: 2500 — all lose)
+    *   left leaf  disc≤0: 40²/4 + 80²/4 − 120²/8             = 200
+    *   (size≤1 inside the leaf splits 60/60 → gain 0)
+    *   right leaf disc≤0: 400²/4 + 560²/4 − 960²/8           = 3200
+    *   (size≤5 inside the leaf splits 480/480 → gain 0)
+    */
+  private lazy val dir2: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tree2_").toString
+    val combos = Seq(
+      (1, 0.00, 10.0), (2, 0.00, 10.0), (1, 0.10, 20.0), (2, 0.10, 20.0),
+      (5, 0.00, 100.0), (6, 0.00, 100.0), (5, 0.10, 140.0), (6, 0.10, 140.0))
+    val rows = for {
+      ((sz, disc, y), j) <- combos.zipWithIndex
+      i <- 0 to 1
+    } yield (j.toLong * 10 + i, i + 1, sz.toLong, disc, 0.0, y)
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey",
+        "l_discount", "l_tax", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(lit("2025-03-15 00:00:00")))
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    Seq(1, 2, 5, 6).map(sz => (sz.toLong, sz))
+      .toDF("p_partkey", "p_size")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q255: depth-2 leaf-wise growth — root on size, both leaves on discount") {
+    val got = graft.SparkEntry.queries("q255_tree_depth2")(spark, dir2)
+      .collect().map(r => r.getAs[String]("node") -> r).toMap
+    assert(got.keySet === Set("root", "left", "right"))
+    val root = got("root")
+    assert(root.getAs[String]("feature") === "size")
+    assert(root.getAs[Int]("thr") === 2)
+    assert(root.getAs[Long]("n_left") === 8L && root.getAs[Long]("n_right") === 8L)
+    assert(root.getAs[Double]("gain") === 44100.0)
+    assert(root.getAs[Double]("left_mean") === 15.0)
+    assert(root.getAs[Double]("right_mean") === 120.0)
+    val l = got("left")
+    assert(l.getAs[String]("feature") === "discount")
+    assert(l.getAs[Int]("thr") === 0)
+    assert(l.getAs[Long]("n_left") === 4L && l.getAs[Long]("n_right") === 4L)
+    assert(l.getAs[Double]("gain") === 200.0)
+    assert(l.getAs[Double]("left_mean") === 10.0)
+    assert(l.getAs[Double]("right_mean") === 20.0)
+    val r = got("right")
+    assert(r.getAs[String]("feature") === "discount")
+    assert(r.getAs[Int]("thr") === 0)
+    assert(r.getAs[Long]("n_left") === 4L && r.getAs[Long]("n_right") === 4L)
+    assert(r.getAs[Double]("gain") === 3200.0)
+    assert(r.getAs[Double]("left_mean") === 100.0)
+    assert(r.getAs[Double]("right_mean") === 140.0)
+  }
 }

@@ -59,6 +59,23 @@ class PngCodecSpec extends AnyFunSuite {
       Multimodal.parsePng("not a png at all".getBytes("US-ASCII")))
   }
 
+  test("header-claimed huge dimensions are rejected before allocation, not OOM") {
+    // take a valid PNG and rewrite IHDR to claim 65535x65535 (with a
+    // recomputed CRC so the chunk walk accepts it): the decoder must
+    // reject on the payload-size bound — an IllegalArgumentException the
+    // quarantine path absorbs — instead of allocating a ~12 GB scanline
+    // buffer and dying on OutOfMemoryError
+    val bytes = Multimodal.encodePng(8, 4, px(7), _ => 0).clone()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(8 + 8, 65535)  // IHDR width  (8 sig + 4 len + 4 type)
+    bb.putInt(8 + 12, 65535) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 8 + 4, 4 + 13)
+    bb.putInt(8 + 8 + 13, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(bytes))
+    assert(e.getMessage.contains("could inflate to"), e.getMessage)
+  }
+
   test("aHash is container-independent: PNG signature == BMP signature per doc") {
     import spark.implicits._
     val fromPng = Multimodal.pngAHash(Multimodal.pngTable(spark, d))
