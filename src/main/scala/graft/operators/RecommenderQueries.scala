@@ -129,6 +129,119 @@ object RecommenderQueries extends QueryModule {
         ${halfStepSql("q1", "rat", "u1", "i", "u")},
         ${halfStepSql("u2", "rat", "q1", "u", "i")}"""
 
+  // ------------------------------------------------------------------
+  // RANK-4 ALS (q256-q258) — the rank-2 closed-form Cramer solve does
+  // not generalize; the rank-r path runs q222's GENERATED Gaussian-
+  // elimination program on each entity's (r×r + λI) normal equations.
+  // Crucially the solve stays DISTRIBUTED (entity count ≫ driver
+  // state): the step program is interpreted as Spark Column
+  // expressions over the 14 moment columns — the identical op DAG the
+  // oracle executes as level-batched CTEs — so per half-step the plan
+  // is still join → O(r²)-moment aggregate → projection, shuffling the
+  // ratings once and nothing else. λ on the diagonal keeps every
+  // system positive definite (no pivoting needed, the q222 argument).
+
+  private val Rank = 4
+
+  /** Deterministic rank-4 item init: exact-/8 binary fractions from
+    * coprime moduli so the init matrix has full column rank.
+    */
+  private def initItemFactorsR4(r: DataFrame): DataFrame =
+    r.select(col("i")).distinct()
+      .select(col("i"), lit(1.0).as("f1"),
+        ((col("i") % 7 + 1).cast("double") / lit(8.0)).as("f2"),
+        ((col("i") % 5 + 1).cast("double") / lit(8.0)).as("f3"),
+        ((col("i") % 3 + 1).cast("double") / lit(8.0)).as("f4"))
+
+  private val initR4Sql = """
+        r0 AS MATERIALIZED (
+          SELECT i, 1.0 AS f1,
+                 CAST((i % 7) + 1 AS DOUBLE) / 8.0 AS f2,
+                 CAST((i % 5) + 1 AS DOUBLE) / 8.0 AS f3,
+                 CAST((i % 3) + 1 AS DOUBLE) / 8.0 AS f4
+          FROM (SELECT DISTINCT i FROM rat))"""
+
+  /** One rank-4 half-step: join to the fixed side, aggregate the 14
+    * normal-equation moments per solved entity (10 Gram + 4 RHS
+    * decimal sums), then run the generated elimination as a single
+    * distributed projection. Entity-grain output, localCheckpoint'ed.
+    */
+  private def halfStepR4(
+      rat: DataFrame, fixed: DataFrame,
+      solveKey: String, fixedKey: String): DataFrame = {
+    val moments =
+      (for { j <- 0 until Rank; k <- j until Rank }
+        yield sum((col(s"f${j + 1}") * col(s"f${k + 1}")).cast(dt)).as(s"s_${j}_$k")) ++
+        (0 until Rank).map(j => sum((col("r") * col(s"f${j + 1}")).cast(dt)).as(s"b_$j"))
+    val m = rat.join(fixed, fixedKey)
+      .groupBy(col(solveKey))
+      .agg(moments.head, moments.tail: _*)
+    val init: Map[String, Column] =
+      (for { i <- 0 until Rank; j <- 0 to Rank } yield {
+        val c =
+          if (j == Rank) col(s"b_$i").cast("double")
+          else if (i == j) col(s"s_${i}_$i").cast("double") + lit(Lambda)
+          else col(s"s_${math.min(i, j)}_${math.max(i, j)}").cast("double")
+        s"a_${i}_$j" -> c
+      }).toMap
+    val env = RegressionQueries.programColumns(
+      RegressionQueries.eliminationProgram(Rank - 1), init)
+    m.select(col(solveKey) +:
+        (1 to Rank).map(t => env(s"b_${t - 1}").as(s"f$t")): _*)
+      .localCheckpoint(true)
+  }
+
+  /** SQL mirror of [[halfStepR4]]: moments CTE + a0 aliases + the
+    * generated elimination chain + the factor projection, all
+    * namespaced by `name`.
+    */
+  private def halfStepR4Sql(
+      name: String, ratSrc: String, fixedSrc: String,
+      solveKey: String, fixedKey: String): String = {
+    val momentSql =
+      ((for { j <- 0 until Rank; k <- j until Rank }
+        yield s"SUM(CAST(f.f${j + 1} * f.f${k + 1} AS DECIMAL(38,10))) AS s_${j}_$k") ++
+        (0 until Rank).map(j =>
+          s"SUM(CAST(t.r * f.f${j + 1} AS DECIMAL(38,10))) AS b_$j"))
+        .mkString(",\n                 ")
+    val aliases = (for { i <- 0 until Rank; j <- 0 to Rank } yield {
+      val src =
+        if (j == Rank) s"CAST(b_$i AS DOUBLE)"
+        else if (i == j) s"(CAST(s_${i}_$i AS DOUBLE) + $Lambda)"
+        else s"CAST(s_${math.min(i, j)}_${math.max(i, j)} AS DOUBLE)"
+      s"$src AS a_${i}_$j"
+    }).mkString(", ")
+    val (ctes, last) = RegressionQueries.programSql(
+      RegressionQueries.eliminationProgram(Rank - 1), s"${name}_a0", s"${name}_e")
+    s"""
+        ${name}_m AS MATERIALIZED (
+          SELECT t.$solveKey,
+                 $momentSql
+          FROM $ratSrc t JOIN $fixedSrc f ON t.$fixedKey = f.$fixedKey
+          GROUP BY t.$solveKey),
+        ${name}_a0 AS MATERIALIZED (SELECT $solveKey, $aliases FROM ${name}_m),
+        $ctes,
+        $name AS MATERIALIZED (
+          SELECT $solveKey, ${(1 to Rank).map(t => s"b_${t - 1} AS f$t").mkString(", ")}
+          FROM $last)"""
+  }
+
+  /** Shared rank-4 train chain: r0 → w1 → r1 → w2 (three half-steps,
+    * the q232 schedule at rank 4).
+    */
+  private def trainedUserFactorsR4(rat: DataFrame): DataFrame = {
+    val r0 = initItemFactorsR4(rat)
+    val w1 = halfStepR4(rat, r0, "u", "i")
+    val r1 = halfStepR4(rat, w1, "i", "u")
+    halfStepR4(rat, r1, "u", "i")
+  }
+
+  private val trainR4CtesSql: String = s"""$ratingsSql,
+        $initR4Sql,
+        ${halfStepR4Sql("w1", "rat", "r0", "u", "i")},
+        ${halfStepR4Sql("r1", "rat", "w1", "i", "u")},
+        ${halfStepR4Sql("w2", "rat", "r1", "u", "i")}"""
+
   private lazy val rawQueries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
@@ -271,6 +384,148 @@ object RecommenderQueries extends QueryModule {
         SELECT tu.u AS custkey,
                CAST(CASE WHEN hits.u IS NULL THEN 0 ELSE 1 END AS INTEGER) AS hit
         FROM tu LEFT JOIN hits ON hits.u = tu.u""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 ALS TRAINING — q232's schedule with the generated-
+    // elimination solver in place of the 2×2 Cramer closed form. Same
+    // scale shape: per half-step the ratings shuffle once, the moment
+    // aggregate carries 14 decimals per entity (r(r+3)/2 — quadratic
+    // in rank, constant in rows), and the solve is a projection over
+    // the reduced frame. The oracle replays the identical generated op
+    // sequence per half-step as level-batched CTE chains.
+    "q256_als_train_r4" -> QueryDef(
+      fn = (s, d) =>
+        trainedUserFactorsR4(graft.CacheLeases.lease(ratings(s, d).persist()))
+          .select(col("u").as("custkey") +:
+            (1 to Rank).map(t => round(col(s"f$t"), 6).as(s"f$t")): _*),
+      oracle = Some(s"""
+        WITH $trainR4CtesSql
+        SELECT u AS custkey,
+               ${(1 to Rank).map(t => s"ROUND(f$t, 6) AS f$t").mkString(", ")}
+        FROM w2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 TOP-3 RECOMMENDATIONS — q233's bounded-candidate shape
+    // (50 most-rated items broadcast, purchased pairs anti-joined,
+    // top-3 window over ≤50 rows) scored with the rank-4 dot product.
+    "q257_als_recommend_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val r0 = initItemFactorsR4(rat)
+        val w1 = halfStepR4(rat, r0, "u", "i")
+        val r1 = halfStepR4(rat, w1, "i", "u")
+        val w2 = halfStepR4(rat, r1, "u", "i")
+        val pop = rat.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("i").asc).limit(50)
+          .join(r1, "i")
+          .select(col("i") +: (1 to Rank).map(t => col(s"f$t").as(s"g$t")): _*)
+        val score = (1 to Rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
+        val cands = w2.crossJoin(broadcast(pop))
+          .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+          .withColumn("score", score)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+        cands.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("u").as("custkey"), col("rank"),
+            col("i").as("partkey"), round(col("score"), 6).as("score"))
+      },
+      oracle = {
+        val dot = (1 to Rank).map(t => s"w2.f$t * pop.g$t").mkString(" + ")
+        Some(s"""
+        WITH $trainR4CtesSql,
+        pop AS MATERIALIZED (
+          SELECT i, ${(1 to Rank).map(t => s"f$t AS g$t").mkString(", ")} FROM (
+            SELECT i FROM (
+              SELECT i, COUNT(*) AS cnt FROM rat GROUP BY i)
+            ORDER BY cnt DESC, i ASC LIMIT 50) JOIN r1 USING (i)),
+        cands AS MATERIALIZED (
+          SELECT w2.u, pop.i, $dot AS score
+          FROM w2 CROSS JOIN pop
+          WHERE NOT EXISTS (
+            SELECT 1 FROM rat WHERE rat.u = w2.u AND rat.i = pop.i))
+        SELECT u AS custkey, CAST(rank AS INTEGER) AS rank,
+               i AS partkey, ROUND(score, 6) AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                ORDER BY score DESC, i ASC) AS rank FROM cands)
+        WHERE rank <= 3""")
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 HOLDOUT EVALUATION — q237's split/train/rank/hit gate at
+    // rank 4; the per-user hit flag covers the elimination solver, the
+    // candidate generation, and the ranking end to end.
+    "q258_als_eval_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val r0 = initItemFactorsR4(tr)
+        val w1 = halfStepR4(tr, r0, "u", "i")
+        val r1 = halfStepR4(tr, w1, "i", "u")
+        val w2 = halfStepR4(tr, r1, "u", "i")
+        val pop = tr.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("i").asc).limit(50)
+          .join(r1, "i")
+          .select(col("i") +: (1 to Rank).map(t => col(s"f$t").as(s"g$t")): _*)
+        val score = (1 to Rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+        val recs = w2.crossJoin(broadcast(pop))
+          .join(tr.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+          .withColumn("score", score)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("u"), col("i"))
+        val testUsers = te.select(col("u")).distinct()
+          .join(w2.select(col("u")), Seq("u"), "left_semi")
+        val hits = recs.join(te, Seq("u", "i"), "left_semi")
+          .select(col("u")).distinct().withColumn("h", lit(1))
+        testUsers.join(hits, Seq("u"), "left")
+          .select(col("u").as("custkey"),
+            coalesce(col("h"), lit(0)).as("hit"))
+      },
+      oracle = {
+        val dot = (1 to Rank).map(t => s"v2.f$t * pop.g$t").mkString(" + ")
+        Some(s"""
+        WITH $ratingsSql,
+        tr AS MATERIALIZED (SELECT * FROM rat WHERE (u + i) % 5 <> 0),
+        te AS MATERIALIZED (SELECT u, i FROM rat WHERE (u + i) % 5 = 0),
+        t0 AS MATERIALIZED (
+          SELECT i, 1.0 AS f1,
+                 CAST((i % 7) + 1 AS DOUBLE) / 8.0 AS f2,
+                 CAST((i % 5) + 1 AS DOUBLE) / 8.0 AS f3,
+                 CAST((i % 3) + 1 AS DOUBLE) / 8.0 AS f4
+          FROM (SELECT DISTINCT i FROM tr)),
+        ${halfStepR4Sql("v1", "tr", "t0", "u", "i")},
+        ${halfStepR4Sql("p1", "tr", "v1", "i", "u")},
+        ${halfStepR4Sql("v2", "tr", "p1", "u", "i")},
+        pop AS MATERIALIZED (
+          SELECT i, ${(1 to Rank).map(t => s"f$t AS g$t").mkString(", ")} FROM (
+            SELECT i FROM (
+              SELECT i, COUNT(*) AS cnt FROM tr GROUP BY i)
+            ORDER BY cnt DESC, i ASC LIMIT 50) JOIN p1 USING (i)),
+        recs AS MATERIALIZED (
+          SELECT u, i FROM (
+            SELECT v2.u, pop.i,
+                   ROW_NUMBER() OVER (PARTITION BY v2.u
+                     ORDER BY $dot DESC, pop.i ASC) AS rank
+            FROM v2 CROSS JOIN pop
+            WHERE NOT EXISTS (
+              SELECT 1 FROM tr WHERE tr.u = v2.u AND tr.i = pop.i))
+          WHERE rank <= 3),
+        tu AS MATERIALIZED (
+          SELECT DISTINCT te.u FROM te JOIN v2 ON v2.u = te.u),
+        hits AS MATERIALIZED (
+          SELECT DISTINCT r.u FROM recs r JOIN te ON te.u = r.u AND te.i = r.i)
+        SELECT tu.u AS custkey,
+               CAST(CASE WHEN hits.u IS NULL THEN 0 ELSE 1 END AS INTEGER) AS hit
+        FROM tu LEFT JOIN hits ON hits.u = tu.u""")
+      }
     )
   )
 }

@@ -221,13 +221,13 @@ object RegressionQueries extends QueryModule {
   // positive by construction.
 
   /** One binary double op: `name = a <op> b` over prior names. */
-  private final case class EStep(name: String, op: String, a: String, b: String)
+  private[operators] final case class EStep(name: String, op: String, a: String, b: String)
 
   /** Forward elimination + back substitution over the augmented
     * (d+1)×(d+2) system; entry names `a_i_j` (j = d+1 is the RHS).
     * Returns the step program; solutions land in names `b_0..b_d`.
     */
-  private def eliminationProgram(d: Int): Vector[EStep] = {
+  private[operators] def eliminationProgram(d: Int): Vector[EStep] = {
     val steps = Vector.newBuilder[EStep]
     var cur = Map.empty[(Int, Int), String] // live name of entry (i, j)
     for (i <- 0 to d; j <- 0 to d + 1) cur += (i, j) -> s"a_${i}_$j"
@@ -257,7 +257,7 @@ object RegressionQueries extends QueryModule {
   }
 
   /** Interpret the program over doubles (the Spark-side solve). */
-  private def runProgram(steps: Vector[EStep], init: Map[String, Double]): Map[String, Double] =
+  private[operators] def runProgram(steps: Vector[EStep], init: Map[String, Double]): Map[String, Double] =
     steps.foldLeft(init) { (env, s) =>
       val (a, b) = (env(s.a), env(s.b))
       env + (s.name -> (s.op match {
@@ -269,9 +269,12 @@ object RegressionQueries extends QueryModule {
 
   /** Emit the program as a chain of MATERIALIZED CTEs over `src` —
     * steps batched by dependency level so every expression references
-    * only prior CTEs (a same-SELECT alias is illegal in SQL).
+    * only prior CTEs (a same-SELECT alias is illegal in SQL). `pfx`
+    * namespaces the CTE names so several programs can share one WITH
+    * clause (the rank-4 ALS runs three solves in one oracle).
     */
-  private def programSql(steps: Vector[EStep], src: String): (String, String) = {
+  private[operators] def programSql(
+      steps: Vector[EStep], src: String, pfx: String = "e"): (String, String) = {
     var level = Map.empty[String, Int]
     val batched = steps.map { s =>
       val l = 1 + math.max(level.getOrElse(s.a, 0), level.getOrElse(s.b, 0))
@@ -280,10 +283,28 @@ object RegressionQueries extends QueryModule {
     }
     val ctes = batched.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ss) =>
       val cols = ss.map { case (_, s) => s"(${s.a} ${s.op} ${s.b}) AS ${s.name}" }
-      s"e$l AS MATERIALIZED (SELECT *, ${cols.mkString(", ")} FROM ${if (l == 1) src else s"e${l - 1}"})"
+      s"$pfx$l AS MATERIALIZED (SELECT *, ${cols.mkString(", ")} FROM ${if (l == 1) src else s"$pfx${l - 1}"})"
     }
-    (ctes.mkString(",\n        "), s"e${batched.map(_._1).max}")
+    (ctes.mkString(",\n        "), s"$pfx${batched.map(_._1).max}")
   }
+
+  /** Interpret the program as Spark Column expressions — the THIRD
+    * interpretation (after driver doubles and DuckDB CTE text), for
+    * solves that must stay DISTRIBUTED because the system count is
+    * entity-grain (rank-r ALS: one r×r solve per user/item). The same
+    * step DAG evaluated as one projection; shared subexpressions are
+    * shared Column refs, and both engines execute the identical IEEE
+    * op sequence, so results stay bit-deterministic cross-engine.
+    */
+  private[operators] def programColumns(
+      steps: Vector[EStep], init: Map[String, Column]): Map[String, Column] =
+    steps.foldLeft(init) { (env, s) =>
+      env + (s.name -> (s.op match {
+        case "/" => env(s.a) / env(s.b)
+        case "*" => env(s.a) * env(s.b)
+        case "-" => env(s.a) - env(s.b)
+      }))
+    }
 
   override def queries: Map[String, QueryDef] = Map(
 

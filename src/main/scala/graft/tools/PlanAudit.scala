@@ -755,6 +755,20 @@ object PlanAudit {
       mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct"),
       minWindowPartCols = 1),
+    // rank-4 ALS recommend: q233's exact candidate shape (bounded
+    // broadcast, keyed LeftAnti, per-user window) with the generated-
+    // elimination solve as a projection — rank changes the arithmetic,
+    // not the plan
+    Audit("q257_als_recommend_r4",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition"),
+      minWindowPartCols = 1),
+    // rank-4 ALS holdout eval: q237's shape (see its SinglePartition
+    // caveat — Catalyst's runtime bloom filter) at rank 4
+    Audit("q258_als_eval_r4",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct"),
+      minWindowPartCols = 1),
     // Kaplan-Meier: the corpus collapses to customer grain then to
     // (segment, duration-day) grain in map-side-combined aggregates;
     // the at-risk window and the per-segment product fold

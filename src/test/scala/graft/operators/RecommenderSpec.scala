@@ -74,6 +74,68 @@ class RecommenderSpec extends AnyFunSuite {
     }
   }
 
+  /** Local mirror of one RANK-4 half-step: the same DECIMAL(38,10)
+    * moment quantization, the same λ diagonal, and the SAME generated
+    * elimination program interpreted over plain doubles — so the
+    * distributed Column interpretation is checked against an
+    * independent execution of the identical op DAG.
+    */
+  private def solveLocalR4(
+      triples: Seq[(Long, Long, Double)],
+      fixed: Map[Long, Vector[Double]]): Map[Long, Vector[Double]] = {
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    triples.groupBy(_._1).map { case (k, rs) =>
+      def mom(a: Int, b: Int) =
+        dsum(rs.map { case (_, fk, _) => fixed(fk)(a) * fixed(fk)(b) })
+      def rhs(a: Int) = dsum(rs.map { case (_, fk, r) => r * fixed(fk)(a) })
+      val init = (for { i <- 0 to 3; j <- 0 to 4 } yield {
+        val v =
+          if (j == 4) rhs(i)
+          else if (i == j) mom(i, i) + Lambda
+          else mom(math.min(i, j), math.max(i, j))
+        s"a_${i}_$j" -> v
+      }).toMap
+      val env = RegressionQueries.runProgram(
+        RegressionQueries.eliminationProgram(3), init)
+      k -> (0 to 3).map(t => env(s"b_$t")).toVector
+    }
+  }
+
+  test("q256: distributed rank-4 ALS equals the local elimination replication") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_als4_").toString
+    val ratings = Seq((1L, 3L, 3.0), (1L, 7L, 1.0), (2L, 7L, 2.0))
+    ratings.zipWithIndex.map { case ((_, i, r), k) => (k.toLong, i, r) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    ratings.zipWithIndex.map { case ((u, _, _), k) => (k.toLong, u) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+
+    // init [1, (i%7+1)/8, (i%5+1)/8, (i%3+1)/8]: exact binary fractions
+    val r0 = Map(
+      3L -> Vector(1.0, 0.5, 0.5, 0.125),
+      7L -> Vector(1.0, 0.125, 0.375, 0.25))
+    val ui = ratings
+    val iu = ratings.map { case (u, i, r) => (i, u, r) }
+    val w1 = solveLocalR4(ui, r0)
+    val r1 = solveLocalR4(iu, w1)
+    val w2 = solveLocalR4(ui, r1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+    val got = graft.SparkEntry.queries("q256_als_train_r4")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (1 to 4).map(t => r.getAs[Double](s"f$t")).toVector)
+      .toMap
+    assert(got.keySet === Set(1L, 2L))
+    w2.foreach { case (u, fs) =>
+      assert(got(u) === fs.map(r6), s"user $u")
+    }
+  }
+
   test("q233: 3 novel recommendations per user, scores descending") {
     val corpus = "/root/testdata/sf0.001"
     val recs = graft.SparkEntry.queries("q233_als_recommend")(spark, corpus).cache()
