@@ -88,6 +88,110 @@ object ClusteringQueries extends QueryModule {
       .localCheckpoint(true)
 
   // ------------------------------------------------------------------
+  // K-MEANS‖ SEEDING (q259) — Bahmani et al. 2012, derandomized: the
+  // lowest-id seeds (q226) are init-quality-degenerate (the first 8
+  // vec_ids can all sit in one region); k-means‖ spreads seeds by
+  // d²-weighted oversampling without kmeans++'s K sequential corpus
+  // passes. Deterministic analog of each random choice:
+  //   - the initial seed is the argmin of a multiplicative hash of
+  //     vec_id (any fixed point would bias toward ingest order);
+  //   - each oversampling round takes the top-2K points by the
+  //     Efraimidis-Spirakis-style priority d²(x, C)·2³²/(h(x)+1) — a
+  //     hash-uniform draw weighted by the squared distance to the
+  //     current candidate set, exactly k-means‖'s l·d²/φ sampling with
+  //     the randomness replaced by a pinned hash (priorities are IEEE
+  //     doubles computed identically on both engines);
+  //   - the reduction to K is k-means‖'s weighted re-clustering,
+  //     derandomized to the greedy kmeans++ step: weight each
+  //     candidate by the count of corpus points nearest to it, start
+  //     from the heaviest, then K−1 times add the candidate maximizing
+  //     w·d²(cand, chosen) — the D²-sampling argmax. (The first-cut
+  //     "keep the K heaviest" reduction degenerates when the rounds
+  //     cover every point — all weights 1, order collapses to id —
+  //     which a spec's adversarial clumped-id layout exposes.)
+  // Scale shape: per round ONE broadcast-argmin pass over the corpus
+  // (the q226 assignment shape) + a 2K-row TakeOrdered; candidate
+  // state is ≤ (1 + 2·2K) rows, so the greedy runs DRIVER-LOCAL on
+  // bounded state (the q179 discipline) with arithmetic mirrored op
+  // for op by the oracle's generated CTE chain. Hash arithmetic stays
+  // in BIGINT (vec_id·2654435761 needs ids < 2⁶³/2654435761 ≈ 3.5e9 —
+  // noted).
+
+  private val OversampleRounds = 2
+  private val OversampleL      = 2 * K
+
+  /** min-d² to the current candidate set per vector (carries the
+    * embedding through so rounds need no join back).
+    */
+  private def minDist(e: DataFrame, cands: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cands))
+      .withColumn("d2", dist2)
+      .groupBy(col("vec_id"))
+      .agg(min(col("d2")).as("dmin"), first(col("embedding")).as("embedding"))
+
+  /** The full deterministic k-means‖ seeding: K centroids, cid =
+    * weight-rank.
+    */
+  private def seedKmeansParallel(e: DataFrame): DataFrame = {
+    val c0 = e
+      .withColumn("hh", pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)))
+      .orderBy(col("hh").asc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("cvid"), col("embedding").as("cvec"))
+      .localCheckpoint(true)
+    val cands = (1 to OversampleRounds).foldLeft(c0) { (c, r) =>
+      val picks = minDist(e, c)
+        .where(col("dmin") > 0)
+        .withColumn("hh",
+          pmod(col("vec_id") * lit(2246822519L) + lit(97L * r), lit(4294967296L)))
+        .withColumn("pri",
+          col("dmin") * lit(4294967296.0) / (col("hh") + lit(1L)).cast("double"))
+        .orderBy(col("pri").desc, col("vec_id").asc).limit(OversampleL)
+        .select(col("vec_id").as("cvid"), col("embedding").as("cvec"))
+      c.unionByName(picks).localCheckpoint(true)
+    }
+    val weights = e.crossJoin(broadcast(cands))
+      .withColumn("d2", dist2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cvid"))).as("m"))
+      .groupBy(col("m.cvid").as("cvid"))
+      .agg(count(lit(1)).as("w"))
+    // the candidate pool is ≤ 33 rows by construction — collect and run
+    // the weighted kmeans++ greedy locally; d² folds in array order
+    // exactly like the distributed dist2 / the oracle's list_sum
+    val pool = weights.join(cands, "cvid")
+      .select(col("cvid"), col("w"), col("cvec"))
+      .collect()
+      .map(r => (r.getAs[Long]("cvid"), r.getAs[Long]("w"),
+        r.getAs[scala.collection.Seq[Float]]("cvec").toArray))
+    def d2Local(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val dx = a(i).toDouble - b(i).toDouble
+        acc += dx * dx
+        i += 1
+      }
+      acc
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      pool.minBy { case (id, w, _) => (-w, id) })
+    while (chosen.size < K) {
+      val pick = pool
+        .map { case (id, w, v) =>
+          (id, w, v, w.toDouble * chosen.map(c => d2Local(v, c._3)).min)
+        }
+        .maxBy { case (id, _, _, p) => (p, -id) }
+      chosen += ((pick._1, pick._2, pick._3))
+    }
+    val sess = e.sparkSession
+    import sess.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case ((_, _, v), i) => (i, v.toSeq) }
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>"))
+  }
+
+  // ------------------------------------------------------------------
   // NEAREST-CENTROID CLASSIFIER MACHINERY (q228/q229): train = one
   // (label, dim)-grain decimal-mean aggregate; apply = broadcast the
   // per-class centroids and take the aggregation-argmin. The per-class
@@ -162,7 +266,128 @@ object ClusteringQueries extends QueryModule {
         SELECT label, pred, COUNT(*) AS n FROM cl GROUP BY label, pred"""
   }
 
+  /** Shared oracle fragments for the Lloyd-iteration queries (q226/
+    * q230/q259): the e⨯c squared distance and one assignment→update
+    * iteration as CTE text.
+    */
+  private val d2OracleSql: String =
+    "list_sum(list_transform(list_zip(e.embedding, c.cvec), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"  +
+      ")"
+
+  private def iterOracleSql(i: Int, prev: String): String = s"""
+        p$i AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, e.embedding, $d2OracleSql AS d2
+          FROM e CROSS JOIN $prev c),
+        a$i AS MATERIALIZED (
+          SELECT vec_id, cid, d2, embedding FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, cid ASC) AS rn FROM p$i) WHERE rn = 1),
+        m$i AS MATERIALIZED (
+          SELECT cid, CAST(u.i AS INT) AS i,
+                 CAST(CAST(SUM(CAST(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE)
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM a$i, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY cid, CAST(u.i AS INT)),
+        c$i AS MATERIALIZED (
+          SELECT cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
+
   private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // K-MEANS‖ SEEDED LLOYD — q226's 3 BSP iterations from the
+    // deterministic k-means‖ seeds (see seedKmeansParallel): a hash-
+    // argmin initial seed, 2 oversampling rounds of the top-2K points
+    // by d²-weighted hash priority, and the weight-heaviest-K
+    // reduction. Seeding is fully deterministic, so the whole fit
+    // (seeds → 3 iterations → assignment) gates on a DuckDB oracle
+    // replaying the identical chain; ClusteringSpec separately proves
+    // the seeds' within-cluster SSE beats the lowest-id baseline.
+    "q259_kmeans_parallel_init" -> QueryDef(
+      fn = (s, d) => {
+        val e = graft.CacheLeases.lease(embeddings(s, d).persist())
+        val c0 = seedKmeansParallel(e)
+        val cT = (1 to Iters).foldLeft(c0)((c, _) => update(assign(e, c)))
+        assign(e, cT)
+          .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("dist2"))
+      },
+      oracle = Some {
+        def roundSql(r: Int, prev: String): String = s"""
+        dm$r AS MATERIALIZED (
+          SELECT vec_id, MIN(d2) AS dmin FROM (
+            SELECT e.vec_id, $d2OracleSql AS d2
+            FROM e CROSS JOIN $prev c) GROUP BY vec_id),
+        pk$r AS MATERIALIZED (
+          SELECT e.vec_id AS cvid, e.embedding AS cvec
+          FROM (SELECT vec_id, dmin,
+                       (vec_id * 2246822519 + ${97L * r}) % 4294967296 AS hh
+                FROM dm$r WHERE dmin > 0) t JOIN e ON e.vec_id = t.vec_id
+          ORDER BY t.dmin * 4294967296.0 / CAST(hh + 1 AS DOUBLE) DESC,
+                   e.vec_id ASC
+          LIMIT $OversampleL),
+        s$r AS MATERIALIZED (
+          SELECT * FROM s${r - 1} UNION ALL SELECT * FROM pk$r)"""
+        val rounds = (1 to OversampleRounds)
+          .map(r => roundSql(r, if (r == 1) "s0" else s"s${r - 1}"))
+          .mkString(",")
+        val sN = s"s$OversampleRounds"
+        val iters = (1 to Iters)
+          .map(i => iterOracleSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+          .mkString(",")
+        // the greedy w·d² selection, K−1 generated steps over the ≤33-row
+        // candidate pool — the oracle-side mirror of the driver-local loop
+        val d2Pair =
+          "list_sum(list_transform(list_zip(c.cvec, h.cvec), " +
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        val greedy = (2 to K).map { j =>
+          s"""
+        gd$j AS MATERIALIZED (
+          SELECT c.cvid, MIN($d2Pair) AS dmin
+          FROM cw c CROSS JOIN ch${j - 1} h GROUP BY c.cvid),
+        gp$j AS MATERIALIZED (
+          SELECT ${j - 1} AS cid, c.cvid, c.cvec
+          FROM cw c JOIN gd$j d ON d.cvid = c.cvid
+          ORDER BY c.w * d.dmin DESC, c.cvid ASC LIMIT 1),
+        ch$j AS MATERIALIZED (
+          SELECT * FROM ch${j - 1} UNION ALL SELECT * FROM gp$j)"""
+        }.mkString(",")
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        s0 AS MATERIALIZED (
+          SELECT vec_id AS cvid, embedding AS cvec
+          FROM (SELECT *, (vec_id * 2654435761) % 4294967296 AS hh FROM e
+                ORDER BY hh ASC, vec_id ASC LIMIT 1)),
+        $rounds,
+        wts AS MATERIALIZED (
+          SELECT cvid, COUNT(*) AS w FROM (
+            SELECT vec_id, cvid FROM (
+              SELECT vec_id, cvid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d2 ASC, cvid ASC) AS rn
+              FROM (SELECT e.vec_id, c.cvid, $d2OracleSql AS d2
+                    FROM e CROSS JOIN $sN c))
+            WHERE rn = 1)
+          GROUP BY cvid),
+        cw AS MATERIALIZED (
+          SELECT s.cvid, s.cvec, wts.w
+          FROM $sN s JOIN wts ON wts.cvid = s.cvid),
+        ch1 AS MATERIALIZED (
+          SELECT 0 AS cid, cvid, cvec
+          FROM (SELECT * FROM cw ORDER BY w DESC, cvid ASC LIMIT 1)),
+        $greedy,
+        c0 AS MATERIALIZED (
+          SELECT CAST(cid AS INT) AS cid, cvec FROM ch$K),
+        $iters,
+        pf AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, $d2OracleSql AS d2
+          FROM e CROSS JOIN c$Iters c)
+        SELECT vec_id, cid, ROUND(d2, 6) AS dist2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cid ASC) AS rn FROM pf) WHERE rn = 1"""
+      }
+    ),
 
     // ----------------------------------------------------------------
     // K-MEANS LLOYD, K=8, 3 BSP iterations from lowest-vec_id seeds:
@@ -180,28 +405,8 @@ object ClusteringQueries extends QueryModule {
           .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("dist2"))
       },
       oracle = Some {
-        val d2Sql =
-          "list_sum(list_transform(list_zip(e.embedding, c.cvec), " +
-            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
-            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-        def iterSql(i: Int, prev: String): String = s"""
-        p$i AS MATERIALIZED (
-          SELECT e.vec_id, c.cid, e.embedding, $d2Sql AS d2
-          FROM e CROSS JOIN $prev c),
-        a$i AS MATERIALIZED (
-          SELECT vec_id, cid, d2, embedding FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-              ORDER BY d2 ASC, cid ASC) AS rn FROM p$i) WHERE rn = 1),
-        m$i AS MATERIALIZED (
-          SELECT cid, CAST(u.i AS INT) AS i,
-                 CAST(CAST(SUM(CAST(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE)
-                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
-          FROM a$i, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-          GROUP BY cid, CAST(u.i AS INT)),
-        c$i AS MATERIALIZED (
-          SELECT cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
         val iters = (1 to Iters)
-          .map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+          .map(i => iterOracleSql(i, if (i == 1) "c0" else s"c${i - 1}"))
           .mkString(",")
         s"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
@@ -211,7 +416,7 @@ object ClusteringQueries extends QueryModule {
           FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
         $iters,
         pf AS MATERIALIZED (
-          SELECT e.vec_id, c.cid, $d2Sql AS d2
+          SELECT e.vec_id, c.cid, $d2OracleSql AS d2
           FROM e CROSS JOIN c$Iters c)
         SELECT vec_id, cid, ROUND(d2, 6) AS dist2 FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -360,28 +565,8 @@ object ClusteringQueries extends QueryModule {
               count(lit(1)).cast("double"), 6).as("avg_sil"))
       },
       oracle = Some {
-        val d2Sql =
-          "list_sum(list_transform(list_zip(e.embedding, c.cvec), " +
-            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
-            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-        def iterSql(i: Int, prev: String): String = s"""
-        p$i AS MATERIALIZED (
-          SELECT e.vec_id, c.cid, e.embedding, $d2Sql AS d2
-          FROM e CROSS JOIN $prev c),
-        a$i AS MATERIALIZED (
-          SELECT vec_id, cid, d2, embedding FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-              ORDER BY d2 ASC, cid ASC) AS rn FROM p$i) WHERE rn = 1),
-        m$i AS MATERIALIZED (
-          SELECT cid, CAST(u.i AS INT) AS i,
-                 CAST(CAST(SUM(CAST(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE)
-                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS m
-          FROM a$i, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-          GROUP BY cid, CAST(u.i AS INT)),
-        c$i AS MATERIALIZED (
-          SELECT cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
         val iters = (1 to Iters)
-          .map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+          .map(i => iterOracleSql(i, if (i == 1) "c0" else s"c${i - 1}"))
           .mkString(",")
         s"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
@@ -391,7 +576,7 @@ object ClusteringQueries extends QueryModule {
           FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
         $iters,
         pf AS MATERIALIZED (
-          SELECT e.vec_id, c.cid, SQRT($d2Sql) AS dist
+          SELECT e.vec_id, c.cid, SQRT($d2OracleSql) AS dist
           FROM e CROSS JOIN c$Iters c),
         two AS MATERIALIZED (
           SELECT vec_id,

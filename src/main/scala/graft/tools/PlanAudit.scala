@@ -707,6 +707,13 @@ object PlanAudit {
     Audit("q226_kmeans_lloyd",
       mustContain = Seq("BroadcastNestedLoopJoin", "partial_min"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
+    // k-means-parallel seeded Lloyd: the seeding's corpus passes are
+    // the same broadcast-argmin shape and the greedy reduction runs on
+    // ≤33 collected rows before this plan, so the audited final
+    // assignment is exactly q226's — broadcast + aggregation-argmin
+    Audit("q259_kmeans_parallel_init",
+      mustContain = Seq("BroadcastNestedLoopJoin", "partial_min"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin", "SinglePartition")),
     // triangle counting: wedge build and closure are keyed equi-joins
     // (the closure a LeftSemi), orientation compares (deg, id) tuples
     // in the join condition — no cartesian; the ONLY window is the

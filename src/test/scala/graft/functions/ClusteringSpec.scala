@@ -52,6 +52,44 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("q259: a lowest-id-degenerate layout still recovers all groups via k-means-parallel seeds") {
+    import spark.implicits._
+    // ADVERSARIAL id layout for q226: the 8 lowest vec_ids all sit in
+    // group 0, so lowest-id seeding starts all-in-one-region; the
+    // d2-weighted oversampling must still spread seeds across the line
+    val d = java.nio.file.Files.createTempDirectory("graft_kmeanspar_").toString
+    val rows =
+      (0 until 8).map(j => (j.toLong, Array(-1f + 0.01f * j))) ++ // group 0 clump
+        (1 until 8).map(g => (8L + g, Array((10f * g) - 1f))) ++
+        (1 until 8).map(g => (15L + g, Array((10f * g) + 1f)))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val cids = graft.SparkEntry.queries("q259_kmeans_parallel_init")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid")))
+    // every one of the 8 spatial groups ends in its own cluster
+    def group(id: Long): Int =
+      if (id < 8) 0 else if (id < 16) (id - 8).toInt else (id - 15).toInt
+    val byGroup = cids.groupBy { case (id, _) => group(id) }
+      .map { case (g, xs) => g -> xs.map(_._2).toSet }
+    assert(byGroup.keySet === (0 until 8).toSet)
+    byGroup.foreach { case (g, cs) =>
+      assert(cs.size === 1, s"group $g split across clusters $cs")
+    }
+    assert(byGroup.values.flatten.toSet.size === 8, "all 8 clusters used")
+  }
+
+  test("q259: seeded fit's SSE beats the lowest-id baseline on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    def sse(q: String): Double = graft.SparkEntry.queries(q)(spark, d)
+      .agg(sum(col("dist2")).as("s")).head().getDouble(0)
+    val baseline = sse("q226_kmeans_lloyd")
+    val seeded = sse("q259_kmeans_parallel_init")
+    assert(seeded <= baseline,
+      s"k-means-parallel SSE $seeded should not exceed lowest-id SSE $baseline")
+  }
+
   test("q229: separated classes classify the holdout perfectly") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_rocchio_").toString
