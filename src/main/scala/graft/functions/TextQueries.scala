@@ -198,19 +198,24 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), split(normalizeText(col("text")), " ").as("w"))
       .withColumn("dl", size(col("w")))
 
-  /** One O(ingest) index maintenance step: the batch's postings
-    * (term, doc_id, dl, tf — dl denormalized in, impact-style, so
-    * retrieval never joins a doc-grain table) appended to the
-    * term-bucketed postings table, and the batch's corpus totals
-    * appended as ONE additive stats row (the q176 MV pattern).
+  /** One O(ingest) index maintenance step: the batch's POSITIONAL
+    * postings (term, doc_id, dl, tf, positions — dl denormalized in,
+    * impact-style, so retrieval never joins a doc-grain table; the
+    * sorted 0-based position array is what phrase retrieval q260
+    * verifies adjacency against, Lucene's positions list) appended to
+    * the term-bucketed postings table, and the batch's corpus totals
+    * appended as ONE additive stats row (the q176 MV pattern). tf is
+    * kept alongside size(positions) so BM25 retrieval never touches
+    * the arrays.
     */
   private[graft] def bm25IngestBatch(
       wh: graft.etl.Warehouse, batchDocTerms: org.apache.spark.sql.DataFrame): Unit = {
     val batch = batchDocTerms.localCheckpoint(true) // read 2x: pin once
     val postings = batch
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .select(col("doc_id"), col("dl"), posexplode(col("w")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     if (wh.exists("silver", "bm25_postings"))
       wh.appendBucketed(postings, "silver", "bm25_postings", Seq("term"))
     else
@@ -265,6 +270,37 @@ object TextQueries extends QueryModule {
       .crossJoin(broadcast(stats.crossJoin(dfs))) // 1-row stats ⨯ 1-row dfs
       .withColumn("score", bm25ScoreExpr)
       .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** The q260 phrase: both terms occur adjacently across the corpus at
+    * every gated scale factor.
+    */
+  private[graft] val PhraseTerms: (String, String) = ("merge", "group")
+
+  /** Phrase retrieval against the maintained positional index (q260):
+    * prune to the TWO phrase terms' buckets, pivot each doc's two
+    * position arrays side by side ((term, doc) is unique — each doc
+    * lives in exactly one ingest batch), and count adjacency
+    * array-side: |{p ∈ pos(t1) : p+1 ∈ pos(t2)}| via a transform +
+    * intersect over the (distinct) position sets. Candidate set and
+    * all downstream work are sized by the two posting lists, never
+    * the corpus — the same index asymmetry as BM25 retrieval, now for
+    * the query class TF bags cannot answer.
+    */
+  private[graft] def phraseMatches(
+      wh: graft.etl.Warehouse): org.apache.spark.sql.DataFrame = {
+    val (t1, t2) = PhraseTerms
+    wh.load("silver", "bm25_postings")
+      .where(col("term").isin(t1, t2))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        first(when(col("term") === t1, col("positions")), ignoreNulls = true).as("pos1"),
+        first(when(col("term") === t2, col("positions")), ignoreNulls = true).as("pos2"))
+      .where(col("pos1").isNotNull && col("pos2").isNotNull)
+      .withColumn("n_phrase",
+        size(array_intersect(expr("transform(pos1, x -> x + 1)"), col("pos2"))))
+      .where(col("n_phrase") > 0)
+      .select(col("doc_id"), col("dl"), col("n_phrase"))
   }
 
   /** Oracle CTEs `perdoc` (doc_id, dl, tf_i) and `stats` (n, sdl, df_i). */
@@ -1494,6 +1530,52 @@ object TextQueries extends QueryModule {
         SELECT doc_id, dl, $bm25ScoreSql AS score
         FROM perdoc, stats
         WHERE $bm25MatchSql""")
+    ),
+
+    // ----------------------------------------------------------------
+    // PHRASE RETRIEVAL ON THE POSITIONAL INDEX — what the q199 postings
+    // carry positions FOR: "merge group" as an exact two-term phrase.
+    // Same maintained-index build (3 O(ingest) bucketed appends), then
+    // retrieval opens ONLY the two phrase terms' buckets (plan-audited
+    // ≤2/32 SelectedBucketsCount alongside q199's), joins the two
+    // posting lists on doc_id by pivoting the position arrays side by
+    // side, and verifies adjacency array-side — |{p ∈ pos(t1) : p+1 ∈
+    // pos(t2)}| — with no second pass over text. The oracle recomputes
+    // the phrase count from RAW tokens (positions via UNNEST(range),
+    // a self-join on p+1), so the gate proves the positional index is
+    // faithful to the text, not merely self-consistent.
+    "q260_phrase_retrieval" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot = java.nio.file.Files.createTempDirectory("graft_q260_wh_").toString
+        val wh = new graft.etl.Warehouse(s, whRoot)
+        try {
+          val docTerms = bm25DocTerms(s, d)
+          for (g <- 0 until 3)
+            bm25IngestBatch(wh, docTerms.where(pmod(col("doc_id"), lit(3)) === g))
+          withBucketPruning(s) {
+            phraseMatches(wh)
+              .localCheckpoint(true) // pin before the warehouse dir is deleted
+          }
+        } finally {
+          wh.dropCatalogDb()
+          graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+        }
+      },
+      oracle = {
+        val (t1, t2) = PhraseTerms
+        Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, string_split(t, ' ') AS w FROM ($normSql)),
+        pos AS MATERIALIZED (
+          SELECT doc_id, CAST(len(w) AS INTEGER) AS dl,
+                 CAST(u.i AS INT) - 1 AS p, w[CAST(u.i AS INT)] AS tk
+          FROM tok, UNNEST(range(1, len(w) + 1)) AS u(i))
+        SELECT a.doc_id, CAST(MAX(a.dl) AS INTEGER) AS dl,
+               CAST(COUNT(*) AS INTEGER) AS n_phrase
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tk = '$t1' AND b.tk = '$t2'
+        GROUP BY a.doc_id""")
+      }
     )
   )
 }

@@ -1002,7 +1002,7 @@ object PlanAudit {
     *    filter, reading exactly the box's candidate cells.
     * Returns the number of failures.
     */
-  private val indexScanAuditCount = 2
+  private val indexScanAuditCount = 3
 
   private def auditIndexScans(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
     import org.apache.spark.sql.functions._
@@ -1024,6 +1024,20 @@ object PlanAudit {
         failed += 1
         println("[plan-audit] FAIL q199__bucket_pruned_retrieval: no <=3/32 SelectedBucketsCount")
         println(plan.linesIterator.take(30).mkString("\n"))
+      }
+      // phrase retrieval must prune to the TWO phrase terms' buckets
+      val phrasePlan = graft.functions.TextQueries.withBucketPruning(spark) {
+        val q = graft.functions.TextQueries.phraseMatches(wh)
+        q.collect()
+        q.queryExecution.executedPlan.toString
+      }
+      val phrasePruned = "SelectedBucketsCount: (\\d+) out of 32".r
+        .findFirstMatchIn(phrasePlan).exists(_.group(1).toInt <= 2)
+      if (phrasePruned) println("[plan-audit] PASS q260__bucket_pruned_phrase")
+      else {
+        failed += 1
+        println("[plan-audit] FAIL q260__bucket_pruned_phrase: no <=2/32 SelectedBucketsCount")
+        println(phrasePlan.linesIterator.take(30).mkString("\n"))
       }
     } finally {
       wh.dropCatalogDb()

@@ -92,6 +92,44 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase retrieval (q260) counts adjacency faithfully to the raw tokens") {
+    withWarehouse { wh =>
+      buildIn(wh)
+      val fromIndex = TextQueries.withBucketPruning(spark) {
+        TextQueries.phraseMatches(wh).collect()
+      }.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("dl"),
+        r.getAs[Int]("n_phrase"))).toSet
+      val (t1, t2) = TextQueries.PhraseTerms
+      val raw = TextQueries.bm25DocTerms(spark, d)
+        .collect().flatMap { r =>
+          val w = r.getAs[scala.collection.Seq[String]]("w")
+          val n = w.sliding(2).count(p =>
+            p.length == 2 && p.head == t1 && p(1) == t2)
+          if (n > 0) Some((r.getAs[Long]("doc_id"), r.getAs[Int]("dl"), n))
+          else None
+        }.toSet
+      assert(fromIndex == raw,
+        s"index ${fromIndex.size} phrase docs vs raw ${raw.size}")
+    }
+  }
+
+  test("phrase scan bucket-prunes to at most 2 of 32 buckets") {
+    withWarehouse { wh =>
+      buildIn(wh)
+      val plan = TextQueries.withBucketPruning(spark) {
+        val q = TextQueries.phraseMatches(wh)
+        q.collect()
+        q.queryExecution.executedPlan.toString
+      }.split("== Initial Plan ==")(0)
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(m.isDefined, "no bucket pruning in plan:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+      assert(m.get.group(1).toInt <= 2 && m.get.group(2).toInt == 32,
+        m.get.matched)
+    }
+  }
+
   test("query-term scan bucket-prunes to at most 3 of 32 buckets") {
     withWarehouse { wh =>
       buildIn(wh)
