@@ -79,6 +79,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def bucketAligned(df: DataFrame, bucketKeys: Seq[String], buckets: Int): DataFrame =
     df.repartition(buckets, bucketKeys.map(col): _*)
 
+  /** TOTAL write-side sort order: the bucket keys, then every other
+    * atomic column in schema order. Sorting by the bucket keys alone
+    * leaves tie rows in SHUFFLE-FETCH order — a timing artifact — so
+    * the written parquet bytes wobble run to run and every downstream
+    * scan of the index shuffles slightly different compressed sizes
+    * (the q189/q220 bench noise: ~2% shuffle-byte drift on an
+    * otherwise deterministic signal). With the full tiebreak the file
+    * CONTENT is a pure function of the table's rows. Atomic columns
+    * suffice: every bucketed table here is row-unique on them (band
+    * rows on (doc_id, band, band_key), postings on (term, doc_id), …).
+    */
+  private def totalSortCols(df: DataFrame, bucketKeys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    bucketKeys ++ df.schema.fields.collect {
+      case f
+          if !bucketKeys.contains(f.name) && (f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+            case _                                                      => true
+          }) =>
+        f.name
+    }
+  }
+
   def overwriteBucketed(
       df: DataFrame,
       layer: String,
@@ -91,11 +114,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // names) cannot break out of the LOCATION literal
     val loc = root.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $catalogDb LOCATION '$loc'")
+    val sortCols = totalSortCols(df, bucketKeys)
     bucketAligned(df, bucketKeys, buckets).write
       .mode("overwrite")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
-      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(catalogName(layer, table))
     // cross-session writers (see appendBucketed) must not leave this
     // session's relation cache pointing at the replaced files
@@ -117,11 +141,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       bucketKeys: Seq[String],
       buckets: Int = 32
   ): Unit = {
+    val sortCols = totalSortCols(df, bucketKeys)
     bucketAligned(df, bucketKeys, buckets).write
       .mode("append")
       .option("path", path(layer, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
-      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(catalogName(layer, table))
     // the write invalidates the relation cache of DF'S session — which
     // is not necessarily THIS warehouse's session (inside foreachBatch
