@@ -1007,6 +1007,80 @@ object Multimodal extends QueryModule {
         FROM documents WHERE doc_id % 41 = 0"""),
     ),
 
+    // BASELINE JPEG DECODE + QUARANTINE + PERCEPTUAL DEDUP — the third
+    // real container through the codec boundary (BMP raw, PNG DEFLATE,
+    // now JPEG entropy coding): genuine baseline JPEGs (marker stream,
+    // canonical DHT Huffman tables, byte-stuffed entropy data, zigzag/
+    // run-length ACs, dequant + IDCT), decoded by the hand-rolled
+    // JpegCodec and routed into the q145 aHash dedup. The corpus is
+    // constant-8×8-tile images, whose DCT is DC-only and losslessly
+    // quantized BY CONSTRUCTION (JpegCodec scaladoc) — so even though
+    // JPEG is lossy in general, the gate here is bit-exact: the oracle
+    // replays the closed-form tile pixels and the hash must match.
+    // Corrupt slice (doc_id % 43 == 0 — alternately truncated and
+    // rewritten to an arithmetic-coded SOF9 frame) must quarantine.
+    "q261_jpeg_phash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val hashed = JpegCodec.jpegAHash(JpegCodec.jpegTable(s, d))
+          .toDF().localCheckpoint(true)
+        val ok = hashed.where(col("status") === "ok")
+        val keep = ok
+          .groupBy(col("width"), col("height"), col("phash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+        ok.join(keep, Seq("width", "height", "phash"))
+          .select(
+            col("doc_id"), col("status"), col("width"), col("height"), col("phash"),
+            col("keeper_id"), col("group_n"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+          .unionByName(
+            hashed.where(col("status") === "quarantined")
+              .select(
+                col("doc_id"), col("status"), col("width"), col("height"), col("phash"),
+                lit(null).cast("long").as("keeper_id"),
+                lit(null).cast("long").as("group_n"),
+                lit(null).cast("boolean").as("is_dup")))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+          FROM documents WHERE doc_id % 43 <> 0),
+        xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        pxg AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        lums AS (
+          SELECT doc_id, w, h,
+                 (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 4 * ((doc_id * 5 + 7 * (x // 8) + 11 * (y // 8)) % 256) AS lum
+          FROM pxg),
+        blocks AS (
+          SELECT doc_id, w, h, bi,
+                 CAST(SUM(lum) AS BIGINT) AS bs, COUNT(*) AS bn
+          FROM lums GROUP BY doc_id, w, h, bi),
+        tot AS (
+          SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bn) AS BIGINT) AS n
+          FROM blocks GROUP BY doc_id),
+        hashes AS (
+          SELECT b.doc_id, b.w, b.h,
+                 CAST(SUM(CASE WHEN b.bs * t.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS phash
+          FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id, b.w, b.h),
+        keep AS (
+          SELECT w, h, phash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_n
+          FROM hashes GROUP BY w, h, phash)
+        SELECT hs.doc_id, 'ok' AS status,
+               hs.w AS width, hs.h AS height, hs.phash,
+               k.keeper_id, k.group_n, hs.doc_id <> k.keeper_id AS is_dup
+        FROM hashes hs
+        JOIN keep k ON k.w = hs.w AND k.h = hs.h AND k.phash = hs.phash
+        UNION ALL
+        SELECT doc_id, 'quarantined' AS status,
+               CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+               CAST(NULL AS INTEGER) AS phash,
+               CAST(NULL AS BIGINT) AS keeper_id, CAST(NULL AS BIGINT) AS group_n,
+               CAST(NULL AS BOOLEAN) AS is_dup
+        FROM documents WHERE doc_id % 43 = 0"""),
+    ),
+
     // AUDIO NEAR-DUP via energy fingerprint — q145's audio twin: an
     // 8-bit block-energy signature over DECODED PCM through the real
     // WAV parser, then hash-grouped keep-first. Unlike the image side,

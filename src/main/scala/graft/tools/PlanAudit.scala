@@ -579,6 +579,12 @@ object PlanAudit {
     Audit("q195_png_phash_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // baseline-JPEG decode + quarantine dedup: q195's exact shape at
+    // the third codec boundary — decode pass, keyed keeper aggregate,
+    // quarantine union, nothing quadratic
+    Audit("q261_jpeg_phash_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
     // |t|-ranked readout: the rank window runs over the O(segments)
     // aggregate output (a 5-row frame — SinglePartition is the correct
     // plan there, unlike the raw-data windows gated above), and the
