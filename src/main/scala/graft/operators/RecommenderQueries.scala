@@ -173,7 +173,13 @@ object RecommenderQueries extends QueryModule {
       (for { j <- 0 until Rank; k <- j until Rank }
         yield sum((col(s"f${j + 1}") * col(s"f${k + 1}")).cast(dt)).as(s"s_${j}_$k")) ++
         (0 until Rank).map(j => sum((col("r") * col(s"f${j + 1}")).cast(dt)).as(s"b_$j"))
-    val m = rat.join(fixed, fixedKey)
+    // the factor side is entity-grain (≪ ratings) — broadcast it
+    // EXPLICITLY: at ×10 scale the rank-4 size estimate crosses the
+    // auto-broadcast threshold and the join flips to SMJ, re-shuffling
+    // the ratings every half-step (measured shuffle ×23 instead of the
+    // ratings-linear ×10 the rank-2 twin shows). Decimal moment sums
+    // are order-independent, so the strategy hint cannot change values.
+    val m = rat.join(broadcast(fixed), fixedKey)
       .groupBy(col(solveKey))
       .agg(moments.head, moments.tail: _*)
     val init: Map[String, Column] =

@@ -269,17 +269,18 @@ object ScaleTrend {
     // into the stored min/max state + the calendar-bounded curve —
     // the additive-state signature (state shuffle ~flat at ×10)
     "q240_km_maintained",
-    // round-9 retention AUC: rank windows at customer grain — the one
-    // survival query whose windowed frame grows WITH the corpus;
-    // linear by design, measured to keep it honest
+    // round-10 retention AUC: the RankSelect full-ranking kernel —
+    // (segment, value-bucket)-partitioned windows whose per-task input
+    // is ~n/1024 however few segments there are; linear by design,
+    // measured to keep it honest
     "q241_retention_auc",
     // round-9 streaming span maintenance: per micro-batch one
     // O(batch) customer-grain aggregate + the state merge — the
     // continued-state shuffle must track the batch spans, like q240's
     "q242_stream_km_maintenance",
-    // round-9 isotonic calibration: q241's customer-grain decile
-    // windows + O(segments × 100) PAVA grid — shuffle must track the
-    // customer pass linearly, the grid cost invisible
+    // round-10 isotonic calibration: deciles via the full-ranking
+    // kernel (bucket-bounded tasks) + O(segments × 100) PAVA grid —
+    // shuffle must track the customer pass linearly, grid invisible
     "q245_isotonic_calibration",
     // round-9 MAD anomaly report: one fact aggregate to day grain +
     // two bounded RankSelect kernels — shuffle tracks the fact scan,
@@ -288,8 +289,9 @@ object ScaleTrend {
     // round-9 Theil-Sen: pair frame is C(120,2) per segment BY
     // CONSTRUCTION — shuffle past the day aggregate must be flat
     "q247_theil_sen",
-    // round-9 Gini: customer-grain rank window per segment — tracks
-    // the corpus linearly like q241
+    // round-10 Gini: value-grain aggregate + tie-block fold — NO rank
+    // window at all; shuffle tracks the fact scan, the folded frame
+    // stays bounded by the distinct order-count values
     "q248_gini",
     // round-9 RFM: three RankSelect kernels + map-only scoring — no
     // global sort anywhere; shuffle tracks the customer aggregate
@@ -320,6 +322,27 @@ object ScaleTrend {
     // 50-candidate broadcast + (u,i) anti-join tracks users x10
     "q232_als_train",
     "q233_als_recommend",
+    // round-10 rank-4 ALS: same ratings-linear shape, the moment
+    // aggregate carries 14 decimals per entity instead of 5 and the
+    // solve is a projection — shuffle must track the ratings x10
+    "q256_als_train_r4",
+    "q257_als_recommend_r4",
+    "q258_als_eval_r4",
+    // round-10 depth-2 tree: two histogram passes (root, then leaf-
+    // conditional) — shuffle is O(features × bins × leaves) cells,
+    // KB-scale at any corpus size like q223/q236
+    "q255_tree_depth2",
+    // round-10 k-means-parallel seeding: 1 + rounds + 1 broadcast-
+    // argmin corpus passes plus a ≤33-row driver greedy — wall and
+    // shuffle must track the corpus x10 like the Lloyd iterations
+    "q259_kmeans_parallel_init",
+    // round-10 phrase retrieval: the positional index build is the
+    // q199 ingest (corpus-linear); retrieval is bounded by the TWO
+    // phrase terms' posting lists — build tracks x10, retrieval flat
+    "q260_phrase_retrieval",
+    // round-10 JPEG decode dedup: decode pass + keyed keeper
+    // aggregate — linear like q145/q195
+    "q261_jpeg_phash_dedup",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
