@@ -1533,6 +1533,45 @@ object TextQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // TOP-QUALITY-QUINTILE SELECTION PER SOURCE — the curation cut
+    // every corpus build applies ("keep the best 20% of each source"),
+    // built scale-honest: the per-source percentile comes from the
+    // RankSelect full-ranking kernel ((source, score-bucket) windows +
+    // broadcast offsets), so a 5-source corpus never serializes through
+    // 5 sort tasks the way PERCENT_RANK OVER (PARTITION BY source)
+    // would. The integer quality score is tie-heavy BY DESIGN (values
+    // 0..100) — exactly the case where ties must co-bucket, which the
+    // kernel guarantees; (q, doc_id) totally orders each source so the
+    // row_number and the cut are deterministic. Output is the full
+    // ranked census with the selection flag (rn > floor(4n/5) keeps
+    // ceil(n/5) docs — the top quintile by score).
+    "q262_quality_percentile_select" -> QueryDef(
+      fn = (s, d) => {
+        val scored = documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        graft.operators.RankSelect
+          .withGroupRanks(scored, "source", "q", tieBreak = Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("q"),
+            col("__rk_rn").as("rn"), col("__rk_n").as("n"))
+          .withColumn("selected", expr("rn > (4 * n) div 5"))
+      },
+      oracle = Some(s"""
+        WITH sc AS MATERIALIZED (
+          SELECT doc_id, source, CAST($qualitySql AS INTEGER) AS q
+          FROM ($normSql)),
+        rk AS MATERIALIZED (
+          SELECT doc_id, source, q,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY q ASC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM sc)
+        SELECT doc_id, source, q, CAST(rn AS BIGINT) AS rn,
+               CAST(n AS BIGINT) AS n,
+               rn > (4 * n) // 5 AS selected
+        FROM rk""")
+    ),
+
+    // ----------------------------------------------------------------
     // PHRASE RETRIEVAL ON THE POSITIONAL INDEX — what the q199 postings
     // carry positions FOR: "merge group" as an exact two-term phrase.
     // Same maintained-index build (3 O(ingest) bucketed appends), then

@@ -585,6 +585,14 @@ object PlanAudit {
     Audit("q261_jpeg_phash_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // per-source quality-quintile cut: EVERY window partitions on
+    // (source, score-bucket) — the 2-column floor structurally bans
+    // the PERCENT_RANK-by-source sort that would serialize each
+    // source through one task
+    Audit("q262_quality_percentile_select",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "SinglePartition"),
+      minWindowPartCols = 2),
     // |t|-ranked readout: the rank window runs over the O(segments)
     // aggregate output (a 5-row frame — SinglePartition is the correct
     // plan there, unlike the raw-data windows gated above), and the

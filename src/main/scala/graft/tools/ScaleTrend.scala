@@ -343,6 +343,10 @@ object ScaleTrend {
     // round-10 JPEG decode dedup: decode pass + keyed keeper
     // aggregate — linear like q145/q195
     "q261_jpeg_phash_dedup",
+    // round-10 per-source quality-quintile cut: one scoring scan +
+    // the full-ranking kernel's bucketed passes — must track the
+    // corpus x10 with no source-count-bounded stage
+    "q262_quality_percentile_select",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
