@@ -21,18 +21,37 @@ object Bench {
     // charged the session's one-time costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    // prior committed wall per query (BENCH.json, if present): the re-run
-    // rule consults it so a contention wave that pushes a normally-cheap
-    // query PAST the 3 s cutoff still gets its min-of-2 (rounds 4/7/8/9
-    // each had 1-4 such single-sample outliers escape the flat rule)
+    // prior COMMITTED wall per query: the re-run rule consults it so a
+    // contention wave that pushes a normally-cheap query PAST the 3 s
+    // cutoff still gets its min-of-2 (rounds 4/7/8/9 each had 1-4 such
+    // single-sample outliers escape the flat rule). Read from HEAD, not
+    // the working tree (the round-10 lesson): after the round's first —
+    // possibly contended — run overwrites the file, a working-tree prior
+    // would compare later runs against the contended numbers and lose
+    // the re-run trigger. Falls back to the file outside a git checkout.
     val prior: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BENCH.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else
-        "\"(q[^\"]+)\":\\{\"sec\":([0-9.]+)".r
-          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
+      val text: Option[String] =
+        (try {
+          val pb = new ProcessBuilder("git", "show", "HEAD:BENCH.json")
+          pb.redirectErrorStream(false)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
+        } catch { case scala.util.control.NonFatal(_) => None })
+          .orElse {
+            val p = java.nio.file.Paths.get("BENCH.json")
+            if (java.nio.file.Files.exists(p))
+              Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+            else None
+          }
+      text match {
+        case None => Map.empty
+        case Some(t) =>
+          "\"(q[^\"]+)\":\\{\"sec\":([0-9.]+)".r
+            .findAllMatchIn(t)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

@@ -173,6 +173,13 @@ object ClusteringQueries extends QueryModule {
       }
       acc
     }
+    // degenerate-corpus guard: with ≥ K geometrically distinct candidates
+    // some unchosen candidate always has min-d² > 0 (so priority w·d² > 0)
+    // and the argmax can never re-pick a chosen one (those score 0); with
+    // fewer, the greedy WOULD silently duplicate centroids — fail loudly
+    // instead (the oracle mirrors the greedy, not this precondition)
+    require(pool.map(_._3.toSeq).distinct.length >= K,
+      s"k-means|| candidate pool has fewer than $K distinct embeddings")
     val chosen = scala.collection.mutable.ArrayBuffer(
       pool.minBy { case (id, w, _) => (-w, id) })
     while (chosen.size < K) {

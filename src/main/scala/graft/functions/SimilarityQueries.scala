@@ -1503,7 +1503,14 @@ object SimilarityQueries extends QueryModule {
           col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         probes
-          .join(index, "cid")
+          // the index side is the FULL corpus (each vector under its one
+          // nearest list): at 100x it can never broadcast, so pin the
+          // centroid-id shuffle-hash strategy instead of letting AQE flip
+          // between broadcast and SMJ on runtime size estimates — the flip
+          // made this query's shuffle bytes plan-unstable (round-10
+          // verdict) and the strategy cannot change values (the rerank
+          // dedups nothing and row_number ties break on nid)
+          .join(index.hint("shuffle_hash"), "cid")
           .where(col("qid") =!= col("nid"))
           .withColumn(
             "sim",
@@ -1563,7 +1570,9 @@ object SimilarityQueries extends QueryModule {
           col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         probes
-          .join(index, "cid")
+          // corpus-sized index side: pinned shuffle-hash for the same
+          // byte-stability + 100x-honesty reasons as q77 (see there)
+          .join(index.hint("shuffle_hash"), "cid")
           .where(col("qid") =!= col("nid"))
           .withColumn(
             "sim",
@@ -1630,15 +1639,22 @@ object SimilarityQueries extends QueryModule {
             struct(lit(t).as("t"), tblBucket(t).as("bk"))): _*)).as("tb"))
           .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
         val cand = keys.as("a")
-          .join(keys.as("b"),
+          // both sides are the n-proportional key table — pinned like the
+          // rerank joins below so no AQE size estimate can flip the plan
+          .join(keys.as("b").hint("shuffle_hash"),
             col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
               col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
           .distinct() // a pair may collide in several tables
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         cand
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na")), "qid")
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb")), "nid")
+          // the rerank sides are the corpus: at 100x they can never
+          // broadcast, so pin shuffle-hash (q77's byte-stability fix) —
+          // values are strategy-independent, ties break on nid
+          .join(e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+            .hint("shuffle_hash"), "qid")
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+            .hint("shuffle_hash"), "nid")
           .withColumn(
             "sim",
             call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))

@@ -86,7 +86,9 @@ object RankSelect {
 
     // monotone bucket id: equal values share a bucket, order is preserved,
     // v == max lands on B (capped to B-1), a constant group degenerates to
-    // bucket 0
+    // bucket 0. A null v violates the documented contract; it would fall
+    // out of the inner joins below as SILENT row loss, so fail loudly here
+    // instead (the when-branch costs nothing on contract-abiding input).
     val lo = col("__rs_lo").cast("double")
     val hi = col("__rs_hi").cast("double")
     val vd = col(v).cast("double")
@@ -94,7 +96,9 @@ object RankSelect {
       .join(broadcast(stats), g)
       .withColumn(
         "__rs_b",
-        when(hi > lo, least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+        when(col(v).isNull,
+          raise_error(lit(s"selectRanks: null '$v' violates the non-null contract")).cast("int"))
+          .when(hi > lo, least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
           .otherwise(lit(0)))
       .select(col(g), col(v), col("__rs_b"))
 
@@ -183,15 +187,20 @@ object RankSelect {
     * the weight mass) reach the (group, bucket)-partitioned window.
     * The in-bucket cumulative uses the default RANGE frame, so tied
     * values accumulate as one block and the crossing value is
-    * order-independent. All-equal groups answer directly; the skew
-    * recursion of [[selectRanks]] applies unchanged in principle and
-    * is omitted here for clarity (the selection is one rank, and a
-    * skewed bucket degrades to a bounded single-task window).
+    * order-independent. All-equal groups answer directly; and — like
+    * [[selectRanks]] — a target bucket holding more ROWS than
+    * max(skewFloor, SkewFactor·n/B) (a pathological value distribution
+    * such as 99% one constant plus outliers) RECURSES into a narrower
+    * weighted selection instead of degrading to a near-single-task
+    * window over the whole skewed bucket.
     *
-    * @param w    non-null INTEGER weight column — integer weights keep
-    *             every cumulative exact cross-engine
-    * @param kSql SQL expression over the per-group total weight
-    *             exposed as `wtot` (BIGINT), e.g. `"(wtot + 1) div 2"`
+    * @param w         non-null INTEGER weight column — integer weights
+    *                  keep every cumulative exact cross-engine
+    * @param kSql      SQL expression over the per-group total weight
+    *                  exposed as `wtot` (BIGINT), e.g. `"(wtot + 1) div 2"`
+    * @param skewFloor absolute ROW floor below which a target bucket is
+    *                  windowed in one task rather than refined (tests
+    *                  lower it to exercise the recursion on small data)
     * @return one row per group: (g, v, wtot)
     */
   def selectWeightedRank(
@@ -200,12 +209,14 @@ object RankSelect {
       v: String,
       w: String,
       kSql: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      skewFloor: Long = 1L << 16): DataFrame = {
     val B = buckets
     val stats = in
       .groupBy(col(g))
       .agg(
         sum(col(w)).as("wtot"),
+        count(lit(1)).as("__rs_nr"),
         min(col(v)).as("__rs_lo"),
         max(col(v)).as("__rs_hi"))
       .withColumn("__rs_k", expr(kSql).cast("long"))
@@ -225,21 +236,24 @@ object RankSelect {
         least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
       .select(col(g), col(v), col(w), col("__rs_b"))
 
+    // per-bucket weight sums drive the crossing; per-bucket ROW counts are
+    // the skew signal (task memory is bounded by rows, not weight)
     val targets = bucketed
       .groupBy(col(g), col("__rs_b"))
-      .agg(sum(col(w)).as("__rs_bw"))
+      .agg(sum(col(w)).as("__rs_bw"), count(lit(1)).as("__rs_brc"))
       .groupBy(col(g))
       .agg(sort_array(
-        collect_list(struct(col("__rs_b").as("b"), col("__rs_bw").as("c")))).as("__rs_hs"))
-      .join(broadcast(varStats.select(col(g), col("__rs_k"), col("wtot"))), g)
+        collect_list(struct(col("__rs_b").as("b"), col("__rs_bw").as("c"),
+          col("__rs_brc").as("rc")))).as("__rs_hs"))
+      .join(broadcast(varStats.select(col(g), col("__rs_k"), col("wtot"), col("__rs_nr"))), g)
       .withColumn(
         "__rs_sel",
         expr("""aggregate(__rs_hs,
-                named_struct('cum', 0L, 'tb', -1, 'cb', 0L),
+                named_struct('cum', 0L, 'tb', -1, 'cb', 0L, 'rc', 0L),
                 (a, x) -> IF(a.tb >= 0, a,
                              IF(a.cum + x.c >= __rs_k,
-                                named_struct('cum', a.cum + x.c, 'tb', x.b, 'cb', a.cum),
-                                named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L))))"""))
+                                named_struct('cum', a.cum + x.c, 'tb', x.b, 'cb', a.cum, 'rc', x.rc),
+                                named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L, 'rc', 0L))))"""))
       .select(
         col(g),
         // guard folded into the projection (a free-standing column would
@@ -253,24 +267,152 @@ object RankSelect {
             col("wtot").cast("string"), lit(")"))).cast("int"))
           .otherwise(col("__rs_sel.tb")).as("__rs_b"),
         (col("__rs_k") - col("__rs_sel.cb")).as("__rs_off"),
+        col("__rs_sel.rc").as("__rs_brc"),
+        col("__rs_nr"),
         col("wtot"))
       .localCheckpoint()
 
     // only the target bucket's rows reach the window; the RANGE-frame
     // cumulative makes tie blocks atomic, so min(v) past the crossing
     // is the weighted-rank value whatever the intra-tie row order
-    val picked = bucketed
-      .join(broadcast(targets), Seq(g, "__rs_b"))
+    def pickWithin(ts: DataFrame): DataFrame = bucketed
+      .join(broadcast(ts.select(col(g), col("__rs_b"), col("__rs_off"), col("wtot"))),
+        Seq(g, "__rs_b"))
       .withColumn(
         "__rs_cum",
         sum(col(w)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(g), col("__rs_b")).orderBy(col(v).asc)))
+          Window.partitionBy(col(g), col("__rs_b")).orderBy(col(v).asc)))
       .where(col("__rs_cum") >= col("__rs_off"))
       .groupBy(col(g))
       .agg(min(col(v)).as(v), max(col("wtot")).as("wtot"))
 
+    val skewCond =
+      col("__rs_brc") > greatest(lit(skewFloor), col("__rs_nr") * SkewFactor / B)
+
+    val picked =
+      if (targets.where(skewCond).isEmpty) pickWithin(targets)
+      else {
+        val ok = targets.where(!skewCond)
+        val sk = targets.where(skewCond)
+        val cand = bucketed
+          .join(broadcast(sk.select(col(g), col("__rs_b"), col("__rs_off"))), Seq(g, "__rs_b"))
+          .select(col(g), col(v), col(w), col("__rs_off"))
+        val refined = selectWeightedWithin(cand, Seq(g), v, w, "__rs_off", B, skewFloor, depth = 2)
+          .join(broadcast(sk.select(col(g), col("wtot"))), Seq(g))
+          .select(col(g), col(v), col("wtot"))
+        pickWithin(ok).unionByName(refined)
+      }
+
     picked.unionByName(constAns)
+  }
+
+  /** Weighted refinement step — the [[selectWithin]] analogue for
+    * [[selectWeightedRank]]: the smallest `v` whose cumulative weight
+    * within each `gcols` group reaches the group-constant residual
+    * `kCol`. All-equal groups answer directly; at depth 0 the rest fall
+    * back to the single-task RANGE-cumulative window (bounded by the
+    * refined bucket by then); otherwise one level of weight-histogram
+    * narrowing, recursing again only on still-skewed buckets.
+    */
+  private def selectWeightedWithin(
+      cand0: DataFrame,
+      gcols: Seq[String],
+      v: String,
+      w: String,
+      kCol: String,
+      buckets: Int,
+      skewFloor: Long,
+      depth: Int): DataFrame = {
+    val B = buckets
+    val gc = gcols.map(col)
+    val cand = cand0.localCheckpoint()
+    val stats = cand
+      .groupBy(gc: _*)
+      .agg(
+        max(col(kCol)).as("__rw_k"),
+        count(lit(1)).as("__rw_n"),
+        min(col(v)).as("__rw_lo"),
+        max(col(v)).as("__rw_hi"))
+      .localCheckpoint()
+
+    // guaranteed exit: an all-equal group answers with the shared value
+    // (the residual k is ≥ 1 and ≤ the bucket's weight, so the crossing
+    // value can only be the shared one)
+    val constAns = stats
+      .where(col("__rw_lo") === col("__rw_hi"))
+      .select(gc :+ col("__rw_lo").as(v): _*)
+    val varStats = stats.where(col("__rw_lo") =!= col("__rw_hi"))
+    val varying = cand.drop(kCol).join(broadcast(varStats), gcols)
+
+    if (depth <= 0) {
+      val sel = varying
+        .withColumn(
+          "__rw_cum",
+          sum(col(w)).over(Window.partitionBy(gc: _*).orderBy(col(v).asc)))
+        .where(col("__rw_cum") >= col("__rw_k"))
+        .groupBy(gc: _*)
+        .agg(min(col(v)).as(v))
+      sel.unionByName(constAns)
+    } else {
+      val lo = col("__rw_lo").cast("double")
+      val hi = col("__rw_hi").cast("double")
+      val vd = col(v).cast("double")
+      val bucketed = varying
+        .withColumn(
+          "__rw_b",
+          least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+        .select(gc ++ Seq(col(v), col(w), col("__rw_b")): _*)
+      val harr = bucketed
+        .groupBy(gc :+ col("__rw_b"): _*)
+        .agg(sum(col(w)).as("__rw_bw"), count(lit(1)).as("__rw_brc"))
+        .groupBy(gc: _*)
+        .agg(sort_array(collect_list(struct(
+          col("__rw_b").as("b"), col("__rw_bw").as("c"),
+          col("__rw_brc").as("rc")))).as("__rw_hs"))
+        .join(broadcast(varStats.select(gc ++ Seq(col("__rw_k"), col("__rw_n")): _*)), gcols)
+      val targets = harr
+        .withColumn(
+          "__rw_sel",
+          expr("""aggregate(__rw_hs,
+                  named_struct('cum', 0L, 'tb', -1, 'cb', 0L, 'rc', 0L),
+                  (a, x) -> IF(a.tb >= 0, a,
+                               IF(a.cum + x.c >= __rw_k,
+                                  named_struct('cum', a.cum + x.c, 'tb', x.b, 'cb', a.cum, 'rc', x.rc),
+                                  named_struct('cum', a.cum + x.c, 'tb', -1, 'cb', 0L, 'rc', 0L))))"""))
+        .select(
+          gc ++ Seq(
+            col("__rw_sel.tb").as("__rw_b"),
+            (col("__rw_k") - col("__rw_sel.cb")).as("__rw_off"),
+            col("__rw_sel.rc").as("__rw_brc"),
+            col("__rw_n")): _*)
+        .localCheckpoint()
+
+      val skewCond =
+        col("__rw_brc") > greatest(lit(skewFloor), col("__rw_n") * SkewFactor / B)
+
+      def pickPath(ts: DataFrame): DataFrame = bucketed
+        .join(broadcast(ts), gcols :+ "__rw_b")
+        .withColumn(
+          "__rw_cum",
+          sum(col(w)).over(
+            Window.partitionBy(gc :+ col("__rw_b"): _*).orderBy(col(v).asc)))
+        .where(col("__rw_cum") >= col("__rw_off"))
+        .groupBy(gc: _*)
+        .agg(min(col(v)).as(v))
+
+      val resolved =
+        if (targets.where(skewCond).isEmpty) pickPath(targets)
+        else {
+          val ok = targets.where(!skewCond)
+          val sk = targets.where(skewCond)
+          val next = bucketed
+            .join(broadcast(sk), gcols :+ "__rw_b")
+            .select(gc ++ Seq(col(v), col(w), col("__rw_off")): _*)
+          pickPath(ok).unionByName(
+            selectWeightedWithin(next, gcols, v, w, "__rw_off", B, skewFloor, depth - 1))
+        }
+      resolved.unionByName(constAns)
+    }
   }
 
   /** Distributed FULL ranking: append global per-group rank columns to
@@ -296,24 +438,35 @@ object RankSelect {
     *   - `__rk_ties` global tie count of v (COUNT(*) OVER (g, v));
     *   - `__rk_n`    group row count.
     *
-    * Cost: two extra column-pruned passes (stats, histogram) before the
-    * ranking pass — the trade for bounded per-task memory. The offsets
-    * relation is O(groups·B) rows and must broadcast; with MANY groups
-    * use the plain window instead (parallelism is then free). A single
-    * massive tie block still lands in one bucket: irreducible for full
-    * ranking (every row of the block must be emitted with the same
-    * rank), bounded in practice by the tie mass, not the group.
+    * Cost: one cheap dispatch aggregate plus two extra column-pruned
+    * passes (stats, histogram) before the ranking pass — the trade for
+    * bounded per-task memory. The offsets relation is O(groups·B) rows
+    * and must broadcast, so the kernel's contract (documented since
+    * round 10) is now CODE: group cardinality is counted first (one
+    * count-distinct aggregate), the bucket kernel runs at or under
+    * `maxKernelGroups`, and above it the call dispatches to the plain
+    * per-group window — with that many groups per-group parallelism is
+    * free and the single-task-per-group hazard the kernel exists to
+    * avoid has vanished, while the O(groups·B) offsets broadcast would
+    * OOM the driver. A single massive tie block still lands in one
+    * bucket: irreducible for full ranking (every row of the block must
+    * be emitted with the same rank), bounded in practice by the tie
+    * mass, not the group.
     *
-    * Contract: `v` non-null, castable to double (bucketing only — the
-    * within-bucket ordering compares original values).
+    * Contract: `v` non-null (violations raise rather than silently
+    * dropping rows from the bucket join), castable to double (bucketing
+    * only — the within-bucket ordering compares original values).
     */
   def withGroupRanks(
       in: DataFrame,
       g: String,
       v: String,
       tieBreak: Seq[String] = Nil,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      maxKernelGroups: Long = 512L): DataFrame = {
     val B = buckets
+    val nGroups = in.agg(count_distinct(col(g))).first().getLong(0)
+    if (nGroups > maxKernelGroups) return windowGroupRanks(in, g, v, tieBreak)
     val stats = in
       .groupBy(col(g))
       .agg(
@@ -328,7 +481,9 @@ object RankSelect {
       .join(broadcast(stats), g)
       .withColumn(
         "__rk_b",
-        when(hi > lo, least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
+        when(col(v).isNull,
+          raise_error(lit(s"withGroupRanks: null '$v' violates the non-null contract")).cast("int"))
+          .when(hi > lo, least(lit(B - 1), floor((vd - lo) / (hi - lo) * B)).cast("int"))
           .otherwise(lit(0)))
       .drop("__rk_lo", "__rk_hi")
 
@@ -365,6 +520,39 @@ object RankSelect {
       .withColumn("__rk_rank", col("__rk_off") + localRank)
       .withColumn("__rk_ties", localCum - localRank + 1)
       .drop("__rk_b", "__rk_off")
+  }
+
+  /** The above-`maxKernelGroups` dispatch target: the plain per-group
+    * window, emitting the exact (names, types, order, values) surface of
+    * the bucket kernel — `g` first (the kernel's using-column join puts
+    * it there), then the remaining input columns, then `__rk_n`,
+    * `__rk_rn`, `__rk_rank`, `__rk_ties`. With many groups each group is
+    * small relative to the data and groups spread across tasks on their
+    * own, so the single-task sort the kernel exists to break is not a
+    * hazard here — and one window pass beats the kernel's three scans.
+    * The same non-null contract raises (post-window guard on `__rk_n`,
+    * free on contract-abiding input) instead of ranking nulls first.
+    */
+  private def windowGroupRanks(
+      in: DataFrame, g: String, v: String, tieBreak: Seq[String]): DataFrame = {
+    val wG = Window.partitionBy(col(g))
+    val ordCols = col(v).asc +: tieBreak.map(col(_).asc)
+    val localCum = count(lit(1)).over(
+      wG.orderBy(col(v).asc).rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val rest = in.columns.filterNot(_ == g).map(col).toSeq
+    in
+      .withColumn("__rk_n", count(lit(1)).over(wG))
+      .withColumn("__rk_rn", row_number().over(wG.orderBy(ordCols: _*)).cast("long"))
+      .withColumn("__rk_rank", rank().over(wG.orderBy(col(v).asc)).cast("long"))
+      .withColumn("__rk_ties", localCum - rank().over(wG.orderBy(col(v).asc)))
+      .withColumn("__rk_ties", col("__rk_ties") + 1L)
+      .withColumn(
+        "__rk_n",
+        when(col(v).isNull,
+          raise_error(lit(s"withGroupRanks: null '$v' violates the non-null contract")).cast("long"))
+          .otherwise(col("__rk_n")))
+      .select(col(g) +: rest ++: Seq(
+        col("__rk_n"), col("__rk_rn"), col("__rk_rank"), col("__rk_ties")): _*)
   }
 
   /** SQL-standard NTILE(k) computed arithmetically from

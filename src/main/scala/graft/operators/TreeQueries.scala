@@ -389,7 +389,18 @@ object TreeQueries extends QueryModule {
     * Exposed at obs-rows grain so TreeSpec can hand-trace a tiny frame.
     */
   private[operators] def depth2Splits(rows: DataFrame): DataFrame = {
-    val root = bestSplit(histogram(rows)).head()
+    val sess0 = rows.sparkSession
+    val rootOpt = bestSplit(histogram(rows)).collect().headOption
+    if (rootOpt.isEmpty) {
+      // no feature admits a valid split (all rows share one bin per
+      // feature): an empty tree frame — the same 0 rows the SQL mirror
+      // produces — not a NoSuchElementException from head()
+      import sess0.implicits._
+      return Seq.empty[(String, String, Int, Long, Long, Double, Double, Double)]
+        .toDF("node", "feature", "thr", "n_left", "n_right",
+          "gain", "left_mean", "right_mean")
+    }
+    val root = rootOpt.get
     val (rf, rthr) = (root.getAs[String]("feature"), root.getAs[Int]("thr"))
     val stackArgs = features.map { case (n, _) => s"'$n', bin_$n" }.mkString(", ")
     val h2 = rows

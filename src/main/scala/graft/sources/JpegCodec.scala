@@ -311,6 +311,11 @@ object JpegCodec {
         case 0xFE => pos += u16(pos)                            // COM
         case 0xDB =>
           val end = pos + u16(pos)
+          // clamp against the BUFFER, not just the claimed segment end: a
+          // payload truncated mid-segment must fail through the same IAE
+          // path as every other malformation, not surface as an
+          // ArrayIndexOutOfBoundsException from the b(...) reads below
+          require(end <= b.length, "truncated DQT segment")
           var p = pos + 2
           while (p < end) {
             require((b(p) & 0xF0) == 0, "only 8-bit quant tables supported")
@@ -324,6 +329,7 @@ object JpegCodec {
           pos = end
         case 0xC0 =>
           val end = pos + u16(pos)
+          require(end <= b.length && end - pos >= 11, "truncated SOF0 segment")
           require((b(pos + 2) & 0xFF) == 8, "only 8-bit precision supported")
           height = u16(pos + 3)
           width = u16(pos + 5)
@@ -338,6 +344,7 @@ object JpegCodec {
             f"unsupported frame type 0xFF$mm%02X (baseline SOF0 only)")
         case 0xC4 =>
           val end = pos + u16(pos)
+          require(end <= b.length, "truncated DHT segment")
           var p = pos + 2
           while (p < end) {
             require(end - p >= 17, "truncated DHT")
@@ -356,6 +363,7 @@ object JpegCodec {
           throw new IllegalArgumentException("restart intervals (DRI) unsupported")
         case 0xDA =>
           val end = pos + u16(pos)
+          require(end <= b.length && end - pos >= 8, "truncated SOS segment")
           require((b(pos + 2) & 0xFF) == 1, "SOS must reference 1 component")
           require((b(pos + 4) & 0xFF) == 0x00, "SOS must use DC/AC tables 0")
           require((b(pos + 5) & 0xFF) == 0 && (b(pos + 6) & 0xFF) == 63,

@@ -191,6 +191,47 @@ class RankSelectSpec extends AnyFunSuite {
       s"window partition column counts: $counts")
   }
 
+  test("group-cardinality dispatch: the window path above maxKernelGroups matches the kernel") {
+    // 40 groups: kernel under the default threshold, plain window when the
+    // threshold is forced below 40 — same names, same order, same types,
+    // same rows, and the window path must NOT build the offsets broadcast
+    val df = (1 to 3000).map(i => (s"g${i % 40}", (i % 11).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val viaKernel = RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"),
+      buckets = 16, maxKernelGroups = 512)
+    val viaWindow = RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"),
+      buckets = 16, maxKernelGroups = 8)
+    assert(viaWindow.columns.toSeq === viaKernel.columns.toSeq)
+    assert(viaWindow.schema.map(f => f.name -> f.dataType) ===
+      viaKernel.schema.map(f => f.name -> f.dataType))
+    def rows(d: DataFrame) = d
+      .select(col("g"), col("id"), col("__rk_rn"), col("__rk_rank"),
+        col("__rk_ties"), col("__rk_n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(rows(viaWindow) === rows(viaKernel))
+    assert(!viaWindow.queryExecution.executedPlan.toString.contains("__rk_off"),
+      "the window path must not build the bucket-offsets relation")
+  }
+
+  test("null v raises on every path instead of silently dropping rows") {
+    val df = Seq(("a", Option(1.0), 1L), ("a", Option.empty[Double], 2L), ("b", Option(3.0), 3L))
+      .toDF("g", "v", "id")
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString("\n")
+    val viaKernel = intercept[Throwable] {
+      RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id")).collect()
+    }
+    assert(messageChain(viaKernel).contains("non-null contract"))
+    val viaWindow = intercept[Throwable] {
+      RankSelect.withGroupRanks(df, "g", "v", tieBreak = Seq("id"), maxKernelGroups = 1).collect()
+    }
+    assert(messageChain(viaWindow).contains("non-null contract"))
+    val viaSelect = intercept[Throwable] {
+      RankSelect.selectRanks(df, "g", "v", medianRanks).collect()
+    }
+    assert(messageChain(viaSelect).contains("non-null contract"))
+  }
+
   test("nested clusters exhaust the recursion depth and fall back to a bounded sort") {
     // three nesting levels, each keeping >16x the even-split share in
     // one bucket of the level below, so depth 2 runs out and the final

@@ -35,6 +35,27 @@ class TreeSpec extends AnyFunSuite {
     d
   }
 
+  /** every feature constant: no split exists anywhere in the corpus */
+  private lazy val dirConst: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tree_const_").toString
+    val rows = (0 until 8).map(i => (i.toLong, 1, 3L, 0.0, 0.0, 10.0 + i))
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey",
+        "l_discount", "l_tax", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(lit("2025-03-15 00:00:00")))
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    Seq((3L, 4)).toDF("p_partkey", "p_size")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q255: an unsplittable corpus yields an empty tree, not an exception") {
+    val got = graft.SparkEntry.queries("q255_tree_depth2")(spark, dirConst)
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq === Seq("node", "feature", "thr", "n_left",
+      "n_right", "gain", "left_mean", "right_mean"))
+  }
+
   test("q223: constant features are unsplittable; the step split is exact") {
     val got = graft.SparkEntry.queries("q223_tree_split")(spark, dir).collect()
     assert(got.length === 1, "only the stepped feature has >1 bin")

@@ -84,9 +84,15 @@ class JpegCodecSpec extends AnyFunSuite {
     val bytes = JpegCodec.encodeJpegGray(16, 8, tileVal(7))
     intercept[IllegalArgumentException](
       JpegCodec.parseJpegGray("not a jpeg".getBytes("US-ASCII")))
-    // truncation mid-header (the corpus's even corrupt lane)
-    intercept[RuntimeException](
+    // truncation mid-header (the corpus's even corrupt lane) — and the
+    // full IAE contract: EVERY malformation fails through the same path
+    intercept[IllegalArgumentException](
       JpegCodec.parseJpegGray(java.util.Arrays.copyOf(bytes, 12)))
+    // truncation inside every header segment (DQT/SOF/DHT/SOS bodies):
+    // each prefix must raise IAE, never ArrayIndexOutOfBoundsException
+    for (n <- 4 until bytes.length)
+      intercept[IllegalArgumentException](
+        JpegCodec.parseJpegGray(java.util.Arrays.copyOf(bytes, n)))
     // SOF9 (arithmetic coding) — the odd corrupt lane
     val sof9 = bytes.clone()
     val sofAt = 2 + 2 + 2 + 65
@@ -95,7 +101,7 @@ class JpegCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](JpegCodec.parseJpegGray(sof9))
     assert(e.getMessage.contains("baseline SOF0 only"), e.getMessage)
     // truncated entropy data
-    intercept[RuntimeException](
+    intercept[IllegalArgumentException](
       JpegCodec.parseJpegGray(java.util.Arrays.copyOf(bytes, bytes.length - 6)))
   }
 
