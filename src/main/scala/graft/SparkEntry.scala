@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.SketchQueries,
     graft.operators.ZOrderQueries,
     graft.operators.RegressionQueries,
+    graft.operators.ClassifierQueries,
     graft.operators.TreeQueries,
     graft.operators.RecommenderQueries,
     graft.operators.SurvivalQueries,

@@ -115,7 +115,7 @@ object TextQueries extends QueryModule {
   private lazy val predictedSql =
     s"CASE WHEN length(regexp_replace(t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 " +
       s"THEN 'zh' ELSE $langCaseSql END"
-  private lazy val stopsSql = TextFunctions.langMarkers
+  private[graft] lazy val stopsSql = TextFunctions.langMarkers
     .find(_._1 == "en").get._2
     .map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
   private[graft] lazy val qualitySql =

@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFunctions, TextQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A trained QUALITY CLASSIFIER — L2-regularized logistic regression fit
+  * by fixed-step IRLS — the model every production corpus pipeline
+  * trains on labeled documents, completing the supervised family (the
+  * engine could regress, rank, and rule-score quality but not CLASSIFY).
+  * Reference scope: bakery-big-data has no model engine at all; this is
+  * the training-data-pipeline extension surface (builder prompt), built
+  * from the kernels the regression family already proved:
+  *
+  *   - each IRLS step is ONE weighted moment aggregate — 21 decimal sums
+  *     (XᵀWX upper triangle + XᵀWz) — the q204/q222 O(groups·d²) shape:
+  *     shuffle is O(d²) per step regardless of corpus size, so three
+  *     steps at 100 TB are three map-side-combined scans, never a
+  *     row-grain shuffle;
+  *   - each solve runs the q222 GENERATED Gaussian elimination over the
+  *     collected O(d²) moment state (driver doubles) while the DuckDB
+  *     oracle executes the IDENTICAL step program as level-batched
+  *     MATERIALIZED CTEs — bit-for-bit the same op sequence, so the
+  *     fitted coefficients hash-match without hand-pinning;
+  *   - the working response uses the real logistic sigmoid via `exp`.
+  *     Cross-engine, JVM `Math.exp` and DuckDB's libm differ on ~0.3% of
+  *     inputs by exactly 1 ulp (measured on 20k samples); each such flip
+  *     can shift one DECIMAL(38,10) moment cast by at most 1e-10 —
+  *     relative 1e-13 on the moments, absorbed by the ROUND(…,6) output
+  *     gate with seven orders of magnitude to spare. η is clamped to
+  *     ±30 (IEEE-exact GREATEST/LEAST both engines) so μ can never round
+  *     to an exact 0/1 and zero the IRLS weight.
+  *
+  * Features are bounded, engine-exact ratios of the q28-q30 text
+  * statistics (stopword density, mean token length, type-token ratio,
+  * capped length) — integer counts divided once, so both engines
+  * produce identical doubles. The label distills the rule-based
+  * [[TextFunctions.qualityScore]] gate (≥ 80 = curated) into a trained
+  * model — the classic "replace the heuristic with a classifier trained
+  * on its decisions, then audit where they disagree" bootstrap.
+  */
+object ClassifierQueries extends QueryModule {
+
+  import Tables._
+
+  private val dt = DecimalType(38, 10)
+
+  /** L2 penalty (added to every diagonal normal-matrix entry, intercept
+    * included — documented choice, keeps the solve well-conditioned even
+    * on quasi-separable corpora).
+    */
+  private val Lambda = 1.0
+
+  /** Fixed IRLS step count: deterministic, CTE-mirrorable; three steps
+    * reach round-6 coefficient stability on every gated corpus.
+    */
+  private val Steps = 3
+
+  /** Working-response clamp on η: exp(±30) keeps μ strictly inside
+    * (1e-13, 1 - 1e-13), so the IRLS weight μ(1-μ) can never underflow
+    * to an exact 0 and poison z with a 0/0.
+    */
+  private val EtaClamp = 30.0
+
+  /** Label threshold on [[TextFunctions.qualityScore]] (0..100). */
+  private val LabelCut = 80
+
+  // ------------------------------------------------------------------
+  // Features (Spark side + SQL mirror). All four are bounded ratios of
+  // exact integer counts — one IEEE division each, identical cross-
+  // engine; x4 caps length so no feature is unbounded at corpus scale.
+
+  /** (doc_id, x1..x4, y): stopword density, mean token length,
+    * type-token ratio (the Gopher-style repetition signal — a low
+    * distinct-token share marks boilerplate/spam), capped length — and
+    * the rule-gate label. Punctuation/digit ratios were considered and
+    * rejected: this corpus contains neither, and a constant-zero
+    * feature is a dead coefficient.
+    */
+  private def docFeatures(s: SparkSession, d: String): DataFrame = {
+    val t      = TextFunctions.normalizeText(col("text"))
+    val chars  = length(t)
+    val tokens = TextFunctions.tokenCount(col("text"))
+    val toksD  = greatest(tokens, lit(1)).cast("double")
+    val stops  = TextFunctions.langMarkers
+      .find(_._1 == "en").get._2
+      .map(m => TextFunctions.occurrences(concat(lit(" "), t, lit(" ")), m))
+      .reduce(_ + _)
+    val distinctToks = size(array_distinct(split(t, " ")))
+    documents(s, d).select(
+      col("doc_id"),
+      (stops / toksD).as("x1"),
+      (chars.cast("double") / toksD).as("x2"),
+      (distinctToks.cast("double") / toksD).as("x3"),
+      (least(chars, lit(4000)).cast("double") / lit(4000.0)).as("x4"),
+      when(TextFunctions.qualityScore(col("text")) >= LabelCut, 1.0)
+        .otherwise(0.0).as("y"))
+  }
+
+  /** SQL mirror of [[docFeatures]] over the `documents` table. */
+  private lazy val featuresSql: String = {
+    val toksD = s"CAST(GREATEST(${TextQueries.tokenCountSql}, 1) AS DOUBLE)"
+    s"""
+        f AS MATERIALIZED (
+          SELECT doc_id,
+                 (${TextQueries.stopsSql}) / $toksD AS x1,
+                 CAST(length(t) AS DOUBLE) / $toksD AS x2,
+                 CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE) /
+                   $toksD AS x3,
+                 CAST(LEAST(length(t), 4000) AS DOUBLE) / 4000.0 AS x4,
+                 CASE WHEN (${TextQueries.qualitySql}) >= $LabelCut
+                      THEN 1.0 ELSE 0.0 END AS y
+          FROM (${TextQueries.normSql}))"""
+  }
+
+  // ------------------------------------------------------------------
+  // The IRLS kernel. Shared op-order contracts with the SQL chain:
+  //   η  = ((((b0 + b1·x1) + b2·x2) + b3·x3) + b4·x4), clamped ±30
+  //   μ  = 1 / (1 + exp(-η));  w = μ·(1-μ);  z = η + (y-μ)/(μ·(1-μ))
+  //   moment m_i_j = Σ DECIMAL(w · xᵢ · xⱼ), x0 ≡ 1, x5 ≡ z
+  //   solve (XᵀWX + λI) β = XᵀWz via eliminationProgram(4)
+
+  /** Left-associated clamped η from driver-side coefficients. */
+  private def etaCol(beta: Array[Double]): Column = {
+    val raw = lit(beta(0)) + lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2") +
+      lit(beta(3)) * col("x3") + lit(beta(4)) * col("x4")
+    greatest(least(raw, lit(EtaClamp)), lit(-EtaClamp))
+  }
+
+  /** Fit on `rows` (must have x1..x4, y): Steps aggregate+solve rounds,
+    * each one distributed O(d²)-moment pass plus a driver-local solve on
+    * the collected 21 doubles (the q179/q222 dimension-bounded-state
+    * discipline). Returns (β, n).
+    */
+  private def irlsFit(rows: DataFrame): (Array[Double], Long) = {
+    val steps = RegressionQueries.eliminationProgram(4)
+    var beta = Array.fill(5)(0.0)
+    var n = 0L
+    for (_ <- 1 to Steps) {
+      val eta = etaCol(beta)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = mu * (lit(1.0) - mu)
+      val z = eta + (col("y") - mu) / (mu * (lit(1.0) - mu))
+      def feat(i: Int): Column =
+        if (i == 0) lit(1.0) else if (i == 5) z else col(s"x$i")
+      val momCols = for { i <- 0 to 4; j <- i to 5 }
+        yield sum((w * feat(i) * feat(j)).cast(dt)).cast("double").as(s"m_${i}_$j")
+      val r = rows.agg(count(lit(1)).as("n"), momCols: _*).head()
+      n = r.getAs[Long]("n")
+      val init = (for { i <- 0 to 4; j <- 0 to 5 } yield {
+        val src = if (j == 5) s"m_${i}_5"
+        else s"m_${math.min(i, j)}_${math.max(i, j)}"
+        val v = r.getAs[Double](src)
+        s"a_${i}_$j" -> (if (i == j) v + Lambda else v)
+      }).toMap
+      val env = RegressionQueries.runProgram(steps, init)
+      beta = Array.tabulate(5)(i => env(s"b_$i"))
+    }
+    (beta, n)
+  }
+
+  /** The oracle's IRLS chain over feature CTE `src`: per-step per-row
+    * CTEs (η / μ / w,z), the 21-sum moment CTE, the λ-augmented normal
+    * matrix, and the generated elimination (level-batched MATERIALIZED
+    * CTEs — the q222 mirror). Returns (cteText, finalBetaCteName); the
+    * final CTE carries n and b_0..b_4.
+    */
+  private def irlsSql(src: String): (String, String) = {
+    def featSql(i: Int): String =
+      if (i == 0) "1.0" else if (i == 5) "z" else s"x$i"
+    val parts = Vector.newBuilder[String]
+    parts += s"""beta0 AS MATERIALIZED (
+          SELECT 0.0 AS b_0, 0.0 AS b_1, 0.0 AS b_2, 0.0 AS b_3, 0.0 AS b_4)"""
+    for (t <- 1 to Steps) {
+      parts += s"""p$t AS MATERIALIZED (
+          SELECT $src.*,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM $src CROSS JOIN beta${t - 1})"""
+      parts += s"""r$t AS MATERIALIZED (
+          SELECT *, 1.0 / (1.0 + exp(-eta)) AS mu FROM p$t)"""
+      parts += s"""s$t AS MATERIALIZED (
+          SELECT *, eta + (y - mu) / (mu * (1.0 - mu)) AS z FROM r$t)"""
+      val moments = for { i <- 0 to 4; j <- i to 5 } yield
+        s"SUM(CAST(mu * (1.0 - mu) * ${featSql(i)} * ${featSql(j)} AS DECIMAL(38,10))) AS m_${i}_$j"
+      parts += s"""m$t AS MATERIALIZED (
+          SELECT COUNT(*) AS n, ${moments.mkString(",\n                 ")}
+          FROM s$t)"""
+      val aInit = for { i <- 0 to 4; j <- 0 to 5 } yield {
+        val m = if (j == 5) s"m_${i}_5"
+        else s"m_${math.min(i, j)}_${math.max(i, j)}"
+        val base = s"CAST($m AS DOUBLE)"
+        s"${if (i == j) s"($base + $Lambda)" else base} AS a_${i}_$j"
+      }
+      parts += s"""a$t AS MATERIALIZED (
+          SELECT n, ${aInit.mkString(",\n                 ")} FROM m$t)"""
+      val (ctes, last) = RegressionQueries.programSql(
+        RegressionQueries.eliminationProgram(4), s"a$t", s"g${t}_")
+      parts += ctes
+      parts += s"""beta$t AS MATERIALIZED (
+          SELECT n, b_0, b_1, b_2, b_3, b_4 FROM $last)"""
+    }
+    (parts.result().mkString(",\n        "), s"beta$Steps")
+  }
+
+  // IMPORTANT: the Spark-side moment expression is (w · xᵢ) · xⱼ with
+  // w = μ·(1-μ) — the SQL above writes mu * (1.0 - mu) * xᵢ * xⱼ, the
+  // same left-association, so both engines run the identical IEEE ops.
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // FIT — the trained quality classifier's coefficients. Three IRLS
+    // rounds; each is one O(d²)-moment aggregate over the corpus (21
+    // decimal sums — map-side combined, shuffle O(1) in the corpus) and
+    // one driver-local generated-elimination solve on the collected
+    // 5×6 normal system. At 100 TB: 3 column-pruned scans, zero
+    // row-grain shuffles, O(d²) driver state — the q222 scale argument
+    // with a sigmoid in front.
+    "q263_logit_quality_fit" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, n) = irlsFit(rows)
+        import s.implicits._
+        Seq((n, beta(0), beta(1), beta(2), beta(3), beta(4)))
+          .toDF("n", "rb0", "rb1", "rb2", "rb3", "rb4")
+          .select(col("n"),
+            round(col("rb0"), 6).as("b0"), round(col("rb1"), 6).as("b1"),
+            round(col("rb2"), 6).as("b2"), round(col("rb3"), 6).as("b3"),
+            round(col("rb4"), 6).as("b4"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("f")
+        s"""
+        WITH $featuresSql,
+        $chain
+        SELECT n, ROUND(b_0, 6) AS b0, ROUND(b_1, 6) AS b1,
+               ROUND(b_2, 6) AS b2, ROUND(b_3, 6) AS b3, ROUND(b_4, 6) AS b4
+        FROM $betaF"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // APPLY — score every document with the fitted model: calibrated
+    // P(good) plus the hard decision. The decision is η ≥ 0 (exact
+    // arithmetic, no exp on the decision path); the probability is the
+    // sigmoid, rounded well above its 1-ulp cross-engine noise. At
+    // scale this is the map-only curation pass: broadcast 5 doubles,
+    // one projection over the corpus.
+    "q264_logit_quality_apply" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(rows)
+        val eta = etaCol(beta)
+        rows.select(
+          col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("p_good"),
+          (eta >= lit(0.0)).as("predicted_good"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("f")
+        s"""
+        WITH $featuresSql,
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF)
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-eta)), 6) AS p_good,
+               eta >= 0.0 AS predicted_good
+        FROM sc"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // HOLDOUT EVALUATION — fit on folds 0-3 (doc_id % 5 ≠ 4), score the
+    // unseen fold 4, and measure ranking quality as the Mann-Whitney
+    // AUC from integer midranks (the q241 doubling: 2·rank + ties − 1),
+    // ranked by η (monotone in μ, no exp near the ranks). The ranks
+    // ride RankSelect.withGroupRanks — even a single evaluation group
+    // never sorts in one task at scale.
+    "q265_logit_holdout_auc" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+        val scored = all.where(col("doc_id") % 5 === 4)
+          .select(col("y"), etaCol(beta).as("eta"), lit("holdout").as("g"))
+        val rk = RankSelect.withGroupRanks(scored, "g", "eta")
+          .withColumn("r2",
+            lit(2L) * col("__rk_rank") + col("__rk_ties") - lit(1L))
+        rk.groupBy(col("g")).agg(
+            sum(when(col("y") === 1.0, col("r2")).otherwise(lit(0L))).as("s2"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("p"),
+            sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+          .where(col("p") > 0 && col("nn") > 0)
+          .select(col("p").as("n_good"), col("nn").as("n_bad"),
+            round((col("s2") - col("p") * (col("p") + 1)).cast("double") /
+              (lit(2L) * col("p") * col("nn")).cast("double"), 6).as("auc"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4),
+        rk AS MATERIALIZED (
+          SELECT y, 2 * RANK() OVER (ORDER BY eta) +
+                 COUNT(*) OVER (PARTITION BY eta) - 1 AS r2
+          FROM sc),
+        mm AS MATERIALIZED (
+          SELECT CAST(SUM(CASE WHEN y = 1.0 THEN r2 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+          FROM rk)
+        SELECT p AS n_good, nn AS n_bad,
+               ROUND(CAST(s2 - p * (p + 1) AS DOUBLE) /
+                     CAST(2 * p * nn AS DOUBLE), 6) AS auc
+        FROM mm WHERE p > 0 AND nn > 0"""
+      }
+    )
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The IRLS logistic quality classifier (q263-q265): the trained model
+  * must reproduce the rule gate it distills on held-out documents, its
+  * probabilities must be calibrated-sane, and a perfectly separable toy
+  * corpus must stay finite through the η clamp (the case where naive
+  * IRLS diverges and the weight μ(1-μ) underflows to an exact 0).
+  */
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fit is sane and apply agrees with the rule gate on the real corpus (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val fit = graft.SparkEntry.queries("q263_logit_quality_fit")(spark, d).head()
+    assert(fit.getAs[Long]("n") === 500L)
+    for (i <- 0 to 4) {
+      val b = fit.getAs[Double](s"b$i")
+      assert(!b.isNaN && !b.isInfinite, s"b$i = $b")
+    }
+    val applied = graft.SparkEntry.queries("q264_logit_quality_apply")(spark, d)
+    val labels = graft.Tables.documents(spark, d).select(col("doc_id"),
+      when(TextFunctions.qualityScore(col("text")) >= 80, true).otherwise(false).as("label"))
+    val joined = applied.join(labels, "doc_id").collect()
+    assert(joined.length === 500)
+    joined.foreach { r =>
+      val p = r.getAs[Double]("p_good")
+      assert(p >= 0.0 && p <= 1.0)
+      // the hard decision is η ≥ 0 ⇔ p ≥ 0.5 (sigmoid monotone)
+      assert(r.getAs[Boolean]("predicted_good") === (p >= 0.5), s"doc ${r.get(0)}")
+    }
+    val acc = joined.count(r =>
+      r.getAs[Boolean]("predicted_good") == r.getAs[Boolean]("label")).toDouble / joined.length
+    assert(acc >= 0.85, s"train-set agreement with the rule gate = $acc")
+  }
+
+  test("holdout AUC separates good from bad docs (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val r = graft.SparkEntry.queries("q265_logit_holdout_auc")(spark, d).head()
+    assert(r.getAs[Long]("n_good") > 0 && r.getAs[Long]("n_bad") > 0)
+    val auc = r.getAs[Double]("auc")
+    assert(auc > 0.85 && auc <= 1.0, s"holdout AUC = $auc")
+  }
+
+  /** 20 docs, labels perfectly separable from the features: 10 long
+    * stopword-rich texts (quality 100) vs 10 short stop-free strings
+    * (quality 45). Naive unclamped IRLS would push μ to an exact 0/1
+    * here and poison z with 0/0; the clamp + ridge must keep every
+    * coefficient finite and classify the toy corpus perfectly.
+    */
+  private lazy val toyDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_logit_toy_").toString
+    val good = "the cat and the dog of the house is happy " // 43 chars, 4 stops
+    val docs = (0L until 20L).map { id =>
+      val text = if (id % 2 == 0) good * 6 else s"zz$id qq xx"
+      (id, text, "en", if (id < 10) "web" else "books", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("a perfectly separable toy corpus stays finite through the clamp") {
+    val fit = graft.SparkEntry.queries("q263_logit_quality_fit")(spark, toyDir).head()
+    for (i <- 0 to 4) {
+      val b = fit.getAs[Double](s"b$i")
+      assert(!b.isNaN && !b.isInfinite, s"b$i = $b")
+    }
+    val applied = graft.SparkEntry.queries("q264_logit_quality_apply")(spark, toyDir).collect()
+    assert(applied.length === 20)
+    applied.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("predicted_good") === (id % 2 == 0), s"doc $id")
+    }
+    val auc = graft.SparkEntry.queries("q265_logit_holdout_auc")(spark, toyDir).head()
+    assert(auc.getAs[Double]("auc") === 1.0)
+  }
+}
