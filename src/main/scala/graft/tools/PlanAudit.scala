@@ -631,6 +631,25 @@ object PlanAudit {
     Audit("q205_ols_score",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // logistic APPLY: scoring is a map-only projection over the feature
+    // frame (5 driver doubles folded into the expressions) — ANY
+    // exchange/join/window here means the curation pass stopped being
+    // embarrassingly parallel
+    Audit("q264_logit_quality_apply",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("Exchange", "Window", "CartesianProduct",
+        "SortMergeJoin", "BroadcastHashJoin")),
+    // logistic holdout AUC: the IRLS fit runs eagerly (O(d²) moment
+    // aggregates, audited via q204's shape); the returned eval plan
+    // ranks holdout scores through the RankSelect kernel. The single
+    // evaluation group is a LITERAL, which Catalyst constant-folds out
+    // of the window partition spec — so the floor is 1: the remaining
+    // partition column IS the score bucket (~n/1024 rows per task), and
+    // a fully-unpartitioned global rank sort would show 0 columns
+    Audit("q265_logit_holdout_auc",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
     // binary-quantized ANN: the tiny query side broadcasts through a
     // BNLJ Hamming scan (bit_count stays in codegen); the float
     // vectors are only touched in the 16-candidate rerank — no
