@@ -509,6 +509,333 @@ object TreeQueries extends QueryModule {
                 ORDER BY gain DESC, bin ASC) AS rk FROM g)
         WHERE rk = 1""")
 
+  // ------------------------------------------------------------------
+  // BOOSTED DEPTH-2 TREES (q266/q267) — q224's residual-decomposition
+  // composed with q255's leaf-conditional histograms: K rounds, each a
+  // leaf-wise depth-2 tree (root split + a split per root side = 4
+  // leaves). Round m conditions on the previous trees' leaf PARTITION:
+  // rows carry a base-4 pattern (one digit = one prior tree's leaf
+  // index), the histogram aggregates pattern-conditional decimal
+  // (count, Σy) columns, and residual sums assemble on the REDUCED
+  // O(features × bins) frame from the CONSTANT per-pattern offsets F_p
+  // — raw y decimal sums stay additive and order-independent, so both
+  // engines agree bit-for-bit. Shuffle per round is exactly TWO
+  // pattern-histogram passes (root, then both leaves side-by-side in
+  // ONE pass keyed (pattern, root-side)): O(features × bins × 4^round)
+  // reduced state, never a row-grain shuffle — the LightGBM shape at
+  // depth. A leaf that admits no valid split fails loudly (the q194
+  // BPE-trainer precedent: the gated corpus always splits; a static SQL
+  // oracle cannot mirror a structural fallback).
+
+  private val TreeRounds = 2
+
+  /** One trained depth-2 tree. Leaf index = rootBit·2 + subBit, so
+    * 3 = root-left/sub-left (value `llv`), 2 = root-left/sub-right
+    * (`lrv`), 1 = root-right/sub-left (`glv`), 0 = root-right/sub-right
+    * (`grv`). All values UNROUNDED — they parameterize later rounds.
+    */
+  private final case class Tree2(
+      rf: String, rthr: Int, rnl: Long, rnr: Long, rgain: Double,
+      rlm: Double, rrm: Double,
+      lf: String, lthr: Int, lnl: Long, lnr: Long, lgain: Double,
+      llv: Double, lrv: Double,
+      gf: String, gthr: Int, gnl: Long, gnr: Long, ggain: Double,
+      glv: Double, grv: Double)
+
+  private def tree2Val(t: Tree2, d: Int): Double = d match {
+    case 3 => t.llv
+    case 2 => t.lrv
+    case 1 => t.glv
+    case _ => t.grv
+  }
+
+  /** Prediction offset of base-4 leaf pattern `p` — driver-side fold,
+    * mirroring [[fp2Sql]] op for op.
+    */
+  private def fp2Val(p: Int, trees: Seq[Tree2], f0: Double): Double =
+    trees.zipWithIndex.foldLeft(f0) { case (acc, (t, j)) =>
+      acc + LearningRate * tree2Val(t, (p >> (2 * j)) & 3)
+    }
+
+  /** SQL of [[fp2Val]] over the 1-row tree CTEs tr/tl/tg{1..prev}. */
+  private def fp2Sql(p: Int, prevRounds: Int): String =
+    (1 to prevRounds).foldLeft("f0.v") { (acc, j) =>
+      val leaf = (p >> (2 * (j - 1))) & 3 match {
+        case 3 => s"tl$j.lv"
+        case 2 => s"tl$j.rv"
+        case 1 => s"tg$j.lv"
+        case _ => s"tg$j.rv"
+      }
+      s"($acc + $LearningRate * $leaf)"
+    }
+
+  /** `CASE <ref>.f WHEN 'discount' THEN bin_discount … END`. */
+  private def featCase2Sql(ref: String): String =
+    s"CASE $ref.f " +
+      features.map { case (n, _) => s"WHEN '$n' THEN bin_$n" }.mkString(" ") +
+      " END"
+
+  /** Base-4 leaf index of tree `j` for a row (SQL). */
+  private def leafIdxSql(j: Int): String = {
+    val rootBit = s"(CASE WHEN (${featCase2Sql(s"tr$j")}) <= tr$j.thr THEN 1 ELSE 0 END)"
+    val subBit = s"(CASE WHEN (${featCase2Sql(s"tr$j")}) <= tr$j.thr" +
+      s" THEN (CASE WHEN (${featCase2Sql(s"tl$j")}) <= tl$j.thr THEN 1 ELSE 0 END)" +
+      s" ELSE (CASE WHEN (${featCase2Sql(s"tg$j")}) <= tg$j.thr THEN 1 ELSE 0 END) END)"
+    s"($rootBit * 2 + $subBit)"
+  }
+
+  /** Base-4 leaf index of a trained tree for a row (Spark Column). */
+  private def leafIdxCol(t: Tree2): Column = {
+    val rootBit = when(col(s"bin_${t.rf}") <= t.rthr, 1).otherwise(0)
+    val subBit = when(col(s"bin_${t.rf}") <= t.rthr,
+      when(col(s"bin_${t.lf}") <= t.lthr, 1).otherwise(0))
+      .otherwise(when(col(s"bin_${t.gf}") <= t.gthr, 1).otherwise(0))
+    rootBit * lit(2) + subBit
+  }
+
+  /** Pattern-conditional prefix frame: (feature, bin) histogram with
+    * per-pattern (count, decimal Σy) columns, prefix-summed per feature
+    * — the shared substrate of both per-tree passes. One corpus scan;
+    * everything downstream is O(features × bins × nPats).
+    */
+  private def patternPrefix(rows: DataFrame, patCol: Column, nPats: Int): DataFrame = {
+    val stackArgs = features.map { case (n, _) => s"'$n', bin_$n" }.mkString(", ")
+    val long = rows.withColumn("pat", patCol)
+      .select(col("y"), col("pat"),
+        expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")))
+    val aggs = (0 until nPats).flatMap { p =>
+      Seq(
+        sum(when(col("pat") === p, 1L).otherwise(0L)).as(s"n_$p"),
+        sum(when(col("pat") === p, col("y").cast(dt))).as(s"sy_$p"))
+    }
+    val h = long.groupBy(col("feature"), col("bin")).agg(aggs.head, aggs.tail: _*)
+    val wPre = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+    val pCols = (0 until nPats).flatMap { p =>
+      Seq(
+        sum(col(s"n_$p")).over(wPre).as(s"nl_$p"),
+        sum(col(s"sy_$p")).over(wPre).as(s"syl_$p"),
+        sum(col(s"n_$p")).over(wAll).as(s"nt_$p"),
+        sum(col(s"sy_$p")).over(wAll).as(s"syt_$p"))
+    }
+    h.select(col("feature") +: col("bin") +: pCols: _*)
+  }
+
+  /** Residual argmax over a subset of a prefix frame's pattern columns:
+    * assemble Sl/St from the constant offsets `fp`, gain, global argmax
+    * (gain DESC, feature ASC, bin ASC). `nl > 0` drops bins before a
+    * side's first row (their 0/0 gain is NaN, which both engines sort
+    * FIRST under DESC — the one ordering where NaN is not inert).
+    */
+  private def residualArgmax(
+      pf: DataFrame, pats: Seq[Int], fp: Int => Double): Option[org.apache.spark.sql.Row] = {
+    def assemble(side: String): Column =
+      pats.map { p =>
+        coalesce(col(s"sy$side$p").cast("double"), lit(0.0)) -
+          col(s"n$side$p").cast("double") * lit(fp(p))
+      }.reduce(_ + _)
+    val nlSum = pats.map(p => col(s"nl_$p")).reduce(_ + _)
+    val ntSum = pats.map(p => col(s"nt_$p")).reduce(_ + _)
+    val a = pf.select(col("feature"), col("bin"),
+      nlSum.as("nl"), ntSum.as("nt"),
+      assemble("l_").as("sl"), assemble("t_").as("st"))
+    val g = a.where(col("nl") > 0 && col("nl") < col("nt")).select(
+      col("feature"), col("bin"), col("nl"),
+      (col("nt") - col("nl")).as("nr"),
+      col("sl"), (col("st") - col("sl")).as("sr"), col("st"),
+      col("nl").cast("double").as("nld"),
+      (col("nt") - col("nl")).cast("double").as("nrd"),
+      col("nt").cast("double").as("ntd"))
+    g.withColumn("gain", gainCols(
+        col("sl"), col("sr"), col("st"),
+        col("nld"), col("nrd"), col("ntd")))
+      .withColumn("slv", col("sl") / col("nld"))
+      .withColumn("srv", col("sr") / col("nrd"))
+      .orderBy(col("gain").desc, col("feature").asc, col("bin").asc)
+      .limit(1)
+      .collect().headOption
+  }
+
+  /** One boosted depth-2 round: root argmax over the pattern prefix
+    * frame, then BOTH leaf argmaxes off one (pattern, root-side)
+    * histogram pass — two corpus scans total, the q255 two-pass shape
+    * under boosting.
+    */
+  private def trainTree2(rows: DataFrame, trees: Seq[Tree2], f0: Double): Tree2 = {
+    val nPats = 1 << (2 * trees.size)
+    val patCol = trees.zipWithIndex
+      .map { case (t, j) => leafIdxCol(t) * lit(1 << (2 * j)) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    def fp(p: Int): Double = fp2Val(p, trees, f0)
+    val root = residualArgmax(patternPrefix(rows, patCol, nPats), 0 until nPats, fp)
+      .getOrElse(throw new IllegalArgumentException(
+        s"gbt2 round ${trees.size + 1}: no feature admits a valid root split"))
+    val (rf, rthr) = (root.getAs[String]("feature"), root.getAs[Int]("bin"))
+    // leaf pass: combined pattern' = pat·2 + rootBit; side offsets are
+    // the PREVIOUS trees' F_p (the current root contributes nothing to
+    // F — the whole 4-leaf tree fits this round's residual)
+    val rootBit = when(col(s"bin_$rf") <= rthr, 1).otherwise(0)
+    val pfB = patternPrefix(rows, patCol * lit(2) + rootBit, nPats * 2)
+    def leaf(side: Int, label: String) =
+      residualArgmax(pfB, (0 until nPats).map(p => 2 * p + side), q => fp(q >> 1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gbt2 round ${trees.size + 1}: the $label root side admits no valid split"))
+    val l = leaf(1, "left")
+    val r = leaf(0, "right")
+    Tree2(
+      rf, rthr, root.getAs[Long]("nl"), root.getAs[Long]("nr"),
+      root.getAs[Double]("gain"), root.getAs[Double]("slv"), root.getAs[Double]("srv"),
+      l.getAs[String]("feature"), l.getAs[Int]("bin"), l.getAs[Long]("nl"),
+      l.getAs[Long]("nr"), l.getAs[Double]("gain"), l.getAs[Double]("slv"),
+      l.getAs[Double]("srv"),
+      r.getAs[String]("feature"), r.getAs[Int]("bin"), r.getAs[Long]("nl"),
+      r.getAs[Long]("nr"), r.getAs[Double]("gain"), r.getAs[Double]("slv"),
+      r.getAs[Double]("srv"))
+  }
+
+  /** F0 = decimal-exact global mean, then TreeRounds boosted trees. */
+  private def trainModel2(s: SparkSession, d: String): (Double, Seq[Tree2]) = {
+    val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+    val f0 = rows
+      .agg((sum(col("y").cast(dt)).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+      .head().getDouble(0)
+    val trees = (1 to TreeRounds).foldLeft(Seq.empty[Tree2]) { (acc, _) =>
+      acc :+ trainTree2(rows, acc, f0)
+    }
+    (f0, trees)
+  }
+
+  /** The q266/q267 oracle WITH-body: rows + f0, then per round m the
+    * pattern rows, root-pass CTEs (long form → histogram → prefix →
+    * assemble → gain → 1-row argmax tr$m) and the side-by-side leaf
+    * pass (pat·2 + rootBit → same pipeline → tl$m / tg$m) — the very op
+    * sequence [[trainTree2]] executes, level-batched MATERIALIZED.
+    */
+  private def gbt2CtesSql: String = {
+    val sb = new StringBuilder
+    sb ++= rowsSql
+    sb ++= s""",
+        f0 AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS v FROM r)"""
+    for (m <- 1 to TreeRounds) {
+      val prev = m - 1
+      val nPats = 1 << (2 * prev)
+      val joins = (1 to prev)
+        .map(j => s" CROSS JOIN tr$j CROSS JOIN tl$j CROSS JOIN tg$j").mkString
+      val patExpr =
+        if (prev == 0) "0"
+        else (1 to prev).map(j => s"${leafIdxSql(j)} * ${1 << (2 * (j - 1))}").mkString(" + ")
+      def histCols(np: Int) = (0 until np).flatMap { p =>
+        Seq(
+          s"SUM(CASE WHEN pat = $p THEN 1 ELSE 0 END) AS n_$p",
+          s"SUM(CASE WHEN pat = $p THEN CAST(y AS DECIMAL(38,10)) END) AS sy_$p")
+      }.mkString(",\n                 ")
+      def preCols(np: Int) = (0 until np).flatMap { p =>
+        Seq(
+          s"SUM(n_$p) OVER w AS nl_$p",
+          s"SUM(sy_$p) OVER w AS syl_$p",
+          s"SUM(n_$p) OVER (PARTITION BY feature) AS nt_$p",
+          s"SUM(sy_$p) OVER (PARTITION BY feature) AS syt_$p")
+      }.mkString(",\n                 ")
+      def assembleSql(side: String, pats: Seq[Int], fpOf: Int => String): String =
+        pats.map { p =>
+          s"(COALESCE(CAST(p.sy$side$p AS DOUBLE), 0.0) - " +
+            s"CAST(p.n$side$p AS DOUBLE) * ${fpOf(p)})"
+        }.mkString(" + ")
+      // one gain+argmax tail over an assembled frame, emitting a 1-row
+      // split CTE named `out`
+      def argmaxSql(aCte: String, out: String): String = s""",
+        g$out AS MATERIALIZED (
+          SELECT feature, bin, nl, nt - nl AS nr, sl, st - sl AS sr, st,
+                 CAST(nl AS DOUBLE) AS nld,
+                 CAST(nt - nl AS DOUBLE) AS nrd,
+                 CAST(nt AS DOUBLE) AS ntd
+          FROM $aCte WHERE nl > 0 AND nl < nt),
+        $out AS MATERIALIZED (
+          SELECT feature AS f, bin AS thr, nl, nr,
+                 ${gainSql("sl", "sr", "st", "nld", "nrd", "ntd")} AS gain,
+                 sl / nld AS lv, sr / nrd AS rv
+          FROM g$out ORDER BY gain DESC, feature ASC, bin ASC LIMIT 1)"""
+      def longSql(src: String, patRef: String) = features
+        .map { case (n, _) =>
+          s"SELECT '$n' AS feature, bin_$n AS bin, y, $patRef AS pat FROM $src" }
+        .mkString("\n          UNION ALL ")
+      val rootPats = 0 until nPats
+      val nlSumA = rootPats.map(p => s"p.nl_$p").mkString(" + ")
+      val ntSumA = rootPats.map(p => s"p.nt_$p").mkString(" + ")
+      sb ++= s""",
+        rA$m AS MATERIALIZED (
+          SELECT r.*, $patExpr AS pat FROM r$joins),
+        fA$m AS MATERIALIZED (
+          ${longSql(s"rA$m", "pat")}),
+        hA$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 ${histCols(nPats)}
+          FROM fA$m GROUP BY feature, bin),
+        pA$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 ${preCols(nPats)}
+          FROM hA$m
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        aA$m AS MATERIALIZED (
+          SELECT p.feature, p.bin,
+                 ($nlSumA) AS nl, ($ntSumA) AS nt,
+                 ${assembleSql("l_", rootPats, fp2Sql(_, prev))} AS sl,
+                 ${assembleSql("t_", rootPats, fp2Sql(_, prev))} AS st
+          FROM pA$m p CROSS JOIN f0$joins)${argmaxSql(s"aA$m", s"tr$m")}"""
+      val sidePats = (side: Int) => (0 until nPats).map(p => 2 * p + side)
+      val nlSumL = sidePats(1).map(p => s"p.nl_$p").mkString(" + ")
+      val ntSumL = sidePats(1).map(p => s"p.nt_$p").mkString(" + ")
+      val nlSumR = sidePats(0).map(p => s"p.nl_$p").mkString(" + ")
+      val ntSumR = sidePats(0).map(p => s"p.nt_$p").mkString(" + ")
+      sb ++= s""",
+        rB$m AS MATERIALIZED (
+          SELECT rA$m.*, pat * 2 +
+                 (CASE WHEN (${featCase2Sql(s"tr$m")}) <= tr$m.thr
+                       THEN 1 ELSE 0 END) AS pat2
+          FROM rA$m CROSS JOIN tr$m),
+        fB$m AS MATERIALIZED (
+          ${longSql(s"rB$m", "pat2")}),
+        hB$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 ${histCols(2 * nPats)}
+          FROM fB$m GROUP BY feature, bin),
+        pB$m AS MATERIALIZED (
+          SELECT feature, bin,
+                 ${preCols(2 * nPats)}
+          FROM hB$m
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        aL$m AS MATERIALIZED (
+          SELECT p.feature, p.bin,
+                 ($nlSumL) AS nl, ($ntSumL) AS nt,
+                 ${assembleSql("l_", sidePats(1), q => fp2Sql(q >> 1, prev))} AS sl,
+                 ${assembleSql("t_", sidePats(1), q => fp2Sql(q >> 1, prev))} AS st
+          FROM pB$m p CROSS JOIN f0$joins)${argmaxSql(s"aL$m", s"tl$m")},
+        aR$m AS MATERIALIZED (
+          SELECT p.feature, p.bin,
+                 ($nlSumR) AS nl, ($ntSumR) AS nt,
+                 ${assembleSql("l_", sidePats(0), q => fp2Sql(q >> 1, prev))} AS sl,
+                 ${assembleSql("t_", sidePats(0), q => fp2Sql(q >> 1, prev))} AS st
+          FROM pB$m p CROSS JOIN f0$joins)${argmaxSql(s"aR$m", s"tg$m")}"""
+    }
+    sb.result()
+  }
+
+  /** Per-row additive depth-2 prediction (SQL) — mirrors the Spark-side
+    * literal fold in q267 op for op.
+    */
+  private def pred2Sql: String =
+    (1 to TreeRounds).foldLeft("f0.v") { (acc, j) =>
+      s"($acc + $LearningRate * (CASE WHEN (${featCase2Sql(s"tr$j")}) <= tr$j.thr" +
+        s" THEN (CASE WHEN (${featCase2Sql(s"tl$j")}) <= tl$j.thr THEN tl$j.lv ELSE tl$j.rv END)" +
+        s" ELSE (CASE WHEN (${featCase2Sql(s"tg$j")}) <= tg$j.thr THEN tg$j.lv ELSE tg$j.rv END) END))"
+    }
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -672,6 +999,73 @@ object TreeQueries extends QueryModule {
     // pure map stage: the model rides the plan as literals (no join at
     // all — stricter than broadcast) and a 100 TB scoring pass shuffles
     // NOTHING. Row-grain output gates the whole train→apply pipeline.
+    "q266_gbt_depth2_train" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (_, trees) = trainModel2(s, d)
+        trees.zipWithIndex.flatMap { case (t, i) =>
+          Seq(
+            (i + 1, "root", t.rf, t.rthr, t.rnl, t.rnr, t.rgain, t.rlm, t.rrm),
+            (i + 1, "left", t.lf, t.lthr, t.lnl, t.lnr, t.lgain, t.llv, t.lrv),
+            (i + 1, "right", t.gf, t.gthr, t.gnl, t.gnr, t.ggain, t.glv, t.grv))
+        }
+          .toDF("round", "node", "feature", "thr", "n_left", "n_right",
+            "rgain", "rlv", "rrv")
+          .select(col("round"), col("node"), col("feature"), col("thr"),
+            col("n_left"), col("n_right"),
+            round(col("rgain"), 6).as("gain"),
+            round(col("rlv"), 6).as("left_val"),
+            round(col("rrv"), 6).as("right_val"))
+      },
+      oracle = Some {
+        val rows = (1 to TreeRounds).flatMap { m =>
+          Seq(
+            s"SELECT $m AS round, 'root' AS node, * FROM tr$m",
+            s"SELECT $m AS round, 'left' AS node, * FROM tl$m",
+            s"SELECT $m AS round, 'right' AS node, * FROM tg$m")
+        }
+        s"""
+        WITH $gbt2CtesSql
+        SELECT round, node, f AS feature, CAST(thr AS INT) AS thr,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               ROUND(gain, 6) AS gain,
+               ROUND(lv, 6) AS left_val, ROUND(rv, 6) AS right_val
+        FROM (${rows.mkString("\n              UNION ALL ")})"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // BOOSTED DEPTH-2 APPLY — score every row with the 2-round additive
+    // depth-2 model. Like q225 the model rides the plan as literals (8
+    // leaf values + 6 split constants), so a 100 TB scoring pass is a
+    // pure map stage shuffling nothing; row-grain output gates the
+    // whole train→apply pipeline.
+    "q267_gbt_depth2_score" -> QueryDef(
+      fn = (s, d) => {
+        val (f0, trees) = trainModel2(s, d)
+        val pred = trees.foldLeft[Column](lit(f0)) { (acc, t) =>
+          acc + lit(LearningRate) *
+            when(col(s"bin_${t.rf}") <= t.rthr,
+              when(col(s"bin_${t.lf}") <= t.lthr, lit(t.llv)).otherwise(lit(t.lrv)))
+              .otherwise(
+                when(col(s"bin_${t.gf}") <= t.gthr, lit(t.glv)).otherwise(lit(t.grv)))
+        }
+        obsRows(s, d).select(
+          col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+          round(pred, 6).as("pred"),
+          round(col("y") - pred, 6).as("resid"))
+      },
+      oracle = Some(s"""
+        WITH $gbt2CtesSql,
+        scored AS MATERIALIZED (
+          SELECT r.k, r.ln, r.y, $pred2Sql AS pred
+          FROM r CROSS JOIN f0${(1 to TreeRounds)
+            .map(j => s" CROSS JOIN tr$j CROSS JOIN tl$j CROSS JOIN tg$j").mkString})
+        SELECT k AS l_orderkey, ln AS l_linenumber,
+               ROUND(pred, 6) AS pred, ROUND(y - pred, 6) AS resid
+        FROM scored""")
+    ),
+
     "q225_gbdt_score" -> QueryDef(
       fn = (s, d) => {
         val (f0, stumps) = trainModel(s, d)

@@ -124,6 +124,58 @@ class TreeSpec extends AnyFunSuite {
     d
   }
 
+  /** Boosted depth-2 hand-trace on the q255 fixture. By hand: f0 =
+    * (4·10 + 4·20 + 4·100 + 4·140)/16 = 67.5. Round-1 residuals are
+    * y − 67.5 ⇒ the same splits as q255 (gain is shift-invariant) with
+    * residual leaf values (−57.5, −47.5, 32.5, 72.5). With lr = 0.5 and
+    * an identical round-2 structure, every residual — and therefore
+    * every gain (quadratic) and leaf value (linear) — halves per round:
+    * round-2 gains are ¼ of round 1, leaf values ½.
+    */
+  test("q266: two boosted depth-2 trees — same structure, quarter gains, halved leaf values") {
+    val rows = graft.SparkEntry.queries("q266_gbt_depth2_train")(spark, dir2)
+      .collect().map(r => (r.getAs[Int]("round"), r.getAs[String]("node")) -> r).toMap
+    assert(rows.keySet === Set(1 -> "root", 1 -> "left", 1 -> "right",
+      2 -> "root", 2 -> "left", 2 -> "right"))
+    for (m <- 1 to 2) {
+      val sc = math.pow(2.0, 1 - m) // residual scale: 1, then 1/2
+      val root = rows(m -> "root")
+      assert(root.getAs[String]("feature") === "size")
+      assert(root.getAs[Int]("thr") === 2)
+      assert(root.getAs[Long]("n_left") === 8L && root.getAs[Long]("n_right") === 8L)
+      assert(root.getAs[Double]("gain") === 44100.0 * sc * sc)
+      assert(root.getAs[Double]("left_val") === -52.5 * sc)
+      assert(root.getAs[Double]("right_val") === 52.5 * sc)
+      val l = rows(m -> "left")
+      assert(l.getAs[String]("feature") === "discount")
+      assert(l.getAs[Int]("thr") === 0)
+      assert(l.getAs[Long]("n_left") === 4L && l.getAs[Long]("n_right") === 4L)
+      assert(l.getAs[Double]("gain") === 200.0 * sc * sc)
+      assert(l.getAs[Double]("left_val") === -57.5 * sc)
+      assert(l.getAs[Double]("right_val") === -47.5 * sc)
+      val r = rows(m -> "right")
+      assert(r.getAs[String]("feature") === "discount")
+      assert(r.getAs[Int]("thr") === 0)
+      assert(r.getAs[Double]("gain") === 3200.0 * sc * sc)
+      assert(r.getAs[Double]("left_val") === 32.5 * sc)
+      assert(r.getAs[Double]("right_val") === 72.5 * sc)
+    }
+  }
+
+  test("q267: after 2 depth-2 rounds every residual is the quarter tail") {
+    // identical structure per round + lr ½ ⇒ resid = r0·(1−½)² = r0/4
+    val got = graft.SparkEntry.queries("q267_gbt_depth2_score")(spark, dir2)
+      .collect()
+    assert(got.length === 16)
+    got.foreach { r =>
+      val pred = r.getAs[Double]("pred")
+      val resid = r.getAs[Double]("resid")
+      val r0 = Map(10.0 -> -57.5, 20.0 -> -47.5, 100.0 -> 32.5, 140.0 -> 72.5)
+      val y = pred + resid
+      assert(resid === r0(y) / 4.0, s"y = $y")
+    }
+  }
+
   test("q255: depth-2 leaf-wise growth — root on size, both leaves on discount") {
     val got = graft.SparkEntry.queries("q255_tree_depth2")(spark, dir2)
       .collect().map(r => r.getAs[String]("node") -> r).toMap
