@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   * the general machinery — Huffman AC paths, runs, ZRL — in the spec).
   *
   * Supported subset (everything else quarantines, never misdecodes):
-  * 8-bit precision, single component, no subsampling (1×1), no restart
-  * intervals, dimensions multiple of 8. Progressive (SOF2), arithmetic
-  * (SOF9+), and multi-component frames are rejected at the SOF marker.
+  * 8-bit precision, no restart intervals; grayscale single-component
+  * 1×1 frames via [[parseJpegGray]] (dimensions multiple of 8), and
+  * 3-component YCbCr 4:2:0 frames — sampling exactly (2×2, 1×1, 1×1),
+  * up to four quant/Huffman tables, MCU-interleaved scan — via
+  * [[parseJpegColor]] (dimensions multiple of 16). Progressive (SOF2),
+  * arithmetic (SOF9+), and other sampling layouts are rejected at the
+  * SOF marker. The constant-tile exactness contract extends to color
+  * per component: chroma is constant per MCU, so all six blocks of
+  * every MCU are DC-only and quantize losslessly.
   */
 object JpegCodec {
 
@@ -174,6 +180,87 @@ object JpegCodec {
       blk
     }
     encodeJpegFromCoeffs(w, h, blocks)
+  }
+
+  /** Encode a 3-component YCbCr 4:2:0 baseline JPEG from constant
+    * tiles: luma tile (tx, ty) at 8×8 grain, chroma tiles (mx, my) at
+    * MCU (16×16 luma) grain — each chroma 8×8 block covers one MCU, so
+    * every block of every component is DC-only and quantizes
+    * losslessly (the grayscale exactness argument per component). The
+    * wire format is the full production layout: two DQTs (luma 0,
+    * chroma 1), SOF0 with sampling 2×2/1×1/1×1, four DHTs (DC/AC ×
+    * luma/chroma), and MCU-interleaved entropy data (4 Y blocks
+    * row-major, then Cb, then Cr) with per-component DC predictors.
+    */
+  private[sources] def encodeJpegColor(
+      w: Int, h: Int,
+      yTile: (Int, Int) => Int,
+      cbTile: (Int, Int) => Int,
+      crTile: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0, s"dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 2 * 65) // DQT: tables 0 (luma) and 1 (chroma)
+    for (tq <- 0 to 1) {
+      out.write(tq) // Pq=0
+      var zi = 0
+      while (zi < 64) { out.write(Quant(Zigzag(zi))); zi += 1 }
+    }
+    marker(0xC0); u16(8 + 3 * 3) // SOF0, 3 components
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2, quant 0
+    out.write(2); out.write(0x11); out.write(1) // Cb: 1x1, quant 1
+    out.write(3); out.write(0x11); out.write(1) // Cr: 1x1, quant 1
+    def dht(clazz: Int, th: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + symbols.length); out.write((clazz << 4) | th)
+      counts.foreach(out.write); symbols.foreach(out.write)
+    }
+    dht(0, 0, DcCounts, DcSymbols); dht(1, 0, AcCounts, AcSymbols)
+    dht(0, 1, DcCounts, DcSymbols); dht(1, 1, AcCounts, AcSymbols)
+    marker(0xDA); u16(6 + 2 * 3) // SOS, 3 components
+    out.write(3)
+    out.write(1); out.write(0x00) // Y: DC/AC tables 0
+    out.write(2); out.write(0x11) // Cb: tables 1
+    out.write(3); out.write(0x11) // Cr: tables 1
+    out.write(0); out.write(63); out.write(0)
+    val dcC = canonicalCodes(DcCounts, DcSymbols)
+    val acC = canonicalCodes(AcCounts, AcSymbols)
+    val bw = new BitWriter(out)
+    def amp(v: Int, s: Int): Int = if (v < 0) v + (1 << s) - 1 else v
+    val pred = new Array[Int](3)
+    def dcOnlyBlock(ci: Int, dcQ: Int): Unit = {
+      val diff = dcQ - pred(ci)
+      pred(ci) = dcQ
+      val s = category(diff)
+      val (c, l) = dcC(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(amp(diff, s), s)
+      val (ec, el) = acC(0x00)
+      bw.put(ec, el) // EOB straight away: DC-only
+    }
+    var my = 0
+    while (my < h / 16) {
+      var mx = 0
+      while (mx < w / 16) {
+        // T.81 interleave: the component's data units left-to-right,
+        // top-to-bottom inside the MCU, components in frame order
+        var v = 0
+        while (v < 2) {
+          var u = 0
+          while (u < 2) { dcOnlyBlock(0, yTile(2 * mx + u, 2 * my + v) - 128); u += 1 }
+          v += 1
+        }
+        dcOnlyBlock(1, cbTile(mx, my) - 128)
+        dcOnlyBlock(2, crTile(mx, my) - 128)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------
@@ -440,6 +527,206 @@ object JpegCodec {
     (width, height, px)
   }
 
+  /** Parse a baseline 3-component YCbCr 4:2:0 JPEG → (width, height,
+    * luma plane at full resolution, Cb and Cr planes at half
+    * resolution, all top-down row-major, values 0..255). The color
+    * counterpart of [[parseJpegGray]]: full marker walk with up to four
+    * quant tables and four Huffman tables (class × id), per-component
+    * table selection from SOF/SOS, MCU-interleaved entropy decoding
+    * with independent DC predictors. Every malformation — truncation
+    * anywhere, mismatched sampling factors, bad table ids — throws
+    * IllegalArgumentException (the quarantine lane's contract).
+    * Supported subset: 8-bit, exactly (2×2, 1×1, 1×1) sampling, no
+    * restart intervals, dimensions multiple of 16.
+    */
+  private[sources] def parseJpegColor(
+      b: Array[Byte]): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    require(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
+      "not a JPEG payload (missing SOI)")
+    var pos = 2
+    def u16(p: Int): Int = {
+      require(p + 1 < b.length, s"truncated at offset $p")
+      ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    }
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = -1
+    var height = -1
+    val compQ = new Array[Int](3)
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 1 < b.length, s"truncated marker stream at offset $pos")
+      require((b(pos) & 0xFF) == 0xFF, f"expected marker at offset $pos")
+      val m = b(pos + 1) & 0xFF
+      pos += 2
+      m match {
+        case 0xD8 =>
+          throw new IllegalArgumentException("unexpected second SOI")
+        case mm if mm >= 0xE0 && mm <= 0xEF => pos += u16(pos) // APPn
+        case 0xFE => pos += u16(pos)                            // COM
+        case 0xDB =>
+          val end = pos + u16(pos)
+          require(end <= b.length, "truncated DQT segment")
+          var p = pos + 2
+          while (p < end) {
+            require((b(p) & 0xF0) == 0, "only 8-bit quant tables supported")
+            require(end - p >= 65, "truncated DQT")
+            val tq = b(p) & 0x0F
+            require(tq < 4, s"bad quant table id $tq")
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(Zigzag(i)) = b(p + 1 + i) & 0xFF; i += 1 }
+            quant(tq) = q
+            p += 65
+          }
+          pos = end
+        case 0xC0 =>
+          val end = pos + u16(pos)
+          require(end <= b.length && end - pos >= 17, "truncated SOF0 segment")
+          require((b(pos + 2) & 0xFF) == 8, "only 8-bit precision supported")
+          height = u16(pos + 3)
+          width = u16(pos + 5)
+          require((b(pos + 7) & 0xFF) == 3, "color decoder requires 3 components")
+          for (ci <- 0 until 3) {
+            val o = pos + 8 + 3 * ci
+            require((b(o) & 0xFF) == ci + 1, "component ids must be 1,2,3")
+            val samp = b(o + 1) & 0xFF
+            val want = if (ci == 0) 0x22 else 0x11
+            require(samp == want,
+              f"unsupported sampling factors 0x$samp%02X on component ${ci + 1} " +
+                "(YCbCr 4:2:0 = 2x2,1x1,1x1 only)")
+            compQ(ci) = b(o + 2) & 0x0F
+          }
+          require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
+            s"unsupported dimensions ${width}x$height (multiples of 16 only)")
+          pos = end
+        case mm if (mm >= 0xC1 && mm <= 0xCF) && mm != 0xC4 && mm != 0xC8 =>
+          throw new IllegalArgumentException(
+            f"unsupported frame type 0xFF$mm%02X (baseline SOF0 only)")
+        case 0xC4 =>
+          val end = pos + u16(pos)
+          require(end <= b.length, "truncated DHT segment")
+          var p = pos + 2
+          while (p < end) {
+            require(end - p >= 17, "truncated DHT")
+            val tc = (b(p) >> 4) & 0x0F
+            val th = b(p) & 0x0F
+            require(tc <= 1 && th < 4, s"bad DHT table spec (class $tc, id $th)")
+            val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+            val n = counts.sum
+            require(end - p >= 17 + n, "truncated DHT symbols")
+            val symbols = Array.tabulate(n)(i => b(p + 17 + i) & 0xFF)
+            val t = new HuffTable(counts, symbols)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + n
+          }
+          pos = end
+        case 0xDD =>
+          throw new IllegalArgumentException("restart intervals (DRI) unsupported")
+        case 0xDA =>
+          val end = pos + u16(pos)
+          require(end <= b.length && end - pos >= 12, "truncated SOS segment")
+          require((b(pos + 2) & 0xFF) == 3, "SOS must reference 3 components")
+          compDc = new Array[Int](3)
+          compAc = new Array[Int](3)
+          for (ci <- 0 until 3) {
+            val o = pos + 3 + 2 * ci
+            require((b(o) & 0xFF) == ci + 1, "SOS component ids must be 1,2,3")
+            compDc(ci) = (b(o + 1) >> 4) & 0x0F
+            compAc(ci) = b(o + 1) & 0x0F
+          }
+          require((b(pos + 9) & 0xFF) == 0 && (b(pos + 10) & 0xFF) == 63,
+            "spectral selection must be 0..63 (baseline)")
+          sosAt = end
+        case other =>
+          throw new IllegalArgumentException(f"unexpected marker 0xFF$other%02X")
+      }
+    }
+    require(width > 0, "missing SOF0")
+    for (ci <- 0 until 3) {
+      require(quant(compQ(ci)) != null, s"missing DQT for component ${ci + 1}")
+      require(dcTabs(compDc(ci)) != null && acTabs(compAc(ci)) != null,
+        s"missing DHT for component ${ci + 1}")
+    }
+    val mcusX = width / 16
+    val mcusY = height / 16
+    // allocation guard (the q261/PNG lesson): each MCU consumes ≥ 60
+    // bits (6 blocks × shortest DC code 4 + EOB 6), bounding the
+    // claimed MCU count by the payload's bit budget before any pixel
+    // array is allocated
+    require(mcusX.toLong * mcusY <= 8L * b.length / 60 + 1,
+      s"claimed dimensions ${width}x$height exceed what the " +
+        s"${b.length}-byte payload could encode")
+    val yP = new Array[Int](width * height)
+    val cw = width / 2
+    val chh = height / 2
+    val cbP = new Array[Int](cw * chh)
+    val crP = new Array[Int](cw * chh)
+    val br = new BitReader(b, sosAt)
+    val dcPred = new Array[Int](3)
+    def decodeBlock(ci: Int): Array[Int] = {
+      val q = quant(compQ(ci))
+      val coef = new Array[Int](64)
+      val s0 = dcTabs(compDc(ci)).decode(br)
+      require(s0 <= 11, s"bad DC category $s0")
+      dcPred(ci) += extend(br.bits(s0), s0)
+      coef(0) = dcPred(ci) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acTabs(compAc(ci)).decode(br)
+        val r = (rs >> 4) & 0x0F
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (r == 15) k += 16
+          else if (r == 0) eob = true
+          else throw new IllegalArgumentException(f"bad AC symbol 0x$rs%02X")
+        } else {
+          k += r
+          require(k < 64, "AC run overflows the block")
+          coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
+          k += 1
+        }
+      }
+      idct8x8(coef)
+    }
+    def place(plane: Array[Int], pw: Int, bx: Int, by: Int, blk: Array[Int]): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { plane((by * 8 + y) * pw + bx * 8 + x) = blk(y * 8 + x); x += 1 }
+        y += 1
+      }
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < 2) {
+          var u = 0
+          while (u < 2) { place(yP, width, 2 * mx + u, 2 * my + v, decodeBlock(0)); u += 1 }
+          v += 1
+        }
+        place(cbP, cw, mx, my, decodeBlock(1))
+        place(crP, cw, mx, my, decodeBlock(2))
+        mx += 1
+      }
+      my += 1
+    }
+    br.align()
+    var p = br.pos
+    require(p < b.length, "missing EOI")
+    while (p + 1 < b.length && (b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) == 0xFF)
+      p += 1
+    require(p + 1 < b.length && (b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) == 0xD9,
+      "missing EOI after entropy data")
+    (width, height, yP, cbP, crP)
+  }
+
   // ------------------------------------------------------------------
   // CORPUS + HASH LANE (q261)
 
@@ -478,6 +765,79 @@ object JpegCodec {
   final case class JpegHashed(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long], phash: Option[Int])
+
+  /** One YCbCr 4:2:0 color JPEG per document: w = 16·(1 + id%2), h =
+    * 16·(1 + id%3); luma tile (tx, ty) value (id·5 + 7tx + 11ty) % 256
+    * (the q261 formula at the same 8×8 grain), chroma constant per MCU:
+    * Cb = (id·7 + 13mx + 3my) % 256, Cr = (id·11 + 5mx + 17my) % 256 —
+    * all DC-only, so the decode is exact per component and the oracle
+    * replays every plane in closed form. Documents with doc_id % 37 ==
+    * 0 ship CORRUPT payloads — alternately truncated mid-header and
+    * rewritten to 2×1 luma sampling (4:2:2 — a REAL layout this decoder
+    * does not support and must refuse, the round-10 verdict's
+    * "mismatched sampling factors" quarantine fixture).
+    */
+  def jpegColorTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 16 * (1 + id % 2).toInt
+      val h = 16 * (1 + id % 3).toInt
+      val bytes = encodeJpegColor(w, h,
+        (tx, ty) => ((id * 5 + 7L * tx + 11L * ty) % 256).toInt,
+        (mx, my) => ((id * 7 + 13L * mx + 3L * my) % 256).toInt,
+        (mx, my) => ((id * 11 + 5L * mx + 17L * my) % 256).toInt)
+      val payload =
+        if (id % 37 != 0) bytes
+        else if ((id / 37) % 2 == 0) java.util.Arrays.copyOf(bytes, 12) // truncated mid-DQT
+        else {
+          val c = bytes.clone()
+          // Y sampling byte: SOI(2) + DQT(2+2+2·65) + SOF0 marker/len/
+          // precision/h/w/nc (10) + component id (1)
+          val sampAt = 2 + 134 + 2 + 2 + 1 + 2 + 2 + 1 + 1
+          require((c(sampAt) & 0xFF) == 0x22)
+          c(sampAt) = 0x21.toByte // 4:2:2 — real, unsupported, must refuse
+          c
+        }
+      MediaRecord(id, payload, "image/jpeg", payload.length.toLong)
+    }
+  }
+
+  final case class JpegColorStats(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long], phash: Option[Int],
+      cb_sum: Option[Long], cr_sum: Option[Long])
+
+  /** Color decode with quarantine: luma aHash (pixels packed r=g=b, the
+    * q261 convention — luminance 4·Y, monotone so block comparisons are
+    * unchanged) plus exact Cb/Cr plane sums at chroma resolution, the
+    * integer-exact color statistics the closed-form oracle can replay.
+    */
+  def jpegColorStats(media: Dataset[MediaRecord]): Dataset[JpegColorStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val (w, h, yP, cbP, crP) = parseJpegColor(m.content)
+          val px = new Array[Int](yP.length)
+          var i = 0
+          while (i < px.length) {
+            val g = yP(i)
+            px(i) = (g << 16) | (g << 8) | g
+            i += 1
+          }
+          var cb = 0L
+          var cr = 0L
+          i = 0
+          while (i < cbP.length) { cb += cbP(i); cr += crP(i); i += 1 }
+          JpegColorStats(m.doc_id, "ok", Some(w.toLong), Some(h.toLong),
+            Some(Multimodal.aHashFromPixels(w, h, px)), Some(cb), Some(cr))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            JpegColorStats(m.doc_id, "quarantined", None, None, None, None, None)
+        }
+      }
+    }
+  }
 
   /** JPEG aHash with quarantine — the q195 contract at the JPEG
     * boundary: corrupt bytes are data, not exceptions. Gray pixels pack

@@ -1081,6 +1081,64 @@ object Multimodal extends QueryModule {
         FROM documents WHERE doc_id % 43 = 0"""),
     ),
 
+    // COLOR JPEG DECODE (YCbCr 4:2:0) + QUARANTINE — q261's 3-component
+    // twin: real production wire format (two DQTs, four DHTs, SOF0 with
+    // 2x2/1x1/1x1 sampling, MCU-interleaved entropy data with
+    // per-component DC predictors), decoded by the hand-rolled
+    // parseJpegColor. Constant chroma per MCU keeps every block of
+    // every component DC-only, so the decode is bit-exact and the
+    // oracle replays the luma aHash AND the exact chroma plane sums in
+    // closed form. Corrupt slice (doc_id % 37 == 0 — alternately
+    // truncated and rewritten to unsupported 4:2:2 sampling) must
+    // quarantine. Scale: one decode map pass, no shuffle at all.
+    "q268_jpeg_color_decode" -> QueryDef(
+      fn = (s, d) =>
+        JpegCodec.jpegColorStats(JpegCodec.jpegColorTable(s, d)).toDF()
+          .select(col("doc_id"), col("status"), col("width"), col("height"),
+            col("phash"), col("cb_sum"), col("cr_sum")),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h
+          FROM documents WHERE doc_id % 37 <> 0),
+        xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        pxg AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        lums AS (
+          SELECT doc_id, w, h,
+                 (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 4 * ((doc_id * 5 + 7 * (x // 8) + 11 * (y // 8)) % 256) AS lum
+          FROM pxg),
+        blocks AS (
+          SELECT doc_id, w, h, bi,
+                 CAST(SUM(lum) AS BIGINT) AS bs, COUNT(*) AS bn
+          FROM lums GROUP BY doc_id, w, h, bi),
+        tot AS (
+          SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bn) AS BIGINT) AS n
+          FROM blocks GROUP BY doc_id),
+        hashes AS (
+          SELECT b.doc_id, b.w, b.h,
+                 CAST(SUM(CASE WHEN b.bs * t.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS phash
+          FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id, b.w, b.h),
+        mg AS (SELECT doc_id, w, h, unnest(range(0, w // 16)) AS mx FROM d),
+        mgy AS (SELECT doc_id, mx, unnest(range(0, h // 16)) AS my FROM mg),
+        ch AS (
+          SELECT doc_id,
+                 CAST(SUM(((doc_id * 7 + 13 * mx + 3 * my) % 256) * 64) AS BIGINT) AS cb_sum,
+                 CAST(SUM(((doc_id * 11 + 5 * mx + 17 * my) % 256) * 64) AS BIGINT) AS cr_sum
+          FROM mgy GROUP BY doc_id)
+        SELECT hs.doc_id, 'ok' AS status,
+               CAST(hs.w AS BIGINT) AS width, CAST(hs.h AS BIGINT) AS height,
+               hs.phash, ch.cb_sum, ch.cr_sum
+        FROM hashes hs JOIN ch ON ch.doc_id = hs.doc_id
+        UNION ALL
+        SELECT doc_id, 'quarantined' AS status,
+               CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+               CAST(NULL AS INTEGER) AS phash,
+               CAST(NULL AS BIGINT) AS cb_sum, CAST(NULL AS BIGINT) AS cr_sum
+        FROM documents WHERE doc_id % 37 = 0"""),
+    ),
+
     // AUDIO NEAR-DUP via energy fingerprint — q145's audio twin: an
     // 8-bit block-energy signature over DECODED PCM through the real
     // WAV parser, then hash-grouped keep-first. Unlike the image side,

@@ -29,6 +29,51 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def cbVal(id: Long)(mx: Int, my: Int): Int =
+    ((id * 7 + 13L * mx + 3L * my) % 256).toInt
+  private def crVal(id: Long)(mx: Int, my: Int): Int =
+    ((id * 11 + 5L * mx + 17L * my) % 256).toInt
+
+  test("color 4:2:0 images round-trip every plane pixel-exactly") {
+    for (id <- Seq(0L, 1L, 2L, 5L, 37L, 255L, 1000L)) {
+      val w = 16 * (1 + id % 2).toInt
+      val h = 16 * (1 + id % 3).toInt
+      val bytes = JpegCodec.encodeJpegColor(w, h, tileVal(id), cbVal(id), crVal(id))
+      val (pw, ph, yP, cbP, crP) = JpegCodec.parseJpegColor(bytes)
+      assert((pw, ph) == (w, h), s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(yP(y * w + x) == tileVal(id)(x / 8, y / 8), s"doc $id Y ($x,$y)")
+      val cw = w / 2
+      for (y <- 0 until h / 2; x <- 0 until cw) {
+        assert(cbP(y * cw + x) == cbVal(id)(x / 8, y / 8), s"doc $id Cb ($x,$y)")
+        assert(crP(y * cw + x) == crVal(id)(x / 8, y / 8), s"doc $id Cr ($x,$y)")
+      }
+    }
+  }
+
+  test("mismatched sampling factors and cross-decoder frames are refused") {
+    val color = JpegCodec.encodeJpegColor(16, 16, tileVal(3), cbVal(3), crVal(3))
+    // 4:2:2 (2x1 luma): a REAL layout outside the supported subset
+    val c422 = color.clone()
+    val sampAt = 2 + 134 + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert((c422(sampAt) & 0xFF) == 0x22)
+    c422(sampAt) = 0x21.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.parseJpegColor(c422))
+    assert(e.getMessage.contains("sampling factors"), e.getMessage)
+    // 4:4:4 (1x1 luma) equally refused
+    val c444 = color.clone()
+    c444(sampAt) = 0x11.toByte
+    intercept[IllegalArgumentException](JpegCodec.parseJpegColor(c444))
+    // the gray decoder refuses a color frame and vice versa
+    intercept[IllegalArgumentException](JpegCodec.parseJpegGray(color))
+    val gray = JpegCodec.encodeJpegGray(16, 16, tileVal(3))
+    intercept[IllegalArgumentException](JpegCodec.parseJpegColor(gray))
+    // every truncation prefix of a color payload fails through IAE too
+    for (n <- 4 until color.length)
+      intercept[IllegalArgumentException](
+        JpegCodec.parseJpegColor(java.util.Arrays.copyOf(color, n)))
+  }
+
   test("AC coefficients, runs, and ZRL decode to the coefficients encoded") {
     // one 8x8 block exercising: DC, a leading AC, a 3-zero run, a
     // 16-zero ZRL run, and negative amplitudes; quantized values stay
