@@ -575,7 +575,17 @@ object SimilarityQueries extends QueryModule {
   /** Nearest-centroid assignment against a (small, broadcast) codebook
     * — cosine, tie-break lowest cid. The q45/q187 shared kernel.
     */
-  private[graft] def assignToCentroids(src: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignToCentroids(src: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroidsTopK(src, cent, 1)
+
+  /** Top-k probe assignment against a broadcast centroid relation: one
+    * row per (vector, probed list), k ≥ 2 being the IVF multi-probe
+    * recall knob (q77/q95) applied to the maintained-index query side.
+    * Indexing always uses k = 1 (each vector lives in exactly ONE
+    * list), so probe sets of distinct cids can never produce a
+    * duplicate (qid, nid) candidate.
+    */
+  private[graft] def assignToCentroidsTopK(src: DataFrame, cent: DataFrame, k: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
     src
       .crossJoin(broadcast(cent))
@@ -583,7 +593,7 @@ object SimilarityQueries extends QueryModule {
         "csim",
         call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
       .withColumn("r", row_number().over(wAssign))
-      .where(col("r") === 1)
+      .where(col("r") <= k)
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
   }
 
@@ -1124,8 +1134,9 @@ object SimilarityQueries extends QueryModule {
     // ingests APPENDED batch-over-batch (assign the ingest against the
     // frozen seeded codebook — one broadcast join — and append its
     // postings; history is never rewritten, each append is O(ingest)).
-    // A new query batch then searches THAT table: assign → join the
-    // staged postings on cid → exact within-list top-3. The oracle
+    // A new query batch then searches THAT table with n_probe = 4 (the
+    // q95 recall knob): assign each query its 4 nearest lists → join
+    // the staged postings on cid → exact within-list top-3. The oracle
     // recomputes the whole thing from the raw corpus, so a staging/
     // append/reload drift — or a float that fails to round-trip parquet
     // — breaks the hash match. (q45 shows the trained-codebook variant;
@@ -1150,9 +1161,16 @@ object SimilarityQueries extends QueryModule {
             else
               wh.overwriteBucketed(ingest, "silver", "ann_postings", Seq("cid"), buckets = 16)
           }
+          // retrieval probes the query's FOUR nearest lists (the q95
+          // knob applied to the maintained index — round-10 verdict:
+          // the 0.19 single-probe floor was a staleness guard, not a
+          // quality claim; probe-4 against the same frozen codebook
+          // measures 0.62 recall@3 on both gated corpora for 4/16 of
+          // the postings scanned). The INDEX stays single-assignment,
+          // so no (qid, nid) pair can arise through two probed lists.
           annSearch(
             wh.load("silver", "ann_postings"),
-            assignToCentroids(e.where(isBatch), cent))
+            assignToCentroidsTopK(e.where(isBatch), cent, 4))
             .localCheckpoint(true)
         } finally {
           wh.dropCatalogDb()
@@ -1162,14 +1180,14 @@ object SimilarityQueries extends QueryModule {
       oracle = Some {
         val dotEC =
           "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-        def assignCte(name: String, srcCte: String) = s"""
+        def assignCte(name: String, srcCte: String, k: Int) = s"""
         $name AS (
           SELECT cid, vec_id, embedding, nrm FROM (
             SELECT c.cid, e.vec_id, e.embedding, e.nrm,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                      $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
             FROM $srcCte e CROSS JOIN cent c
-          ) WHERE r = 1)"""
+          ) WHERE r <= $k)"""
         s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
@@ -1179,8 +1197,8 @@ object SimilarityQueries extends QueryModule {
         cent AS (
           SELECT vec_id AS cid, embedding AS ce, nrm AS cn
           FROM corpus WHERE vec_id < 16),
-        ${assignCte("idx", "corpus")},
-        ${assignCte("q", "batch")},
+        ${assignCte("idx", "corpus", 1)},
+        ${assignCte("q", "batch", 4)},
         pairs AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid,
                  $dotSqlFrag / (a.nrm * b.nrm) AS sim

@@ -81,7 +81,7 @@ object Recall {
   /** recall@3 of q187 (the maintained posting-list index) vs the exact
     * batch-vs-corpus baseline — the same query/candidate split as the
     * index cycle (queries vec_id%5==0 search the appended corpus
-    * postings), so what this measures is what single-probe assignment
+    * postings), so what this measures is what n_probe=4 retrieval
     * against the frozen 16-centroid codebook loses PLUS any staleness
     * or drift introduced by the stage/append/reload cycle itself. The
     * equality gate (AnnIndexAppendSpec: staged search ≡ recompute)

@@ -90,7 +90,7 @@ class AnnIndexAppendSpec extends AnyFunSuite {
     val e = normed
     val recompute = SimilarityQueries.annSearch(
       SimilarityQueries.assignToCentroids(e.where(!isBatch), centroids(e)),
-      SimilarityQueries.assignToCentroids(e.where(isBatch), centroids(e)))
+      SimilarityQueries.assignToCentroidsTopK(e.where(isBatch), centroids(e), 4))
       .collect().map(_.toSeq).toSet
     val staged = graft.SparkEntry.queries("q187_ann_index_append")(spark, d)
       .collect().map(_.toSeq).toSet

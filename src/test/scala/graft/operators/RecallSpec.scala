@@ -88,9 +88,13 @@ class RecallSpec extends AnyFunSuite {
   }
 
   test("maintained posting-list index (q187) clears its floor at both scale factors") {
-    // measured 0.263 at both corpora (documents/embeddings are the same
-    // table at sf0.001 and sf0.01): single-probe assignment against the
-    // frozen 16-centroid codebook, same regime as q45's 0.215. The
+    // measured 0.623 at both corpora (documents/embeddings are the same
+    // table at sf0.001 and sf0.01): n_probe = 4 retrieval against the
+    // frozen 16-centroid codebook — the q95 recall knob applied to the
+    // maintained index (round-10 verdict item; single-probe measured
+    // 0.263, so the floor is now a QUALITY claim, not a staleness
+    // guard). The recall/cost curve on this corpus: probe 1 → 0.26,
+    // probe 4 → 0.62, at 1/16 vs 4/16 of the postings scanned. The
     // equality gate (AnnIndexAppendSpec) proves append ≡ recompute;
     // this floor catches index staleness or codebook drift that the
     // equality gate would faithfully reproduce on both sides.
@@ -98,7 +102,7 @@ class RecallSpec extends AnyFunSuite {
       assume(new java.io.File(sf).isDirectory, s"recall corpus absent: $sf")
       val r = Recall.maintainedIndexRecallAt3(spark, sf)
       spark.catalog.clearCache()
-      assert(r >= 0.19, s"q187 maintained-index recall $r at $sf")
+      assert(r >= 0.5, s"q187 maintained-index recall $r at $sf")
     }
   }
 
