@@ -347,6 +347,23 @@ object ScaleTrend {
     // the full-ranking kernel's bucketed passes — must track the
     // corpus x10 with no source-count-bounded stage
     "q262_quality_percentile_select",
+    // round-11 IRLS logistic classifier: 3 fixed steps, each ONE
+    // O(d²)-moment aggregate over the documents — shuffle must stay
+    // KB-flat while wall tracks the 3 scoring scans x10; apply is a
+    // map-only projection (shuffle ~0); the holdout eval adds the
+    // ranking kernel's bucketed passes over the fold
+    "q263_logit_quality_fit",
+    "q264_logit_quality_apply",
+    "q265_logit_holdout_auc",
+    // round-11 boosted depth-2 trees: 2 rounds × 2 pattern-histogram
+    // passes — shuffle is O(features × bins × 4^round) cells, KB-flat
+    // like q255, while the scans track the corpus x10; apply is the
+    // literal-fold map stage like q225
+    "q266_gbt_depth2_train",
+    "q267_gbt_depth2_score",
+    // round-11 color JPEG decode: 6 blocks per MCU through the same
+    // marker/Huffman/IDCT path — linear decode pass like q261
+    "q268_jpeg_color_decode",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
