@@ -82,6 +82,24 @@ object SimilarityQueries extends QueryModule {
       .when(l.getField("cid") > r.getField("cid"), 1)
       .otherwise(0)
 
+  /** Deterministic strategy pin for a corpus-sized join side. AQE's
+    * runtime size estimates flipped these joins between broadcast and
+    * shuffled strategies run-to-run (round-10 verdict: q77's shuffle
+    * bytes were plan-unstable, −77% between identical runs; q96 drifted
+    * 4.4% the same way), which made a byte diff unreadable as a
+    * regression signal. The strategy now dispatches on the side's ROW
+    * COUNT — a pure function of the corpus, so the chosen plan and its
+    * bytes are deterministic: the broadcast arm covers every gated
+    * corpus (and the ×10 ScaleTrend corpus) while a 100× corpus — where
+    * the side could never broadcast — takes the keyed shuffle-hash arm,
+    * the q110/q182 size-gated-fallback discipline. The count is one
+    * cheap aggregate over an already-persisted frame, and the strategy
+    * cannot change values (every caller's join is an equi-join whose
+    * downstream ranking breaks ties deterministically).
+    */
+  private def pinBySize(side: DataFrame, maxBroadcastRows: Long = 250000L): DataFrame =
+    if (side.count() <= maxBroadcastRows) broadcast(side) else side.hint("shuffle_hash")
+
   /** The seeded (vec_id < 16) centroid relation. */
   private def seededCentroids(e: DataFrame): DataFrame = e
     .where(col("vec_id") < 16)
@@ -1522,13 +1540,12 @@ object SimilarityQueries extends QueryModule {
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         probes
           // the index side is the FULL corpus (each vector under its one
-          // nearest list): at 100x it can never broadcast, so pin the
-          // centroid-id shuffle-hash strategy instead of letting AQE flip
-          // between broadcast and SMJ on runtime size estimates — the flip
-          // made this query's shuffle bytes plan-unstable (round-10
-          // verdict) and the strategy cannot change values (the rerank
-          // dedups nothing and row_number ties break on nid)
-          .join(index.hint("shuffle_hash"), "cid")
+          // nearest list): strategy pinned by the deterministic row-count
+          // gate (see pinBySize) — broadcast at every gated scale, keyed
+          // shuffle-hash at 100x where broadcast is impossible; either
+          // way the bytes stop flipping with AQE size estimates (the
+          // round-10 plan-instability finding)
+          .join(pinBySize(index), "cid")
           .where(col("qid") =!= col("nid"))
           .withColumn(
             "sim",
@@ -1588,9 +1605,8 @@ object SimilarityQueries extends QueryModule {
           col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         probes
-          // corpus-sized index side: pinned shuffle-hash for the same
-          // byte-stability + 100x-honesty reasons as q77 (see there)
-          .join(index.hint("shuffle_hash"), "cid")
+          // corpus-sized index side: the q77 deterministic size gate
+          .join(pinBySize(index), "cid")
           .where(col("qid") =!= col("nid"))
           .withColumn(
             "sim",
@@ -1657,22 +1673,23 @@ object SimilarityQueries extends QueryModule {
             struct(lit(t).as("t"), tblBucket(t).as("bk"))): _*)).as("tb"))
           .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
         val cand = keys.as("a")
-          // both sides are the n-proportional key table — pinned like the
-          // rerank joins below so no AQE size estimate can flip the plan
-          .join(keys.as("b").hint("shuffle_hash"),
+          // both sides are the n-proportional key table — pinned by the
+          // same deterministic size gate as the rerank joins below so no
+          // AQE size estimate can flip the plan
+          .join(pinBySize(keys.as("b")),
             col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
               col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
           .distinct() // a pair may collide in several tables
         val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
         cand
-          // the rerank sides are the corpus: at 100x they can never
-          // broadcast, so pin shuffle-hash (q77's byte-stability fix) —
-          // values are strategy-independent, ties break on nid
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
-            .hint("shuffle_hash"), "qid")
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
-            .hint("shuffle_hash"), "nid")
+          // the rerank sides are the corpus: strategy pinned by the q77
+          // deterministic size gate — values are strategy-independent,
+          // ties break on nid
+          .join(pinBySize(
+            e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))), "qid")
+          .join(pinBySize(
+            e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))), "nid")
           .withColumn(
             "sim",
             call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
