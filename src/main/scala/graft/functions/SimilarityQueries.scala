@@ -97,8 +97,13 @@ object SimilarityQueries extends QueryModule {
     * cannot change values (every caller's join is an equi-join whose
     * downstream ranking breaks ties deterministically).
     */
-  private def pinBySize(side: DataFrame, maxBroadcastRows: Long = 250000L): DataFrame =
-    if (side.count() <= maxBroadcastRows) broadcast(side) else side.hint("shuffle_hash")
+  private def pinBySize(side: DataFrame): DataFrame = {
+    // overridable so the spec can force the shuffle arm on small data
+    // and prove both arms return identical answers
+    val maxRows = sys.props.get("graft.pin.broadcast.max.rows")
+      .map(_.toLong).getOrElse(250000L)
+    if (side.count() <= maxRows) broadcast(side) else side.hint("shuffle_hash")
+  }
 
   /** The seeded (vec_id < 16) centroid relation. */
   private def seededCentroids(e: DataFrame): DataFrame = e

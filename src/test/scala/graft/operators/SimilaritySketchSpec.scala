@@ -162,4 +162,23 @@ class SimilaritySketchSpec extends AnyFunSuite {
     assert(got(1L) == Seq((11L, 0.9), (12L, 0.9)))
     assert(got(2L) == Seq((20L, 0.3)))
   }
+
+  test("the size-gate's shuffle arm returns exactly the broadcast arm's answers (q77/q96)") {
+    // the round-11 deterministic strategy pin: corpus-sized join sides
+    // broadcast under the row gate and shuffle-hash above it. Forcing the
+    // gate to 1 row on the small corpus exercises the 100x arm; the
+    // answers must be bit-identical (strategy can never change values)
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    def run(q: String) = {
+      val r = graft.SparkEntry.queries(q)(spark, d).collect().map(_.toSeq).toSet
+      spark.catalog.clearCache()
+      r
+    }
+    val qs = Seq("q77_ann_ivf_multiprobe", "q96_ann_lsh_multitable")
+    val viaBroadcast = qs.map(q => q -> run(q)).toMap
+    System.setProperty("graft.pin.broadcast.max.rows", "1")
+    try qs.foreach(q => assert(run(q) === viaBroadcast(q), q))
+    finally System.clearProperty("graft.pin.broadcast.max.rows")
+  }
 }
