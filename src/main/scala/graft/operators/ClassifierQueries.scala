@@ -279,6 +279,58 @@ object ClassifierQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // CALIBRATION READOUT — the reliability diagram every deployed
+    // classifier ships with: holdout scores cut into deciles (ranked by
+    // η through the RankSelect kernel + arithmetic NTILE — never a
+    // single-task global sort), each decile reporting mean predicted
+    // P(good) against the empirical good-rate. Decimal sums keep both
+    // columns engine-exact; ties order on (η, doc_id) so the cut is
+    // deterministic.
+    "q270_logit_calibration" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+        val eta = etaCol(beta)
+        val scored = all.where(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("y"), eta.as("eta"),
+            (lit(1.0) / (lit(1.0) + exp(-eta))).as("mu"),
+            lit("holdout").as("g"))
+        RankSelect.withGroupRanks(scored, "g", "eta", tieBreak = Seq("doc_id"))
+          .withColumn("decile", expr(RankSelect.ntileSql(10)))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("mu").cast(dt)).as("sp"),
+            sum(col("y").cast(dt)).as("sy"))
+          .select(col("decile"), col("n"),
+            round(col("sp").cast("double") / col("n").cast("double"), 6).as("avg_p"),
+            round(col("sy").cast("double") / col("n").cast("double"), 6).as("rate"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id, y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4),
+        sm AS MATERIALIZED (
+          SELECT doc_id, y, eta, 1.0 / (1.0 + exp(-eta)) AS mu FROM sc),
+        rk AS MATERIALIZED (
+          SELECT y, mu, NTILE(10) OVER (ORDER BY eta, doc_id) AS decile FROM sm)
+        SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(mu AS DECIMAL(38,10))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS avg_p,
+               ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS rate
+        FROM rk GROUP BY decile"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // HOLDOUT EVALUATION — fit on folds 0-3 (doc_id % 5 ≠ 4), score the
     // unseen fold 4, and measure ranking quality as the Mann-Whitney
     // AUC from integer midranks (the q241 doubling: 2·rank + ties − 1),

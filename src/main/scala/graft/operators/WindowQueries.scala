@@ -22,6 +22,39 @@ object WindowQueries extends QueryModule {
   import Tables._
 
   override def queries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // RANK-KERNEL DISPATCH, HIGH-CARDINALITY ARM — the round-11
+    // withGroupRanks contract made code: group cardinality is counted
+    // first, and ABOVE the threshold the call dispatches to the plain
+    // per-group window (parallelism across many groups is free; the
+    // kernel's O(groups·B) offsets broadcast would OOM). This gates
+    // that arm end-to-end against the DuckDB windows on the customer
+    // key (150/1500 groups at the gated scales — the threshold is
+    // pinned to 64 so BOTH corpora exercise the window arm
+    // deterministically, and the spec separately proves both arms are
+    // value-identical at the crossover).
+    "q269_rank_dispatch_window" -> QueryDef(
+      fn = (s, d) => {
+        val src = orders(s, d).select(
+          col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          col("o_totalprice").as("v"))
+        RankSelect.withGroupRanks(src, "cust", "v",
+            tieBreak = Seq("ok"), maxKernelGroups = 64L)
+          .select(col("cust"), col("ok"), col("__rk_rn").as("rn"),
+            col("__rk_rank").as("rnk"), col("__rk_ties").as("ties"),
+            col("__rk_n").as("n"))
+      },
+      oracle = Some("""
+        SELECT o_custkey AS cust, o_orderkey AS ok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey, o_totalprice) AS BIGINT) AS ties,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+        FROM orders""")
+    ),
     // ----------------------------------------------------------------
     // W1: row_number for per-key sequence numbers (transaction_sequence,
     // silver_to_gold.py:315). First 3 events per user.

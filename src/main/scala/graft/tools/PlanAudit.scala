@@ -639,6 +639,15 @@ object PlanAudit {
       mustContain = Seq("Project"),
       mustNotContain = Seq("Exchange", "Window", "CartesianProduct",
         "SortMergeJoin", "BroadcastHashJoin")),
+    // rank-kernel dispatch, high-cardinality arm: above maxKernelGroups
+    // the call must be ONE plain per-group window pass — no bucket
+    // histogram, no offsets broadcast (the kernel's machinery would OOM
+    // at high group cardinality and buys nothing: parallelism across
+    // 1500 customers is free)
+    Audit("q269_rank_dispatch_window",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("__rk_off", "__rk_b", "CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
     // logistic holdout AUC: the IRLS fit runs eagerly (O(d²) moment
     // aggregates, audited via q204's shape); the returned eval plan
     // ranks holdout scores through the RankSelect kernel. The single

@@ -48,6 +48,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc > 0.85 && auc <= 1.0, s"holdout AUC = $auc")
   }
 
+  test("calibration deciles are complete and predicted probability rises monotonically") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val rows = graft.SparkEntry.queries("q270_logit_calibration")(spark, d)
+      .orderBy(col("decile")).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    val avgs = rows.map(_.getAs[Double]("avg_p"))
+    // deciles cut on η, and μ is monotone in η, so mean predicted
+    // probability must be strictly increasing decile over decile
+    avgs.sliding(2).foreach { case Array(a, b) => assert(a < b, s"$a !< $b") }
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n") === 10L)
+    }
+  }
+
   /** 20 docs, labels perfectly separable from the features: 10 long
     * stopword-rich texts (quality 100) vs 10 short stop-free strings
     * (quality 45). Naive unclamped IRLS would push μ to an exact 0/1
