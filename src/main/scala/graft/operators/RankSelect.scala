@@ -67,6 +67,12 @@ object RankSelect {
     * @param skewFloor absolute row floor below which a target bucket is
     *                  sorted in one task rather than refined (tests
     *                  lower it to exercise the recursion on small data)
+    * @param maxKernelGroups group-cardinality ceiling for the bucket
+    *                  kernel (its per-group stats/targets relations
+    *                  broadcast); above it the call dispatches to the
+    *                  plain per-group window — with many groups the
+    *                  per-group sort parallelizes for free and the
+    *                  single-task hazard the kernel breaks is gone
     * @return one row per (group, rank label): (g, label, v, n)
     */
   def selectRanks(
@@ -75,8 +81,11 @@ object RankSelect {
       v: String,
       ranks: Seq[(String, String)],
       buckets: Int = 1024,
-      skewFloor: Long = 1L << 16): DataFrame = {
+      skewFloor: Long = 1L << 16,
+      maxKernelGroups: Long = 512L): DataFrame = {
     val B = buckets
+    if (in.agg(count_distinct(col(g))).first().getLong(0) > maxKernelGroups)
+      return windowSelectRanks(in, g, v, ranks)
     val stats = in
       .groupBy(col(g))
       .agg(
@@ -177,6 +186,30 @@ object RankSelect {
     }
   }
 
+  /** The above-`maxKernelGroups` dispatch target for [[selectRanks]]:
+    * one plain per-group rank window, emitting the kernel's exact
+    * (g, label, v, n) surface. Same non-null contract raises per row.
+    */
+  private def windowSelectRanks(
+      in: DataFrame, g: String, v: String, ranks: Seq[(String, String)]): DataFrame = {
+    val wG = Window.partitionBy(col(g))
+    val lblK = ranks.map { case (l, kSql) =>
+      struct(lit(l).as("label"), expr(kSql).cast("long").as("k"))
+    }
+    in
+      .withColumn("__rs_rn",
+        row_number().over(wG.orderBy(col(v).asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(wG))
+      .withColumn("n",
+        when(col(v).isNull,
+          raise_error(lit(s"selectRanks: null '$v' violates the non-null contract")).cast("long"))
+          .otherwise(col("n")))
+      .select(col(g), col(v), col("n"), col("__rs_rn"),
+        explode(array(lblK: _*)).as("__rs_t"))
+      .where(col("__rs_rn") === col("__rs_t.k"))
+      .select(col(g), col("__rs_t.label").as("label"), col(v), col("n"))
+  }
+
   /** WEIGHTED rank selection: the smallest `v` whose per-group
     * cumulative weight (ascending `v`) reaches rank `kSql` — the
     * weighted-median/percentile generalization of [[selectRanks]]
@@ -201,6 +234,9 @@ object RankSelect {
     * @param skewFloor absolute ROW floor below which a target bucket is
     *                  windowed in one task rather than refined (tests
     *                  lower it to exercise the recursion on small data)
+    * @param maxKernelGroups group-cardinality ceiling for the bucket
+    *                  kernel (same dispatch contract as
+    *                  [[withGroupRanks]]/[[selectRanks]])
     * @return one row per group: (g, v, wtot)
     */
   def selectWeightedRank(
@@ -210,8 +246,11 @@ object RankSelect {
       w: String,
       kSql: String,
       buckets: Int = 1024,
-      skewFloor: Long = 1L << 16): DataFrame = {
+      skewFloor: Long = 1L << 16,
+      maxKernelGroups: Long = 512L): DataFrame = {
     val B = buckets
+    if (in.agg(count_distinct(col(g))).first().getLong(0) > maxKernelGroups)
+      return windowSelectWeightedRank(in, g, v, w, kSql)
     val stats = in
       .groupBy(col(g))
       .agg(
@@ -304,6 +343,34 @@ object RankSelect {
       }
 
     picked.unionByName(constAns)
+  }
+
+  /** The above-`maxKernelGroups` dispatch target for
+    * [[selectWeightedRank]]: one plain per-group RANGE-frame cumulative
+    * window (tie blocks atomic), emitting the kernel's exact
+    * (g, v, wtot) surface, with the same loud guards — null `v` raises,
+    * and a `kSql` above the group's total weight raises rather than
+    * silently dropping the group when no row's cumulative reaches it.
+    */
+  private def windowSelectWeightedRank(
+      in: DataFrame, g: String, v: String, w: String, kSql: String): DataFrame = {
+    val wG = Window.partitionBy(col(g))
+    in
+      .withColumn("wtot", sum(col(w)).over(wG))
+      .withColumn("__rs_k", expr(kSql).cast("long"))
+      .withColumn("__rs_k",
+        when(col(v).isNull,
+          raise_error(lit(s"selectWeightedRank: null '$v' violates the non-null contract")).cast("long"))
+          .when(col("__rs_k") > col("wtot"),
+            raise_error(concat(
+              lit("selectWeightedRank: k ("), col("__rs_k").cast("string"),
+              lit(") exceeds total group weight ("),
+              col("wtot").cast("string"), lit(")"))).cast("long"))
+          .otherwise(col("__rs_k")))
+      .withColumn("__rs_cum", sum(col(w)).over(wG.orderBy(col(v).asc)))
+      .where(col("__rs_cum") >= col("__rs_k"))
+      .groupBy(col(g))
+      .agg(min(col(v)).as(v), max(col("wtot")).as("wtot"))
   }
 
   /** Weighted refinement step — the [[selectWithin]] analogue for

@@ -213,6 +213,21 @@ class RankSelectSpec extends AnyFunSuite {
       "the window path must not build the bucket-offsets relation")
   }
 
+  test("selectRanks dispatches to the window arm above maxKernelGroups with identical results") {
+    val df = (1 to 4000).map(i => (s"g${i % 60}", (i % 17).toDouble)).toDF("g", "v")
+    def sel(maxG: Long) = RankSelect
+      .selectRanks(df, "g", "v", gridRanks, buckets = 16, maxKernelGroups = maxG)
+    val viaKernel = sel(512)
+    val viaWindow = sel(8)
+    assert(!viaWindow.queryExecution.executedPlan.toString.contains("__rs_b"),
+      "the window arm must not build the bucket machinery")
+    def rows(d: DataFrame) = d
+      .select(col("g"), col("label"), col("v").cast("double"), col("n"))
+      .as[(String, String, Double, Long)].collect().toSeq.sorted
+    assert(rows(viaWindow) === rows(viaKernel))
+    assert(rows(viaWindow) === sortBased(df, "g", "v", gridRanks))
+  }
+
   test("null v raises on every path instead of silently dropping rows") {
     val df = Seq(("a", Option(1.0), 1L), ("a", Option.empty[Double], 2L), ("b", Option(3.0), 3L))
       .toDF("g", "v", "id")

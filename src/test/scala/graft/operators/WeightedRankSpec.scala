@@ -112,6 +112,27 @@ class WeightedRankSpec extends AnyFunSuite {
     assert(skewMedian(df) === expandedMedian(df))
   }
 
+  test("weighted kernel dispatches to the window arm above maxKernelGroups with identical results") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (s"g${i % 60}", (i % 13).toDouble, 1L + i % 5))
+      .toDF("g", "v", "w")
+    def sel(maxG: Long) = RankSelect
+      .selectWeightedRank(df, "g", "v", "w", "(wtot + 1) div 2",
+        buckets = 16, maxKernelGroups = maxG)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(sel(8) === sel(512))
+    assert(sel(8) === expandedMedian(df).map { case (k, m) =>
+      k -> ((m, sel(512)(k)._2)) })
+    // the loud k-overflow guard holds on the window arm too
+    val e = intercept[Throwable] {
+      RankSelect.selectWeightedRank(df, "g", "v", "w", "wtot + 1",
+        buckets = 16, maxKernelGroups = 8).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(chain(e).contains("exceeds total group weight"))
+  }
+
   test("replicated percentile_approx meets the weighted contract under extreme skew") {
     import spark.implicits._
     // 99.98% of the weight mass sits on one value: the approx median
