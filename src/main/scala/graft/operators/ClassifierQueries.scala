@@ -90,7 +90,7 @@ object ClassifierQueries extends QueryModule {
       .reduce(_ + _)
     val distinctToks = size(array_distinct(split(t, " ")))
     documents(s, d).select(
-      col("doc_id"),
+      col("doc_id"), col("lang"),
       (stops / toksD).as("x1"),
       (chars.cast("double") / toksD).as("x2"),
       (distinctToks.cast("double") / toksD).as("x3"),
@@ -104,7 +104,7 @@ object ClassifierQueries extends QueryModule {
     val toksD = s"CAST(GREATEST(${TextQueries.tokenCountSql}, 1) AS DOUBLE)"
     s"""
         f AS MATERIALIZED (
-          SELECT doc_id,
+          SELECT doc_id, lang,
                  (${TextQueries.stopsSql}) / $toksD AS x1,
                  CAST(length(t) AS DOUBLE) / $toksD AS x2,
                  CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE) /
@@ -159,6 +159,106 @@ object ClassifierQueries extends QueryModule {
       beta = Array.tabulate(5)(i => env(s"b_$i"))
     }
     (beta, n)
+  }
+
+  /** GROUPED IRLS — one model per value of `gcol`, the q204/q222
+    * group-grain discipline applied to classification (per-language
+    * quality models, the multilingual-corpus production shape): each
+    * step is STILL one aggregate (now at (group, d²) grain — 21 decimal
+    * sums per group, map-side combined), the solves run per collected
+    * group row through the same generated elimination, and the per-group
+    * β frame broadcasts back for the next step's working response.
+    * Returns (group, n, β) sorted by group.
+    */
+  private def irlsFitGrouped(
+      rows: DataFrame, gcol: String): Seq[(String, Long, Array[Double])] = {
+    val sess = rows.sparkSession
+    val steps = RegressionQueries.eliminationProgram(4)
+    var betas: Seq[(String, Long, Array[Double])] = Nil
+    for (step <- 1 to Steps) {
+      val withEta =
+        if (step == 1)
+          // β ≡ 0 for every group: η is the same clamped constant the
+          // oracle's p1 computes — no join needed
+          rows.withColumn("eta",
+            greatest(least(lit(0.0), lit(EtaClamp)), lit(-EtaClamp)))
+        else {
+          import sess.implicits._
+          val bdf = betas
+            .map { case (g, _, b) => (g, b(0), b(1), b(2), b(3), b(4)) }
+            .toDF(gcol, "b_0", "b_1", "b_2", "b_3", "b_4")
+          rows.join(broadcast(bdf), gcol)
+            .withColumn("eta", greatest(least(
+              col("b_0") + col("b_1") * col("x1") + col("b_2") * col("x2") +
+                col("b_3") * col("x3") + col("b_4") * col("x4"),
+              lit(EtaClamp)), lit(-EtaClamp)))
+        }
+      val mu = lit(1.0) / (lit(1.0) + exp(-col("eta")))
+      val w = mu * (lit(1.0) - mu)
+      val z = col("eta") + (col("y") - mu) / (mu * (lit(1.0) - mu))
+      def feat(i: Int): Column =
+        if (i == 0) lit(1.0) else if (i == 5) z else col(s"x$i")
+      val momCols = for { i <- 0 to 4; j <- i to 5 }
+        yield sum((w * feat(i) * feat(j)).cast(dt)).cast("double").as(s"m_${i}_$j")
+      val m = withEta.groupBy(col(gcol)).agg(count(lit(1)).as("n"), momCols: _*)
+      betas = m.collect().toSeq.map { row =>
+        val init = (for { i <- 0 to 4; j <- 0 to 5 } yield {
+          val src = if (j == 5) s"m_${i}_5"
+          else s"m_${math.min(i, j)}_${math.max(i, j)}"
+          val v = row.getAs[Double](src)
+          s"a_${i}_$j" -> (if (i == j) v + Lambda else v)
+        }).toMap
+        val env = RegressionQueries.runProgram(steps, init)
+        (row.getAs[String](gcol), row.getAs[Long]("n"),
+          Array.tabulate(5)(i => env(s"b_$i")))
+      }.sortBy(_._1)
+    }
+    betas
+  }
+
+  /** The oracle's GROUPED IRLS chain: the [[irlsSql]] shape with the
+    * moments at (group, d²) grain, the elimination program running
+    * per group ROW of the reduced frame (each step op is a projection,
+    * so the same CTE text solves every group at once — the q222
+    * multi-group property), and the β CTE joined back on the group.
+    */
+  private def irlsGroupedSql(src: String, gcol: String): (String, String) = {
+    def featSql(i: Int): String =
+      if (i == 0) "1.0" else if (i == 5) "z" else s"x$i"
+    val parts = Vector.newBuilder[String]
+    for (t <- 1 to Steps) {
+      parts += (if (t == 1) s"""gp1 AS MATERIALIZED (
+          SELECT $src.*, GREATEST(LEAST(0.0, $EtaClamp), -$EtaClamp) AS eta
+          FROM $src)"""
+      else s"""gp$t AS MATERIALIZED (
+          SELECT $src.*,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM $src JOIN gbeta${t - 1} USING ($gcol))""")
+      parts += s"""gr$t AS MATERIALIZED (
+          SELECT *, 1.0 / (1.0 + exp(-eta)) AS mu FROM gp$t)"""
+      parts += s"""gs$t AS MATERIALIZED (
+          SELECT *, eta + (y - mu) / (mu * (1.0 - mu)) AS z FROM gr$t)"""
+      val moments = for { i <- 0 to 4; j <- i to 5 } yield
+        s"SUM(CAST(mu * (1.0 - mu) * ${featSql(i)} * ${featSql(j)} AS DECIMAL(38,10))) AS m_${i}_$j"
+      parts += s"""gm$t AS MATERIALIZED (
+          SELECT $gcol, COUNT(*) AS n, ${moments.mkString(",\n                 ")}
+          FROM gs$t GROUP BY $gcol)"""
+      val aInit = for { i <- 0 to 4; j <- 0 to 5 } yield {
+        val m = if (j == 5) s"m_${i}_5"
+        else s"m_${math.min(i, j)}_${math.max(i, j)}"
+        val base = s"CAST($m AS DOUBLE)"
+        s"${if (i == j) s"($base + $Lambda)" else base} AS a_${i}_$j"
+      }
+      parts += s"""ga$t AS MATERIALIZED (
+          SELECT $gcol, n, ${aInit.mkString(",\n                 ")} FROM gm$t)"""
+      val (ctes, last) = RegressionQueries.programSql(
+        RegressionQueries.eliminationProgram(4), s"ga$t", s"gg${t}_")
+      parts += ctes
+      parts += s"""gbeta$t AS MATERIALIZED (
+          SELECT $gcol, n, b_0, b_1, b_2, b_3, b_4 FROM $last)"""
+    }
+    (parts.result().mkString(",\n        "), s"gbeta$Steps")
   }
 
   /** The oracle's IRLS chain over feature CTE `src`: per-step per-row
@@ -275,6 +375,38 @@ object ClassifierQueries extends QueryModule {
         SELECT doc_id, ROUND(1.0 / (1.0 + exp(-eta)), 6) AS p_good,
                eta >= 0.0 AS predicted_good
         FROM sc"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // GROUPED FIT — one quality classifier PER LANGUAGE, the
+    // multilingual-corpus production shape (a German stopword-density
+    // coefficient has no business scoring Chinese text). Identical IRLS
+    // machinery at (lang, d²) grain: each step is still ONE aggregate
+    // (21 decimal sums × 5 languages, map-side combined — shuffle
+    // O(groups·d²), never O(rows)); the oracle's elimination CTEs solve
+    // all groups at once because every generated op is a row-wise
+    // projection (the q222 multi-group property).
+    "q271_logit_fit_by_lang" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val betas = irlsFitGrouped(rows, "lang")
+        import s.implicits._
+        betas.map { case (g, n, b) => (g, n, b(0), b(1), b(2), b(3), b(4)) }
+          .toDF("lang", "n", "rb0", "rb1", "rb2", "rb3", "rb4")
+          .select(col("lang"), col("n"),
+            round(col("rb0"), 6).as("b0"), round(col("rb1"), 6).as("b1"),
+            round(col("rb2"), 6).as("b2"), round(col("rb3"), 6).as("b3"),
+            round(col("rb4"), 6).as("b4"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsGroupedSql("f", "lang")
+        s"""
+        WITH $featuresSql,
+        $chain
+        SELECT lang, n, ROUND(b_0, 6) AS b0, ROUND(b_1, 6) AS b1,
+               ROUND(b_2, 6) AS b2, ROUND(b_3, 6) AS b3, ROUND(b_4, 6) AS b4
+        FROM $betaF"""
       }
     ),
 

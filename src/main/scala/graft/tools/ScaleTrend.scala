@@ -355,6 +355,9 @@ object ScaleTrend {
     "q263_logit_quality_fit",
     "q264_logit_quality_apply",
     "q265_logit_holdout_auc",
+    // grouped per-language fit: the same 3 aggregates at (lang, d²)
+    // grain — shuffle stays O(groups·d²) KB-flat
+    "q271_logit_fit_by_lang",
     // round-11 boosted depth-2 trees: 2 rounds × 2 pattern-histogram
     // passes — shuffle is O(features × bins × 4^round) cells, KB-flat
     // like q255, while the scans track the corpus x10; apply is the

@@ -48,6 +48,26 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc > 0.85 && auc <= 1.0, s"holdout AUC = $auc")
   }
 
+  test("per-language grouped fit covers every language with finite, distinct models") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val rows = graft.SparkEntry.queries("q271_logit_fit_by_lang")(spark, d).collect()
+    assert(rows.map(_.getAs[String]("lang")).sorted.toSeq ===
+      Seq("de", "en", "es", "fr", "zh"))
+    assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+    rows.foreach { r =>
+      for (i <- 0 to 4) {
+        val b = r.getAs[Double](s"b$i")
+        assert(!b.isNaN && !b.isInfinite, s"${r.get(0)}.b$i = $b")
+      }
+    }
+    // the groups must be genuinely different models, not one global fit
+    // copied five ways (the en stopword coefficient dominates: its label
+    // boundary leans hardest on English marker density)
+    val b1s = rows.map(r => r.getAs[String]("lang") -> r.getAs[Double]("b1")).toMap
+    assert(b1s.values.toSeq.distinct.size === 5)
+  }
+
   test("calibration deciles are complete and predicted probability rises monotonically") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
