@@ -379,6 +379,71 @@ object ClassifierQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // BRIER SCORE — the proper scoring rule that completes the holdout
+    // triad (q265 AUC measures ranking, q270 deciles measure grouping;
+    // Brier = mean squared probability error measures both at once and
+    // is PURE arithmetic — no log loss, whose ln is 1-ulp libm). The
+    // reference point is the climatological baseline (predicting the
+    // TRAIN base rate for every holdout doc); skill = 1 − brier/base is
+    // the standard Brier skill score (> 0 ⇔ the model beats the
+    // constant predictor).
+    "q272_logit_brier" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val train = all.where(col("doc_id") % 5 =!= 4)
+        val (beta, _) = irlsFit(train)
+        // train base rate: one exact BIGINT/BIGINT division
+        val br = train.agg(
+          sum(col("y").cast(dt)).cast("double").as("sy"),
+          count(lit(1)).cast("double").as("nt")).head()
+        val pbar = br.getAs[Double]("sy") / br.getAs[Double]("nt")
+        val eta = etaCol(beta)
+        val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+        all.where(col("doc_id") % 5 === 4)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(((mu - col("y")) * (mu - col("y"))).cast(dt)).as("se"),
+            sum(((lit(pbar) - col("y")) * (lit(pbar) - col("y"))).cast(dt)).as("sb"))
+          .select(col("n"),
+            round(col("se").cast("double") / col("n").cast("double"), 6).as("brier"),
+            round(col("sb").cast("double") / col("n").cast("double"), 6).as("brier_base"),
+            round(lit(1.0) -
+              (col("se").cast("double") / col("n").cast("double")) /
+                (col("sb").cast("double") / col("n").cast("double")), 6).as("skill"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        pb AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS pbar
+          FROM ftr),
+        sc AS MATERIALIZED (
+          SELECT y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta, pbar
+          FROM f CROSS JOIN $betaF CROSS JOIN pb
+          WHERE doc_id % 5 = 4),
+        sm AS MATERIALIZED (
+          SELECT y, pbar, 1.0 / (1.0 + exp(-eta)) AS mu FROM sc),
+        ag AS MATERIALIZED (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST((mu - y) * (mu - y) AS DECIMAL(38,10))) AS se,
+                 SUM(CAST((pbar - y) * (pbar - y) AS DECIMAL(38,10))) AS sb
+          FROM sm)
+        SELECT n,
+               ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier,
+               ROUND(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier_base,
+               ROUND(1.0 - (CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) /
+                           (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS skill
+        FROM ag"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // GROUPED FIT — one quality classifier PER LANGUAGE, the
     // multilingual-corpus production shape (a German stopword-density
     // coefficient has no business scoring Chinese text). Identical IRLS

@@ -48,6 +48,17 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc > 0.85 && auc <= 1.0, s"holdout AUC = $auc")
   }
 
+  test("holdout Brier skill beats the climatological baseline") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val r = graft.SparkEntry.queries("q272_logit_brier")(spark, d).head()
+    val (brier, base, skill) = (r.getAs[Double]("brier"),
+      r.getAs[Double]("brier_base"), r.getAs[Double]("skill"))
+    assert(brier >= 0.0 && brier <= 1.0)
+    assert(base >= 0.0 && base <= 0.25 + 1e-9) // p̄(1−p̄) ≤ ¼ by construction
+    assert(skill > 0.25, s"Brier skill = $skill — the model must beat the constant predictor")
+  }
+
   test("per-language grouped fit covers every language with finite, distinct models") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
