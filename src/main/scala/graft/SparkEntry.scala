@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.ZOrderQueries,
     graft.operators.RegressionQueries,
     graft.operators.ClassifierQueries,
+    graft.operators.NaiveBayesQueries,
     graft.operators.TreeQueries,
     graft.operators.RecommenderQueries,
     graft.operators.SurvivalQueries,

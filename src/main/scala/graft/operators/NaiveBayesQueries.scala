@@ -1,0 +1,328 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFunctions, TextQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** MULTINOMIAL NAIVE BAYES over document tokens — the bag-of-words
+  * counterpart to the IRLS logistic classifier (q263-q265): where the
+  * logistic model scores four bounded ratio FEATURES, Naive Bayes
+  * scores the TOKENS themselves, which is the classifier a corpus
+  * pipeline reaches for when the quality signal lives in vocabulary
+  * ("click here", "lorem", boilerplate markers) rather than in summary
+  * statistics. Reference scope: bakery-big-data has no model engine;
+  * this is training-data-pipeline extension surface alongside q263.
+  *
+  * Scale contract: FIT is one explode + one (token, class)-grain
+  * aggregate — map-side combined, shuffle O(vocab), never O(corpus) —
+  * plus a vocab-grain rollup for the class totals (the q128 TF-IDF
+  * shape). APPLY is one doc-token aggregate joined to the vocab-grain
+  * model (token-keyed shuffled join at corpus scale — a 100 TB corpus's
+  * vocab is itself large, so nothing broadcasts by assumption) and a
+  * per-doc fold over ≤|vocab| terms. No windows, no driver state beyond
+  * the 4 class constants.
+  *
+  * Determinism contract (the q166 LM discipline): every probability is
+  * one `ln` of an EXACT integer rational — counts are BIGINT, the
+  * products (c+1)·(N+V) stay far under 2^53 so the double division is
+  * a single IEEE-exact op and `ln` is the only libm call, 1 ulp
+  * cross-engine. Per-document folds run in sorted token order on both
+  * engines and ROUND(…,6) absorbs the ulp; the hard decision compares
+  * the ROUNDED score (identical cross-engine by the hash gate itself)
+  * against zero.
+  */
+object NaiveBayesQueries extends QueryModule {
+
+  import Tables._
+
+  /** Label threshold on [[TextFunctions.qualityScore]] — same rule-gate
+    * bootstrap as the logistic classifier (q263).
+    */
+  private val LabelCut = 80
+
+  /** Holdout fold: doc_id % 5 == 4 (the q265 convention). */
+  private val Fold = 5
+
+  /** Minimum document frequency (and minimum absence count) for χ². */
+  private val MinDf = 20
+
+  // ------------------------------------------------------------------
+  // Shared frames
+
+  /** (doc_id, y): the rule-gate class label at document grain. */
+  private def docClass(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      when(TextFunctions.qualityScore(col("text")) >= LabelCut, 1L)
+        .otherwise(0L).as("y"))
+
+  /** (doc_id, y, token, c): per-document token counts — the ONE
+    * corpus-sized explode, collapsed to (doc, token) grain immediately
+    * (map-side combined).
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        when(TextFunctions.qualityScore(col("text")) >= LabelCut, 1L)
+          .otherwise(0L).as("y"),
+        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("y"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
+  /** SQL mirrors (CTEs `dc` / `dt`) over [[TextQueries.normSql]]. */
+  private lazy val docClassSql =
+    s"""dc AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN (${TextQueries.qualitySql}) >= $LabelCut
+                      THEN 1 ELSE 0 END AS y
+          FROM (${TextQueries.normSql}))"""
+  private lazy val docTokensSql =
+    s"""dtoks AS MATERIALIZED (
+          SELECT doc_id, y, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN (${TextQueries.qualitySql}) >= $LabelCut
+                        THEN 1 ELSE 0 END AS y,
+                   UNNEST(string_split(t, ' ')) AS token
+            FROM (${TextQueries.normSql}))
+          WHERE token <> ''
+          GROUP BY doc_id, y, token)"""
+
+  /** Token-grain model from a (doc_id, y, token, c) slice: per-token
+    * class counts c0/c1 — one aggregate, shuffle O(vocab).
+    */
+  private def tokenCounts(dt: DataFrame): DataFrame =
+    dt.groupBy(col("token"))
+      .agg(
+        sum(when(col("y") === 0L, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("y") === 1L, col("c")).otherwise(0L)).as("c1"))
+
+  private def tokenCountsSql(src: String) =
+    s"""tc AS MATERIALIZED (
+          SELECT token,
+                 CAST(SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+          FROM $src GROUP BY token)"""
+
+  /** Class totals + vocab size from the token-grain model: N0, N1 (total
+    * token mass per class) and V (distinct tokens) — a 1-row frame that
+    * broadcasts into every downstream projection.
+    */
+  private def classTotals(tc: DataFrame): DataFrame =
+    tc.agg(
+      sum(col("c0")).as("n0"),
+      sum(col("c1")).as("n1"),
+      count(lit(1)).as("v"))
+
+  private val classTotalsSql =
+    """ct AS MATERIALIZED (
+          SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM tc)"""
+
+  /** Laplace-smoothed log-likelihood ratio for one token:
+    * ln( ((c1+1)·(N0+V)) / ((c0+1)·(N1+V)) ) — ONE ln of an exact
+    * integer rational (both products < 2^53 at any gated scale), so the
+    * only cross-engine noise is the final ulp.
+    */
+  private def llrCol: org.apache.spark.sql.Column =
+    log(((col("c1") + lit(1L)) * (col("n0") + col("v"))).cast("double") /
+      ((col("c0") + lit(1L)) * (col("n1") + col("v"))).cast("double"))
+
+  private val llrSql =
+    "ln(CAST((c1 + 1) * (n0 + v) AS DOUBLE) / CAST((c0 + 1) * (n1 + v) AS DOUBLE))"
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // FIT — the trained token model: per-token class occurrence counts
+    // and the smoothed log-likelihood ratio each occurrence contributes
+    // to the good-vs-bad decision. At 100 TB: one map-side-combined
+    // explode-aggregate (shuffle O(vocab)), one vocab-grain rollup,
+    // one broadcast of 3 integers — no windows, no driver state.
+    "q273_nb_fit" -> QueryDef(
+      fn = (s, d) => {
+        val tc = graft.CacheLeases.lease(tokenCounts(docTokens(s, d)).persist())
+        tc.crossJoin(broadcast(classTotals(tc)))
+          .select(col("token"), col("c0"), col("c1"),
+            round(llrCol, 6).as("llr"))
+      },
+      oracle = Some(s"""
+        WITH $docTokensSql,
+        ${tokenCountsSql("dtoks")},
+        $classTotalsSql
+        SELECT token, c0, c1, ROUND($llrSql, 6) AS llr
+        FROM tc CROSS JOIN ct""")
+    ),
+
+    // ----------------------------------------------------------------
+    // APPLY — train on folds 0-3, score the unseen fold 4: per-doc
+    // score = ln(D1/D0) + Σ_tokens c · llr(token), with UNSEEN tokens
+    // (absent from the train vocab) contributing the smoothing constant
+    // ln((N0+V)/(N1+V)) per occurrence (the Laplace numerators cancel
+    // to 1). The per-doc fold runs in sorted token order on both
+    // engines (the q166 pinning); token-less documents score the bare
+    // prior. Decision: rounded score > 0.
+    "q274_nb_apply" -> QueryDef(
+      fn = (s, d) => {
+        val dt = graft.CacheLeases.lease(docTokens(s, d).persist())
+        val tc = graft.CacheLeases.lease(
+          tokenCounts(dt.where(col("doc_id") % Fold =!= Fold - 1)).persist())
+        val consts = classTotals(tc)
+        val priors = docClass(s, d).where(col("doc_id") % Fold =!= Fold - 1)
+          .agg(
+            sum(when(col("y") === 0L, 1L).otherwise(0L)).as("d0"),
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("d1"))
+        val lm = tc.crossJoin(broadcast(consts))
+          .select(col("token"), llrCol.as("llr"))
+        val sums = dt.where(col("doc_id") % Fold === Fold - 1)
+          .join(lm, Seq("token"), "left")
+          .crossJoin(broadcast(consts.select(
+            log((col("n0") + col("v")).cast("double") /
+              (col("n1") + col("v")).cast("double")).as("llr_u"))))
+          .select(col("doc_id"), col("token"), col("c"),
+            (col("c").cast("double") * coalesce(col("llr"), col("llr_u"))).as("term"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_toks"),
+            sort_array(collect_list(struct(col("token"), col("term")))).as("tl"))
+          .select(col("doc_id"), col("n_toks"),
+            expr("aggregate(tl, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("ts"))
+        docClass(s, d).where(col("doc_id") % Fold === Fold - 1)
+          .join(sums, Seq("doc_id"), "left")
+          .crossJoin(broadcast(priors.select(
+            log(col("d1").cast("double") / col("d0").cast("double")).as("prior"))))
+          .select(col("doc_id"), col("y").cast("int").as("actual"),
+            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+            round(col("prior") + coalesce(col("ts"), lit(0.0)), 6).as("nb_score"))
+          .withColumn("predicted_good", col("nb_score") > lit(0.0))
+      },
+      oracle = Some(applySql +
+        """
+        SELECT doc_id, actual, n_toks, nb_score, nb_score > 0.0 AS predicted_good
+        FROM scored""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CONFUSION MATRIX — the holdout evaluation at decision grain: one
+    // row per (actual, predicted) cell. Pure integer counts over the
+    // q274 chain; the production readout a curation pipeline alerts on
+    // (false-good rate = junk leaking into the corpus).
+    "q275_nb_confusion" -> QueryDef(
+      fn = (s, d) => {
+        val scored = rawQueries("q274_nb_apply").fn(s, d)
+        scored.groupBy(col("actual"), col("predicted_good"))
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some(applySql +
+        """
+        SELECT actual, nb_score > 0.0 AS predicted_good,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CHI-SQUARED FEATURE SELECTION — per-token 2×2 contingency of
+    // document-level PRESENCE against the class label, the standard
+    // vocabulary-selection statistic (Yang & Pedersen, ICML'97) a
+    // pipeline runs before training token models: which tokens are
+    // actually informative about quality? One distinct-presence
+    // aggregate (shuffle O(corpus→(doc,token) pairs, map-side
+    // combined), one vocab-grain rollup, one 2-integer broadcast. The
+    // statistic is computed in DOUBLES with pinned association (the
+    // integer form overflows BIGINT at ~10^6 documents; doubles are
+    // deterministic IEEE at every scale). Tokens present in fewer than
+    // MinDf or absent from fewer than MinDf documents are excluded
+    // (degenerate margins make χ² meaningless and risk 0/0).
+    "q276_chi2_tokens" -> QueryDef(
+      fn = (s, d) => {
+        val dt = graft.CacheLeases.lease(docTokens(s, d).persist())
+        val pres = dt.groupBy(col("token"))
+          .agg(
+            count(lit(1)).as("df_all"),
+            sum(col("y")).as("a"))
+        val totals = docClass(s, d).agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("dg"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("db"))
+        val ad = col("a").cast("double")
+        val bd = (col("df_all") - col("a")).cast("double")
+        val cd = (col("dg") - col("a")).cast("double")
+        val dd = (col("db") - (col("df_all") - col("a"))).cast("double")
+        val nD = (col("dg") + col("db")).cast("double")
+        val num = ad * dd - bd * cd
+        val chi2 = (nD * num * num) /
+          (((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd)))
+        pres.crossJoin(broadcast(totals))
+          .where(col("df_all") >= MinDf &&
+            (col("dg") + col("db") - col("df_all")) >= MinDf)
+          .select(col("token"), col("df_all").as("df"), col("a").as("df_good"),
+            round(chi2, 6).as("chi2"))
+      },
+      oracle = Some(s"""
+        WITH $docTokensSql,
+        $docClassSql,
+        pres AS MATERIALIZED (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df_all,
+                 CAST(SUM(y) AS BIGINT) AS a
+          FROM dtoks GROUP BY token),
+        tot AS MATERIALIZED (
+          SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dg,
+                 CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS db
+          FROM dc)
+        SELECT token, df_all AS df, a AS df_good,
+               ROUND(
+                 (CAST(dg + db AS DOUBLE)
+                    * (CAST(a AS DOUBLE) * CAST(db - (df_all - a) AS DOUBLE)
+                       - CAST(df_all - a AS DOUBLE) * CAST(dg - a AS DOUBLE))
+                    * (CAST(a AS DOUBLE) * CAST(db - (df_all - a) AS DOUBLE)
+                       - CAST(df_all - a AS DOUBLE) * CAST(dg - a AS DOUBLE)))
+                 / ((CAST(a AS DOUBLE) + CAST(df_all - a AS DOUBLE))
+                      * (CAST(dg - a AS DOUBLE) + CAST(db - (df_all - a) AS DOUBLE))
+                    * ((CAST(a AS DOUBLE) + CAST(dg - a AS DOUBLE))
+                       * (CAST(df_all - a AS DOUBLE) + CAST(db - (df_all - a) AS DOUBLE)))),
+                 6) AS chi2
+        FROM pres CROSS JOIN tot
+        WHERE df_all >= $MinDf AND (dg + db - df_all) >= $MinDf""")
+    )
+  )
+
+  /** The shared q274/q275 oracle chain: train-slice model + constants,
+    * fold-4 scoring with the sorted-token fold, ending at CTE `scored`
+    * (doc_id, actual, n_toks, nb_score).
+    */
+  private lazy val applySql: String = s"""
+        WITH $docTokensSql,
+        $docClassSql,
+        tr AS MATERIALIZED (SELECT * FROM dtoks WHERE doc_id % $Fold <> ${Fold - 1}),
+        ${tokenCountsSql("tr")},
+        $classTotalsSql,
+        pri AS MATERIALIZED (
+          SELECT ln(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE)) AS prior
+          FROM dc WHERE doc_id % $Fold <> ${Fold - 1}),
+        lm AS MATERIALIZED (
+          SELECT token, $llrSql AS llr FROM tc CROSS JOIN ct),
+        uc AS MATERIALIZED (
+          SELECT ln(CAST(n0 + v AS DOUBLE) / CAST(n1 + v AS DOUBLE)) AS llr_u FROM ct),
+        terms AS MATERIALIZED (
+          SELECT d.doc_id, d.token, d.c,
+                 CAST(d.c AS DOUBLE) * COALESCE(lm.llr, uc.llr_u) AS term
+          FROM dtoks d LEFT JOIN lm ON lm.token = d.token CROSS JOIN uc
+          WHERE d.doc_id % $Fold = ${Fold - 1}),
+        sums AS MATERIALIZED (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+                 list_sum(list_transform(list(term ORDER BY token), x -> x)) AS ts
+          FROM terms GROUP BY doc_id),
+        scored AS MATERIALIZED (
+          SELECT dc.doc_id, CAST(dc.y AS INT) AS actual,
+                 COALESCE(sums.n_toks, 0) AS n_toks,
+                 ROUND(pri.prior + COALESCE(sums.ts, 0.0), 6) AS nb_score
+          FROM dc LEFT JOIN sums ON sums.doc_id = dc.doc_id CROSS JOIN pri
+          WHERE dc.doc_id % $Fold = ${Fold - 1})"""
+}
