@@ -528,6 +528,73 @@ object ClassifierQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // AVERAGE PRECISION — the PR-curve summary that completes the
+    // holdout quartet (q265 AUC is threshold-free ranking, q270 is
+    // calibration, q272 is the proper score; AP is what a CURATION user
+    // reads, because precision-at-the-top is what survives the cut).
+    // With a strict ordering (η desc, doc_id), AP = (1/P)·Σ_positives
+    // r_pos/r_all where r_all is the positive's rank in the holdout and
+    // r_pos its rank among positives — BOTH integers from two
+    // RankSelect passes, so the only floating op is one exact division
+    // per positive, decimal-summed order-free. No libm anywhere: this
+    // evaluation is bit-exact cross-engine before the final ROUND.
+    "q277_logit_avg_precision" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+        val scored = all.where(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("y"),
+            (-etaCol(beta)).as("neg"), lit("holdout").as("g"))
+        val ranked = RankSelect
+          .withGroupRanks(scored, "g", "neg", tieBreak = Seq("doc_id"))
+          .select(col("doc_id"), col("y"), col("neg"),
+            col("__rk_rn").as("r_all"), col("__rk_n").as("n_holdout"),
+            lit("p").as("g"))
+        val pos = ranked.where(col("y") === 1.0)
+        RankSelect.withGroupRanks(pos, "g", "neg", tieBreak = Seq("doc_id"))
+          .agg(
+            max(col("n_holdout")).as("n_holdout"),
+            count(lit(1)).as("n_pos"),
+            sum((col("__rk_rn").cast("double") / col("r_all").cast("double"))
+              .cast(dt)).as("sap"))
+          .where(col("n_pos") > 0)
+          .select(col("n_holdout"), col("n_pos"),
+            round(col("sap").cast("double") / col("n_pos").cast("double"), 6)
+              .as("ap"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id, y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4),
+        rk AS MATERIALIZED (
+          SELECT doc_id, y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY eta DESC, doc_id) AS BIGINT) AS r_all
+          FROM sc),
+        pk AS MATERIALIZED (
+          SELECT r_all,
+                 CAST(ROW_NUMBER() OVER (ORDER BY r_all) AS BIGINT) AS r_pos
+          FROM rk WHERE y = 1.0),
+        nh AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout FROM rk),
+        ag AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+                 SUM(CAST(CAST(r_pos AS DOUBLE) / CAST(r_all AS DOUBLE)
+                     AS DECIMAL(38,10))) AS sap
+          FROM pk)
+        SELECT nh.n_holdout, ag.n_pos,
+               ROUND(CAST(sap AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS ap
+        FROM ag CROSS JOIN nh WHERE n_pos > 0"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // HOLDOUT EVALUATION — fit on folds 0-3 (doc_id % 5 ≠ 4), score the
     // unseen fold 4, and measure ranking quality as the Mann-Whitney
     // AUC from integer midranks (the q241 doubling: 2·rank + ties − 1),

@@ -48,6 +48,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc > 0.85 && auc <= 1.0, s"holdout AUC = $auc")
   }
 
+  test("holdout average precision is high and bounded by construction") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val r = graft.SparkEntry.queries("q277_logit_avg_precision")(spark, d).head()
+    val (nh, np, ap) = (r.getAs[Long]("n_holdout"), r.getAs[Long]("n_pos"),
+      r.getAs[Double]("ap"))
+    assert(nh === 100L && np > 0 && np < nh)
+    // AP of a random ranking ≈ base rate (np/nh); the model must beat it
+    // decisively, and AP can never exceed 1
+    assert(ap > np.toDouble / nh && ap <= 1.0, s"AP = $ap")
+    // lower bound when all positives rank first is exactly 1.0; with the
+    // strict (η, doc_id) order AP ≥ the worst case (positives last):
+    // Σ i/(nh - np + i) / np
+    val worst = (1L to np).map(i => i.toDouble / (nh - np + i)).sum / np
+    assert(ap >= worst - 1e-9)
+  }
+
   test("holdout Brier skill beats the climatological baseline") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
