@@ -43,6 +43,12 @@ object SurvivalQueries extends QueryModule {
   /** Churn horizon: no order in the final 60 days ⇒ churn observed. */
   private val HorizonDays = 60
 
+  /** Fixed Newton-Raphson step count for the q278 Cox fit — the q263
+    * IRLS discipline: deterministic and CTE-mirrorable; three steps
+    * reach round-6 β stability on every gated corpus.
+    */
+  private val CoxSteps = 3
+
   /** Customer-grain spans: one row per (cust, seg) with first/last
     * order date — THE corpus-contracting aggregate every query here
     * hangs off. `withSpend` adds the exact DECIMAL lifetime spend
@@ -796,6 +802,156 @@ object SurvivalQueries extends QueryModule {
                ROUND(CAST(s2 - p * (p + 1) AS DOUBLE) /
                      CAST(2 * p * n AS DOUBLE), 6) AS auc
         FROM m WHERE p > 0 AND n > 0""")
+    ),
+
+    // ----------------------------------------------------------------
+    // COX PROPORTIONAL HAZARDS (Cox 1972, Breslow ties) — the model a
+    // retention team fits once KM (q238) says the curves differ and
+    // log-rank (q239) says it's significant: HOW MUCH does a covariate
+    // move the hazard? Covariate: order frequency (order count capped
+    // at 10, scaled to [0,1] — an exact integer ratio). β is fit by
+    // CoxSteps fixed Newton-Raphson steps on the Breslow partial
+    // log-likelihood, the same fixed-step discipline as the IRLS
+    // classifier (q263): deterministic, CTE-mirrorable, no convergence
+    // test in the gate.
+    //
+    // Scale shape: the corpus collapses to customer grain in one
+    // aggregate, then each Newton step is ONE (duration-day)-grain
+    // aggregate (5 decimal sums per day, map-side combined) + a
+    // day-grain reverse-cumulative window (calendar-bounded — more
+    // customers mean heavier days, never more days, the q238 argument)
+    // + one O(days) term reduction to the 2 scalars (U, I) the driver
+    // consumes. At 100 TB: 3 column-pruned scans of customer spans,
+    // shuffle O(distinct durations) per step, driver state = 2 doubles.
+    //
+    // Determinism: risk-set sums S0/S1/S2 accumulate in DECIMAL(38,10)
+    // (order-free), per-event-day terms are fixed-association double
+    // arithmetic, U/I reduce through DECIMAL again, and exp is the only
+    // libm call (clamp-free: β·x is bounded by construction, |β| small
+    // on any real covariate and x ∈ [0,1]). ROUND(…,6) absorbs the
+    // ulp; step 1 evaluates at β = 0 where exp(0) = 1 exactly.
+    "q278_cox_ph" -> QueryDef(
+      fn = (s, d) => {
+        val spans = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(
+            min(col("o_orderdate").cast("date")).as("f"),
+            max(col("o_orderdate").cast("date")).as("l"),
+            count(lit(1)).as("n_ord"))
+        val horizon = spans.agg(date_sub(max(col("l")), HorizonDays).as("cutoff"))
+        val ev = graft.CacheLeases.lease(
+          spans.crossJoin(broadcast(horizon))
+            .select(
+              datediff(col("l"), col("f")).as("dur"),
+              when(col("l") <= col("cutoff"), 1).otherwise(0).as("event"),
+              (least(col("n_ord"), lit(10L)).cast("double") / lit(10.0)).as("x"))
+            .persist())
+        val dec = DecimalType(38, 10)
+        val wRisk = Window.orderBy(col("dur").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        var beta = 0.0
+        var lastI = 0.0
+        for (_ <- 1 to CoxSteps) {
+          val r = exp(lit(beta) * col("x"))
+          val day = ev.groupBy(col("dur")).agg(
+            sum(r.cast(dec)).as("s0"),
+            sum((r * col("x")).cast(dec)).as("s1"),
+            sum((r * col("x") * col("x")).cast(dec)).as("s2"),
+            sum(col("event")).as("d"),
+            sum(when(col("event") === 1, col("x")).otherwise(lit(0.0))
+              .cast(dec)).as("sx"))
+          val cum = day
+            .withColumn("cs0", sum(col("s0")).over(wRisk))
+            .withColumn("cs1", sum(col("s1")).over(wRisk))
+            .withColumn("cs2", sum(col("s2")).over(wRisk))
+          val ratio1 = cum.col("cs1").cast("double") / cum.col("cs0").cast("double")
+          val terms = cum.where(col("d") > 0).select(
+            (col("sx").cast("double") - col("d").cast("double") * ratio1).as("ut"),
+            (col("d").cast("double") *
+              (col("cs2").cast("double") / col("cs0").cast("double") -
+                ratio1 * ratio1)).as("it"))
+          val ui = terms
+            .agg(sum(col("ut").cast(dec)).as("u"), sum(col("it").cast(dec)).as("i"))
+            .select(col("u").cast("double"), col("i").cast("double"))
+            .head()
+          val (u, i) = (ui.getDouble(0), ui.getDouble(1))
+          beta = beta + u / i
+          lastI = i
+        }
+        val st = ev.agg(count(lit(1)).as("n"), sum(col("event")).as("ne")).head()
+        import s.implicits._
+        Seq((st.getAs[Long]("n"), st.getAs[Long]("ne"), beta,
+          math.exp(beta), 1.0 / math.sqrt(lastI)))
+          .toDF("n", "n_events", "rb", "rh", "rs")
+          .select(col("n"), col("n_events"),
+            round(col("rb"), 6).as("beta"),
+            round(col("rh"), 6).as("hazard_ratio"),
+            round(col("rs"), 6).as("se"))
+      },
+      oracle = Some {
+        val steps = (1 to CoxSteps).map { t =>
+          s"""cr$t AS MATERIALIZED (
+          SELECT csp.*, exp(beta * x) AS r FROM csp CROSS JOIN cb${t - 1}),
+        cd$t AS MATERIALIZED (
+          SELECT dur,
+                 SUM(CAST(r AS DECIMAL(38,10))) AS s0,
+                 SUM(CAST(r * x AS DECIMAL(38,10))) AS s1,
+                 SUM(CAST(r * x * x AS DECIMAL(38,10))) AS s2,
+                 CAST(SUM(event) AS BIGINT) AS d,
+                 SUM(CAST(CASE WHEN event = 1 THEN x ELSE 0.0 END
+                     AS DECIMAL(38,10))) AS sx
+          FROM cr$t GROUP BY dur),
+        cc$t AS MATERIALIZED (
+          SELECT dur, d, sx,
+                 SUM(s0) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs0,
+                 SUM(s1) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs1,
+                 SUM(s2) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2
+          FROM cd$t),
+        ct$t AS MATERIALIZED (
+          SELECT CAST(sx AS DOUBLE) - CAST(d AS DOUBLE)
+                   * (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE)) AS ut,
+                 CAST(d AS DOUBLE)
+                   * (CAST(cs2 AS DOUBLE) / CAST(cs0 AS DOUBLE)
+                      - (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE))
+                        * (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE))) AS it
+          FROM cc$t WHERE d > 0),
+        cu$t AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(ut AS DECIMAL(38,10))) AS DOUBLE) AS u,
+                 CAST(SUM(CAST(it AS DECIMAL(38,10))) AS DOUBLE) AS i
+          FROM ct$t),
+        cb$t AS MATERIALIZED (
+          SELECT beta + u / i AS beta FROM cb${t - 1} CROSS JOIN cu$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH cpc AS MATERIALIZED (
+          SELECT o_custkey AS cust,
+                 MIN(CAST(o_orderdate AS DATE)) AS f,
+                 MAX(CAST(o_orderdate AS DATE)) AS l,
+                 COUNT(*) AS n_ord
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey),
+        chz AS MATERIALIZED (
+          SELECT CAST(MAX(l) - INTERVAL $HorizonDays DAY AS DATE) AS cutoff FROM cpc),
+        csp AS MATERIALIZED (
+          SELECT DATEDIFF('day', f, l) AS dur,
+                 CASE WHEN l <= chz.cutoff THEN 1 ELSE 0 END AS event,
+                 CAST(LEAST(n_ord, 10) AS DOUBLE) / 10.0 AS x
+          FROM cpc CROSS JOIN chz),
+        cb0 AS MATERIALIZED (SELECT 0.0 AS beta),
+        $steps,
+        cst AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(event) AS BIGINT) AS n_events
+          FROM csp)
+        SELECT n, n_events, ROUND(beta, 6) AS beta,
+               ROUND(exp(beta), 6) AS hazard_ratio,
+               ROUND(1.0 / sqrt(i), 6) AS se
+        FROM cb$CoxSteps CROSS JOIN cu$CoxSteps CROSS JOIN cst"""
+      }
     )
   )
 }
