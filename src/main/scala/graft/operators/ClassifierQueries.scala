@@ -309,6 +309,33 @@ object ClassifierQueries extends QueryModule {
   // w = μ·(1-μ) — the SQL above writes mu * (1.0 - mu) * xᵢ * xⱼ, the
   // same left-association, so both engines run the identical IEEE ops.
 
+  /** (doc_id, y, eta) on the fold-4 holdout under the folds-0-3 fit —
+    * the scoring surface q265/q270/q272/q277 all rank; exposed for the
+    * q280 McNemar model comparison (NaiveBayesQueries).
+    */
+  private[operators] def holdoutScores(s: SparkSession, d: String): DataFrame = {
+    val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+    val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+    all.where(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("y"), etaCol(beta).as("eta"))
+  }
+
+  /** CTE chain ending at `sc` (doc_id, y, eta) — [[holdoutScores]]'s
+    * oracle mirror (no WITH prefix; composes with other chains).
+    */
+  private[operators] lazy val holdoutScoresSql: String = {
+    val (chain, betaF) = irlsSql("ftr")
+    s"""$featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id, y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4)"""
+  }
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 

@@ -135,6 +135,43 @@ object NaiveBayesQueries extends QueryModule {
   private val llrSql =
     "ln(CAST((c1 + 1) * (n0 + v) AS DOUBLE) / CAST((c0 + 1) * (n1 + v) AS DOUBLE))"
 
+  /** Fold-4 NB scores under the folds-0-3 token model: (doc_id, actual,
+    * n_toks, nb_score) — the q274/q275 core, shared with the q280
+    * model comparison.
+    */
+  private def nbScored(s: SparkSession, d: String): DataFrame = {
+    val dt = graft.CacheLeases.lease(docTokens(s, d).persist())
+    val tc = graft.CacheLeases.lease(
+      tokenCounts(dt.where(col("doc_id") % Fold =!= Fold - 1)).persist())
+    val consts = classTotals(tc)
+    val priors = docClass(s, d).where(col("doc_id") % Fold =!= Fold - 1)
+      .agg(
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("d0"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("d1"))
+    val lm = tc.crossJoin(broadcast(consts))
+      .select(col("token"), llrCol.as("llr"))
+    val sums = dt.where(col("doc_id") % Fold === Fold - 1)
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(consts.select(
+        log((col("n0") + col("v")).cast("double") /
+          (col("n1") + col("v")).cast("double")).as("llr_u"))))
+      .select(col("doc_id"), col("token"), col("c"),
+        (col("c").cast("double") * coalesce(col("llr"), col("llr_u"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_toks"),
+        sort_array(collect_list(struct(col("token"), col("term")))).as("tl"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("aggregate(tl, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("ts"))
+    docClass(s, d).where(col("doc_id") % Fold === Fold - 1)
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors.select(
+        log(col("d1").cast("double") / col("d0").cast("double")).as("prior"))))
+      .select(col("doc_id"), col("y").cast("int").as("actual"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(col("prior") + coalesce(col("ts"), lit(0.0)), 6).as("nb_score"))
+  }
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -170,39 +207,8 @@ object NaiveBayesQueries extends QueryModule {
     // engines (the q166 pinning); token-less documents score the bare
     // prior. Decision: rounded score > 0.
     "q274_nb_apply" -> QueryDef(
-      fn = (s, d) => {
-        val dt = graft.CacheLeases.lease(docTokens(s, d).persist())
-        val tc = graft.CacheLeases.lease(
-          tokenCounts(dt.where(col("doc_id") % Fold =!= Fold - 1)).persist())
-        val consts = classTotals(tc)
-        val priors = docClass(s, d).where(col("doc_id") % Fold =!= Fold - 1)
-          .agg(
-            sum(when(col("y") === 0L, 1L).otherwise(0L)).as("d0"),
-            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("d1"))
-        val lm = tc.crossJoin(broadcast(consts))
-          .select(col("token"), llrCol.as("llr"))
-        val sums = dt.where(col("doc_id") % Fold === Fold - 1)
-          .join(lm, Seq("token"), "left")
-          .crossJoin(broadcast(consts.select(
-            log((col("n0") + col("v")).cast("double") /
-              (col("n1") + col("v")).cast("double")).as("llr_u"))))
-          .select(col("doc_id"), col("token"), col("c"),
-            (col("c").cast("double") * coalesce(col("llr"), col("llr_u"))).as("term"))
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("c")).as("n_toks"),
-            sort_array(collect_list(struct(col("token"), col("term")))).as("tl"))
-          .select(col("doc_id"), col("n_toks"),
-            expr("aggregate(tl, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("ts"))
-        docClass(s, d).where(col("doc_id") % Fold === Fold - 1)
-          .join(sums, Seq("doc_id"), "left")
-          .crossJoin(broadcast(priors.select(
-            log(col("d1").cast("double") / col("d0").cast("double")).as("prior"))))
-          .select(col("doc_id"), col("y").cast("int").as("actual"),
-            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-            round(col("prior") + coalesce(col("ts"), lit(0.0)), 6).as("nb_score"))
-          .withColumn("predicted_good", col("nb_score") > lit(0.0))
-      },
+      fn = (s, d) =>
+        nbScored(s, d).withColumn("predicted_good", col("nb_score") > lit(0.0)),
       oracle = Some(applySql +
         """
         SELECT doc_id, actual, n_toks, nb_score, nb_score > 0.0 AS predicted_good
@@ -225,6 +231,111 @@ object NaiveBayesQueries extends QueryModule {
         SELECT actual, nb_score > 0.0 AS predicted_good,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM scored GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // OOV RATE — vocabulary coverage of the train slice on the holdout,
+    // per language: the first diagnostic a tokenizer/model owner reads
+    // before trusting any token-level score (an OOV-heavy language is
+    // being scored by the smoothing constant, not the model). Pure
+    // integer counts and one exact division — no libm at all. Scale:
+    // one explode aggregate per slice + a token-keyed LEFT join
+    // (shuffled at corpus scale, the q274 argument), then a ≤|langs|
+    // rollup.
+    "q279_oov_rate" -> QueryDef(
+      fn = (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(TextFunctions.normalizeText(col("text")), " ")).as("token"))
+          .where(col("token") =!= "")
+        val vocab = toks.where(col("doc_id") % Fold =!= Fold - 1)
+          .select(col("token")).distinct()
+          .withColumn("seen", lit(1))
+        toks.where(col("doc_id") % Fold === Fold - 1)
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+          .join(vocab, Seq("token"), "left")
+          .groupBy(col("lang"))
+          .agg(
+            sum(col("c")).as("n_toks"),
+            sum(when(col("seen").isNull, col("c")).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_toks"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_toks").cast("double"), 6)
+              .as("oov_rate"))
+      },
+      oracle = Some(s"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, UNNEST(string_split(t, ' ')) AS token
+          FROM (${TextQueries.normSql})),
+        tk AS MATERIALIZED (SELECT * FROM toks WHERE token <> ''),
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT token FROM tk WHERE doc_id % $Fold <> ${Fold - 1}),
+        ev AS MATERIALIZED (
+          SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk WHERE doc_id % $Fold = ${Fold - 1}
+          GROUP BY lang, token)
+        SELECT ev.lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+               CAST(SUM(CASE WHEN vocab.token IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN vocab.token IS NULL THEN c ELSE 0 END) AS DOUBLE) /
+                     CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+        FROM ev LEFT JOIN vocab ON vocab.token = ev.token
+        GROUP BY ev.lang""")
+    ),
+
+    // ----------------------------------------------------------------
+    // McNEMAR'S TEST — the paired model comparison on the SAME holdout:
+    // does the logistic feature model (q264) and the NB token model
+    // (q274) disagree more than chance in one direction? The statistic
+    // (b−c)²/(b+c) over the discordant cells is pure integer arithmetic
+    // (both decisions are exact: η ≥ 0 needs no libm, the NB decision
+    // compares the gate-rounded score) — this is how a pipeline decides
+    // a classifier SWAP, not just a score. Scale: both scoring chains
+    // are already O(corpus) map work; the comparison joins two fold-4
+    // doc-grain frames on doc_id and reduces to one row.
+    "q280_mcnemar_models" -> QueryDef(
+      fn = (s, d) => {
+        val nb = nbScored(s, d)
+          .select(col("doc_id"), col("actual"),
+            (col("nb_score") > lit(0.0)).as("nb_pred"))
+        val lg = ClassifierQueries.holdoutScores(s, d)
+          .select(col("doc_id"), (col("eta") >= lit(0.0)).as("lg_pred"))
+        nb.join(lg, Seq("doc_id"))
+          .select(col("actual"),
+            (col("lg_pred") === (col("actual") === 1)).as("lg_ok"),
+            (col("nb_pred") === (col("actual") === 1)).as("nb_ok"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("lg_ok") && col("nb_ok"), 1L).otherwise(0L)).as("both_right"),
+            sum(when(!col("lg_ok") && !col("nb_ok"), 1L).otherwise(0L)).as("both_wrong"),
+            sum(when(col("lg_ok") && !col("nb_ok"), 1L).otherwise(0L)).as("logit_only"),
+            sum(when(!col("lg_ok") && col("nb_ok"), 1L).otherwise(0L)).as("nb_only"))
+          .select(col("n"), col("both_right"), col("both_wrong"),
+            col("logit_only"), col("nb_only"),
+            round(when(col("logit_only") + col("nb_only") > 0,
+              ((col("logit_only") - col("nb_only")) *
+                (col("logit_only") - col("nb_only"))).cast("double") /
+                (col("logit_only") + col("nb_only")).cast("double"))
+              .otherwise(lit(0.0)), 6).as("mcnemar"))
+      },
+      oracle = Some(applySql + s""",
+        ${ClassifierQueries.holdoutScoresSql},
+        cmp AS MATERIALIZED (
+          SELECT scored.actual,
+                 (sc.eta >= 0.0) = (scored.actual = 1) AS lg_ok,
+                 (scored.nb_score > 0.0) = (scored.actual = 1) AS nb_ok
+          FROM scored JOIN sc ON sc.doc_id = scored.doc_id),
+        cells AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN lg_ok AND nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                 CAST(SUM(CASE WHEN NOT lg_ok AND NOT nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+                 CAST(SUM(CASE WHEN lg_ok AND NOT nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS logit_only,
+                 CAST(SUM(CASE WHEN NOT lg_ok AND nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS nb_only
+          FROM cmp)
+        SELECT n, both_right, both_wrong, logit_only, nb_only,
+               ROUND(CASE WHEN logit_only + nb_only > 0
+                 THEN CAST((logit_only - nb_only) * (logit_only - nb_only) AS DOUBLE)
+                      / CAST(logit_only + nb_only AS DOUBLE)
+                 ELSE 0.0 END, 6) AS mcnemar
+        FROM cells""")
     ),
 
     // ----------------------------------------------------------------

@@ -910,7 +910,44 @@ object PlanAudit {
     // quartile lifetimes: the q238 fold read three ways — same shape
     Audit("q254_km_quartiles",
       mustContain = Seq("partial_sum", "ObjectHashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // Naive Bayes fit: one map-side-combined explode aggregate to
+    // (token, class) grain, a vocab-grain rollup broadcast back as a
+    // 1-row constants frame (BNLJ on 1 row, not a cartesian of
+    // relations) — no window, no shuffled join of corpus-grain data
+    Audit("q273_nb_fit",
+      mustContain = Seq("partial_sum", "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // NB apply: fold-4 doc-token counts joined to the vocab-grain model
+    // (token-keyed, AQE picks broadcast at gated scale), constants as
+    // 1-row broadcasts, per-doc sorted fold in ObjectHashAggregate —
+    // never a window, never a cartesian of real relations
+    Audit("q274_nb_apply",
+      mustContain = Seq("partial_sum", "ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // χ² selection: presence aggregate + vocab-grain rollup + 1-row
+    // totals broadcast; the statistic is a pure projection
+    Audit("q276_chi2_tokens",
+      mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // OOV rate: explode aggregates + a token-keyed LEFT join (free to
+    // be SMJ at corpus scale) + a ≤|langs| rollup — never a window
+    Audit("q279_oov_rate",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // McNemar: two doc-grain scoring chains joined on doc_id and
+    // reduced to one row — decisions are projections, no window
+    Audit("q280_mcnemar_models",
+      mustContain = Seq("partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // average precision: two RankSelect kernel passes (holdout ranks,
+    // positive ranks) — both windows ride the (bucket) partition after
+    // the literal group folds away (the q265 floor argument); the AP
+    // reduction is one decimal aggregate
+    Audit("q277_logit_avg_precision",
+      mustContain = Seq("Window", "partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1)
   )
 
   /** productDemand must never hint-broadcast a fact-grain relation.

@@ -83,6 +83,44 @@ class NaiveBayesSpec extends AnyFunSuite {
       s"NB holdout accuracy = ${correct.toDouble / n} (confusion $conf)")
   }
 
+  test("q279 OOV rate counts exactly the tokens missing from the train vocab") {
+    val good = ("the cake and the bread of the day is fresh " * 5).trim
+    val dir = java.nio.file.Files.createTempDirectory("oovspec").toString
+    import spark.implicits._
+    Seq(
+      (0L, good, "en", "s1", good.length.toLong),
+      (1L, good, "en", "s1", good.length.toLong),
+      (2L, "zzz qqq zzz", "und", "s2", 11L),
+      (3L, "zzz qqq zzz", "und", "s2", 11L),
+      // holdout: 12 seen tokens + 2 occurrences of an unseen one
+      (4L, "the cake and the bread of the day is fresh zebra zebra qqq",
+        "en", "s1", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q279_oov_rate")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("n_toks") === 13L)
+    assert(r.getAs[Long]("n_oov") === 2L)
+    assert(math.abs(r.getAs[Double]("oov_rate") - 2.0 / 13.0) < 1e-6)
+  }
+
+  test("q280 McNemar cells partition the holdout and the statistic is consistent") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val r = graft.SparkEntry.queries("q280_mcnemar_models")(spark, d).head()
+    val (n, br, bw, lo, no) = (r.getAs[Long]("n"), r.getAs[Long]("both_right"),
+      r.getAs[Long]("both_wrong"), r.getAs[Long]("logit_only"), r.getAs[Long]("nb_only"))
+    assert(n === 100L)
+    assert(br + bw + lo + no === n)
+    val m = r.getAs[Double]("mcnemar")
+    val expected = if (lo + no > 0) (lo - no).toDouble * (lo - no) / (lo + no) else 0.0
+    assert(math.abs(m - expected) < 1e-6)
+    // both models must actually work: agreement dominates disagreement
+    assert(br > lo + no, s"both_right=$br logit_only=$lo nb_only=$no")
+  }
+
   test("q276 chi² matches an independent recount on the real corpus (sf0.001)") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
