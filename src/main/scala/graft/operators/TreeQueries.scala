@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1086,6 +1086,153 @@ object TreeQueries extends QueryModule {
         SELECT k AS l_orderkey, ln AS l_linenumber,
                ROUND(pred, 6) AS pred, ROUND(y - pred, 6) AS resid
         FROM scored""")
+    ),
+
+    // ----------------------------------------------------------------
+    // BAGGED FOREST — Bags depth-2 trees, each grown on a deterministic
+    // JACKKNIFE bag (bag b drops fold (k + ln) % BagFolds = b, so every
+    // bag sees 80% of the rows and the bags differ reproducibly — the
+    // hash-sampled stand-in for bootstrap resampling, which has no
+    // deterministic cross-engine form). Bagging is the third member of
+    // the tree family: q255 grows ONE tree, q266 boosts them
+    // SEQUENTIALLY on residuals, the forest averages INDEPENDENT trees
+    // for variance reduction (Breiman 2001). Cost: Bags × the q255
+    // two-scan shape — each tree is 2 histogram aggregates over its
+    // bag, O(features × bins × leaves) shuffle, rows never sort.
+    "q281_forest_train" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+        (0 until Bags)
+          .map(b => depth2Splits(bagRows(rows, b)).withColumn("bag", lit(b)))
+          .reduce(_ unionByName _)
+          .select(col("bag"), col("node"), col("feature"), col("thr"),
+            col("n_left"), col("n_right"), col("gain"),
+            col("left_mean"), col("right_mean"))
+      },
+      oracle = Some {
+        def out(b: Int, cte: String, node: String): String = s"""
+        SELECT $b AS bag, '$node' AS node, feature, CAST(thr AS INT) AS thr,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               ROUND(gain, 6) AS gain,
+               ROUND(lmean, 6) AS left_mean, ROUND(rmean, 6) AS right_mean
+        FROM $cte"""
+        s"""
+        WITH $rowsSql,
+        ${(0 until Bags).map(bagChainSql).mkString(",\n        ")}
+        ${(0 until Bags).map { b =>
+          Seq(out(b, s"b${b}r0s", "root"), out(b, s"b${b}lfs", "left"),
+            out(b, s"b${b}rts", "right")).mkString("\n        UNION ALL ")
+        }.mkString("\n        UNION ALL ")}"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // FOREST APPLY — score every observation with the bag average. The
+    // model state is Bags × (6 structure constants + 4 ROUNDED leaf
+    // means — the same rounded values q281 gates, so apply ≡ the gated
+    // model, not a shadow copy); scoring is a pure projection over the
+    // feature frame: a 100 TB pass shuffles nothing.
+    "q282_forest_apply" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+        val preds: Seq[Column] = (0 until Bags).map { b =>
+          val t = depth2Splits(bagRows(rows, b)).collect()
+            .map(r => r.getAs[String]("node") -> r).toMap
+          require(Seq("root", "left", "right").forall(t.contains),
+            s"bag $b grew fewer than 3 nodes — forest apply needs full depth-2 trees")
+          def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
+          def leaf(n: Row): Column =
+            when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
+              .otherwise(lit(n.getAs[Double]("right_mean")))
+          when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
+            .otherwise(leaf(t("right")))
+        }
+        rows.select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+          round(preds.reduce(_ + _) / lit(Bags.toDouble), 6).as("pred"))
+      },
+      oracle = Some(s"""
+        WITH $rowsSql,
+        ${(0 until Bags).map(bagChainSql).mkString(",\n        ")},
+        scored AS MATERIALIZED (
+          SELECT r.k, r.ln,
+                 (${(0 until Bags).map(b => s"(${bagPredSql(b)})").mkString("\n                  + ")})
+                   / ${Bags}.0 AS pred
+          FROM r${(0 until Bags).map(b =>
+            s" CROSS JOIN b${b}r0s CROSS JOIN b${b}lfs CROSS JOIN b${b}rts").mkString})
+        SELECT k AS l_orderkey, ln AS l_linenumber, ROUND(pred, 6) AS pred
+        FROM scored""")
     )
   )
+
+  // ------------------------------------------------------------------
+  // Bagged-forest machinery (q281/q282)
+
+  /** Number of jackknife bags / the fold modulus they drop from. */
+  private val Bags     = 3
+  private val BagFolds = 5
+
+  /** Bag b: every row except fold (k + ln) % BagFolds == b. */
+  private def bagRows(rows: DataFrame, b: Int): DataFrame =
+    rows.where((col("k") + col("ln")) % BagFolds =!= b)
+
+  /** The q255 depth-2 chain over bag b's rows, every CTE prefixed b$b;
+    * ends at the three 1-row split CTEs b${b}r0s / b${b}lfs / b${b}rts.
+    */
+  private def bagChainSql(b: Int): String = {
+    val pfx = s"b$b"
+    val featCaseRoot = s"CASE ${pfx}r0s.feature " +
+      features.map { case (n, _) => s"WHEN '$n' THEN bin_$n" }.mkString(" ") +
+      " END"
+    val longSqlB = features.map { case (n, _) =>
+      s"SELECT '$n' AS feature, bin_$n AS bin, y FROM ${pfx}r"
+    }.mkString("\n          UNION ALL ")
+    val longSql2B = features.map { case (n, _) =>
+      s"SELECT '$n' AS feature, bin_$n AS bin, y, lf FROM ${pfx}rr"
+    }.mkString("\n          UNION ALL ")
+    s"""${pfx}r AS MATERIALIZED (
+          SELECT * FROM r WHERE (k + ln) % $BagFolds <> $b),
+        ${pfx}fb AS MATERIALIZED (
+          $longSqlB),
+        ${pfx}h AS MATERIALIZED (
+          SELECT feature, bin, COUNT(*) AS n,
+                 SUM(CAST(y AS DECIMAL(38,10))) AS sy
+          FROM ${pfx}fb GROUP BY feature, bin),
+        ${splitCtesSql(s"${pfx}h", s"${pfx}r0")},
+        ${pfx}rr AS MATERIALIZED (
+          SELECT ${pfx}r.*,
+                 CASE WHEN ($featCaseRoot) <= ${pfx}r0s.thr THEN 1 ELSE 0 END AS lf
+          FROM ${pfx}r CROSS JOIN ${pfx}r0s),
+        ${pfx}fb2 AS MATERIALIZED (
+          $longSql2B),
+        ${pfx}h2 AS MATERIALIZED (
+          SELECT feature, bin,
+                 SUM(CASE WHEN lf = 1 THEN 1 ELSE 0 END) AS n_1,
+                 SUM(CASE WHEN lf = 1 THEN CAST(y AS DECIMAL(38,10)) END) AS sy_1,
+                 SUM(CASE WHEN lf = 0 THEN 1 ELSE 0 END) AS n_0,
+                 SUM(CASE WHEN lf = 0 THEN CAST(y AS DECIMAL(38,10)) END) AS sy_0
+          FROM ${pfx}fb2 GROUP BY feature, bin),
+        ${pfx}hl AS MATERIALIZED (
+          SELECT feature, bin, n_1 AS n, sy_1 AS sy FROM ${pfx}h2 WHERE n_1 > 0),
+        ${pfx}hr AS MATERIALIZED (
+          SELECT feature, bin, n_0 AS n, sy_0 AS sy FROM ${pfx}h2 WHERE n_0 > 0),
+        ${splitCtesSql(s"${pfx}hl", s"${pfx}lf")},
+        ${splitCtesSql(s"${pfx}hr", s"${pfx}rt")}"""
+  }
+
+  /** Bag b's depth-2 prediction as a SQL expression over `r`'s bin
+    * columns and the bag's three 1-row split CTEs — leaf means pass
+    * through ROUND(…,6) so apply scores with the GATED model values.
+    */
+  private def bagPredSql(b: Int): String = {
+    val pfx = s"b$b"
+    def featCase(cte: String) = s"CASE $cte.feature " +
+      features.map { case (n, _) => s"WHEN '$n' THEN bin_$n" }.mkString(" ") +
+      " END"
+    s"""CASE WHEN (${featCase(s"${pfx}r0s")}) <= ${pfx}r0s.thr
+         THEN CASE WHEN (${featCase(s"${pfx}lfs")}) <= ${pfx}lfs.thr
+                   THEN ROUND(${pfx}lfs.lmean, 6) ELSE ROUND(${pfx}lfs.rmean, 6) END
+         ELSE CASE WHEN (${featCase(s"${pfx}rts")}) <= ${pfx}rts.thr
+                   THEN ROUND(${pfx}rts.lmean, 6) ELSE ROUND(${pfx}rts.rmean, 6) END
+       END"""
+  }
 }

@@ -930,6 +930,12 @@ object PlanAudit {
     Audit("q276_chi2_tokens",
       mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // forest apply: Bags trees folded into ONE projection over the
+    // feature frame (part broadcasts into the scan) — scoring shuffles
+    // nothing, no window, no join of fact-grain relations
+    Audit("q282_forest_apply",
+      mustContain = Seq("Project", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // OOV rate: explode aggregates + a token-keyed LEFT join (free to
     // be SMJ at corpus scale) + a ≤|langs| rollup — never a window
     Audit("q279_oov_rate",

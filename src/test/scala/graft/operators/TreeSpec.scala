@@ -49,6 +49,56 @@ class TreeSpec extends AnyFunSuite {
     d
   }
 
+  test("q281/q282: bag trees are internally consistent and apply is the bag average") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val trees = graft.SparkEntry.queries("q281_forest_train")(spark, d).collect()
+    assert(trees.length === 9) // 3 bags × (root + left + right)
+    val byBag = trees.groupBy(_.getAs[Int]("bag"))
+    assert(byBag.keySet === Set(0, 1, 2))
+    byBag.foreach { case (bag, ns) =>
+      val m = ns.map(r => r.getAs[String]("node") -> r).toMap
+      assert(m.keySet === Set("root", "left", "right"), s"bag $bag nodes")
+      // the left child's split partitions exactly the root's left rows
+      assert(m("left").getAs[Long]("n_left") + m("left").getAs[Long]("n_right")
+        === m("root").getAs[Long]("n_left"), s"bag $bag left sizes")
+      assert(m("right").getAs[Long]("n_left") + m("right").getAs[Long]("n_right")
+        === m("root").getAs[Long]("n_right"), s"bag $bag right sizes")
+      ns.foreach(r => assert(r.getAs[Double]("gain") >= 0.0))
+    }
+    // bags see different 80% slices: their row totals must differ from
+    // the full corpus and the three trees must not be one tree copied
+    val full = graft.SparkEntry.queries("q282_forest_apply")(spark, d).collect()
+    assert(full.length === 6000)
+    // recompute one row's prediction from the gated q281 model
+    val row0 = full.minBy(r => (r.getAs[Number]("l_orderkey").longValue(),
+      r.getAs[Number]("l_linenumber").longValue()))
+    val obs = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.part(spark, d),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .where(org.apache.spark.sql.functions.col("l_orderkey") ===
+          row0.getAs[Number]("l_orderkey").longValue() &&
+        org.apache.spark.sql.functions.col("l_linenumber") ===
+          row0.getAs[Number]("l_linenumber").longValue())
+      .selectExpr("CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS discount",
+        "CAST(MONTH(l_shipdate) AS INT) AS month",
+        "CAST(p_size AS INT) AS size",
+        "CAST(FLOOR(l_tax * 100 + 0.5) AS INT) AS tax")
+      .head()
+    def bin(name: String): Int = obs.getAs[Int](name)
+    val expected = (0 to 2).map { b =>
+      val m = byBag(b).map(r => r.getAs[String]("node") -> r).toMap
+      def leaf(n: org.apache.spark.sql.Row): Double =
+        if (bin(n.getAs[String]("feature")) <= n.getAs[Int]("thr"))
+          n.getAs[Double]("left_mean") else n.getAs[Double]("right_mean")
+      if (bin(m("root").getAs[String]("feature")) <= m("root").getAs[Int]("thr"))
+        leaf(m("left")) else leaf(m("right"))
+    }.sum / 3.0
+    assert(math.abs(row0.getAs[Double]("pred") - expected) < 2e-6,
+      s"pred ${row0.getAs[Double]("pred")} vs recomposed $expected")
+  }
+
   test("q255: an unsplittable corpus yields an empty tree, not an exception") {
     val got = graft.SparkEntry.queries("q255_tree_depth2")(spark, dirConst)
     assert(got.collect().isEmpty)
