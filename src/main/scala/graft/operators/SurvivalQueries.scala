@@ -952,6 +952,162 @@ object SurvivalQueries extends QueryModule {
                ROUND(1.0 / sqrt(i), 6) AS se
         FROM cb$CoxSteps CROSS JOIN cu$CoxSteps CROSS JOIN cst"""
       }
+    ),
+
+    // ----------------------------------------------------------------
+    // GROUPED COX — one hazard model PER SEGMENT, the q271 grouped-fit
+    // discipline applied to survival (does order frequency protect
+    // BUILDING customers as much as MACHINERY ones?). Identical Newton
+    // machinery at (seg, duration-day) grain: each step is still ONE
+    // aggregate (5 decimal sums × |segs| × days, map-side combined),
+    // the risk-set cumulatives now ride PROPERLY PARTITIONED windows
+    // (per-seg day grain — this is the shape q278's global fold
+    // becomes the moment the model is grouped), and the ≤|segs|-row
+    // (U, I) frame collects per step for the driver β update, joined
+    // back as a broadcast for the next step's exp(β·x).
+    "q283_cox_ph_by_segment" -> QueryDef(
+      fn = (s, d) => {
+        val spans = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey").as("cust"), col("c_mktsegment").as("seg"))
+          .agg(
+            min(col("o_orderdate").cast("date")).as("f"),
+            max(col("o_orderdate").cast("date")).as("l"),
+            count(lit(1)).as("n_ord"))
+        val horizon = spans.agg(date_sub(max(col("l")), HorizonDays).as("cutoff"))
+        val ev = graft.CacheLeases.lease(
+          spans.crossJoin(broadcast(horizon))
+            .select(col("seg"),
+              datediff(col("l"), col("f")).as("dur"),
+              when(col("l") <= col("cutoff"), 1).otherwise(0).as("event"),
+              (least(col("n_ord"), lit(10L)).cast("double") / lit(10.0)).as("x"))
+            .persist())
+        val dec = DecimalType(38, 10)
+        val wRisk = Window.partitionBy(col("seg")).orderBy(col("dur").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        var betas: Map[String, (Double, Double)] = Map.empty // seg -> (β, I)
+        for (step <- 1 to CoxSteps) {
+          val withR =
+            if (step == 1) ev.withColumn("r", exp(lit(0.0) * col("x")))
+            else {
+              import s.implicits._
+              val bdf = betas.toSeq.map { case (g, (b, _)) => (g, b) }
+                .toDF("seg", "beta")
+              ev.join(broadcast(bdf), "seg")
+                .withColumn("r", exp(col("beta") * col("x")))
+            }
+          val day = withR.groupBy(col("seg"), col("dur")).agg(
+            sum(col("r").cast(dec)).as("s0"),
+            sum((col("r") * col("x")).cast(dec)).as("s1"),
+            sum((col("r") * col("x") * col("x")).cast(dec)).as("s2"),
+            sum(col("event")).as("d"),
+            sum(when(col("event") === 1, col("x")).otherwise(lit(0.0))
+              .cast(dec)).as("sx"))
+          val cum = day
+            .withColumn("cs0", sum(col("s0")).over(wRisk))
+            .withColumn("cs1", sum(col("s1")).over(wRisk))
+            .withColumn("cs2", sum(col("s2")).over(wRisk))
+          val ratio1 = col("cs1").cast("double") / col("cs0").cast("double")
+          val ui = cum.where(col("d") > 0)
+            .select(col("seg"),
+              (col("sx").cast("double") - col("d").cast("double") * ratio1).as("ut"),
+              (col("d").cast("double") *
+                (col("cs2").cast("double") / col("cs0").cast("double") -
+                  ratio1 * ratio1)).as("it"))
+            .groupBy(col("seg"))
+            .agg(sum(col("ut").cast(dec)).as("u"), sum(col("it").cast(dec)).as("i"))
+            .select(col("seg"), col("u").cast("double"), col("i").cast("double"))
+            .collect()
+          betas = ui.map { r =>
+            val g = r.getString(0)
+            val prev = betas.get(g).map(_._1).getOrElse(0.0)
+            g -> (prev + r.getDouble(1) / r.getDouble(2), r.getDouble(2))
+          }.toMap
+        }
+        val st = ev.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("event")).as("n_events"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("n_events")))).toMap
+        import s.implicits._
+        betas.toSeq.sortBy(_._1).map { case (g, (b, i)) =>
+          (g, st(g)._1, st(g)._2, b, math.exp(b), 1.0 / math.sqrt(i))
+        }.toDF("seg", "n", "n_events", "rb", "rh", "rs")
+          .select(col("seg"), col("n"), col("n_events"),
+            round(col("rb"), 6).as("beta"),
+            round(col("rh"), 6).as("hazard_ratio"),
+            round(col("rs"), 6).as("se"))
+      },
+      oracle = Some {
+        val steps = (1 to CoxSteps).map { t =>
+          val rExpr =
+            if (t == 1) "exp(0.0 * x)"
+            else "exp(beta * x)"
+          val from =
+            if (t == 1) "gsp"
+            else s"gsp JOIN gb${t - 1} USING (seg)"
+          s"""gr$t AS MATERIALIZED (
+          SELECT seg, dur, event, x, $rExpr AS r FROM $from),
+        gd$t AS MATERIALIZED (
+          SELECT seg, dur,
+                 SUM(CAST(r AS DECIMAL(38,10))) AS s0,
+                 SUM(CAST(r * x AS DECIMAL(38,10))) AS s1,
+                 SUM(CAST(r * x * x AS DECIMAL(38,10))) AS s2,
+                 CAST(SUM(event) AS BIGINT) AS d,
+                 SUM(CAST(CASE WHEN event = 1 THEN x ELSE 0.0 END
+                     AS DECIMAL(38,10))) AS sx
+          FROM gr$t GROUP BY seg, dur),
+        gc$t AS MATERIALIZED (
+          SELECT seg, dur, d, sx,
+                 SUM(s0) OVER w AS cs0, SUM(s1) OVER w AS cs1,
+                 SUM(s2) OVER w AS cs2
+          FROM gd$t
+          WINDOW w AS (PARTITION BY seg ORDER BY dur DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gt$t AS MATERIALIZED (
+          SELECT seg,
+                 CAST(sx AS DOUBLE) - CAST(d AS DOUBLE)
+                   * (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE)) AS ut,
+                 CAST(d AS DOUBLE)
+                   * (CAST(cs2 AS DOUBLE) / CAST(cs0 AS DOUBLE)
+                      - (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE))
+                        * (CAST(cs1 AS DOUBLE) / CAST(cs0 AS DOUBLE))) AS it
+          FROM gc$t WHERE d > 0),
+        gu$t AS MATERIALIZED (
+          SELECT seg,
+                 CAST(SUM(CAST(ut AS DECIMAL(38,10))) AS DOUBLE) AS u,
+                 CAST(SUM(CAST(it AS DECIMAL(38,10))) AS DOUBLE) AS i
+          FROM gt$t GROUP BY seg),
+        gb$t AS MATERIALIZED (
+          SELECT seg,
+                 ${if (t == 1) "0.0" else s"gb${t - 1}.beta"} + gu$t.u / gu$t.i AS beta,
+                 gu$t.i AS i
+          FROM gu$t${if (t == 1) "" else s" JOIN gb${t - 1} USING (seg)"})"""
+        }.mkString(",\n        ")
+        s"""
+        WITH gpc AS MATERIALIZED (
+          SELECT o_custkey AS cust, c_mktsegment AS seg,
+                 MIN(CAST(o_orderdate AS DATE)) AS f,
+                 MAX(CAST(o_orderdate AS DATE)) AS l,
+                 COUNT(*) AS n_ord
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey, c_mktsegment),
+        ghz AS MATERIALIZED (
+          SELECT CAST(MAX(l) - INTERVAL $HorizonDays DAY AS DATE) AS cutoff FROM gpc),
+        gsp AS MATERIALIZED (
+          SELECT seg, DATEDIFF('day', f, l) AS dur,
+                 CASE WHEN l <= ghz.cutoff THEN 1 ELSE 0 END AS event,
+                 CAST(LEAST(n_ord, 10) AS DOUBLE) / 10.0 AS x
+          FROM gpc CROSS JOIN ghz),
+        $steps,
+        gst AS MATERIALIZED (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(event) AS BIGINT) AS n_events
+          FROM gsp GROUP BY seg)
+        SELECT seg, n, n_events, ROUND(beta, 6) AS beta,
+               ROUND(exp(beta), 6) AS hazard_ratio,
+               ROUND(1.0 / sqrt(i), 6) AS se
+        FROM gb$CoxSteps JOIN gst USING (seg)"""
+      }
     )
   )
 }

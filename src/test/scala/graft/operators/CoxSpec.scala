@@ -88,6 +88,25 @@ class CoxSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("se") - 1.0 / math.sqrt(expI)) < 1e-5)
   }
 
+  test("q283 grouped fit covers every segment with distinct, sane models") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val rows = graft.SparkEntry.queries("q283_cox_ph_by_segment")(spark, d).collect()
+    assert(rows.map(_.getAs[String]("seg")).sorted.toSeq ===
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+    val global = graft.SparkEntry.queries("q278_cox_ph")(spark, d).head()
+    assert(rows.map(_.getAs[Long]("n")).sum === global.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("n_events")).sum === global.getAs[Long]("n_events"))
+    rows.foreach { r =>
+      val (b, se) = (r.getAs[Double]("beta"), r.getAs[Double]("se"))
+      assert(b < 0.0 && !b.isNaN, s"${r.get(0)}: beta = $b")
+      assert(se > 0.0 && !se.isInfinite)
+      assert(math.abs(r.getAs[Double]("hazard_ratio") - math.exp(b)) < 1e-4)
+    }
+    // grouped models must be genuinely per-segment, not a global copy
+    assert(rows.map(_.getAs[Double]("beta")).distinct.length === rows.length)
+  }
+
   test("q278 on the real corpus: frequent orderers have lower churn hazard") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
