@@ -1161,6 +1161,80 @@ object TreeQueries extends QueryModule {
             s" CROSS JOIN b${b}r0s CROSS JOIN b${b}lfs CROSS JOIN b${b}rts").mkString})
         SELECT k AS l_orderkey, ln AS l_linenumber, ROUND(pred, 6) AS pred
         FROM scored""")
+    ),
+
+    // ----------------------------------------------------------------
+    // OUT-OF-BAG ERROR — the evaluation that makes bagging honest
+    // without a holdout: a row in fold b was EXCLUDED from bag b's
+    // training, so bag b's tree scores it out-of-bag (folds ≥ Bags sit
+    // inside every bag and are skipped). OOB MSE against the
+    // constant-mean baseline gives the forest's R² on data no tree that
+    // scores it ever saw. Pure projections + two decimal aggregates —
+    // at 100 TB this is one scan over the feature frame.
+    "q284_forest_oob" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+        val trees: Seq[Map[String, Row]] = (0 until Bags).map { b =>
+          val t = depth2Splits(bagRows(rows, b)).collect()
+            .map(r => r.getAs[String]("node") -> r).toMap
+          require(Seq("root", "left", "right").forall(t.contains),
+            s"bag $b grew fewer than 3 nodes")
+          t
+        }
+        def predOf(t: Map[String, Row]): Column = {
+          def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
+          def leaf(n: Row): Column =
+            when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
+              .otherwise(lit(n.getAs[Double]("right_mean")))
+          when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
+            .otherwise(leaf(t("right")))
+        }
+        val fold = (col("k") + col("ln")) % BagFolds
+        val oobPred = (1 until Bags).foldLeft[Column](
+          when(fold === 0, predOf(trees(0)))) { (acc, b) =>
+          acc.when(fold === b, predOf(trees(b)))
+        }
+        val oob = rows.where(fold < Bags)
+          .select(col("y").cast("double").as("y"), oobPred.as("p"))
+        val yb = oob.agg((sum(col("y").cast(dt)).cast("double") /
+          count(lit(1)).cast("double")).as("ybar"))
+        oob.crossJoin(broadcast(yb))
+          .agg(
+            count(lit(1)).as("n_oob"),
+            sum(((col("y") - col("p")) * (col("y") - col("p"))).cast(dt)).as("se"),
+            sum(((col("y") - col("ybar")) * (col("y") - col("ybar"))).cast(dt)).as("sb"))
+          .select(col("n_oob"),
+            round(col("se").cast("double") / col("n_oob").cast("double"), 6).as("oob_mse"),
+            round(col("sb").cast("double") / col("n_oob").cast("double"), 6).as("base_mse"),
+            round(lit(1.0) - col("se").cast("double") / col("sb").cast("double"), 6)
+              .as("r2_oob"))
+      },
+      oracle = Some(s"""
+        WITH $rowsSql,
+        ${(0 until Bags).map(bagChainSql).mkString(",\n        ")},
+        oob AS MATERIALIZED (
+          SELECT CAST(y AS DOUBLE) AS y,
+                 CASE (k + ln) % $BagFolds
+                   ${(0 until Bags).map(b =>
+                     s"WHEN $b THEN (${bagPredSql(b)})").mkString("\n                   ")}
+                 END AS p
+          FROM r${(0 until Bags).map(b =>
+            s" CROSS JOIN b${b}r0s CROSS JOIN b${b}lfs CROSS JOIN b${b}rts").mkString}
+          WHERE (k + ln) % $BagFolds < $Bags),
+        yb AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS ybar
+          FROM oob),
+        ag AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_oob,
+                 SUM(CAST((y - p) * (y - p) AS DECIMAL(38,10))) AS se,
+                 SUM(CAST((y - ybar) * (y - ybar) AS DECIMAL(38,10))) AS sb
+          FROM oob CROSS JOIN yb)
+        SELECT n_oob,
+               ROUND(CAST(se AS DOUBLE) / CAST(n_oob AS DOUBLE), 6) AS oob_mse,
+               ROUND(CAST(sb AS DOUBLE) / CAST(n_oob AS DOUBLE), 6) AS base_mse,
+               ROUND(1.0 - CAST(se AS DOUBLE) / CAST(sb AS DOUBLE), 6) AS r2_oob
+        FROM ag""")
     )
   )
 

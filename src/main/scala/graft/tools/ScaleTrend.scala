@@ -367,6 +367,27 @@ object ScaleTrend {
     // round-11 color JPEG decode: 6 blocks per MCU through the same
     // marker/Huffman/IDCT path — linear decode pass like q261
     "q268_jpeg_color_decode",
+    // round-11 classifier/eval additions. NB fit/apply and χ² collapse
+    // to (token[, class]) grain — the suffix-per-copy corpus multiplies
+    // the vocab x10 (the q194 regime), so the model tables grow with
+    // the corpus while the scans stay the only row-grain passes; OOV
+    // joins the x10 eval slice to the x10 vocab; AP is the q265 rank-
+    // kernel shape with two passes
+    "q273_nb_fit",
+    "q274_nb_apply",
+    "q276_chi2_tokens",
+    "q277_logit_avg_precision",
+    "q279_oov_rate",
+    // Cox: the calendar-bounded regime — 10x customers mean heavier
+    // duration-days, never more days, so the Newton steps' day-grain
+    // state is size-invariant while the span aggregate pays the x10
+    "q278_cox_ph",
+    "q283_cox_ph_by_segment",
+    // bagged forest: Bags x the q255 two-scan histogram shape (cell
+    // state KB-flat), apply the literal-fold map stage like q225
+    "q281_forest_train",
+    "q282_forest_apply",
+    "q284_forest_oob",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly

@@ -99,6 +99,49 @@ class TreeSpec extends AnyFunSuite {
       s"pred ${row0.getAs[Double]("pred")} vs recomposed $expected")
   }
 
+  test("q284 OOB error matches an independent recomputation from the gated forest") {
+    import org.apache.spark.sql.functions.{col => c}
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val got = graft.SparkEntry.queries("q284_forest_oob")(spark, d).head()
+    val trees = graft.SparkEntry.queries("q281_forest_train")(spark, d).collect()
+      .groupBy(_.getAs[Int]("bag"))
+      .map { case (b, ns) => b -> ns.map(r => r.getAs[String]("node") -> r).toMap }
+    val rows = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.part(spark, d), c("l_partkey") === c("p_partkey"))
+      .selectExpr("l_orderkey AS k", "CAST(l_linenumber AS BIGINT) AS ln",
+        "CAST(l_quantity AS DOUBLE) AS y",
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS discount",
+        "CAST(MONTH(l_shipdate) AS INT) AS month",
+        "CAST(p_size AS INT) AS size",
+        "CAST(FLOOR(l_tax * 100 + 0.5) AS INT) AS tax")
+      .collect()
+    val oobRows = rows.flatMap { r =>
+      val fold = ((r.getAs[Long]("k") + r.getAs[Long]("ln")) % 5).toInt
+      if (fold >= 3) None
+      else {
+        val t = trees(fold)
+        def bin(n: org.apache.spark.sql.Row): Int =
+          r.getAs[Int](n.getAs[String]("feature"))
+        def leaf(n: org.apache.spark.sql.Row): Double =
+          if (bin(n) <= n.getAs[Int]("thr")) n.getAs[Double]("left_mean")
+          else n.getAs[Double]("right_mean")
+        val p = if (bin(t("root")) <= t("root").getAs[Int]("thr")) leaf(t("left"))
+                else leaf(t("right"))
+        Some((r.getAs[Double]("y"), p))
+      }
+    }
+    assert(got.getAs[Long]("n_oob") === oobRows.length.toLong)
+    val n = oobRows.length.toDouble
+    val mse = oobRows.map { case (y, p) => (y - p) * (y - p) }.sum / n
+    val ybar = oobRows.map(_._1).sum / n
+    val base = oobRows.map { case (y, _) => (y - ybar) * (y - ybar) }.sum / n
+    assert(math.abs(got.getAs[Double]("oob_mse") - mse) < 1e-5,
+      s"oob_mse ${got.getAs[Double]("oob_mse")} vs $mse")
+    assert(math.abs(got.getAs[Double]("base_mse") - base) < 1e-5)
+    assert(math.abs(got.getAs[Double]("r2_oob") - (1.0 - mse / base)) < 1e-5)
+  }
+
   test("q255: an unsplittable corpus yields an empty tree, not an exception") {
     val got = graft.SparkEntry.queries("q255_tree_depth2")(spark, dirConst)
     assert(got.collect().isEmpty)
