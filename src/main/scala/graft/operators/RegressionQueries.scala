@@ -309,6 +309,67 @@ object RegressionQueries extends QueryModule {
   override def queries: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------
+    // OUT-OF-FOLD TARGET ENCODING — the leakage-controlled categorical
+    // encoder every tabular pipeline builds before a model sees a
+    // high-cardinality key: a row's brand is encoded by the mean target
+    // of OTHER folds' rows of that brand (fold = (k + ln) % 5, the
+    // q281 convention), so the encoding never contains the row's own
+    // label; the smoothed variant shrinks rare brands toward the
+    // global mean (m = 20 pseudo-observations — standard empirical-
+    // Bayes smoothing). Exact arithmetic throughout: fold sums are
+    // DECIMAL, out-of-fold sums are decimal SUBTRACTIONS (total −
+    // own-fold, the q217 unlearning trick — never a second scan), and
+    // the divisions are single IEEE ops. At 100 TB: ONE map-side-
+    // combined (brand, fold)-grain aggregate, an O(brands) rollup, a
+    // 1-row broadcast — the encoder table is O(brands × folds) and
+    // broadcasts back to score rows with zero extra shuffle.
+    "q285_target_encode_oof" -> QueryDef(
+      fn = (s, d) => {
+        val bf = olsRows(s, d)
+          .withColumn("fold", ((col("k") + col("ln")) % 5).cast("int"))
+          .groupBy(col("brand"), col("fold"))
+          .agg(sum(col("y").cast(dt)).as("sy"), count(lit(1)).as("n"))
+        val tot = bf.groupBy(col("brand"))
+          .agg(sum(col("sy")).as("ty"), sum(col("n")).as("tn"))
+        val gm = tot.agg((sum(col("ty")).cast("double") /
+          sum(col("tn")).cast("double")).as("gmean"))
+        val oofS = (col("ty") - col("sy")).cast("double")
+        val oofN = (col("tn") - col("n")).cast("double")
+        // the O(brands) rollup is broadcast EXPLICITLY (the q77 lesson:
+        // leaving a provably-tiny side to AQE makes the plan — and the
+        // bench's shuffle bytes — flip with runtime size estimates)
+        bf.join(broadcast(tot), "brand")
+          .crossJoin(broadcast(gm))
+          .where(col("tn") > col("n"))
+          .select(col("brand"), col("fold"), col("n"),
+            round(oofS / oofN, 6).as("oof_mean"),
+            round((oofS + lit(20.0) * col("gmean")) / (oofN + lit(20.0)), 6)
+              .as("te_smooth"))
+      },
+      oracle = Some("""
+        WITH te_r AS MATERIALIZED (
+          SELECT p_brand AS brand, l_quantity AS y,
+                 CAST((l_orderkey + l_linenumber) % 5 AS INT) AS fold
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        te_bf AS MATERIALIZED (
+          SELECT brand, fold, SUM(CAST(y AS DECIMAL(38,10))) AS sy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM te_r GROUP BY brand, fold),
+        te_tot AS MATERIALIZED (
+          SELECT brand, SUM(sy) AS ty, CAST(SUM(n) AS BIGINT) AS tn
+          FROM te_bf GROUP BY brand),
+        te_gm AS MATERIALIZED (
+          SELECT CAST(SUM(ty) AS DOUBLE) / CAST(SUM(tn) AS DOUBLE) AS gmean
+          FROM te_tot)
+        SELECT brand, fold, n,
+               ROUND(CAST(ty - sy AS DOUBLE) / CAST(tn - n AS DOUBLE), 6) AS oof_mean,
+               ROUND((CAST(ty - sy AS DOUBLE) + 20.0 * gmean)
+                     / (CAST(tn - n AS DOUBLE) + 20.0), 6) AS te_smooth
+        FROM te_bf JOIN te_tot USING (brand) CROSS JOIN te_gm
+        WHERE tn > n""")
+    ),
+
+    // ----------------------------------------------------------------
     // MULTIVARIATE OLS FIT — per-brand price-elasticity model from one
     // moment-sum pass. The shuffle carries 10 decimals + a count per
     // brand (O(groups), never O(rows)); the 3×3 solve happens on the

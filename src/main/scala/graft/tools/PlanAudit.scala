@@ -930,6 +930,12 @@ object PlanAudit {
     Audit("q276_chi2_tokens",
       mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // target encoding: one (brand, fold)-grain map-side-combined
+    // aggregate, an O(brands) rollup, a 1-row broadcast — no window,
+    // no fact-grain join (the out-of-fold sums come from SUBTRACTION)
+    Audit("q285_target_encode_oof",
+      mustContain = Seq("partial_sum", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // forest apply: Bags trees folded into ONE projection over the
     // feature frame (part broadcasts into the scan) — scoring shuffles
     // nothing, no window, no join of fact-grain relations

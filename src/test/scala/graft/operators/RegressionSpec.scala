@@ -151,4 +151,33 @@ class RegressionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(merged === oneShot)
   }
+
+  test("q285: out-of-fold target encoding matches an independent recount") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val got = graft.SparkEntry.queries("q285_target_encode_oof")(spark, d).collect()
+    assert(got.length === 125) // 25 brands × 5 folds
+    // independent recount with plain ops
+    val rows = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand AS brand", "CAST(l_quantity AS DOUBLE) AS y",
+        "CAST((l_orderkey + l_linenumber) % 5 AS INT) AS fold")
+      .collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Int]("fold"), r.getAs[Double]("y")))
+    val gmean = rows.map(_._3).sum / rows.length
+    got.foreach { r =>
+      val (b, f) = (r.getAs[String]("brand"), r.getAs[Int]("fold"))
+      val oof = rows.filter(x => x._1 == b && x._2 != f)
+      val own = rows.count(x => x._1 == b && x._2 == f)
+      assert(r.getAs[Long]("n") === own.toLong, s"($b,$f) n")
+      val mean = oof.map(_._3).sum / oof.length
+      assert(math.abs(r.getAs[Double]("oof_mean") - mean) < 1e-5, s"($b,$f) oof")
+      val smooth = (oof.map(_._3).sum + 20.0 * gmean) / (oof.length + 20.0)
+      assert(math.abs(r.getAs[Double]("te_smooth") - smooth) < 1e-5, s"($b,$f) smooth")
+      // smoothing shrinks toward the global mean, never past it
+      val (lo, hi) = (math.min(mean, gmean), math.max(mean, gmean))
+      assert(r.getAs[Double]("te_smooth") >= lo - 1e-6 &&
+        r.getAs[Double]("te_smooth") <= hi + 1e-6, s"($b,$f) bounds")
+    }
+  }
 }
