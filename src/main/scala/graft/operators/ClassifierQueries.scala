@@ -622,6 +622,112 @@ object ClassifierQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // MURPHY DECOMPOSITION — the q272 Brier score split into its three
+    // named parts over the q270 decile binning (Murphy 1973):
+    //   reliability  Σ nₖ(p̄ₖ−ȳₖ)²/N   how far predicted probability
+    //                                   sits from observed frequency
+    //   resolution   Σ nₖ(ȳₖ−ȳ)²/N    how much the bins separate the
+    //                                   base rate (bigger = better)
+    //   uncertainty  ȳ(1−ȳ)            the data's irreducible floor
+    // with the exact identity binned_brier = rel − res + unc (gated:
+    // all four numbers come from the same decimal decile frame, so the
+    // identity holds to the decimal quantum — BrierSpec asserts it).
+    // This is the readout that tells a pipeline WHERE a bad Brier comes
+    // from: miscalibration (fix with q270-style recalibration) or no
+    // resolution (fix the features). Same scale shape as q270: one
+    // rank-kernel pass, a 10-row decile frame, O(1) reductions.
+    "q286_brier_decomposition" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+        val eta = etaCol(beta)
+        val scored = all.where(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("y"), eta.as("eta"),
+            (lit(1.0) / (lit(1.0) + exp(-eta))).as("mu"),
+            lit("holdout").as("g"))
+        val dec = RankSelect
+          .withGroupRanks(scored, "g", "eta", tieBreak = Seq("doc_id"))
+          .withColumn("decile", expr(RankSelect.ntileSql(10)))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("nk"),
+            sum(col("mu").cast(dt)).as("sp"),
+            sum(col("y").cast(dt)).as("sy"))
+          .select(col("nk"),
+            (col("sp").cast("double") / col("nk").cast("double")).as("pk"),
+            (col("sy").cast("double") / col("nk").cast("double")).as("yk"),
+            col("sy"))
+        val tot = dec.agg(sum(col("nk")).as("n"), sum(col("sy")).as("ty"))
+        dec.crossJoin(broadcast(tot))
+          .select(col("nk"), col("pk"), col("yk"), col("n"),
+            (col("ty").cast("double") / col("n").cast("double")).as("yb"))
+          .agg(
+            max(col("n")).as("rn"),
+            sum((col("nk").cast("double") *
+              ((col("pk") - col("yk")) * (col("pk") - col("yk")))).cast(dt)).as("srel"),
+            sum((col("nk").cast("double") *
+              ((col("yk") - col("yb")) * (col("yk") - col("yb")))).cast(dt)).as("sres"),
+            max(col("yb")).as("yb"))
+          .select(col("rn").as("n"),
+            round(col("srel").cast("double") / col("rn").cast("double"), 6)
+              .as("reliability"),
+            round(col("sres").cast("double") / col("rn").cast("double"), 6)
+              .as("resolution"),
+            round(col("yb") * (lit(1.0) - col("yb")), 6).as("uncertainty"),
+            round(col("srel").cast("double") / col("rn").cast("double") -
+              col("sres").cast("double") / col("rn").cast("double") +
+              col("yb") * (lit(1.0) - col("yb")), 6).as("binned_brier"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id, y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4),
+        sm AS MATERIALIZED (
+          SELECT doc_id, y, eta, 1.0 / (1.0 + exp(-eta)) AS mu FROM sc),
+        rk AS MATERIALIZED (
+          SELECT y, mu, NTILE(10) OVER (ORDER BY eta, doc_id) AS decile FROM sm),
+        db AS MATERIALIZED (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS nk,
+                 SUM(CAST(mu AS DECIMAL(38,10))) AS sp,
+                 SUM(CAST(y AS DECIMAL(38,10))) AS sy
+          FROM rk GROUP BY decile),
+        dd AS MATERIALIZED (
+          SELECT nk,
+                 CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) AS pk,
+                 CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE) AS yk,
+                 sy
+          FROM db),
+        tt AS MATERIALIZED (
+          SELECT CAST(SUM(nk) AS BIGINT) AS n, SUM(sy) AS ty FROM dd),
+        ag AS MATERIALIZED (
+          SELECT MAX(n) AS rn,
+                 SUM(CAST(CAST(nk AS DOUBLE)
+                     * ((pk - yk) * (pk - yk)) AS DECIMAL(38,10))) AS srel,
+                 SUM(CAST(CAST(nk AS DOUBLE)
+                     * ((yk - yb) * (yk - yb)) AS DECIMAL(38,10))) AS sres,
+                 MAX(yb) AS yb
+          FROM (SELECT dd.*, tt.n,
+                       CAST(tt.ty AS DOUBLE) / CAST(tt.n AS DOUBLE) AS yb
+                FROM dd CROSS JOIN tt))
+        SELECT rn AS n,
+               ROUND(CAST(srel AS DOUBLE) / CAST(rn AS DOUBLE), 6) AS reliability,
+               ROUND(CAST(sres AS DOUBLE) / CAST(rn AS DOUBLE), 6) AS resolution,
+               ROUND(yb * (1.0 - yb), 6) AS uncertainty,
+               ROUND(CAST(srel AS DOUBLE) / CAST(rn AS DOUBLE)
+                     - CAST(sres AS DOUBLE) / CAST(rn AS DOUBLE)
+                     + yb * (1.0 - yb), 6) AS binned_brier
+        FROM ag"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // HOLDOUT EVALUATION — fit on folds 0-3 (doc_id % 5 ≠ 4), score the
     // unseen fold 4, and measure ranking quality as the Mann-Whitney
     // AUC from integer midranks (the q241 doubling: 2·rank + ties − 1),

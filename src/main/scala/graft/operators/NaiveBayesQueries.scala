@@ -60,14 +60,20 @@ object NaiveBayesQueries extends QueryModule {
 
   /** (doc_id, y, token, c): per-document token counts — the ONE
     * corpus-sized explode, collapsed to (doc, token) grain immediately
-    * (map-side combined).
+    * (map-side combined). The label and the token array are computed in
+    * a SEPARATE select below the explode (the q166 two-stage shape):
+    * with both in one select, Catalyst's ExtractGenerator puts the
+    * non-generator expressions in a Project ABOVE the Generate and the
+    * quality-score regexes re-run PER TOKEN instead of per document —
+    * measured 16.7 s → 1.3 s at sf0.1 for the q273 fit.
     */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         when(TextFunctions.qualityScore(col("text")) >= LabelCut, 1L)
           .otherwise(0L).as("y"),
-        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("token"))
+        split(TextFunctions.normalizeText(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("y"), explode(col("ws")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("doc_id"), col("y"), col("token"))
       .agg(count(lit(1)).as("c"))

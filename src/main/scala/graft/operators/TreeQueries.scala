@@ -1102,8 +1102,8 @@ object TreeQueries extends QueryModule {
     "q281_forest_train" -> QueryDef(
       fn = (s, d) => {
         val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
-        (0 until Bags)
-          .map(b => depth2Splits(bagRows(rows, b)).withColumn("bag", lit(b)))
+        forestSplits(rows).zipWithIndex
+          .map { case (df, b) => df.withColumn("bag", lit(b)) }
           .reduce(_ unionByName _)
           .select(col("bag"), col("node"), col("feature"), col("thr"),
             col("n_left"), col("n_right"), col("gain"),
@@ -1135,9 +1135,8 @@ object TreeQueries extends QueryModule {
     "q282_forest_apply" -> QueryDef(
       fn = (s, d) => {
         val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
-        val preds: Seq[Column] = (0 until Bags).map { b =>
-          val t = depth2Splits(bagRows(rows, b)).collect()
-            .map(r => r.getAs[String]("node") -> r).toMap
+        val preds: Seq[Column] = forestSplits(rows).zipWithIndex.map { case (df, b) =>
+          val t = df.collect().map(r => r.getAs[String]("node") -> r).toMap
           require(Seq("root", "left", "right").forall(t.contains),
             s"bag $b grew fewer than 3 nodes — forest apply needs full depth-2 trees")
           def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
@@ -1174,12 +1173,12 @@ object TreeQueries extends QueryModule {
     "q284_forest_oob" -> QueryDef(
       fn = (s, d) => {
         val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
-        val trees: Seq[Map[String, Row]] = (0 until Bags).map { b =>
-          val t = depth2Splits(bagRows(rows, b)).collect()
-            .map(r => r.getAs[String]("node") -> r).toMap
-          require(Seq("root", "left", "right").forall(t.contains),
-            s"bag $b grew fewer than 3 nodes")
-          t
+        val trees: Seq[Map[String, Row]] = forestSplits(rows).zipWithIndex.map {
+          case (df, b) =>
+            val t = df.collect().map(r => r.getAs[String]("node") -> r).toMap
+            require(Seq("root", "left", "right").forall(t.contains),
+              s"bag $b grew fewer than 3 nodes")
+            t
         }
         def predOf(t: Map[String, Row]): Column = {
           def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
@@ -1245,9 +1244,93 @@ object TreeQueries extends QueryModule {
   private val Bags     = 3
   private val BagFolds = 5
 
-  /** Bag b: every row except fold (k + ln) % BagFolds == b. */
-  private def bagRows(rows: DataFrame, b: Int): DataFrame =
-    rows.where((col("k") + col("ln")) % BagFolds =!= b)
+  /** ALL Bags depth-2 trees in TWO corpus scans — the q224/q255
+    * pattern-column trick applied across BAGS: one histogram pass
+    * carries per-bag conditional (count, sum) columns (bag b's
+    * histogram = the cells where fold ≠ b, so Bags trees share one
+    * aggregate), then one more pass carries per-(bag, root-side)
+    * columns for every bag's leaf splits. Cells empty FOR A BAG are
+    * filtered (n > 0) before split finding, so each bag's candidate
+    * set — and therefore every chosen split, to the tie-break — is
+    * IDENTICAL to training that bag alone (the shape the per-bag
+    * oracle replays); 6 corpus scans collapse to 2. Returns one 3-node
+    * tree frame per bag (empty frame for an unsplittable bag).
+    */
+  private def forestSplits(rows: DataFrame): Seq[DataFrame] = {
+    val sess = rows.sparkSession
+    import sess.implicits._
+    val stackArgs = features.map { case (n, _) => s"'$n', bin_$n" }.mkString(", ")
+    val fold = ((col("k") + col("ln")) % BagFolds).cast("int")
+    val aggs1 = (0 until Bags).flatMap { b =>
+      Seq(
+        sum(when(col("fold") =!= b, 1L).otherwise(0L)).as(s"n_$b"),
+        sum(when(col("fold") =!= b, col("y").cast(dt))).as(s"sy_$b"))
+    }
+    val h1 = rows.withColumn("fold", fold)
+      .select(col("y"), col("fold"),
+        expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")))
+      .groupBy(col("feature"), col("bin"))
+      .agg(aggs1.head, aggs1.tail: _*)
+      .localCheckpoint() // O(features × bins); read Bags times
+    val roots = (0 until Bags).map { b =>
+      bestSplit(h1.select(col("feature"), col("bin"),
+        col(s"n_$b").as("n"), col(s"sy_$b").as("sy")).where(col("n") > 0))
+        .collect().headOption
+    }
+    val withLf = roots.zipWithIndex.foldLeft(rows.withColumn("fold", fold)) {
+      case (df, (ro, b)) =>
+        df.withColumn(s"lf_$b", ro match {
+          case Some(r) =>
+            when(col(s"bin_${r.getAs[String]("feature")}") <= r.getAs[Int]("thr"), 1)
+              .otherwise(0)
+          case None => lit(0)
+        })
+    }
+    val aggs2 = (0 until Bags).flatMap { b =>
+      Seq(1, 0).flatMap { side =>
+        Seq(
+          sum(when(col("fold") =!= b && col(s"lf_$b") === side, 1L)
+            .otherwise(0L)).as(s"n_${b}_$side"),
+          sum(when(col("fold") =!= b && col(s"lf_$b") === side, col("y").cast(dt)))
+            .as(s"sy_${b}_$side"))
+      }
+    }
+    val h2 = withLf
+      .select(Seq(col("y"), col("fold")) ++
+        (0 until Bags).map(b => col(s"lf_$b")) :+
+        expr(s"stack(${features.size}, $stackArgs)").as(Seq("feature", "bin")): _*)
+      .groupBy(col("feature"), col("bin"))
+      .agg(aggs2.head, aggs2.tail: _*)
+      .localCheckpoint()
+    def leafBest(b: Int, side: Int): DataFrame = bestSplit(
+      h2.select(col("feature"), col("bin"),
+        col(s"n_${b}_$side").as("n"), col(s"sy_${b}_$side").as("sy"))
+        .where(col("n") > 0))
+    def shape(df: DataFrame, node: String): DataFrame =
+      df.select(lit(node).as("node"), col("feature"), col("thr"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("gain"), 6).as("gain"),
+        round(col("lmean"), 6).as("left_mean"),
+        round(col("rmean"), 6).as("right_mean"))
+    (0 until Bags).map { b =>
+      roots(b) match {
+        case None =>
+          Seq.empty[(String, String, Int, Long, Long, Double, Double, Double)]
+            .toDF("node", "feature", "thr", "n_left", "n_right",
+              "gain", "left_mean", "right_mean")
+        case Some(root) =>
+          val rootDf = Seq((
+            root.getAs[String]("feature"), root.getAs[Int]("thr"),
+            root.getAs[Long]("nl"), root.getAs[Long]("nr"),
+            root.getAs[Double]("gain"), root.getAs[Double]("lmean"),
+            root.getAs[Double]("rmean")))
+            .toDF("feature", "thr", "nl", "nr", "gain", "lmean", "rmean")
+          shape(rootDf, "root")
+            .unionByName(shape(leafBest(b, 1), "left"))
+            .unionByName(shape(leafBest(b, 0), "right"))
+      }
+    }
+  }
 
   /** The q255 depth-2 chain over bag b's rows, every CTE prefixed b$b;
     * ends at the three 1-row split CTEs b${b}r0s / b${b}lfs / b${b}rts.

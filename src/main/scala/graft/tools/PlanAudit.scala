@@ -930,6 +930,12 @@ object PlanAudit {
     Audit("q276_chi2_tokens",
       mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // Murphy decomposition: the q270 rank-kernel decile shape plus two
+    // O(1) reductions — same floors as q265/q270
+    Audit("q286_brier_decomposition",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
     // target encoding: one (brand, fold)-grain map-side-combined
     // aggregate, an O(brands) rollup, a 1-row broadcast — no window,
     // no fact-grain join (the out-of-fold sums come from SUBTRACTION)

@@ -76,6 +76,35 @@ class ClassifierSpec extends AnyFunSuite {
     assert(skill > 0.25, s"Brier skill = $skill — the model must beat the constant predictor")
   }
 
+  test("q286 Murphy decomposition agrees with a recomputation from the q270 deciles") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val r = graft.SparkEntry.queries("q286_brier_decomposition")(spark, d).head()
+    val (rel, res, unc, bb) = (r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"),
+      r.getAs[Double]("binned_brier"))
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(unc > 0.0 && unc <= 0.25 + 1e-9)
+    assert(math.abs(bb - (rel - res + unc)) < 3e-6) // the Murphy identity
+    // independent recomputation from the gated q270 reliability diagram
+    val dec = graft.SparkEntry.queries("q270_logit_calibration")(spark, d).collect()
+    val n = dec.map(_.getAs[Long]("n")).sum.toDouble
+    val yb = dec.map(x => x.getAs[Long]("n") * x.getAs[Double]("rate")).sum / n
+    val rel2 = dec.map { x =>
+      val dp = x.getAs[Double]("avg_p") - x.getAs[Double]("rate")
+      x.getAs[Long]("n") * dp * dp
+    }.sum / n
+    val res2 = dec.map { x =>
+      val dy = x.getAs[Double]("rate") - yb
+      x.getAs[Long]("n") * dy * dy
+    }.sum / n
+    assert(math.abs(rel - rel2) < 1e-4, s"reliability $rel vs $rel2")
+    assert(math.abs(res - res2) < 1e-4, s"resolution $res vs $res2")
+    assert(math.abs(unc - yb * (1 - yb)) < 1e-4)
+    // a well-calibrated model: reliability is a small fraction of resolution
+    assert(rel < res, s"reliability $rel should be below resolution $res")
+  }
+
   test("per-language grouped fit covers every language with finite, distinct models") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
