@@ -267,42 +267,42 @@ object ClassifierQueries extends QueryModule {
     * CTEs — the q222 mirror). Returns (cteText, finalBetaCteName); the
     * final CTE carries n and b_0..b_4.
     */
-  private def irlsSql(src: String): (String, String) = {
+  private def irlsSql(src: String, pfx: String = ""): (String, String) = {
     def featSql(i: Int): String =
       if (i == 0) "1.0" else if (i == 5) "z" else s"x$i"
     val parts = Vector.newBuilder[String]
-    parts += s"""beta0 AS MATERIALIZED (
+    parts += s"""${pfx}beta0 AS MATERIALIZED (
           SELECT 0.0 AS b_0, 0.0 AS b_1, 0.0 AS b_2, 0.0 AS b_3, 0.0 AS b_4)"""
     for (t <- 1 to Steps) {
-      parts += s"""p$t AS MATERIALIZED (
+      parts += s"""${pfx}p$t AS MATERIALIZED (
           SELECT $src.*,
                  GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
                    $EtaClamp), -$EtaClamp) AS eta
-          FROM $src CROSS JOIN beta${t - 1})"""
-      parts += s"""r$t AS MATERIALIZED (
-          SELECT *, 1.0 / (1.0 + exp(-eta)) AS mu FROM p$t)"""
-      parts += s"""s$t AS MATERIALIZED (
-          SELECT *, eta + (y - mu) / (mu * (1.0 - mu)) AS z FROM r$t)"""
+          FROM $src CROSS JOIN ${pfx}beta${t - 1})"""
+      parts += s"""${pfx}r$t AS MATERIALIZED (
+          SELECT *, 1.0 / (1.0 + exp(-eta)) AS mu FROM ${pfx}p$t)"""
+      parts += s"""${pfx}s$t AS MATERIALIZED (
+          SELECT *, eta + (y - mu) / (mu * (1.0 - mu)) AS z FROM ${pfx}r$t)"""
       val moments = for { i <- 0 to 4; j <- i to 5 } yield
         s"SUM(CAST(mu * (1.0 - mu) * ${featSql(i)} * ${featSql(j)} AS DECIMAL(38,10))) AS m_${i}_$j"
-      parts += s"""m$t AS MATERIALIZED (
+      parts += s"""${pfx}m$t AS MATERIALIZED (
           SELECT COUNT(*) AS n, ${moments.mkString(",\n                 ")}
-          FROM s$t)"""
+          FROM ${pfx}s$t)"""
       val aInit = for { i <- 0 to 4; j <- 0 to 5 } yield {
         val m = if (j == 5) s"m_${i}_5"
         else s"m_${math.min(i, j)}_${math.max(i, j)}"
         val base = s"CAST($m AS DOUBLE)"
         s"${if (i == j) s"($base + $Lambda)" else base} AS a_${i}_$j"
       }
-      parts += s"""a$t AS MATERIALIZED (
-          SELECT n, ${aInit.mkString(",\n                 ")} FROM m$t)"""
+      parts += s"""${pfx}a$t AS MATERIALIZED (
+          SELECT n, ${aInit.mkString(",\n                 ")} FROM ${pfx}m$t)"""
       val (ctes, last) = RegressionQueries.programSql(
-        RegressionQueries.eliminationProgram(4), s"a$t", s"g${t}_")
+        RegressionQueries.eliminationProgram(4), s"${pfx}a$t", s"${pfx}g${t}_")
       parts += ctes
-      parts += s"""beta$t AS MATERIALIZED (
+      parts += s"""${pfx}beta$t AS MATERIALIZED (
           SELECT n, b_0, b_1, b_2, b_3, b_4 FROM $last)"""
     }
-    (parts.result().mkString(",\n        "), s"beta$Steps")
+    (parts.result().mkString(",\n        "), s"${pfx}beta$Steps")
   }
 
   // IMPORTANT: the Spark-side moment expression is (w · xᵢ) · xⱼ with
@@ -618,6 +618,80 @@ object ClassifierQueries extends QueryModule {
         SELECT nh.n_holdout, ag.n_pos,
                ROUND(CAST(sap AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS ap
         FROM ag CROSS JOIN nh WHERE n_pos > 0"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // LEARNING CURVE — holdout AUC as a function of TRAINING SIZE: fit
+    // on the first 1, 2, 3 and 4 folds, evaluate each model on the
+    // same unseen fold 4. This is the readout that answers "do we need
+    // more labels?" — a curve still rising at 4 folds says label more
+    // data; a flat one says fix the features instead. All four models'
+    // holdout scores rank in ONE RankSelect pass (group = model id),
+    // so the evaluation costs one kernel invocation, not four; each
+    // fit is the standard 3 × O(d²)-moment IRLS. 4-row output.
+    "q287_learning_curve" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val scored = (1 to 4).map { k =>
+          val train = all.where(col("doc_id") % 5 < k)
+          val (beta, n) = irlsFit(train)
+          all.where(col("doc_id") % 5 === 4)
+            .select(lit(k).as("g"), lit(n).as("n_train"),
+              col("y"), (-etaCol(beta)).as("neg"))
+        }.reduce(_ unionByName _)
+        val rk = RankSelect.withGroupRanks(scored, "g", "neg")
+          .withColumn("r2",
+            lit(2L) * col("__rk_rank") + col("__rk_ties") - lit(1L))
+        // ranked by DESCENDING eta: positives-rank-low is the good
+        // direction, so AUC = 1 − MannWhitney(neg) — equivalently swap
+        // the roles; keep the q265 formula on the negated key and
+        // subtract from 1 (exact integer arithmetic either way)
+        rk.groupBy(col("g"))
+          .agg(
+            max(col("n_train")).as("n_train"),
+            sum(when(col("y") === 1.0, col("r2")).otherwise(lit(0L))).as("s2"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("p"),
+            sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+          .where(col("p") > 0 && col("nn") > 0)
+          .select(col("g").as("train_folds"), col("n_train"),
+            round(lit(1.0) -
+              (col("s2") - col("p") * (col("p") + 1)).cast("double") /
+                (lit(2L) * col("p") * col("nn")).cast("double"), 6).as("auc"))
+      },
+      oracle = Some {
+        val chains = (1 to 4).map { k =>
+          val (chain, betaF) = irlsSql(s"lcf$k", s"lc${k}_")
+          (s"""lcf$k AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 < $k),
+        $chain,
+        lcs$k AS MATERIALIZED (
+          SELECT $k AS g, (SELECT CAST(COUNT(*) AS BIGINT) FROM lcf$k) AS n_train,
+                 y,
+                 -(GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp)) AS neg
+          FROM f CROSS JOIN $betaF
+          WHERE doc_id % 5 = 4)""", s"lcs$k")
+        }
+        s"""
+        WITH $featuresSql,
+        ${chains.map(_._1).mkString(",\n        ")},
+        lcu AS MATERIALIZED (
+          ${chains.map(c => s"SELECT * FROM ${c._2}").mkString("\n          UNION ALL ")}),
+        lcr AS MATERIALIZED (
+          SELECT g, n_train, y,
+                 2 * RANK() OVER (PARTITION BY g ORDER BY neg) +
+                 COUNT(*) OVER (PARTITION BY g, neg) - 1 AS r2
+          FROM lcu),
+        lcm AS MATERIALIZED (
+          SELECT g, MAX(n_train) AS n_train,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN r2 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+          FROM lcr GROUP BY g)
+        SELECT CAST(g AS INT) AS train_folds, n_train,
+               ROUND(1.0 - CAST(s2 - p * (p + 1) AS DOUBLE) /
+                     CAST(2 * p * nn AS DOUBLE), 6) AS auc
+        FROM lcm WHERE p > 0 AND nn > 0"""
       }
     ),
 

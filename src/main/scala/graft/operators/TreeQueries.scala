@@ -1272,11 +1272,14 @@ object TreeQueries extends QueryModule {
       .groupBy(col("feature"), col("bin"))
       .agg(aggs1.head, aggs1.tail: _*)
       .localCheckpoint() // O(features × bins); read Bags times
-    val roots = (0 until Bags).map { b =>
+    // ALL bags' root argmaxes in ONE collect (job overhead, not data,
+    // dominates the reduced-frame work — measured on the bench)
+    val rootRows = (0 until Bags).map { b =>
       bestSplit(h1.select(col("feature"), col("bin"),
         col(s"n_$b").as("n"), col(s"sy_$b").as("sy")).where(col("n") > 0))
-        .collect().headOption
-    }
+        .withColumn("bag", lit(b))
+    }.reduce(_ unionByName _).collect()
+    val roots = (0 until Bags).map(b => rootRows.find(_.getAs[Int]("bag") == b))
     val withLf = roots.zipWithIndex.foldLeft(rows.withColumn("fold", fold)) {
       case (df, (ro, b)) =>
         df.withColumn(s"lf_$b", ro match {
@@ -1302,33 +1305,38 @@ object TreeQueries extends QueryModule {
       .groupBy(col("feature"), col("bin"))
       .agg(aggs2.head, aggs2.tail: _*)
       .localCheckpoint()
-    def leafBest(b: Int, side: Int): DataFrame = bestSplit(
+    // ALL bags' leaf argmaxes in one collect, same rationale
+    val leafFrames = for {
+      b <- (0 until Bags) if roots(b).isDefined
+      side <- Seq(1, 0)
+    } yield bestSplit(
       h2.select(col("feature"), col("bin"),
         col(s"n_${b}_$side").as("n"), col(s"sy_${b}_$side").as("sy"))
         .where(col("n") > 0))
-    def shape(df: DataFrame, node: String): DataFrame =
-      df.select(lit(node).as("node"), col("feature"), col("thr"),
-        col("nl").as("n_left"), col("nr").as("n_right"),
-        round(col("gain"), 6).as("gain"),
-        round(col("lmean"), 6).as("left_mean"),
-        round(col("rmean"), 6).as("right_mean"))
+      .withColumn("bag", lit(b)).withColumn("side", lit(side))
+    val leafRows: Seq[Row] =
+      if (leafFrames.isEmpty) Nil
+      else leafFrames.reduce(_ unionByName _).collect().toSeq
+    // assembly is driver-local (the model IS bounded state) — no more
+    // jobs; rounding applies through the same `round` column the
+    // per-bag path used, on a local 3-row frame
     (0 until Bags).map { b =>
-      roots(b) match {
-        case None =>
-          Seq.empty[(String, String, Int, Long, Long, Double, Double, Double)]
-            .toDF("node", "feature", "thr", "n_left", "n_right",
-              "gain", "left_mean", "right_mean")
-        case Some(root) =>
-          val rootDf = Seq((
-            root.getAs[String]("feature"), root.getAs[Int]("thr"),
-            root.getAs[Long]("nl"), root.getAs[Long]("nr"),
-            root.getAs[Double]("gain"), root.getAs[Double]("lmean"),
-            root.getAs[Double]("rmean")))
-            .toDF("feature", "thr", "nl", "nr", "gain", "lmean", "rmean")
-          shape(rootDf, "root")
-            .unionByName(shape(leafBest(b, 1), "left"))
-            .unionByName(shape(leafBest(b, 0), "right"))
-      }
+      val nodes: Seq[(String, Row)] =
+        roots(b).map("root" -> _).toSeq ++
+          leafRows.filter(r => r.getAs[Int]("bag") == b).map { r =>
+            (if (r.getAs[Int]("side") == 1) "left" else "right") -> r
+          }
+      nodes.map { case (node, r) =>
+        (node, r.getAs[String]("feature"), r.getAs[Int]("thr"),
+          r.getAs[Long]("nl"), r.getAs[Long]("nr"), r.getAs[Double]("gain"),
+          r.getAs[Double]("lmean"), r.getAs[Double]("rmean"))
+      }.toDF("node", "feature", "thr", "n_left", "n_right",
+        "rgain", "rlmean", "rrmean")
+        .select(col("node"), col("feature"), col("thr"),
+          col("n_left"), col("n_right"),
+          round(col("rgain"), 6).as("gain"),
+          round(col("rlmean"), 6).as("left_mean"),
+          round(col("rrmean"), 6).as("right_mean"))
     }
   }
 

@@ -76,6 +76,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(skill > 0.25, s"Brier skill = $skill — the model must beat the constant predictor")
   }
 
+  test("q287 learning curve: four nested fits, sane AUCs, more data never hurts much") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val rows = graft.SparkEntry.queries("q287_learning_curve")(spark, d)
+      .collect().sortBy(_.getAs[Int]("train_folds"))
+    assert(rows.map(_.getAs[Int]("train_folds")).toSeq === Seq(1, 2, 3, 4))
+    // folds are doc_id % 5 buckets of the 500-doc corpus: 100 docs each
+    assert(rows.map(_.getAs[Long]("n_train")).toSeq === Seq(100L, 200L, 300L, 400L))
+    rows.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc > 0.5 && auc <= 1.0, s"${r.get(0)} folds: auc = $auc")
+    }
+    // the full-train model must not be materially worse than the
+    // smallest-train one (noise tolerance, not strict monotonicity)
+    assert(rows.last.getAs[Double]("auc") >= rows.head.getAs[Double]("auc") - 0.05)
+  }
+
   test("q286 Murphy decomposition agrees with a recomputation from the q270 deciles") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
