@@ -196,12 +196,46 @@ object NaiveBayesQueries extends QueryModule {
           .select(col("token"), col("c0"), col("c1"),
             round(llrCol, 6).as("llr"))
       },
-      oracle = Some(s"""
-        WITH $docTokensSql,
-        ${tokenCountsSql("dtoks")},
-        $classTotalsSql
-        SELECT token, c0, c1, ROUND($llrSql, 6) AS llr
-        FROM tc CROSS JOIN ct""")
+      oracle = fitOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED NB MODEL — the q176/q236 MV-merge pattern applied to
+    // the token classifier: (token, class) counts are ADDITIVE state,
+    // so a corpus ingested in four chronological batches merges each
+    // batch's counts into the stored model table (re-aggregate of
+    // O(vocab) rows, never a corpus re-scan) and the final smoothed
+    // model is gated against the SAME oracle as the one-shot q273 fit
+    // — maintained ≡ recompute, hash-proven. At 100 TB a nightly
+    // refresh pays O(ingest) + O(vocab), never O(history).
+    "q288_nb_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q288_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          for (b <- 0 until 4) {
+            val batch = tokenCounts(docTokens(s, d).where(col("doc_id") % 4 === b))
+            val merged =
+              if (wh.exists("gold", "mv_nb_counts"))
+                wh.load("gold", "mv_nb_counts").unionByName(batch)
+                  .groupBy(col("token"))
+                  .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"))
+              else batch
+            wh.overwrite(merged, "gold", "mv_nb_counts")
+          }
+          val tc = graft.CacheLeases.lease(
+            wh.load("gold", "mv_nb_counts")
+              .select(col("token"),
+                col("c0").cast("long").as("c0"), col("c1").cast("long").as("c1"))
+              .persist())
+          tc.crossJoin(broadcast(classTotals(tc)))
+            .select(col("token"), col("c0"), col("c1"),
+              round(llrCol, 6).as("llr"))
+            .localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = fitOracle
     ),
 
     // ----------------------------------------------------------------
@@ -408,6 +442,17 @@ object NaiveBayesQueries extends QueryModule {
         WHERE df_all >= $MinDf AND (dg + db - df_all) >= $MinDf""")
     )
   )
+
+  /** The one-shot fit oracle — shared by q273 and its maintained-state
+    * twin q288, whose hash match against the SAME text is the
+    * merge ≡ recompute proof (the q223/q236 discipline).
+    */
+  private lazy val fitOracle: Option[String] = Some(s"""
+        WITH $docTokensSql,
+        ${tokenCountsSql("dtoks")},
+        $classTotalsSql
+        SELECT token, c0, c1, ROUND($llrSql, 6) AS llr
+        FROM tc CROSS JOIN ct""")
 
   /** The shared q274/q275 oracle chain: train-slice model + constants,
     * fold-4 scoring with the sorted-token fold, ending at CTE `scored`

@@ -83,6 +83,16 @@ class NaiveBayesSpec extends AnyFunSuite {
       s"NB holdout accuracy = ${correct.toDouble / n} (confusion $conf)")
   }
 
+  test("q288: maintained NB model equals the one-shot fit row for row") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val oneShot = graft.SparkEntry.queries("q273_nb_fit")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val maintained = graft.SparkEntry.queries("q288_nb_incremental")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(maintained === oneShot)
+  }
+
   test("q279 OOV rate counts exactly the tokens missing from the train vocab") {
     val good = ("the cake and the bread of the day is fresh " * 5).trim
     val dir = java.nio.file.Files.createTempDirectory("oovspec").toString
