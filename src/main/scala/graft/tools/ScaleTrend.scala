@@ -388,6 +388,16 @@ object ScaleTrend {
     "q281_forest_train",
     "q282_forest_apply",
     "q284_forest_oob",
+    // target encoding: (brand, fold) state is size-invariant (the
+    // per-copy brand design repeats), observations x10 — the OLS regime
+    "q285_target_encode_oof",
+    // Murphy decomposition / learning curve: the q270/q265 rank-kernel
+    // shapes (fit moments KB-flat, one kernel pass over the holdout)
+    "q286_brier_decomposition",
+    "q287_learning_curve",
+    // maintained NB: 4 batch merges at O(vocab) each — the vocab grows
+    // x10 with the suffix-per-copy corpus, so state tracks vocab
+    "q288_nb_incremental",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
