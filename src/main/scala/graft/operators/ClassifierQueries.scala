@@ -90,7 +90,7 @@ object ClassifierQueries extends QueryModule {
       .reduce(_ + _)
     val distinctToks = size(array_distinct(split(t, " ")))
     documents(s, d).select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col("lang"), col("source"),
       (stops / toksD).as("x1"),
       (chars.cast("double") / toksD).as("x2"),
       (distinctToks.cast("double") / toksD).as("x3"),
@@ -104,7 +104,7 @@ object ClassifierQueries extends QueryModule {
     val toksD = s"CAST(GREATEST(${TextQueries.tokenCountSql}, 1) AS DOUBLE)"
     s"""
         f AS MATERIALIZED (
-          SELECT doc_id, lang,
+          SELECT doc_id, lang, source,
                  (${TextQueries.stopsSql}) / $toksD AS x1,
                  CAST(length(t) AS DOUBLE) / $toksD AS x2,
                  CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE) /
@@ -618,6 +618,60 @@ object ClassifierQueries extends QueryModule {
         SELECT nh.n_holdout, ag.n_pos,
                ROUND(CAST(sap AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS ap
         FROM ag CROSS JOIN nh WHERE n_pos > 0"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // SOURCE QUALITY REPORT — the trained classifier turned into the
+    // decision table a curation owner actually reads: per SOURCE, how
+    // many documents, the model's mean P(good), the hard-decision keep
+    // rate (η ≥ 0 — exact arithmetic), and the rule-gate label rate
+    // for contrast. A source whose keep rate craters is the one you
+    // drop from the crawl — this closes the loop from model (q263) to
+    // pipeline action. Map-only scoring + ONE (source)-grain aggregate:
+    // at 100 TB the report costs a scan.
+    "q289_source_quality_report" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+        val eta = etaCol(beta)
+        all.select(col("source"), col("y"), eta.as("eta"),
+          (lit(1.0) / (lit(1.0) + exp(-eta))).as("mu"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("mu").cast(dt)).as("sp"),
+            sum(when(col("eta") >= 0.0, 1L).otherwise(0L)).as("gp"),
+            sum(col("y").cast(dt)).as("sy"))
+          .select(col("source"), col("n"),
+            round(col("sp").cast("double") / col("n").cast("double"), 6)
+              .as("avg_p_good"),
+            round(col("gp").cast("double") / col("n").cast("double"), 6)
+              .as("keep_rate"),
+            round(col("sy").cast("double") / col("n").cast("double"), 6)
+              .as("label_rate"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsSql("ftr")
+        s"""
+        WITH $featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT source, y,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF),
+        sm AS MATERIALIZED (
+          SELECT source, y, eta, 1.0 / (1.0 + exp(-eta)) AS mu FROM sc)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(mu AS DECIMAL(38,10))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS avg_p_good,
+               ROUND(CAST(SUM(CASE WHEN eta >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+               ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS label_rate
+        FROM sm GROUP BY source"""
       }
     ),
 

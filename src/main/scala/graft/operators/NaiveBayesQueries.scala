@@ -4,7 +4,6 @@ import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.{TextFunctions, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** MULTINOMIAL NAIVE BAYES over document tokens — the bag-of-words
   * counterpart to the IRLS logistic classifier (q263-q265): where the

@@ -930,6 +930,12 @@ object PlanAudit {
     Audit("q276_chi2_tokens",
       mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // source report: map-only scoring + ONE source-grain aggregate —
+    // the q264 no-exchange-scoring rule with a single rollup on top
+    Audit("q289_source_quality_report",
+      mustContain = Seq("partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastHashJoin")),
     // Murphy decomposition: the q270 rank-kernel decile shape plus two
     // O(1) reductions — same floors as q265/q270
     Audit("q286_brier_decomposition",

@@ -76,6 +76,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(skill > 0.25, s"Brier skill = $skill — the model must beat the constant predictor")
   }
 
+  test("q289 source report covers every source with consistent rates") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val rows = graft.SparkEntry.queries("q289_source_quality_report")(spark, d).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+    rows.foreach { r =>
+      val (p, k, l) = (r.getAs[Double]("avg_p_good"),
+        r.getAs[Double]("keep_rate"), r.getAs[Double]("label_rate"))
+      assert(p > 0.0 && p < 1.0, s"${r.get(0)} avg_p=$p")
+      assert(k >= 0.0 && k <= 1.0 && l >= 0.0 && l <= 1.0)
+    }
+    // the report must discriminate: sources differ in keep rate
+    assert(rows.map(_.getAs[Double]("keep_rate")).distinct.length > 1)
+  }
+
   test("q287 learning curve: four nested fits, sane AUCs, more data never hurts much") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
