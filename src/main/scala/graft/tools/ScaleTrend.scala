@@ -398,6 +398,8 @@ object ScaleTrend {
     // maintained NB: 4 batch merges at O(vocab) each — the vocab grows
     // x10 with the suffix-per-copy corpus, so state tracks vocab
     "q288_nb_incremental",
+    // source report: map-only scoring + one source-grain rollup
+    "q289_source_quality_report",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
