@@ -930,6 +930,12 @@ object PlanAudit {
     Audit("q276_chi2_tokens",
       mustContain = Seq("partial_count", "BroadcastNestedLoopJoin"),
       mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // learning curve: all four models' holdout scores rank in ONE
+    // kernel pass (group = model id) — same floors as q265
+    Audit("q287_learning_curve",
+      mustContain = Seq("partial_sum", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      minWindowPartCols = 1),
     // source report: map-only scoring + ONE source-grain aggregate —
     // the q264 no-exchange-scoring rule with a single rollup on top
     Audit("q289_source_quality_report",
