@@ -283,10 +283,13 @@ object NaiveBayesQueries extends QueryModule {
     // rollup.
     "q279_oov_rate" -> QueryDef(
       fn = (s, d) => {
-        val toks = documents(s, d)
+        // read twice (train vocab + eval slice): lease the exploded
+        // frame so the corpus explode runs once (round-11 advice)
+        val toks = graft.CacheLeases.lease(documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(split(TextFunctions.normalizeText(col("text")), " ")).as("token"))
           .where(col("token") =!= "")
+          .persist())
         val vocab = toks.where(col("doc_id") % Fold =!= Fold - 1)
           .select(col("token")).distinct()
           .withColumn("seen", lit(1))

@@ -848,6 +848,13 @@ object SurvivalQueries extends QueryModule {
               (least(col("n_ord"), lit(10L)).cast("double") / lit(10.0)).as("x"))
             .persist())
         val dec = DecimalType(38, 10)
+        // deliberately UNpartitioned: this window runs over the
+        // duration-DAY-grain frame (O(distinct durations), calendar-
+        // bounded — more customers make days heavier, never more days),
+        // so the single-task stage holds ≤ a few thousand rows at any
+        // corpus size. If durations ever outgrow calendar grain (e.g.
+        // sub-day durations), bucket the cumulative like RankSelect;
+        // the grouped twin q283 already partitions per segment.
         val wRisk = Window.orderBy(col("dur").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         var beta = 0.0
@@ -876,13 +883,18 @@ object SurvivalQueries extends QueryModule {
             .select(col("u").cast("double"), col("i").cast("double"))
             .head()
           val (u, i) = (ui.getDouble(0), ui.getDouble(1))
-          beta = beta + u / i
+          // zero-information guard (round-11 advice): a cohort whose
+          // events carry no covariate variance yields I = 0 and the raw
+          // update would propagate NaN/Inf into β/hazard/se. Skip the
+          // step (β unchanged) and let se surface as NULL — mirrored in
+          // the oracle's CASE guards, identical values when I > 0.
+          if (i > 0) beta = beta + u / i
           lastI = i
         }
         val st = ev.agg(count(lit(1)).as("n"), sum(col("event")).as("ne")).head()
         import s.implicits._
-        Seq((st.getAs[Long]("n"), st.getAs[Long]("ne"), beta,
-          math.exp(beta), 1.0 / math.sqrt(lastI)))
+        Seq((st.getAs[Long]("n"), st.getAs[Long]("ne"), beta, math.exp(beta),
+          if (lastI > 0) Some(1.0 / math.sqrt(lastI)) else Option.empty[Double]))
           .toDF("n", "n_events", "rb", "rh", "rs")
           .select(col("n"), col("n_events"),
             round(col("rb"), 6).as("beta"),
@@ -924,7 +936,8 @@ object SurvivalQueries extends QueryModule {
                  CAST(SUM(CAST(it AS DECIMAL(38,10))) AS DOUBLE) AS i
           FROM ct$t),
         cb$t AS MATERIALIZED (
-          SELECT beta + u / i AS beta FROM cb${t - 1} CROSS JOIN cu$t)"""
+          SELECT beta + CASE WHEN i > 0 THEN u / i ELSE 0.0 END AS beta
+          FROM cb${t - 1} CROSS JOIN cu$t)"""
         }.mkString(",\n        ")
         s"""
         WITH cpc AS MATERIALIZED (
@@ -949,7 +962,7 @@ object SurvivalQueries extends QueryModule {
           FROM csp)
         SELECT n, n_events, ROUND(beta, 6) AS beta,
                ROUND(exp(beta), 6) AS hazard_ratio,
-               ROUND(1.0 / sqrt(i), 6) AS se
+               CASE WHEN i > 0 THEN ROUND(1.0 / sqrt(i), 6) END AS se
         FROM cb$CoxSteps CROSS JOIN cu$CoxSteps CROSS JOIN cst"""
       }
     ),
@@ -1021,7 +1034,10 @@ object SurvivalQueries extends QueryModule {
           betas = ui.map { r =>
             val g = r.getString(0)
             val prev = betas.get(g).map(_._1).getOrElse(0.0)
-            g -> (prev + r.getDouble(1) / r.getDouble(2), r.getDouble(2))
+            val (u, i) = (r.getDouble(1), r.getDouble(2))
+            // per-segment zero-information guard — same contract as
+            // q278's (skip the update when I ≤ 0, se surfaces NULL)
+            g -> (prev + (if (i > 0) u / i else 0.0), i)
           }.toMap
         }
         val st = ev.groupBy(col("seg"))
@@ -1030,7 +1046,8 @@ object SurvivalQueries extends QueryModule {
             ((r.getAs[Long]("n"), r.getAs[Long]("n_events")))).toMap
         import s.implicits._
         betas.toSeq.sortBy(_._1).map { case (g, (b, i)) =>
-          (g, st(g)._1, st(g)._2, b, math.exp(b), 1.0 / math.sqrt(i))
+          (g, st(g)._1, st(g)._2, b, math.exp(b),
+            if (i > 0) Some(1.0 / math.sqrt(i)) else Option.empty[Double])
         }.toDF("seg", "n", "n_events", "rb", "rh", "rs")
           .select(col("seg"), col("n"), col("n_events"),
             round(col("rb"), 6).as("beta"),
@@ -1079,7 +1096,8 @@ object SurvivalQueries extends QueryModule {
           FROM gt$t GROUP BY seg),
         gb$t AS MATERIALIZED (
           SELECT seg,
-                 ${if (t == 1) "0.0" else s"gb${t - 1}.beta"} + gu$t.u / gu$t.i AS beta,
+                 ${if (t == 1) "0.0" else s"gb${t - 1}.beta"}
+                   + CASE WHEN gu$t.i > 0 THEN gu$t.u / gu$t.i ELSE 0.0 END AS beta,
                  gu$t.i AS i
           FROM gu$t${if (t == 1) "" else s" JOIN gb${t - 1} USING (seg)"})"""
         }.mkString(",\n        ")
@@ -1105,7 +1123,7 @@ object SurvivalQueries extends QueryModule {
           FROM gsp GROUP BY seg)
         SELECT seg, n, n_events, ROUND(beta, 6) AS beta,
                ROUND(exp(beta), 6) AS hazard_ratio,
-               ROUND(1.0 / sqrt(i), 6) AS se
+               CASE WHEN i > 0 THEN ROUND(1.0 / sqrt(i), 6) END AS se
         FROM gb$CoxSteps JOIN gst USING (seg)"""
       }
     )

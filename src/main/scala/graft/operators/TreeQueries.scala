@@ -1135,19 +1135,20 @@ object TreeQueries extends QueryModule {
     "q282_forest_apply" -> QueryDef(
       fn = (s, d) => {
         val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
-        val preds: Seq[Column] = forestSplits(rows).zipWithIndex.map { case (df, b) =>
-          val t = df.collect().map(r => r.getAs[String]("node") -> r).toMap
-          require(Seq("root", "left", "right").forall(t.contains),
-            s"bag $b grew fewer than 3 nodes — forest apply needs full depth-2 trees")
-          def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
-          def leaf(n: Row): Column =
-            when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
-              .otherwise(lit(n.getAs[Double]("right_mean")))
-          when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
-            .otherwise(leaf(t("right")))
+        val trees = collectForest(rows)
+        if (trees.isEmpty) {
+          // a bag grew fewer than 3 nodes: the oracle's CROSS JOIN
+          // against that bag's empty split CTE yields ZERO rows, so the
+          // degenerate contract is an empty frame on both engines (not
+          // a require() throw — the round-11 advice finding)
+          import s.implicits._
+          Seq.empty[(Long, Int, Double)]
+            .toDF("l_orderkey", "l_linenumber", "pred")
+        } else {
+          val preds: Seq[Column] = trees.map(bagPredCol)
+          rows.select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+            round(preds.reduce(_ + _) / lit(Bags.toDouble), 6).as("pred"))
         }
-        rows.select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
-          round(preds.reduce(_ + _) / lit(Bags.toDouble), 6).as("pred"))
       },
       oracle = Some(s"""
         WITH $rowsSql,
@@ -1173,40 +1174,38 @@ object TreeQueries extends QueryModule {
     "q284_forest_oob" -> QueryDef(
       fn = (s, d) => {
         val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
-        val trees: Seq[Map[String, Row]] = forestSplits(rows).zipWithIndex.map {
-          case (df, b) =>
-            val t = df.collect().map(r => r.getAs[String]("node") -> r).toMap
-            require(Seq("root", "left", "right").forall(t.contains),
-              s"bag $b grew fewer than 3 nodes")
-            t
+        val trees = collectForest(rows)
+        if (trees.isEmpty) {
+          // degenerate-bag contract: the oracle's `oob` CTE cross-joins
+          // every bag's split CTEs, so one empty bag empties it and the
+          // ungrouped `ag` aggregate still emits its single row —
+          // n_oob = 0 with NULL error columns. Mirror that row exactly.
+          import s.implicits._
+          Seq((0L, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double]))
+            .toDF("n_oob", "oob_mse", "base_mse", "r2_oob")
+        } else {
+          def predOf(t: Map[String, Row]): Column = bagPredCol(t)
+          val fold = (col("k") + col("ln")) % BagFolds
+          val oobPred = (1 until Bags).foldLeft[Column](
+            when(fold === 0, predOf(trees(0)))) { (acc, b) =>
+            acc.when(fold === b, predOf(trees(b)))
+          }
+          val oob = rows.where(fold < Bags)
+            .select(col("y").cast("double").as("y"), oobPred.as("p"))
+          val yb = oob.agg((sum(col("y").cast(dt)).cast("double") /
+            count(lit(1)).cast("double")).as("ybar"))
+          oob.crossJoin(broadcast(yb))
+            .agg(
+              count(lit(1)).as("n_oob"),
+              sum(((col("y") - col("p")) * (col("y") - col("p"))).cast(dt)).as("se"),
+              sum(((col("y") - col("ybar")) * (col("y") - col("ybar"))).cast(dt)).as("sb"))
+            .select(col("n_oob"),
+              round(col("se").cast("double") / col("n_oob").cast("double"), 6).as("oob_mse"),
+              round(col("sb").cast("double") / col("n_oob").cast("double"), 6).as("base_mse"),
+              round(lit(1.0) - col("se").cast("double") / col("sb").cast("double"), 6)
+                .as("r2_oob"))
         }
-        def predOf(t: Map[String, Row]): Column = {
-          def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
-          def leaf(n: Row): Column =
-            when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
-              .otherwise(lit(n.getAs[Double]("right_mean")))
-          when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
-            .otherwise(leaf(t("right")))
-        }
-        val fold = (col("k") + col("ln")) % BagFolds
-        val oobPred = (1 until Bags).foldLeft[Column](
-          when(fold === 0, predOf(trees(0)))) { (acc, b) =>
-          acc.when(fold === b, predOf(trees(b)))
-        }
-        val oob = rows.where(fold < Bags)
-          .select(col("y").cast("double").as("y"), oobPred.as("p"))
-        val yb = oob.agg((sum(col("y").cast(dt)).cast("double") /
-          count(lit(1)).cast("double")).as("ybar"))
-        oob.crossJoin(broadcast(yb))
-          .agg(
-            count(lit(1)).as("n_oob"),
-            sum(((col("y") - col("p")) * (col("y") - col("p"))).cast(dt)).as("se"),
-            sum(((col("y") - col("ybar")) * (col("y") - col("ybar"))).cast(dt)).as("sb"))
-          .select(col("n_oob"),
-            round(col("se").cast("double") / col("n_oob").cast("double"), 6).as("oob_mse"),
-            round(col("sb").cast("double") / col("n_oob").cast("double"), 6).as("base_mse"),
-            round(lit(1.0) - col("se").cast("double") / col("sb").cast("double"), 6)
-              .as("r2_oob"))
       },
       oracle = Some(s"""
         WITH $rowsSql,
@@ -1338,6 +1337,31 @@ object TreeQueries extends QueryModule {
           round(col("rlmean"), 6).as("left_mean"),
           round(col("rrmean"), 6).as("right_mean"))
     }
+  }
+
+  /** Collect every bag's 3-node tree as a name→row map. Returns Nil when
+    * ANY bag grew fewer than 3 nodes — the callers (q282/q284 and the
+    * staged-apply twin) degrade to the oracle's empty-CROSS-JOIN
+    * contract instead of throwing (round-11 advice finding).
+    */
+  private def collectForest(rows: DataFrame): Seq[Map[String, Row]] = {
+    val trees = forestSplits(rows).map { df =>
+      df.collect().map(r => r.getAs[String]("node") -> r).toMap
+    }
+    if (trees.forall(t => Seq("root", "left", "right").forall(t.contains))) trees
+    else Nil
+  }
+
+  /** One bag's depth-2 prediction column from its collected 3-node map —
+    * leaf means are the GATED rounded values (mirrors [[bagPredSql]]).
+    */
+  private def bagPredCol(t: Map[String, Row]): Column = {
+    def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
+    def leaf(n: Row): Column =
+      when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
+        .otherwise(lit(n.getAs[Double]("right_mean")))
+    when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
+      .otherwise(leaf(t("right")))
   }
 
   /** The q255 depth-2 chain over bag b's rows, every CTE prefixed b$b;
