@@ -336,6 +336,53 @@ object ClassifierQueries extends QueryModule {
           WHERE doc_id % 5 = 4)"""
   }
 
+  /** Doc-grain trained-quality scores under the GATE-ROUNDED fold-0-3
+    * model: (doc_id, source, lang, eta) over the WHOLE corpus — the
+    * map-only curation scoring pass q290's corpus build ranks on.
+    *
+    * β is rounded to the gated 6 decimals BEFORE scoring (through a
+    * Spark `round` so both engines round the identical way — the q282
+    * staged-leaf-mean precedent): with rounded β, η is a pure IEEE-exact
+    * function of cross-engine-identical inputs, so downstream RANKINGS
+    * of η (the percentile cut, the dedup keeper rule) are deterministic.
+    * q264's raw-β η is only gate-stable through its ROUND(p_good, 6) —
+    * not rankable.
+    */
+  private[graft] def trainedEta(s: SparkSession, d: String): DataFrame = {
+    val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+    val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
+    import s.implicits._
+    val r = Seq((beta(0), beta(1), beta(2), beta(3), beta(4)))
+      .toDF("b0", "b1", "b2", "b3", "b4")
+      .select((0 to 4).map(i => round(col(s"b$i"), 6).as(s"b$i")): _*)
+      .head()
+    val betaR = Array.tabulate(5)(r.getDouble)
+    all.select(col("doc_id"), col("source"), col("lang"),
+      etaCol(betaR).as("eta"))
+  }
+
+  /** [[trainedEta]]'s oracle mirror: CTE chain ending at `ceta`
+    * (doc_id, source, lang, eta) — no WITH prefix, composes with other
+    * chains (CTE names: f, ftr, beta0..3 + p/r/s/m/a/g-step names from
+    * [[irlsSql]], rbeta, ceta).
+    */
+  private[graft] lazy val trainedEtaSql: String = {
+    val (chain, betaF) = irlsSql("ftr")
+    s"""$featuresSql,
+        ftr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 4),
+        $chain,
+        rbeta AS MATERIALIZED (
+          SELECT ROUND(b_0, 6) AS b_0, ROUND(b_1, 6) AS b_1,
+                 ROUND(b_2, 6) AS b_2, ROUND(b_3, 6) AS b_3,
+                 ROUND(b_4, 6) AS b_4
+          FROM $betaF),
+        ceta AS MATERIALIZED (
+          SELECT doc_id, source, lang,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN rbeta)"""
+  }
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
