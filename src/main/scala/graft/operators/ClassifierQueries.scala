@@ -383,6 +383,25 @@ object ClassifierQueries extends QueryModule {
           FROM f CROSS JOIN rbeta)"""
   }
 
+  /** The full-corpus apply oracle — shared by q264 (refit-apply) and its
+    * staged-model twin q291, whose hash match against the SAME text is
+    * the staged ≡ refit proof (the q223/q236 discipline).
+    */
+  private lazy val applyOracle: Option[String] = Some {
+    val (chain, betaF) = irlsSql("f")
+    s"""
+        WITH $featuresSql,
+        $chain,
+        sc AS MATERIALIZED (
+          SELECT doc_id,
+                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
+                   $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN $betaF)
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-eta)), 6) AS p_good,
+               eta >= 0.0 AS predicted_good
+        FROM sc"""
+  }
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -436,20 +455,46 @@ object ClassifierQueries extends QueryModule {
           round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("p_good"),
           (eta >= lit(0.0)).as("predicted_good"))
       },
-      oracle = Some {
-        val (chain, betaF) = irlsSql("f")
-        s"""
-        WITH $featuresSql,
-        $chain,
-        sc AS MATERIALIZED (
-          SELECT doc_id,
-                 GREATEST(LEAST(b_0 + b_1 * x1 + b_2 * x2 + b_3 * x3 + b_4 * x4,
-                   $EtaClamp), -$EtaClamp) AS eta
-          FROM f CROSS JOIN $betaF)
-        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-eta)), 6) AS p_good,
-               eta >= 0.0 AS predicted_good
-        FROM sc"""
-      }
+      oracle = applyOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STAGED-MODEL APPLY — q264's production form: TRAIN ONCE, stage the
+    // fitted β as a warehouse model table (the q288 NB-count-table
+    // pattern applied to the logistic family), and APPLY FROM THE TABLE
+    // — the scoring pass reads the staged model, never re-derives it.
+    // Parquet round-trips IEEE doubles exactly, so staged-apply is
+    // bit-identical to refit-apply and gates against q264's oracle
+    // verbatim (the hash match IS the staging proof). The returned plan
+    // folds the 5 collected doubles as literals — stricter than
+    // broadcast: one corpus scan, zero joins, zero fit jobs
+    // (plan-audited). At 100 TB this is what apply-many costs: a scan.
+    "q291_logit_staged_apply" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q291_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          // train once → stage
+          val (beta, n) = irlsFit(rows)
+          import s.implicits._
+          wh.overwrite(
+            Seq((n, beta(0), beta(1), beta(2), beta(3), beta(4)))
+              .toDF("n", "b0", "b1", "b2", "b3", "b4"),
+            "gold", "model_logit_quality")
+          // apply-many: the staged table is the ONLY model input
+          val m = wh.load("gold", "model_logit_quality").head()
+          val staged = Array.tabulate(5)(i => m.getAs[Double](s"b$i"))
+          val eta = etaCol(staged)
+          rows.select(
+            col("doc_id"),
+            round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("p_good"),
+            (eta >= lit(0.0)).as("predicted_good"))
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = applyOracle
     ),
 
     // ----------------------------------------------------------------

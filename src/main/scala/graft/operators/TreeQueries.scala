@@ -836,6 +836,35 @@ object TreeQueries extends QueryModule {
         s" ELSE (CASE WHEN (${featCase2Sql(s"tg$j")}) <= tg$j.thr THEN tg$j.lv ELSE tg$j.rv END) END))"
     }
 
+  /** Row-grain boosted-depth-2 scoring oracle — shared by q267
+    * (refit-apply) and its staged-model twin q292; the hash match
+    * against the SAME text is the staged ≡ refit proof.
+    */
+  private lazy val gbt2ScoreOracle: Option[String] = Some(s"""
+        WITH $gbt2CtesSql,
+        scored AS MATERIALIZED (
+          SELECT r.k, r.ln, r.y, $pred2Sql AS pred
+          FROM r CROSS JOIN f0${(1 to TreeRounds)
+            .map(j => s" CROSS JOIN tr$j CROSS JOIN tl$j CROSS JOIN tg$j").mkString})
+        SELECT k AS l_orderkey, ln AS l_linenumber,
+               ROUND(pred, 6) AS pred, ROUND(y - pred, 6) AS resid
+        FROM scored""")
+
+  /** Bag-average forest scoring oracle — shared by q282 (regrow-apply)
+    * and its staged-model twin q293 (same proof shape).
+    */
+  private lazy val forestApplyOracle: Option[String] = Some(s"""
+        WITH $rowsSql,
+        ${(0 until Bags).map(bagChainSql).mkString(",\n        ")},
+        scored AS MATERIALIZED (
+          SELECT r.k, r.ln,
+                 (${(0 until Bags).map(b => s"(${bagPredSql(b)})").mkString("\n                  + ")})
+                   / ${Bags}.0 AS pred
+          FROM r${(0 until Bags).map(b =>
+            s" CROSS JOIN b${b}r0s CROSS JOIN b${b}lfs CROSS JOIN b${b}rts").mkString})
+        SELECT k AS l_orderkey, ln AS l_linenumber, ROUND(pred, 6) AS pred
+        FROM scored""")
+
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
 
@@ -1055,15 +1084,62 @@ object TreeQueries extends QueryModule {
           round(pred, 6).as("pred"),
           round(col("y") - pred, 6).as("resid"))
       },
-      oracle = Some(s"""
-        WITH $gbt2CtesSql,
-        scored AS MATERIALIZED (
-          SELECT r.k, r.ln, r.y, $pred2Sql AS pred
-          FROM r CROSS JOIN f0${(1 to TreeRounds)
-            .map(j => s" CROSS JOIN tr$j CROSS JOIN tl$j CROSS JOIN tg$j").mkString})
-        SELECT k AS l_orderkey, ln AS l_linenumber,
-               ROUND(pred, 6) AS pred, ROUND(y - pred, 6) AS resid
-        FROM scored""")
+      oracle = gbt2ScoreOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STAGED GBT APPLY — q267's production form: the trained 2-round
+    // depth-2 model is staged as a warehouse MODEL TABLE (6 node rows +
+    // a 1-row base, the q288/q291 staging pattern), and scoring reads
+    // the table — no refit inside apply. Parquet round-trips the
+    // unrounded IEEE leaf values exactly, so staged-apply ≡ refit-apply
+    // bit for bit, gated against q267's oracle verbatim. The returned
+    // plan folds the collected model as literals: one scan, zero fit
+    // jobs (plan-audited).
+    "q292_gbt_staged_apply" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q292_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          // train once → stage the model frame (unrounded leaf values —
+          // they ARE the model; the gated q266 view rounds on read)
+          val (f0, trees) = trainModel2(s, d)
+          import s.implicits._
+          wh.overwrite(
+            trees.zipWithIndex.flatMap { case (t, i) =>
+              Seq(
+                (i + 1, "root", t.rf, t.rthr, t.rlm, t.rrm),
+                (i + 1, "left", t.lf, t.lthr, t.llv, t.lrv),
+                (i + 1, "right", t.gf, t.gthr, t.glv, t.grv))
+            }.toDF("round", "node", "feature", "thr", "lv", "rv"),
+            "gold", "model_gbt2")
+          wh.overwrite(Seq(Tuple1(f0)).toDF("f0"), "gold", "model_gbt2_base")
+          // apply-many: reconstruct the additive fold from the tables
+          val base = wh.load("gold", "model_gbt2_base").head().getAs[Double]("f0")
+          val nodes = wh.load("gold", "model_gbt2").collect()
+            .groupBy(_.getAs[Int]("round"))
+            .map { case (m, rs) =>
+              m -> rs.map(r => r.getAs[String]("node") -> r).toMap
+            }
+          def bin(r: Row): Column = col(s"bin_${r.getAs[String]("feature")}")
+          def leaf(r: Row): Column =
+            when(bin(r) <= r.getAs[Int]("thr"), lit(r.getAs[Double]("lv")))
+              .otherwise(lit(r.getAs[Double]("rv")))
+          val pred = (1 to TreeRounds).foldLeft[Column](lit(base)) { (acc, i) =>
+            val m = nodes(i)
+            acc + lit(LearningRate) *
+              when(bin(m("root")) <= m("root").getAs[Int]("thr"), leaf(m("left")))
+                .otherwise(leaf(m("right")))
+          }
+          obsRows(s, d).select(
+            col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+            round(pred, 6).as("pred"),
+            round(col("y") - pred, 6).as("resid"))
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = gbt2ScoreOracle
     ),
 
     "q225_gbdt_score" -> QueryDef(
@@ -1150,17 +1226,56 @@ object TreeQueries extends QueryModule {
             round(preds.reduce(_ + _) / lit(Bags.toDouble), 6).as("pred"))
         }
       },
-      oracle = Some(s"""
-        WITH $rowsSql,
-        ${(0 until Bags).map(bagChainSql).mkString(",\n        ")},
-        scored AS MATERIALIZED (
-          SELECT r.k, r.ln,
-                 (${(0 until Bags).map(b => s"(${bagPredSql(b)})").mkString("\n                  + ")})
-                   / ${Bags}.0 AS pred
-          FROM r${(0 until Bags).map(b =>
-            s" CROSS JOIN b${b}r0s CROSS JOIN b${b}lfs CROSS JOIN b${b}rts").mkString})
-        SELECT k AS l_orderkey, ln AS l_linenumber, ROUND(pred, 6) AS pred
-        FROM scored""")
+      oracle = forestApplyOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STAGED FOREST APPLY — q282's production form: all Bags trees are
+    // staged as ONE warehouse model table at (bag, node) grain carrying
+    // the GATED rounded leaf means (exactly what q281 reports and q282
+    // scores with), and scoring reads the table — no regrow inside
+    // apply. Gated against q282's oracle verbatim: staged ≡ regrown,
+    // hash-proven. Degenerate bags follow the q282 empty contract.
+    "q293_forest_staged_apply" -> QueryDef(
+      fn = (s, d) => {
+        val rows = graft.CacheLeases.lease(obsRows(s, d).persist())
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q293_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          // grow once → stage (the q281-gated frame, bag column added)
+          val model = forestSplits(rows).zipWithIndex
+            .map { case (df, b) => df.withColumn("bag", lit(b)) }
+            .reduce(_ unionByName _)
+            .select(col("bag"), col("node"), col("feature"), col("thr"),
+              col("left_mean"), col("right_mean"))
+          wh.overwrite(model, "gold", "model_forest")
+          // apply-many from the staged table
+          val staged = wh.load("gold", "model_forest").collect()
+            .groupBy(_.getAs[Int]("bag"))
+          val trees = (0 until Bags).map(b =>
+            staged.getOrElse(b, Array.empty[Row])
+              .map(r => r.getAs[String]("node") -> r).toMap)
+          if (!trees.forall(t => Seq("root", "left", "right").forall(t.contains))) {
+            import s.implicits._
+            Seq.empty[(Long, Int, Double)]
+              .toDF("l_orderkey", "l_linenumber", "pred")
+          } else {
+            def bin(n: Row): Column = col(s"bin_${n.getAs[String]("feature")}")
+            def leaf(n: Row): Column =
+              when(bin(n) <= n.getAs[Int]("thr"), lit(n.getAs[Double]("left_mean")))
+                .otherwise(lit(n.getAs[Double]("right_mean")))
+            val preds = trees.map { t =>
+              when(bin(t("root")) <= t("root").getAs[Int]("thr"), leaf(t("left")))
+                .otherwise(leaf(t("right")))
+            }
+            rows.select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+              round(preds.reduce(_ + _) / lit(Bags.toDouble), 6).as("pred"))
+          }
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = forestApplyOracle
     ),
 
     // ----------------------------------------------------------------

@@ -639,6 +639,30 @@ object PlanAudit {
       mustContain = Seq("Project"),
       mustNotContain = Seq("Exchange", "Window", "CartesianProduct",
         "SortMergeJoin", "BroadcastHashJoin")),
+    // STAGED logistic apply: after the train-once/stage step runs
+    // eagerly, the RETURNED apply plan must read the staged model as
+    // plan literals — same zero-exchange floor as q264, and crucially
+    // zero fit machinery (no aggregates at all: a HashAggregate here
+    // means apply re-derived the model)
+    Audit("q291_logit_staged_apply",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("Exchange", "Window", "CartesianProduct",
+        "SortMergeJoin", "BroadcastHashJoin", "HashAggregate")),
+    // STAGED GBT apply: one feature-frame scan (part broadcasts into
+    // it) + the model folded as literals — zero aggregates, zero
+    // windows in the returned plan (the q267 scoring shape without the
+    // refit's eager jobs)
+    Audit("q292_gbt_staged_apply",
+      mustContain = Seq("Project", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "HashAggregate")),
+    // STAGED forest apply: same contract as q282's scoring projection,
+    // plus the no-aggregate floor (regrowing the forest inside apply
+    // would surface as histogram aggregates)
+    Audit("q293_forest_staged_apply",
+      mustContain = Seq("Project", "BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "HashAggregate")),
     // rank-kernel dispatch, high-cardinality arm: above maxKernelGroups
     // the call must be ONE plain per-group window pass — no bucket
     // histogram, no offsets broadcast (the kernel's machinery would OOM
