@@ -67,7 +67,13 @@ object NaiveBayesQueries extends QueryModule {
     * measured 16.7 s → 1.3 s at sf0.1 for the q273 fit.
     */
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docTokensOf(documents(s, d))
+
+  /** [[docTokens]] over an arbitrary documents-shaped frame — the seam
+    * the streaming maintenance twin (q294) feeds micro-batches through.
+    */
+  private def docTokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         when(TextFunctions.qualityScore(col("text")) >= LabelCut, 1L)
           .otherwise(0L).as("y"),
@@ -233,6 +239,69 @@ object NaiveBayesQueries extends QueryModule {
               round(llrCol, 6).as("llr"))
             .localCheckpoint(true)
         } finally graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+      },
+      oracle = fitOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING NB MAINTENANCE — q288's batch merges run as a real
+    // Structured Streaming pipeline (the q231/q216/q212 foreachBatch
+    // discipline), completing the maintenance symmetry matrix: the last
+    // state class (NB token counts) now has batch-maintained AND
+    // streaming twins. Documents arrive as 3 mtime-ordered micro-batch
+    // slices; each batch explodes ONLY its own rows, aggregates its own
+    // (token, class) count partials — shuffle O(batch vocab) — and
+    // merges them into the stored model table by addition. Additive
+    // state needs no arrival order, so streamed ≡ batch-merged ≡
+    // one-shot: gated against the SAME q273 fit oracle.
+    "q294_nb_stream_maintenance" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot =
+            java.nio.file.Files.createTempDirectory("graft_q294_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val staged = graft.sources.SliceStager.stage(
+              "graft_stream_nb_slices",
+              java.nio.file.Paths.get(d, "documents.parquet"),
+              slices = 3,
+              g => documents(s, d).where(pmod(col("doc_id"), lit(3)) === g))
+            val stream = s.readStream
+              .schema(documents(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(staged)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                 _: Long) =>
+                  val bm = tokenCounts(docTokensOf(batch.toDF()))
+                  val merged =
+                    if (wh.exists("gold", "mv_stream_nb_counts"))
+                      wh.load("gold", "mv_stream_nb_counts").unionByName(bm)
+                        .groupBy(col("token"))
+                        .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"))
+                    else bm
+                  wh.overwrite(merged, "gold", "mv_stream_nb_counts")
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            val tc = graft.CacheLeases.lease(
+              wh.load("gold", "mv_stream_nb_counts")
+                .select(col("token"),
+                  col("c0").cast("long").as("c0"),
+                  col("c1").cast("long").as("c1"))
+                .persist())
+            tc.crossJoin(broadcast(classTotals(tc)))
+              .select(col("token"), col("c0"), col("c1"),
+                round(llrCol, 6).as("llr"))
+              .localCheckpoint(true)
+          } finally graft.Staging.deleteRecursively(
+            java.nio.file.Paths.get(whRoot))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = fitOracle
     ),
