@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.RegressionQueries,
     graft.operators.ClassifierQueries,
     graft.operators.NaiveBayesQueries,
+    graft.operators.MulticlassNb,
     graft.operators.TreeQueries,
     graft.operators.RecommenderQueries,
     graft.operators.SurvivalQueries,
