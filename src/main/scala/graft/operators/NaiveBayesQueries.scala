@@ -150,7 +150,8 @@ object NaiveBayesQueries extends QueryModule {
     * n_toks, nb_score) — the q274/q275 core, shared with the q280
     * model comparison.
     */
-  private def nbScored(s: SparkSession, d: String): DataFrame = {
+  private def nbScored(
+      s: SparkSession, d: String, salted: Boolean = false): DataFrame = {
     val dt = graft.CacheLeases.lease(docTokens(s, d).persist())
     val tc = graft.CacheLeases.lease(
       tokenCounts(dt.where(col("doc_id") % Fold =!= Fold - 1)).persist())
@@ -161,8 +162,16 @@ object NaiveBayesQueries extends QueryModule {
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("d1"))
     val lm = tc.crossJoin(broadcast(consts))
       .select(col("token"), llrCol.as("llr"))
-    val sums = dt.where(col("doc_id") % Fold === Fold - 1)
-      .join(lm, Seq("token"), "left")
+    val evalToks = dt.where(col("doc_id") % Fold === Fold - 1)
+    // the ONE corpus-scale token-keyed join: plain by default; the q299
+    // twin routes it through the salted kernel (q43) because token keys
+    // are Zipf-heavy at real-corpus scale — "the" owns a posting list
+    // millions long, and one hash partition would hold it all
+    val joined =
+      if (salted) SkewJoin.saltedJoin(evalToks, lm, Seq("token"),
+        buckets = 8, joinType = "left")
+      else evalToks.join(lm, Seq("token"), "left")
+    val sums = joined
       .crossJoin(broadcast(consts.select(
         log((col("n0") + col("v")).cast("double") /
           (col("n1") + col("v")).cast("double")).as("llr_u"))))
@@ -317,6 +326,28 @@ object NaiveBayesQueries extends QueryModule {
     "q274_nb_apply" -> QueryDef(
       fn = (s, d) =>
         nbScored(s, d).withColumn("predicted_good", col("nb_score") > lit(0.0)),
+      oracle = Some(applySql +
+        """
+        SELECT doc_id, actual, n_toks, nb_score, nb_score > 0.0 AS predicted_good
+        FROM scored""")
+    ),
+
+    // ----------------------------------------------------------------
+    // SALTED-JOIN APPLY — q274 with its vocab-keyed join routed through
+    // the salted kernel (SkewJoin, gated standalone by q43): real
+    // corpora have Zipf token frequencies, so the plain token-hash join
+    // sends every occurrence of a head token ("the") to ONE task — the
+    // classic power-law straggler at 100 TB. Salting splits the eval
+    // side across 8 buckets and replicates only the O(vocab) model side
+    // (each model row ×8 — cheap; the corpus side is never replicated).
+    // The salt is uniformity-only (monotonic-id hash), so row
+    // multiplicity — and therefore the score — is EXACTLY q274's: gated
+    // against q274's oracle verbatim. Measured skew behavior (1×/10×
+    // head-token mass) in tools/SkewTrend + docs/corpus.md.
+    "q299_nb_apply_salted" -> QueryDef(
+      fn = (s, d) =>
+        nbScored(s, d, salted = true)
+          .withColumn("predicted_good", col("nb_score") > lit(0.0)),
       oracle = Some(applySql +
         """
         SELECT doc_id, actual, n_toks, nb_score, nb_score > 0.0 AS predicted_good
