@@ -673,6 +673,130 @@ object SimilarityQueries extends QueryModule {
     (v, lam)
   }
 
+  // ------------------------------------------------------------------
+  // Trained-codebook IVF (q45 / q300). One implementation, two sizing
+  // modes: fixed B = 16 (the hand-tuned q45 index) or the auto rule
+  // B = ceil(n / 32) from one corpus-count aggregate (q300) — 32 is a
+  // power of two so the division is IEEE-exact on both engines.
+
+  /** Target expected inverted-list length for the auto-B rule. */
+  private val AutoListLen = 32.0
+
+  private def trainedIvfTopK(s: SparkSession, d: String, autoB: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    VectorFunctions.register(s)
+    val e = embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0)
+      .persist().leased
+    // the ONE auto-sizing input: the indexable-corpus count
+    val bC: Long =
+      if (autoB) math.ceil(e.count().toDouble / AutoListLen).toLong else 16L
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    // nearest centroid by cosine, tie-break lowest cid
+    def assign(src: DataFrame, cent: DataFrame): DataFrame = src
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "csim",
+        call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+      )
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    // train on a deterministic 25% sample (the standard IVF recipe:
+    // Lloyd passes over a sample, one assignment pass over the full
+    // corpus — training cost stays a fraction of assignment cost at
+    // any scale)
+    val eTrain = e.where(col("vec_id") % 4 === 0)
+    // Lloyd update: element-wise member mean per centroid, summed in
+    // DECIMAL (exact, order-independent) and narrowed back to float
+    def retrain(assigned: DataFrame): DataFrame = assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(
+        (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).cast("float").as("cv")
+      )
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+      .select(col("cid"), expr("transform(pv, x -> x.cv)").as("ce"))
+      .withColumn("cn", sqrt(call_function("vec_dot", col("ce"), col("ce"))))
+      .where(col("cn") > 0)
+    val init = e
+      .where(col("vec_id") < bC)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val trained  = retrain(assign(eTrain, retrain(assign(eTrain, init))))
+    val assigned = assign(e, trained).persist().leased
+    val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    a.join(b, "cid")
+      .where(col("qid") =!= col("nid"))
+      .withColumn(
+        "sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+      )
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  private def trainedIvfOracle(autoB: Boolean): String = {
+    val dotEC =
+      "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def ceNorm(col: String) =
+      s"sqrt(list_sum(list_transform($col, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    def assignCte(name: String, srcCte: String, centCte: String) = s"""
+        $name AS (
+          SELECT cid, vec_id, embedding, nrm FROM (
+            SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+            FROM $srcCte e CROSS JOIN $centCte c
+          ) WHERE r = 1)"""
+    def retrainCtes(from: String, name: String) = s"""
+        ${name}_i AS (
+          SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM $from),
+        ${name}_v AS (
+          SELECT cid, CAST(i AS INT) AS i,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
+        ${name}_m AS (
+          SELECT cid, i,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS cv
+          FROM ${name}_v GROUP BY cid, i),
+        $name AS (
+          SELECT cid, ce, ${ceNorm("ce")} AS cn FROM (
+            SELECT cid, list(cv ORDER BY i) AS ce FROM ${name}_m GROUP BY cid)
+          WHERE ${ceNorm("ce")} > 0)"""
+    val bcfg =
+      if (autoB) s"""
+        bcfg AS (
+          SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $AutoListLen) AS BIGINT) AS b
+          FROM e),"""
+      else ""
+    val seedBound = if (autoB) "(SELECT b FROM bcfg)" else "16"
+    s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        es AS (SELECT * FROM e WHERE vec_id % 4 = 0),$bcfg
+        c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < $seedBound),
+        ${assignCte("a1", "es", "c0")},
+        ${retrainCtes("a1", "c1")},
+        ${assignCte("a2", "es", "c1")},
+        ${retrainCtes("a2", "c2")},
+        ${assignCte("assigned", "e", "c2")},
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS sim
+          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+  }
+
   private def rawQueries: Map[String, QueryDef] = Map(
     // ----------------------------------------------------------------
     // Brute-force cosine top-3 neighbors per vector.
@@ -1414,112 +1538,26 @@ object SimilarityQueries extends QueryModule {
     // standard recall/latency knob (n_probe) would just union the
     // next-nearest centroid lists.
     "q45_ann_ivf" -> QueryDef(
-      fn = (s, d) => {
-        import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.types.DecimalType
-        VectorFunctions.register(s)
-        val e = embeddings(s, d)
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
-          .where(col("nrm") > 0)
-          .persist().leased
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-        // nearest centroid by cosine, tie-break lowest cid
-        def assign(src: DataFrame, cent: DataFrame): DataFrame = src
-          .crossJoin(broadcast(cent))
-          .withColumn(
-            "csim",
-            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn"))
-          )
-          .withColumn("r", row_number().over(wAssign))
-          .where(col("r") === 1)
-          .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-        // train on a deterministic 25% sample (the standard IVF recipe:
-        // Lloyd passes over a sample, one assignment pass over the full
-        // corpus — training cost stays a fraction of assignment cost at
-        // any scale)
-        val eTrain = e.where(col("vec_id") % 4 === 0)
-        // Lloyd update: element-wise member mean per centroid, summed in
-        // DECIMAL (exact, order-independent) and narrowed back to float
-        def retrain(assigned: DataFrame): DataFrame = assigned
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(
-            (sum(col("v").cast("double").cast(DecimalType(28, 12))).cast("double") /
-              count(lit(1))).cast("float").as("cv")
-          )
-          .groupBy(col("cid"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pv"))
-          .select(col("cid"), expr("transform(pv, x -> x.cv)").as("ce"))
-          .withColumn("cn", sqrt(call_function("vec_dot", col("ce"), col("ce"))))
-          .where(col("cn") > 0)
-        val init = e
-          .where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val trained  = retrain(assign(eTrain, retrain(assign(eTrain, init))))
-        val assigned = assign(e, trained).persist().leased
-        val a = assigned.select(col("cid"), col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = assigned.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))
-        val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-        a.join(b, "cid")
-          .where(col("qid") =!= col("nid"))
-          .withColumn(
-            "sim",
-            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
-          )
-          .withColumn("rank", row_number().over(wRank))
-          .where(col("rank") <= 3)
-          .select(col("qid"), col("nid"), col("rank"), col("sim"))
-      },
-      oracle = Some {
-        val dotEC =
-          "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-        def ceNorm(col: String) =
-          s"sqrt(list_sum(list_transform($col, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-        def assignCte(name: String, srcCte: String, centCte: String) = s"""
-        $name AS (
-          SELECT cid, vec_id, embedding, nrm FROM (
-            SELECT c.cid, e.vec_id, e.embedding, e.nrm,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                     $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
-            FROM $srcCte e CROSS JOIN $centCte c
-          ) WHERE r = 1)"""
-        def retrainCtes(from: String, name: String) = s"""
-        ${name}_i AS (
-          SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM $from),
-        ${name}_v AS (
-          SELECT cid, CAST(i AS INT) AS i,
-                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v FROM ${name}_i),
-        ${name}_m AS (
-          SELECT cid, i,
-                 CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS REAL) AS cv
-          FROM ${name}_v GROUP BY cid, i),
-        $name AS (
-          SELECT cid, ce, ${ceNorm("ce")} AS cn FROM (
-            SELECT cid, list(cv ORDER BY i) AS ce FROM ${name}_m GROUP BY cid)
-          WHERE ${ceNorm("ce")} > 0)"""
-        s"""
-        WITH e AS (
-          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0),
-        es AS (SELECT * FROM e WHERE vec_id % 4 = 0),
-        c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
-        ${assignCte("a1", "es", "c0")},
-        ${retrainCtes("a1", "c1")},
-        ${assignCte("a2", "es", "c1")},
-        ${retrainCtes("a2", "c2")},
-        ${assignCte("assigned", "e", "c2")},
-        pairs AS (
-          SELECT a.vec_id AS qid, b.vec_id AS nid,
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS sim
-          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
-        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
-          FROM pairs
-        ) WHERE rank <= 3"""
-      }
+      fn = (s, d) => trainedIvfTopK(s, d, autoB = false),
+      oracle = Some(trainedIvfOracle(autoB = false))
     ),
 
+    // ----------------------------------------------------------------
+    // AUTO-SIZED IVF — q45 with the index's one manual knob removed:
+    // the centroid count derives from a SINGLE corpus-count aggregate,
+    // B = ceil(n / 32) — the documented "B ∝ n" production rule
+    // (constant expected inverted-list length 32, so in-list candidate
+    // volume n²/B stays LINEAR in n; the fixed-B ScaleTrend rows are
+    // the measured counter-example). 32 is a power of two, so n/32.0
+    // is IEEE-exact and both engines derive the identical B. At the
+    // gated corpora (n = 500) B = 16 — exactly the hand-tuned q45
+    // index, so auto ≡ manual is hash-proven by construction; at
+    // larger corpora the build self-scales (63 at n = 2000, 625 at
+    // n = 20000) with no code change.
+    "q300_ann_ivf_auto_b" -> QueryDef(
+      fn = (s, d) => trainedIvfTopK(s, d, autoB = true),
+      oracle = Some(trainedIvfOracle(autoB = true))
+    ),
     // ----------------------------------------------------------------
     // IVF multi-probe (n_probe = 2): vectors are indexed under their
     // single nearest centroid, but each QUERY probes its two nearest

@@ -603,12 +603,17 @@ object ScaleTrend {
         measure(name, tag, () => SparkEntry.queries(name)(spark, dir).count())
       }
     } ++ {
-      // the production IVF scaling rule: centroid count grows with the
-      // corpus (16 at base, 160 at 10x) so list sizes stay constant
+      // the production IVF scaling rule, now the ENGINE'S OWN default:
+      // q300 derives B = ceil(n/32) from one corpus-count aggregate
+      // (63 at base sf0.1, 625 at 10x) so list length stays constant —
+      // this row is the auto default's measured linear curve; the
+      // fixed-B q45 row above is the deliberate counter-example. The
+      // hand-parameterized ivfBScaled harness thunk is kept for ad-hoc
+      // B sweeps.
       if (only.isEmpty || only("ivf_b_scaled"))
         dirs.map { case (tag, dir) =>
-          val b = if (tag == "base") 16 else 160
-          measure(s"ivf_b_scaled(B=$b)", tag, () => ivfBScaled(spark, dir, b).count())
+          measure("ivf_auto_b(q300)", tag,
+            () => SparkEntry.queries("q300_ann_ivf_auto_b")(spark, dir).count())
         }
       else Seq.empty
     } ++ {
