@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.ClassifierQueries,
     graft.operators.NaiveBayesQueries,
     graft.operators.MulticlassNb,
+    graft.operators.QuantileSketchQueries,
     graft.operators.TreeQueries,
     graft.operators.RecommenderQueries,
     graft.operators.SurvivalQueries,

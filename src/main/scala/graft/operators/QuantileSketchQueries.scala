@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A MERGEABLE QUANTILE SKETCH as maintained warehouse state — the
+  * member the sketch family was missing (CMS q168 counts, HLL++ q171
+  * cardinality, KMV q42/q177 distincts; percentile contracts q141
+  * re-scan): a bottom-K-by-salted-hash rank sample per group.
+  *
+  * Why bottom-K-by-hash: the K rows whose deterministic salted hash is
+  * smallest form a uniform random sample of the group that is
+  *   - DETERMINISTIC (md5 — both engines derive the identical sample,
+  *     so unlike GK/t-digest the STATE itself is hash-gateable),
+  *   - MERGEABLE and associative (bottom-K of a union = bottom-K of
+  *     the parts' bottom-Ks — every global winner survives its own
+  *     batch), the q288 additive-state property with min-heap algebra,
+  *   - rank-accurate to ~n·sqrt(p(1-p)/K) (a size-K SRS), which the
+  *     q303 contract gate measures against an exact counting pass the
+  *     way q141 gates percentile_approx.
+  *
+  * Scale: the build rides [[RankSelect.withGroupRanks]] on the hash
+  * (value-range-histogram kernel — uniform hashes bucket evenly, no
+  * task ever sorts more than ~n/1024 rows however few groups); the
+  * maintained twin re-ranks only O(K × batches) stored rows per
+  * refresh and never rescans history; the query sorts ≤K rows per
+  * group and pays ONE exact counting pass only to GATE the contract
+  * (production reads the sketch alone).
+  */
+object QuantileSketchQueries extends QueryModule {
+
+  import Tables._
+
+  /** Sketch size per group: rank error ~ n·sqrt(p(1-p)/K) ≈ 3% of n. */
+  private val K = 256
+
+  /** Contract quantiles as exact integer fractions (label, num, den). */
+  private val Ps = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+  /** (seg, key, v): the measured relation — order totals per market
+    * segment (the q99/q141 grouping, so the three quantile operators
+    * stay comparable).
+    */
+  private def base(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("key"),
+        col("o_totalprice").as("v"))
+
+  private val baseSql =
+    """SELECT c_mktsegment AS seg, o_orderkey AS key, o_totalprice AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+  /** The deterministic salt: 48 bits of md5 over the row key (the q160
+    * epoch-shuffle pattern — identical integer on both engines).
+    */
+  private def hCol = conv(
+    substring(md5(concat(lit("qs:"), col("key").cast("string"))), 1, 12),
+    16, 10).cast("long")
+
+  private val hSql =
+    "CAST('0x' || substr(md5('qs:' || CAST(key AS VARCHAR)), 1, 12) AS BIGINT)"
+
+  /** One group's bottom-K state rows from an arbitrary (seg, key, v)
+    * slice: (seg, rk, h, key, v) ranked by (h, key) through the
+    * RankSelect kernel, plus the slice's per-seg total n.
+    */
+  private def sketchRows(slice: DataFrame): DataFrame =
+    RankSelect
+      .withGroupRanks(slice.withColumn("h", hCol), "seg", "h",
+        tieBreak = Seq("key"))
+      .where(col("__rk_rn") <= K)
+      .select(col("seg"), col("__rk_rn").as("rk"), col("h"), col("key"),
+        col("v"), col("__rk_n").as("n"))
+
+  /** The one-shot build oracle — shared by q301 and the maintained
+    * twin q302, whose hash match against the SAME text is the
+    * merge ≡ recompute proof (bottom-K associativity made a gate).
+    */
+  private lazy val buildOracle: Option[String] = Some(s"""
+        WITH j AS MATERIALIZED (
+          SELECT seg, key, v, $hSql AS h FROM ($baseSql)),
+        rk AS MATERIALIZED (
+          SELECT seg, key, v, h,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h ASC, key ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY seg) AS n
+          FROM j)
+        SELECT seg, CAST(rk AS BIGINT) AS rk, h, key, v, CAST(n AS BIGINT) AS n
+        FROM rk WHERE rk <= $K""")
+
+  override def queries: Map[String, QueryDef] =
+    graft.CacheLeases.draining(rawQueries)
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // BUILD — the sketch state itself, hash-gated: per segment the K
+    // rows with the smallest deterministic salted hash, ranked through
+    // the RankSelect kernel (uniform hash keys bucket evenly — no
+    // per-segment single-task sort), with the segment's exact count.
+    "q301_quantile_sketch_build" -> QueryDef(
+      fn = (s, d) => sketchRows(base(s, d)),
+      oracle = buildOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // MAINTAINED SKETCH — the state class completed: four ingest
+    // batches each sketch ONLY their own rows (bottom-K per batch +
+    // a batch count), and the stored state merges by re-ranking the
+    // O(K × 2) union and adding counts — never a history rescan.
+    // Bottom-K is associative (a global winner wins its batch), so
+    // maintained ≡ one-shot, gated against q301's oracle verbatim.
+    "q302_quantile_sketch_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q302_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val all = base(s, d)
+          for (b <- 0 until 4) {
+            val slice = all.where(col("key") % 4 === b)
+            val bs = sketchRows(slice)
+              .select(col("seg"), col("h"), col("key"), col("v"))
+            val bn = slice.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+            val (rows, counts) =
+              if (wh.exists("gold", "mv_qsketch_rows")) {
+                val w = Window.partitionBy(col("seg"))
+                  .orderBy(col("h").asc, col("key").asc)
+                // the merge frame is O(K × 2) per seg — the bounded-
+                // state window, not a fact-grain sort
+                val merged = wh.load("gold", "mv_qsketch_rows")
+                  .unionByName(bs)
+                  .withColumn("rk", row_number().over(w))
+                  .where(col("rk") <= K)
+                  .select(col("seg"), col("h"), col("key"), col("v"))
+                val mc = wh.load("gold", "mv_qsketch_counts").unionByName(bn)
+                  .groupBy(col("seg")).agg(sum(col("n")).as("n"))
+                (merged, mc)
+              } else (bs, bn)
+            wh.overwrite(rows, "gold", "mv_qsketch_rows")
+            wh.overwrite(counts, "gold", "mv_qsketch_counts")
+          }
+          val w = Window.partitionBy(col("seg"))
+            .orderBy(col("h").asc, col("key").asc)
+          wh.load("gold", "mv_qsketch_rows")
+            .withColumn("rk", row_number().over(w))
+            .join(wh.load("gold", "mv_qsketch_counts")
+              .select(col("seg"), col("n").cast("long").as("n")), "seg")
+            .select(col("seg"), col("rk").cast("long").as("rk"), col("h"),
+              col("key"), col("v"), col("n"))
+            .localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = buildOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // QUERY + CONTRACT — quantiles read from the sketch alone (sort
+    // the ≤K sample by value, pick the element at ceil(p·m) — exact
+    // integer arithmetic), then GATED the q141 way: one exact counting
+    // pass measures each estimate's true rank interval and the oracle
+    // pins every tolerance boolean TRUE with tol = 3n/√K + 1 (≈ 6σ of
+    // the size-K sample's rank error — deterministic, so it never
+    // flakes; ~0.19n, still sharp enough to separate adjacent
+    // quartiles). Segments smaller than K are sketch-exact by
+    // construction and pass with interval width 0.
+    "q303_quantile_sketch_query" -> QueryDef(
+      fn = (s, d) => {
+        val j = graft.CacheLeases.lease(base(s, d).persist())
+        val sk = sketchRows(j)
+        val wVal = Window.partitionBy(col("seg"))
+          .orderBy(col("v").asc, col("key").asc)
+        val wSeg = Window.partitionBy(col("seg"))
+        val ranked = sk
+          .withColumn("vr", row_number().over(wVal))
+          .withColumn("m", count(lit(1)).over(wSeg))
+        val ests = Ps.map { case (lbl, num, den) =>
+          ranked.where(col("vr") === expr(s"(m * $num + ${den - 1}) div $den"))
+            .select(col("seg"), col("m"), col("v").as(s"est_$lbl"))
+        }.reduce(_.join(_, Seq("seg", "m")))
+        val aggCols = max(col("m")).as("m") +:
+          Ps.flatMap { case (lbl, _, _) =>
+            Seq(
+              sum(when(col("v") <= col(s"est_$lbl"), 1L).otherwise(0L)).as(s"le_$lbl"),
+              sum(when(col("v") < col(s"est_$lbl"), 1L).otherwise(0L)).as(s"lt_$lbl"))
+          }
+        val counted = j.join(broadcast(ests), "seg")
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), aggCols: _*)
+        val okCols = Ps.map { case (lbl, num, den) =>
+          val nD = col("n").cast("double")
+          val p = lit(num.toDouble / den.toDouble)
+          val tol = lit(3.0) * nD / math.sqrt(K.toDouble) + lit(1.0)
+          (col(s"le_$lbl").cast("double") >= p * nD - tol &&
+            (col(s"lt_$lbl") + lit(1L)).cast("double") <= p * nD + tol)
+            .as(s"${lbl}_ok")
+        }
+        counted.select(col("seg") +: col("n") +: col("m").cast("long").as("m") +:
+          okCols: _*)
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               LEAST($K, COUNT(*)) AS m,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")
+    )
+  )
+}
