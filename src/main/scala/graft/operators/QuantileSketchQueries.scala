@@ -34,7 +34,7 @@ object QuantileSketchQueries extends QueryModule {
   import Tables._
 
   /** Sketch size per group: rank error ~ n·sqrt(p(1-p)/K) ≈ 3% of n. */
-  private val K = 256
+  private[operators] val K = 256
 
   /** Contract quantiles as exact integer fractions (label, num, den). */
   private val Ps = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
@@ -67,7 +67,7 @@ object QuantileSketchQueries extends QueryModule {
     * slice: (seg, rk, h, key, v) ranked by (h, key) through the
     * RankSelect kernel, plus the slice's per-seg total n.
     */
-  private def sketchRows(slice: DataFrame): DataFrame =
+  private[operators] def sketchRows(slice: DataFrame): DataFrame =
     RankSelect
       .withGroupRanks(slice.withColumn("h", hCol), "seg", "h",
         tieBreak = Seq("key"))

@@ -400,6 +400,37 @@ object ScaleTrend {
     "q288_nb_incremental",
     // source report: map-only scoring + one source-grain rollup
     "q289_source_quality_report",
+    // round-12 classifier-driven corpus build: the q140 chain with
+    // the IRLS fit (KB-flat moments) + the rank-kernel percentile cut
+    // in place of the rule score — must inherit q140's ~x10 linearity
+    "q290_corpus_build_classified",
+    // round-12 staged-model applies: fit/stage eagerly, then the
+    // returned plan is the same literal-fold map stage as the refit
+    // twins — wall tracks the scans, apply shuffle ~0
+    "q291_logit_staged_apply",
+    "q292_gbt_staged_apply",
+    "q293_forest_staged_apply",
+    // round-12 streaming NB maintenance: 3 micro-batch O(batch-vocab)
+    // merges — state tracks the x10 vocab like q288, never the corpus
+    "q294_nb_stream_maintenance",
+    // round-12 multiclass NB: (token, class)-grain model (vocab x10 =
+    // the q194/q273 regime); apply joins the x10 eval tokens to the
+    // K-replicated model; the K-class χ² rides the presence aggregate
+    "q295_nb_lang_fit",
+    "q296_nb_lang_apply",
+    "q298_chi2_lang",
+    // round-12 salted NB apply: q274's chain with the token join
+    // salted — same pruned-count caveat as q274, bytes must track
+    // the model replication linearly
+    "q299_nb_apply_salted",
+    // round-12 quantile sketch: the build's kernel passes track the
+    // fact x10 while the K-row-per-seg STATE stays flat (the
+    // mergeable-sketch signature, like q168/q177); the maintained
+    // twin adds 4 O(K) re-ranks; the query pays one exact counting
+    // pass only to gate the contract
+    "q301_quantile_sketch_build",
+    "q302_quantile_sketch_incremental",
+    "q303_quantile_sketch_query",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
