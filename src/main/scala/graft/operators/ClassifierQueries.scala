@@ -383,6 +383,96 @@ object ClassifierQueries extends QueryModule {
           FROM f CROSS JOIN rbeta)"""
   }
 
+  // ------------------------------------------------------------------
+  // ONE-VS-REST MULTICLASS LOGISTIC (q305/q306) — the q271 grouped-IRLS
+  // machinery pointed at K binary problems instead of K data slices:
+  // the feature frame replicates across the K class labels with the
+  // indicator response y = (lang == cls), and ONE grouped fit trains
+  // all K models simultaneously (each step is still one aggregate, now
+  // at (cls, d²) grain — 21 decimal sums × K, map-side combined). The
+  // multinomial-NB family (q295-q297) is the generative counterpart;
+  // q307 compares the two paired on the same holdout.
+
+  /** The K-replicated OvR frame: (doc_id, lang, cls, x1..x4, y) with
+    * y the one-vs-rest indicator. K rows per document — the honest
+    * cost of OvR, linear in K and never quadratic in anything.
+    */
+  private def ovrRows(all: DataFrame): DataFrame = {
+    val classes = all.select(col("lang").as("cls")).distinct()
+    all.crossJoin(broadcast(classes))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        col("x1"), col("x2"), col("x3"), col("x4"),
+        when(col("lang") === col("cls"), 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** CTEs `ovrf` (replicated frame) and `ovrt` (train folds) over the
+    * [[featuresSql]] CTE `f`.
+    */
+  private val ovrSql = s"""ovrf AS MATERIALIZED (
+          SELECT f.doc_id, f.lang, c.cls, f.x1, f.x2, f.x3, f.x4,
+                 CASE WHEN f.lang = c.cls THEN 1.0 ELSE 0.0 END AS y
+          FROM f CROSS JOIN (SELECT DISTINCT lang AS cls FROM f) c),
+        ovrt AS MATERIALIZED (SELECT * FROM ovrf WHERE doc_id % 5 <> 4)"""
+
+  /** Fold-4 OvR decisions under the folds-0-3 K-model fit: (doc_id,
+    * actual, pred, eta) — shared by q306 and the q307 comparison. η is
+    * computed from the GATE-ROUNDED per-class β (the q290 rule), so it
+    * is IEEE-exact cross-engine and the argmax needs no rounding.
+    */
+  private[graft] def ovrScored(s: SparkSession, d: String): DataFrame = {
+    val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+    val betas = irlsFitGrouped(
+      ovrRows(all).where(col("doc_id") % 5 =!= 4), "cls")
+    import s.implicits._
+    val bdf = betas.map { case (g, _, b) => (g, b(0), b(1), b(2), b(3), b(4)) }
+      .toDF("cls", "rb0", "rb1", "rb2", "rb3", "rb4")
+      .select(col("cls") +: (0 to 4).map(i => round(col(s"rb$i"), 6).as(s"b_$i")): _*)
+    val eta = greatest(least(
+      col("b_0") + col("b_1") * col("x1") + col("b_2") * col("x2") +
+        col("b_3") * col("x3") + col("b_4") * col("x4"),
+      lit(EtaClamp)), lit(-EtaClamp))
+    all.where(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang").as("actual"),
+        col("x1"), col("x2"), col("x3"), col("x4"))
+      .crossJoin(broadcast(bdf))
+      .withColumn("eta", eta)
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(min(struct((-col("eta")).as("ns"), col("cls").as("pc"))).as("b"))
+      .select(col("doc_id"), col("actual"),
+        col("b").getField("pc").as("pred"),
+        round(-col("b").getField("ns"), 6).as("eta"))
+  }
+
+  /** [[ovrScored]]'s oracle chain ending at `ovbest1` (doc_id, actual,
+    * pred, eta) — no WITH prefix; composes with the MulticlassNb chain
+    * for the q307 comparison.
+    */
+  private[graft] lazy val ovrScoredSql: String = {
+    val (chain, betaF) = irlsGroupedSql("ovrt", "cls")
+    s"""$featuresSql,
+        $ovrSql,
+        $chain,
+        ovrb AS MATERIALIZED (
+          SELECT cls, ROUND(b_0, 6) AS b_0, ROUND(b_1, 6) AS b_1,
+                 ROUND(b_2, 6) AS b_2, ROUND(b_3, 6) AS b_3,
+                 ROUND(b_4, 6) AS b_4
+          FROM $betaF),
+        ovsc AS MATERIALIZED (
+          SELECT f.doc_id, f.lang AS actual, r.cls,
+                 GREATEST(LEAST(r.b_0 + r.b_1 * x1 + r.b_2 * x2 + r.b_3 * x3
+                   + r.b_4 * x4, $EtaClamp), -$EtaClamp) AS eta
+          FROM f CROSS JOIN ovrb r
+          WHERE f.doc_id % 5 = 4),
+        ovbest AS MATERIALIZED (
+          SELECT doc_id, actual, cls AS pred, eta,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY eta DESC, cls ASC) AS rn
+          FROM ovsc),
+        ovbest1 AS MATERIALIZED (
+          SELECT doc_id, actual, pred, ROUND(eta, 6) AS eta
+          FROM ovbest WHERE rn = 1)"""
+  }
+
   /** The full-corpus apply oracle — shared by q264 (refit-apply) and its
     * staged-model twin q291, whose hash match against the SAME text is
     * the staged ≡ refit proof (the q223/q236 discipline).
@@ -495,6 +585,52 @@ object ClassifierQueries extends QueryModule {
           java.nio.file.Paths.get(whRoot))
       },
       oracle = applyOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // ONE-VS-REST FIT — K binary logistic models trained in ONE grouped
+    // IRLS pass over the class-replicated frame (y = indicator): each
+    // step is one (cls, d²)-grain aggregate, 21 decimal sums × K, the
+    // oracle's elimination CTEs solving all K models at once (the q271
+    // multi-group property). The discriminative counterpart of the
+    // multinomial NB q295; at 100 TB the replicate is K× the scan —
+    // linear in K — and shuffle stays O(K·d²).
+    "q305_ovr_logit_fit" -> QueryDef(
+      fn = (s, d) => {
+        val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
+        val betas = irlsFitGrouped(
+          ovrRows(all).where(col("doc_id") % 5 =!= 4), "cls")
+        import s.implicits._
+        betas.map { case (g, n, b) => (g, n, b(0), b(1), b(2), b(3), b(4)) }
+          .toDF("cls", "n", "rb0", "rb1", "rb2", "rb3", "rb4")
+          .select(col("cls"), col("n"),
+            round(col("rb0"), 6).as("b0"), round(col("rb1"), 6).as("b1"),
+            round(col("rb2"), 6).as("b2"), round(col("rb3"), 6).as("b3"),
+            round(col("rb4"), 6).as("b4"))
+      },
+      oracle = Some {
+        val (chain, betaF) = irlsGroupedSql("ovrt", "cls")
+        s"""
+        WITH $featuresSql,
+        $ovrSql,
+        $chain
+        SELECT cls, n, ROUND(b_0, 6) AS b0, ROUND(b_1, 6) AS b1,
+               ROUND(b_2, 6) AS b2, ROUND(b_3, 6) AS b3, ROUND(b_4, 6) AS b4
+        FROM $betaF"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
+    // ONE-VS-REST APPLY — fold-4 language decisions by argmax over the
+    // K models' η (gate-rounded β ⇒ η is IEEE-exact, so the argmax
+    // needs no score rounding; ties break class-asc). The decision is
+    // an AGGREGATE (min-struct over the K-replicated scores), never a
+    // fact-grain window. Doc-grain output gates train→score→decide.
+    "q306_ovr_logit_apply" -> QueryDef(
+      fn = (s, d) => ovrScored(s, d),
+      oracle = Some(s"""
+        WITH $ovrScoredSql
+        SELECT doc_id, actual, pred, eta FROM ovbest1""")
     ),
 
     // ----------------------------------------------------------------

@@ -148,10 +148,10 @@ object MulticlassNb extends QueryModule {
   }
 
   /** The shared q296/q297 oracle chain ending at CTE `mbest1`
-    * (doc_id, actual, pred, score).
+    * (doc_id, actual, pred, score) — no WITH prefix, so the q307
+    * model comparison can compose it with the OvR-logistic chain.
     */
-  private lazy val applySql: String = s"""
-        WITH $docTokensSql,
+  private lazy val applyChainSql: String = s"""$docTokensSql,
         $docLangSql,
         mtr AS MATERIALIZED (SELECT * FROM mdt WHERE doc_id % $Fold <> ${Fold - 1}),
         ${tokenClassCountsSql("mtr")},
@@ -190,6 +190,9 @@ object MulticlassNb extends QueryModule {
           FROM mscore),
         mbest1 AS MATERIALIZED (
           SELECT doc_id, actual, pred, score FROM mbest WHERE rn = 1)"""
+
+  private lazy val applySql: String = s"""
+        WITH $applyChainSql"""
 
   override def queries: Map[String, QueryDef] =
     graft.CacheLeases.draining(rawQueries)
@@ -246,6 +249,60 @@ object MulticlassNb extends QueryModule {
       oracle = Some(applySql + """
         SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
         FROM mbest1 GROUP BY actual, pred""")
+    ),
+
+    // ----------------------------------------------------------------
+    // PAIRED MODEL COMPARISON — multinomial NB (q296, generative) vs
+    // one-vs-rest logistic (q306, discriminative) on the SAME fold-4
+    // holdout: the q280 McNemar discipline at K classes (correctness is
+    // "pred == actual", the discordant cells feed (b−c)²/(b+c) — pure
+    // integer arithmetic). This is how a routing pipeline decides which
+    // multiclass family to ship. Both scoring chains are the already-
+    // gated shapes; the comparison joins two fold-4 doc-grain frames
+    // and reduces to one row.
+    "q307_multiclass_mcnemar" -> QueryDef(
+      fn = (s, d) => {
+        val nb = scored(s, d)
+          .select(col("doc_id"), col("actual"), col("pred").as("nb_pred"))
+        val lg = ClassifierQueries.ovrScored(s, d)
+          .select(col("doc_id"), col("pred").as("lg_pred"))
+        nb.join(lg, Seq("doc_id"))
+          .select(
+            (col("lg_pred") === col("actual")).as("lg_ok"),
+            (col("nb_pred") === col("actual")).as("nb_ok"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("lg_ok") && col("nb_ok"), 1L).otherwise(0L)).as("both_right"),
+            sum(when(!col("lg_ok") && !col("nb_ok"), 1L).otherwise(0L)).as("both_wrong"),
+            sum(when(col("lg_ok") && !col("nb_ok"), 1L).otherwise(0L)).as("logit_only"),
+            sum(when(!col("lg_ok") && col("nb_ok"), 1L).otherwise(0L)).as("nb_only"))
+          .select(col("n"), col("both_right"), col("both_wrong"),
+            col("logit_only"), col("nb_only"),
+            round(when(col("logit_only") + col("nb_only") > 0,
+              ((col("logit_only") - col("nb_only")) *
+                (col("logit_only") - col("nb_only"))).cast("double") /
+                (col("logit_only") + col("nb_only")).cast("double"))
+              .otherwise(lit(0.0)), 6).as("mcnemar"))
+      },
+      oracle = Some(s"""
+        WITH $applyChainSql,
+        ${ClassifierQueries.ovrScoredSql},
+        xcmp AS MATERIALIZED (
+          SELECT (o.pred = m.actual) AS lg_ok, (m.pred = m.actual) AS nb_ok
+          FROM mbest1 m JOIN ovbest1 o ON o.doc_id = m.doc_id),
+        xcells AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN lg_ok AND nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                 CAST(SUM(CASE WHEN NOT lg_ok AND NOT nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+                 CAST(SUM(CASE WHEN lg_ok AND NOT nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS logit_only,
+                 CAST(SUM(CASE WHEN NOT lg_ok AND nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS nb_only
+          FROM xcmp)
+        SELECT n, both_right, both_wrong, logit_only, nb_only,
+               ROUND(CASE WHEN logit_only + nb_only > 0
+                 THEN CAST((logit_only - nb_only) * (logit_only - nb_only) AS DOUBLE)
+                      / CAST(logit_only + nb_only AS DOUBLE)
+                 ELSE 0.0 END, 6) AS mcnemar
+        FROM xcells""")
     ),
 
     // ----------------------------------------------------------------

@@ -75,8 +75,48 @@ object QuantileSketchQueries extends QueryModule {
       .select(col("seg"), col("__rk_rn").as("rk"), col("h"), col("key"),
         col("v"), col("__rk_n").as("n"))
 
+  /** Merge one slice's sketch into the stored state tables: the slice
+    * sketches ALONE (bottom-K + a count per seg), then the stored rows
+    * re-rank over the O(K × 2)-per-seg union and counts add — shared
+    * by the batch-maintained (q302) and streaming (q304) twins.
+    */
+  private def mergeSketchBatch(wh: graft.etl.Warehouse, slice: DataFrame): Unit = {
+    val bs = sketchRows(slice)
+      .select(col("seg"), col("h"), col("key"), col("v"))
+    val bn = slice.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val (rows, counts) =
+      if (wh.exists("gold", "mv_qsketch_rows")) {
+        val w = Window.partitionBy(col("seg"))
+          .orderBy(col("h").asc, col("key").asc)
+        // the merge frame is O(K × 2) per seg — the bounded-state
+        // window, not a fact-grain sort
+        val merged = wh.load("gold", "mv_qsketch_rows")
+          .unionByName(bs)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= K)
+          .select(col("seg"), col("h"), col("key"), col("v"))
+        val mc = wh.load("gold", "mv_qsketch_counts").unionByName(bn)
+          .groupBy(col("seg")).agg(sum(col("n")).as("n"))
+        (merged, mc)
+      } else (bs, bn)
+    wh.overwrite(rows, "gold", "mv_qsketch_rows")
+    wh.overwrite(counts, "gold", "mv_qsketch_counts")
+  }
+
+  /** The stored state read back in q301's gate shape. */
+  private def sketchState(wh: graft.etl.Warehouse): DataFrame = {
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("h").asc, col("key").asc)
+    wh.load("gold", "mv_qsketch_rows")
+      .withColumn("rk", row_number().over(w))
+      .join(wh.load("gold", "mv_qsketch_counts")
+        .select(col("seg"), col("n").cast("long").as("n")), "seg")
+      .select(col("seg"), col("rk").cast("long").as("rk"), col("h"),
+        col("key"), col("v"), col("n"))
+  }
+
   /** The one-shot build oracle — shared by q301 and the maintained
-    * twin q302, whose hash match against the SAME text is the
+    * twins q302/q304, whose hash match against the SAME text is the
     * merge ≡ recompute proof (bottom-K associativity made a gate).
     */
   private lazy val buildOracle: Option[String] = Some(s"""
@@ -119,40 +159,65 @@ object QuantileSketchQueries extends QueryModule {
         try {
           val wh = new graft.etl.Warehouse(s, whRoot)
           val all = base(s, d)
-          for (b <- 0 until 4) {
-            val slice = all.where(col("key") % 4 === b)
-            val bs = sketchRows(slice)
-              .select(col("seg"), col("h"), col("key"), col("v"))
-            val bn = slice.groupBy(col("seg")).agg(count(lit(1)).as("n"))
-            val (rows, counts) =
-              if (wh.exists("gold", "mv_qsketch_rows")) {
-                val w = Window.partitionBy(col("seg"))
-                  .orderBy(col("h").asc, col("key").asc)
-                // the merge frame is O(K × 2) per seg — the bounded-
-                // state window, not a fact-grain sort
-                val merged = wh.load("gold", "mv_qsketch_rows")
-                  .unionByName(bs)
-                  .withColumn("rk", row_number().over(w))
-                  .where(col("rk") <= K)
-                  .select(col("seg"), col("h"), col("key"), col("v"))
-                val mc = wh.load("gold", "mv_qsketch_counts").unionByName(bn)
-                  .groupBy(col("seg")).agg(sum(col("n")).as("n"))
-                (merged, mc)
-              } else (bs, bn)
-            wh.overwrite(rows, "gold", "mv_qsketch_rows")
-            wh.overwrite(counts, "gold", "mv_qsketch_counts")
-          }
-          val w = Window.partitionBy(col("seg"))
-            .orderBy(col("h").asc, col("key").asc)
-          wh.load("gold", "mv_qsketch_rows")
-            .withColumn("rk", row_number().over(w))
-            .join(wh.load("gold", "mv_qsketch_counts")
-              .select(col("seg"), col("n").cast("long").as("n")), "seg")
-            .select(col("seg"), col("rk").cast("long").as("rk"), col("h"),
-              col("key"), col("v"), col("n"))
-            .localCheckpoint(true)
+          for (b <- 0 until 4)
+            mergeSketchBatch(wh, all.where(col("key") % 4 === b))
+          sketchState(wh).localCheckpoint(true)
         } finally graft.Staging.deleteRecursively(
           java.nio.file.Paths.get(whRoot))
+      },
+      oracle = buildOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STREAMING SKETCH MAINTENANCE — q302's merges run as a real
+    // Structured Streaming pipeline (the q231/q294 foreachBatch
+    // discipline): order slices arrive as 3 mtime-ordered micro-
+    // batches, each enriches against the static customer dim, sketches
+    // its OWN rows and merges into the stored state. Bottom-K is
+    // associative and order-free, so streamed ≡ batch-merged ≡
+    // one-shot — gated against q301's oracle verbatim. Keeps the new
+    // state class symmetric with every other maintained state (bands,
+    // postings, moments, centroids, spans, forecasts, NB counts).
+    "q304_quantile_sketch_stream" -> QueryDef(
+      fn = (s, d) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val whRoot =
+            java.nio.file.Files.createTempDirectory("graft_q304_wh_").toString
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          try {
+            val staged = graft.sources.SliceStager.stage(
+              "graft_stream_qsketch_slices",
+              java.nio.file.Paths.get(d, "orders.parquet"),
+              slices = 3,
+              g => orders(s, d).where(pmod(col("o_orderkey"), lit(3)) === g))
+            val stream = s.readStream
+              .schema(orders(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(staged)
+            val q = stream.writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                 _: Long) =>
+                  // the static dim enrich reads through the MICRO-BATCH
+                  // session (each batch frame lives in a session clone)
+                  mergeSketchBatch(wh, batch.toDF()
+                    .join(customer(batch.sparkSession, d),
+                      col("o_custkey") === col("c_custkey"))
+                    .select(col("c_mktsegment").as("seg"),
+                      col("o_orderkey").as("key"), col("o_totalprice").as("v")))
+                  ()
+              }
+              .start()
+            try q.processAllAvailable()
+            finally q.stop()
+            sketchState(wh).localCheckpoint(true)
+          } finally {
+            wh.dropCatalogDb()
+            graft.Staging.deleteRecursively(java.nio.file.Paths.get(whRoot))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       oracle = buildOracle
     ),

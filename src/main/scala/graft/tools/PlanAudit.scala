@@ -452,6 +452,31 @@ object PlanAudit {
     Audit("q140_corpus_build",
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // the classifier-driven twin: same composed-chain floors (the IRLS
+    // fit runs eagerly; the returned chain must keep q140's shape with
+    // the rank-kernel cut instead of the quality floor)
+    Audit("q290_corpus_build_classified",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition"),
+      minWindowPartCols = 1),
+    // multiclass NB apply: the per-doc argmax is an AGGREGATE
+    // (min-struct over the K-replicated scores) — a Window here means
+    // the decision regressed to a fact-grain rank
+    Audit("q296_nb_lang_apply",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // OvR logistic apply: same argmax-as-aggregate floor; the K-model
+    // scores come from ONE broadcast of the K×5 β frame
+    Audit("q306_ovr_logit_apply",
+      mustContain = Seq("partial_min", "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // quantile-sketch build: the bottom-K ranks ride the RankSelect
+    // kernel — every window partitions on (seg, hash-bucket), never a
+    // per-segment single-task sort of the fact
+    Audit("q301_quantile_sketch_build",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition"),
+      minWindowPartCols = 1),
     // the approx-quantile twin is the ONE-PASS cheap path: a mergeable
     // percentile sketch (ObjectHashAggregate) plus one exact counting
     // pass over a broadcast join — no window, no per-group sort anywhere

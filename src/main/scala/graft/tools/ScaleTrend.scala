@@ -431,6 +431,16 @@ object ScaleTrend {
     "q301_quantile_sketch_build",
     "q302_quantile_sketch_incremental",
     "q303_quantile_sketch_query",
+    // round-12 streaming sketch maintenance: 3 micro-batch O(batch)
+    // kernel passes + O(K) state merges — fact passes x10, state flat
+    "q304_quantile_sketch_stream",
+    // round-12 one-vs-rest logistic: the q271 grouped-IRLS shape over
+    // the K-replicated frame — shuffle stays O(K·d²) KB-flat while
+    // the 3 scans pay K× the x10 corpus; apply is the K-row broadcast
+    // argmax aggregate; the McNemar comparison joins two doc frames
+    "q305_ovr_logit_fit",
+    "q306_ovr_logit_apply",
+    "q307_multiclass_mcnemar",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
