@@ -1081,6 +1081,104 @@ object Multimodal extends QueryModule {
         FROM documents WHERE doc_id % 43 = 0"""),
     ),
 
+    // VIDEO FRAME-SAMPLE DEDUP + QUARANTINE — the video member of the
+    // multimodal family: an MJPEG-style container (length-prefixed
+    // baseline-JPEG frames, see [[VideoContainer]]) is parsed at the
+    // mapPartitions codec boundary, every 2nd frame is SAMPLED and
+    // decoded through the q261 JPEG path, per-frame aHashes roll up
+    // into an exact integer video fingerprint (Σ (phash+1)·2^(9f) over
+    // sampled frames — 9 bits per slot, ≤ 4 frames, overflow-free
+    // BIGINT), and videos dedup at (dims, frame count, fingerprint)
+    // grain — the sample-frames → hash → near-dup shape a corpus
+    // pipeline runs over video shards. Corrupt containers (doc_id % 41
+    // == 0 — alternately truncated mid-frame and magic-corrupted) must
+    // quarantine WHOLE (a container whose sampled frames don't all
+    // decode is untrustworthy at any frame). Scale: one decode map
+    // pass over sampled frames only (stride cuts decode cost, the
+    // whole point of sampling); the only shuffle is the (video)-grain
+    // fingerprint aggregate + the tiny keeper join.
+    "q308_video_frame_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val hashed = VideoContainer
+          .sampledFrameHashes(VideoContainer.videoTable(s, d), stride = 2)
+          .toDF().localCheckpoint(true)
+        val ok = hashed.where(col("status") === "ok")
+        val vids = ok
+          .groupBy(col("doc_id"), col("width"), col("height"), col("n_frames"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(expr("shiftleft(CAST(phash + 1 AS BIGINT), 9 * frame_idx)"))
+              .as("fp"))
+        val keep = vids
+          .groupBy(col("width"), col("height"), col("n_frames"), col("fp"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+        vids.join(keep, Seq("width", "height", "n_frames", "fp"))
+          .select(
+            col("doc_id"), lit("ok").as("status"), col("width"), col("height"),
+            col("n_frames"), col("n_sampled"), col("fp"),
+            col("keeper_id"), col("group_n"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+          .unionByName(
+            hashed.where(col("status") === "quarantined")
+              .select(
+                col("doc_id"), col("status"), col("width"), col("height"),
+                col("n_frames"),
+                lit(null).cast("long").as("n_sampled"),
+                lit(null).cast("long").as("fp"),
+                lit(null).cast("long").as("keeper_id"),
+                lit(null).cast("long").as("group_n"),
+                lit(null).cast("boolean").as("is_dup")))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+                 2 + doc_id % 3 AS nf
+          FROM documents WHERE doc_id % 41 <> 0),
+        fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+        sfr AS (SELECT * FROM fr WHERE f % 2 = 0),
+        vxs AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM sfr),
+        vpx AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y FROM vxs),
+        vlum AS (
+          SELECT doc_id, w, h, nf, f,
+                 (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 4 * ((doc_id * 5 + 13 * f + 7 * (x // 8) + 11 * (y // 8)) % 256) AS lum
+          FROM vpx),
+        vblk AS (
+          SELECT doc_id, w, h, nf, f, bi,
+                 CAST(SUM(lum) AS BIGINT) AS bs, COUNT(*) AS bn
+          FROM vlum GROUP BY doc_id, w, h, nf, f, bi),
+        vtot AS (
+          SELECT doc_id, f, CAST(SUM(bs) AS BIGINT) AS ts,
+                 CAST(SUM(bn) AS BIGINT) AS n
+          FROM vblk GROUP BY doc_id, f),
+        vhash AS (
+          SELECT b.doc_id, b.w, b.h, b.nf, b.f,
+                 CAST(SUM(CASE WHEN b.bs * t.n > t.ts * b.bn
+                               THEN CAST(1 AS BIGINT) << b.bi ELSE 0 END) AS INTEGER) AS phash
+          FROM vblk b JOIN vtot t ON t.doc_id = b.doc_id AND t.f = b.f
+          GROUP BY b.doc_id, b.w, b.h, b.nf, b.f),
+        vids AS (
+          SELECT doc_id, w, h, nf, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                 CAST(SUM(CAST(phash + 1 AS BIGINT) << (9 * f)) AS BIGINT) AS fp
+          FROM vhash GROUP BY doc_id, w, h, nf),
+        vkeep AS (
+          SELECT w, h, nf, fp, MIN(doc_id) AS keeper_id, COUNT(*) AS group_n
+          FROM vids GROUP BY w, h, nf, fp)
+        SELECT v.doc_id, 'ok' AS status, v.w AS width, v.h AS height,
+               CAST(v.nf AS INTEGER) AS n_frames, v.n_sampled, v.fp,
+               k.keeper_id, k.group_n, v.doc_id <> k.keeper_id AS is_dup
+        FROM vids v
+        JOIN vkeep k ON k.w = v.w AND k.h = v.h AND k.nf = v.nf AND k.fp = v.fp
+        UNION ALL
+        SELECT doc_id, 'quarantined' AS status,
+               CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+               CAST(NULL AS INTEGER) AS n_frames,
+               CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS fp,
+               CAST(NULL AS BIGINT) AS keeper_id, CAST(NULL AS BIGINT) AS group_n,
+               CAST(NULL AS BOOLEAN) AS is_dup
+        FROM documents WHERE doc_id % 41 = 0"""),
+    ),
+
     // COLOR JPEG DECODE (YCbCr 4:2:0) + QUARANTINE — q261's 3-component
     // twin: real production wire format (two DQTs, four DHTs, SOF0 with
     // 2x2/1x1/1x1 sampling, MCU-interleaved entropy data with

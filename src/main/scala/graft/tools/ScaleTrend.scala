@@ -441,6 +441,10 @@ object ScaleTrend {
     "q305_ovr_logit_fit",
     "q306_ovr_logit_apply",
     "q307_multiclass_mcnemar",
+    // round-12 video frame-sample dedup: encode+parse+decode of
+    // sampled frames is the map pass (linear like q261); the only
+    // shuffle is the video-grain fingerprint aggregate + keeper join
+    "q308_video_frame_dedup",
     // behavioral analytics over events (round 5): user/day-keyed
     // aggregations, grid explodes, and the day-partitioned sweep —
     // each should track the 10x input linearly
