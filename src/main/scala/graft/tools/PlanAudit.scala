@@ -477,6 +477,12 @@ object PlanAudit {
       mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition"),
       minWindowPartCols = 1),
+    // video frame-sample dedup: decode is a map pass (the checkpointed
+    // frame-hash scan); downstream is the video-grain fingerprint
+    // aggregate + a small keeper join — no window, no cartesian
+    Audit("q308_video_frame_dedup",
+      mustContain = Seq("partial_sum"),
+      mustNotContain = Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // the approx-quantile twin is the ONE-PASS cheap path: a mergeable
     // percentile sketch (ObjectHashAggregate) plus one exact counting
     // pass over a broadcast join — no window, no per-group sort anywhere
