@@ -180,6 +180,151 @@ object CorpusBuildQueries extends QueryModule {
         FROM idx3 GROUP BY band"""
   }
 
+  /** q290's stages over a classifier-scored doc frame (doc_id, source,
+    * lang, eta): the per-source top-quintile cut through the RankSelect
+    * kernel, then q140's dedup (keeper ranks on η), decontamination,
+    * token-budget mix and split — shared verbatim by q290 (inline fit)
+    * and q309 (staged model), so the two differ ONLY in where β comes
+    * from.
+    */
+  private def classifiedBuild(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      eta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(s)
+    val toks = documents(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val scored = eta.join(toks, Seq("doc_id"))
+        val qualityPass = graft.operators.RankSelect
+          .withGroupRanks(scored, "source", "eta", tieBreak = Seq("doc_id"))
+          .where(expr("__rk_rn > (4 * __rk_n) div 5"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("eta"), col("n_tokens"))
+
+        // stages 2-5 — q140's chain over the classifier-selected set;
+        // the dedup keeper ranks on η (the model's quality) instead of
+        // the rule score
+        val sh  = DedupQueries.shingleDf(s, d).localCheckpoint(true)
+        val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val clusters = DedupQueries.connectedComponents(
+          DedupQueries.minhashCandidatePairsOf(shQ)
+            .select(col("ida"), col("idb")).distinct())
+        val losers = clusters
+          .join(qualityPass.select(col("doc_id"), col("eta")), col("id") === col("doc_id"))
+          .withColumn("r",
+            row_number().over(
+              Window.partitionBy(col("label")).orderBy(col("eta").desc, col("doc_id").asc)))
+          .where(col("r") > 1)
+          .select(col("doc_id"))
+        val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
+
+        val holdoutShingles = sh
+          .where(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        val contaminated = shQ
+          .where(col("doc_id") % 97 =!= 0)
+          .join(holdoutShingles, Seq("shingle"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val clean = deduped
+          .where(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        val mixed = clean
+          .withColumn("cum_tokens",
+            sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("cum_tokens") <= TokenBudget)
+
+        mixed
+          .withColumn(
+            "bucket",
+            (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 10).cast("int"))
+          .select(
+            col("doc_id"), col("source"), col("lang"),
+            col("n_tokens"), col("cum_tokens"), col("bucket"),
+            when(col("bucket") < 8, "train")
+              .when(col("bucket") === 8, "val")
+              .otherwise("test").as("split"))
+  }
+
+  /** The composed-chain oracle — shared by q290 and its staged twin
+    * q309 (staged-build ≡ inline-fit-build, hash-proven).
+    */
+  private lazy val classifiedBuildOracle: String = s"""
+        WITH RECURSIVE
+        ${graft.operators.ClassifierQueries.trainedEtaSql},
+        ntk AS MATERIALIZED (
+          SELECT doc_id, ${TextQueries.tokenCountSql} AS n_tokens
+          FROM (${TextQueries.normSql})),
+        csc AS MATERIALIZED (
+          SELECT c.doc_id, c.source, c.lang, c.eta, n.n_tokens
+          FROM ceta c JOIN ntk n ON n.doc_id = c.doc_id),
+        crk AS MATERIALIZED (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY eta ASC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM csc),
+        qpass AS MATERIALIZED (
+          SELECT doc_id, source, lang, eta, n_tokens
+          FROM crk WHERE rn > (4 * n) // 5),
+        sh0 AS (${DedupQueries.shingleSql}),
+        ${DedupQueries.mhBandsCtesSqlFrom(
+          "SELECT s.doc_id, s.shingle FROM sh0 s JOIN qpass p ON p.doc_id = s.doc_id")},
+        edges AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM edges),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT p.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.label
+                     ORDER BY p.eta DESC, p.doc_id ASC) AS r
+            FROM labels l JOIN qpass p ON p.doc_id = l.id
+          ) WHERE r > 1),
+        deduped AS (
+          SELECT * FROM qpass
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        holdout_sh AS (
+          SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 97 = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 97 <> 0
+            AND shingle IN (SELECT shingle FROM holdout_sh)),
+        clean AS (
+          SELECT * FROM deduped
+          WHERE doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        mixed AS (
+          SELECT doc_id, source, lang, n_tokens,
+                 CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM clean),
+        sel AS (SELECT * FROM mixed WHERE cum_tokens <= $TokenBudget)
+        SELECT doc_id, source, lang, n_tokens, cum_tokens, bucket,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS INTEGER) AS bucket
+          FROM sel)"""
+
   /** The DedupQueries helpers these queries call register their
     * persisted intermediates with [[graft.CacheLeases]]; draining at
     * every entry keeps repeated invocations bounded.
@@ -344,142 +489,44 @@ object CorpusBuildQueries extends QueryModule {
     // the rank cut rides the RankSelect kernel (never a per-source
     // single-task sort).
     "q290_corpus_build_classified" -> QueryDef(
-      fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        graft.plans.VectorFunctions.register(s)
-
-        // stage 1 — TRAINED QUALITY: fit on folds 0-3, score everything,
-        // keep each source's top quintile by (η, doc_id)
-        val eta = graft.operators.ClassifierQueries.trainedEta(s, d)
-        val toks = documents(s, d).select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        val scored = eta.join(toks, Seq("doc_id"))
-        val qualityPass = graft.operators.RankSelect
-          .withGroupRanks(scored, "source", "eta", tieBreak = Seq("doc_id"))
-          .where(expr("__rk_rn > (4 * __rk_n) div 5"))
-          .select(col("doc_id"), col("source"), col("lang"),
-            col("eta"), col("n_tokens"))
-
-        // stages 2-5 — q140's chain over the classifier-selected set;
-        // the dedup keeper ranks on η (the model's quality) instead of
-        // the rule score
-        val sh  = DedupQueries.shingleDf(s, d).localCheckpoint(true)
-        val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        val clusters = DedupQueries.connectedComponents(
-          DedupQueries.minhashCandidatePairsOf(shQ)
-            .select(col("ida"), col("idb")).distinct())
-        val losers = clusters
-          .join(qualityPass.select(col("doc_id"), col("eta")), col("id") === col("doc_id"))
-          .withColumn("r",
-            row_number().over(
-              Window.partitionBy(col("label")).orderBy(col("eta").desc, col("doc_id").asc)))
-          .where(col("r") > 1)
-          .select(col("doc_id"))
-        val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
-
-        val holdoutShingles = sh
-          .where(col("doc_id") % 97 === 0)
-          .select(col("shingle")).distinct()
-        val contaminated = shQ
-          .where(col("doc_id") % 97 =!= 0)
-          .join(holdoutShingles, Seq("shingle"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val clean = deduped
-          .where(col("doc_id") % 97 =!= 0)
-          .join(contaminated, Seq("doc_id"), "left_anti")
-
-        val w = Window
-          .partitionBy(col("source"))
-          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
-        val mixed = clean
-          .withColumn("cum_tokens",
-            sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .where(col("cum_tokens") <= TokenBudget)
-
-        mixed
-          .withColumn(
-            "bucket",
-            (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-              .cast("long") % 10).cast("int"))
-          .select(
-            col("doc_id"), col("source"), col("lang"),
-            col("n_tokens"), col("cum_tokens"), col("bucket"),
-            when(col("bucket") < 8, "train")
-              .when(col("bucket") === 8, "val")
-              .otherwise("test").as("split"))
-      },
-      oracle = Some(s"""
-        WITH RECURSIVE
-        ${graft.operators.ClassifierQueries.trainedEtaSql},
-        ntk AS MATERIALIZED (
-          SELECT doc_id, ${TextQueries.tokenCountSql} AS n_tokens
-          FROM (${TextQueries.normSql})),
-        csc AS MATERIALIZED (
-          SELECT c.doc_id, c.source, c.lang, c.eta, n.n_tokens
-          FROM ceta c JOIN ntk n ON n.doc_id = c.doc_id),
-        crk AS MATERIALIZED (
-          SELECT *,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                   ORDER BY eta ASC, doc_id ASC) AS rn,
-                 COUNT(*) OVER (PARTITION BY source) AS n
-          FROM csc),
-        qpass AS MATERIALIZED (
-          SELECT doc_id, source, lang, eta, n_tokens
-          FROM crk WHERE rn > (4 * n) // 5),
-        sh0 AS (${DedupQueries.shingleSql}),
-        ${DedupQueries.mhBandsCtesSqlFrom(
-          "SELECT s.doc_id, s.shingle FROM sh0 s JOIN qpass p ON p.doc_id = s.doc_id")},
-        edges AS (
-          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          FROM bands a
-          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id),
-        und AS (
-          SELECT ida AS a, idb AS b FROM edges
-          UNION ALL
-          SELECT idb AS a, ida AS b FROM edges),
-        reach AS (
-          SELECT a, b FROM und
-          UNION
-          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
-        labels AS (
-          SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
-        losers AS (
-          SELECT doc_id FROM (
-            SELECT p.doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY l.label
-                     ORDER BY p.eta DESC, p.doc_id ASC) AS r
-            FROM labels l JOIN qpass p ON p.doc_id = l.id
-          ) WHERE r > 1),
-        deduped AS (
-          SELECT * FROM qpass
-          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-        holdout_sh AS (
-          SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 97 = 0),
-        contaminated AS (
-          SELECT DISTINCT doc_id FROM sh
-          WHERE doc_id % 97 <> 0
-            AND shingle IN (SELECT shingle FROM holdout_sh)),
-        clean AS (
-          SELECT * FROM deduped
-          WHERE doc_id % 97 <> 0
-            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        mixed AS (
-          SELECT doc_id, source, lang, n_tokens,
-                 CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
-                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-          FROM clean),
-        sel AS (SELECT * FROM mixed WHERE cum_tokens <= $TokenBudget)
-        SELECT doc_id, source, lang, n_tokens, cum_tokens, bucket,
-               CASE WHEN bucket < 8 THEN 'train'
-                    WHEN bucket = 8 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (
-          SELECT *,
-                 CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS INTEGER) AS bucket
-          FROM sel)""")
+      fn = (s, d) => classifiedBuild(s, d,
+        graft.operators.ClassifierQueries.trainedEta(s, d)),
+      oracle = Some(classifiedBuildOracle)
     ),
+
+    // ----------------------------------------------------------------
+    // THE STAGED NIGHTLY BUILD — q290's production deployment shape:
+    // the classifier is trained ONCE and staged as a warehouse model
+    // table (the q291 pattern); the nightly corpus build READS the
+    // staged β and runs score→cut→dedup→decontaminate→mix→split with
+    // zero fit jobs in the build itself. Gated against q290's oracle
+    // verbatim — staged-build ≡ inline-fit-build, hash-proven, the
+    // same staging proof the apply twins carry, now for the whole
+    // composed chain.
+    "q309_corpus_build_staged" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q309_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          // train once → stage the gate-rounded β
+          val b = graft.operators.ClassifierQueries.trainQualityBeta(s, d)
+          import s.implicits._
+          wh.overwrite(
+            Seq((b(0), b(1), b(2), b(3), b(4)))
+              .toDF("b0", "b1", "b2", "b3", "b4"),
+            "gold", "model_corpus_quality")
+          // nightly build: the staged table is the ONLY model input
+          val m = wh.load("gold", "model_corpus_quality").head()
+          val staged = Array.tabulate(5)(i => m.getAs[Double](s"b$i"))
+          classifiedBuild(s, d,
+            graft.operators.ClassifierQueries.scoreEta(s, d, staged))
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(classifiedBuildOracle)
+    ),
+
 
     // ----------------------------------------------------------------
     // SEQUENCE PACKING — the tokenizer-side operator every pretraining

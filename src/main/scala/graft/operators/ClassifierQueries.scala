@@ -348,7 +348,14 @@ object ClassifierQueries extends QueryModule {
     * q264's raw-β η is only gate-stable through its ROUND(p_good, 6) —
     * not rankable.
     */
-  private[graft] def trainedEta(s: SparkSession, d: String): DataFrame = {
+  private[graft] def trainedEta(s: SparkSession, d: String): DataFrame =
+    scoreEta(s, d, trainQualityBeta(s, d))
+
+  /** The train step alone: fit on the labeled folds, return the
+    * GATE-ROUNDED β — the 5 doubles a staged model table stores (q309
+    * stages exactly this array and re-loads it for the build).
+    */
+  private[graft] def trainQualityBeta(s: SparkSession, d: String): Array[Double] = {
     val all = graft.CacheLeases.lease(docFeatures(s, d).persist())
     val (beta, _) = irlsFit(all.where(col("doc_id") % 5 =!= 4))
     import s.implicits._
@@ -356,10 +363,17 @@ object ClassifierQueries extends QueryModule {
       .toDF("b0", "b1", "b2", "b3", "b4")
       .select((0 to 4).map(i => round(col(s"b$i"), 6).as(s"b$i")): _*)
       .head()
-    val betaR = Array.tabulate(5)(r.getDouble)
-    all.select(col("doc_id"), col("source"), col("lang"),
-      etaCol(betaR).as("eta"))
+    Array.tabulate(5)(r.getDouble)
   }
+
+  /** The score step alone: map-only doc-grain η under a (rounded) β —
+    * the apply half q309 runs from the staged table. `docFeatures` is
+    * re-leased so the scoring pass stands alone.
+    */
+  private[graft] def scoreEta(s: SparkSession, d: String, betaR: Array[Double]): DataFrame =
+    graft.CacheLeases.lease(docFeatures(s, d).persist())
+      .select(col("doc_id"), col("source"), col("lang"),
+        etaCol(betaR).as("eta"))
 
   /** [[trainedEta]]'s oracle mirror: CTE chain ending at `ceta`
     * (doc_id, source, lang, eta) — no WITH prefix, composes with other

@@ -404,6 +404,9 @@ object ScaleTrend {
     // the IRLS fit (KB-flat moments) + the rank-kernel percentile cut
     // in place of the rule score — must inherit q140's ~x10 linearity
     "q290_corpus_build_classified",
+    // staged twin: the build reads the staged beta — same chain shapes,
+    // minus the inline fit's KB-scale moment aggregates
+    "q309_corpus_build_staged",
     // round-12 staged-model applies: fit/stage eagerly, then the
     // returned plan is the same literal-fold map stage as the refit
     // twins — wall tracks the scans, apply shuffle ~0
