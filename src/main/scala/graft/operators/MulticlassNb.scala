@@ -224,6 +224,51 @@ object MulticlassNb extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // MAINTAINED K-CLASS MODEL — the q288 count-merge pattern at
+    // (token, class) grain: four ingest batches each aggregate their
+    // OWN (token, lang) counts and merge into the stored model table
+    // by addition (O(batch vocab·K) per refresh, never a corpus
+    // rescan); the final smoothed model gates against the SAME oracle
+    // as the one-shot q295 fit — maintained ≡ recompute, hash-proven.
+    "q310_nb_lang_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q310_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          for (b <- 0 until 4) {
+            val batch = tokenClassCounts(
+              docTokens(s, d).where(col("doc_id") % 4 === b))
+            val merged =
+              if (wh.exists("gold", "mv_nb_lang_counts"))
+                wh.load("gold", "mv_nb_lang_counts").unionByName(batch)
+                  .groupBy(col("token"), col("lang"))
+                  .agg(sum(col("c")).as("c"))
+              else batch
+            wh.overwrite(merged, "gold", "mv_nb_lang_counts")
+          }
+          val tc = graft.CacheLeases.lease(
+            wh.load("gold", "mv_nb_lang_counts")
+              .select(col("token"), col("lang"), col("c").cast("long").as("c"))
+              .persist())
+          val nk = tc.groupBy(col("lang")).agg(sum(col("c")).as("nk"))
+          val v  = tc.agg(countDistinct(col("token")).as("v"))
+          tc.join(broadcast(nk), "lang").crossJoin(broadcast(v))
+            .select(col("token"), col("lang"), col("c"),
+              round(llwCol, 6).as("llw"))
+            .localCheckpoint(true)
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(s"""
+        WITH $docTokensSql,
+        ${tokenClassCountsSql("mdt")},
+        $classMassSql
+        SELECT token, lang, c, ROUND($llwSql, 6) AS llw
+        FROM mtc JOIN mnk USING (lang) CROSS JOIN mv""")
+    ),
+
+    // ----------------------------------------------------------------
     // K-CLASS APPLY — train on folds 0-3, predict the language of the
     // unseen fold 4: per (doc, class) score = ln(Dk/D) + Σ c·llw with
     // unseen tokens contributing the class's smoothing constant, scores

@@ -477,6 +477,13 @@ object PlanAudit {
       mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition"),
       minWindowPartCols = 1),
+    // salted NB apply: the salt machinery must survive planning — the
+    // large side carries the uniformity salt, the model side its
+    // explode-replicated copies (a plan without __salt means Catalyst
+    // or a refactor silently reverted to the skewed plain join)
+    Audit("q299_nb_apply_salted",
+      mustContain = Seq("__salt"),
+      mustNotContain = Seq("CartesianProduct")),
     // video frame-sample dedup: decode is a map pass (the checkpointed
     // frame-hash scan); downstream is the video-grain fingerprint
     // aggregate + a small keeper join — no window, no cartesian

@@ -422,6 +422,8 @@ object ScaleTrend {
     "q295_nb_lang_fit",
     "q296_nb_lang_apply",
     "q298_chi2_lang",
+    // maintained K-class model: 4 batch merges at O(batch vocab * K)
+    "q310_nb_lang_incremental",
     // round-12 salted NB apply: q274's chain with the token join
     // salted — same pruned-count caveat as q274, bytes must track
     // the model replication linearly
