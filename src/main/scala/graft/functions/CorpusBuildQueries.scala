@@ -195,59 +195,59 @@ object CorpusBuildQueries extends QueryModule {
     val toks = documents(s, d).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
     val scored = eta.join(toks, Seq("doc_id"))
-        val qualityPass = graft.operators.RankSelect
-          .withGroupRanks(scored, "source", "eta", tieBreak = Seq("doc_id"))
-          .where(expr("__rk_rn > (4 * __rk_n) div 5"))
-          .select(col("doc_id"), col("source"), col("lang"),
-            col("eta"), col("n_tokens"))
+    val qualityPass = graft.operators.RankSelect
+      .withGroupRanks(scored, "source", "eta", tieBreak = Seq("doc_id"))
+      .where(expr("__rk_rn > (4 * __rk_n) div 5"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("eta"), col("n_tokens"))
 
-        // stages 2-5 — q140's chain over the classifier-selected set;
-        // the dedup keeper ranks on η (the model's quality) instead of
-        // the rule score
-        val sh  = DedupQueries.shingleDf(s, d).localCheckpoint(true)
-        val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        val clusters = DedupQueries.connectedComponents(
-          DedupQueries.minhashCandidatePairsOf(shQ)
-            .select(col("ida"), col("idb")).distinct())
-        val losers = clusters
-          .join(qualityPass.select(col("doc_id"), col("eta")), col("id") === col("doc_id"))
-          .withColumn("r",
-            row_number().over(
-              Window.partitionBy(col("label")).orderBy(col("eta").desc, col("doc_id").asc)))
-          .where(col("r") > 1)
-          .select(col("doc_id"))
-        val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
+    // stages 2-5 — q140's chain over the classifier-selected set;
+    // the dedup keeper ranks on η (the model's quality) instead of
+    // the rule score
+    val sh  = DedupQueries.shingleDf(s, d).localCheckpoint(true)
+    val shQ = sh.join(qualityPass.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val clusters = DedupQueries.connectedComponents(
+      DedupQueries.minhashCandidatePairsOf(shQ)
+        .select(col("ida"), col("idb")).distinct())
+    val losers = clusters
+      .join(qualityPass.select(col("doc_id"), col("eta")), col("id") === col("doc_id"))
+      .withColumn("r",
+        row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("eta").desc, col("doc_id").asc)))
+      .where(col("r") > 1)
+      .select(col("doc_id"))
+    val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
 
-        val holdoutShingles = sh
-          .where(col("doc_id") % 97 === 0)
-          .select(col("shingle")).distinct()
-        val contaminated = shQ
-          .where(col("doc_id") % 97 =!= 0)
-          .join(holdoutShingles, Seq("shingle"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val clean = deduped
-          .where(col("doc_id") % 97 =!= 0)
-          .join(contaminated, Seq("doc_id"), "left_anti")
+    val holdoutShingles = sh
+      .where(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val contaminated = shQ
+      .where(col("doc_id") % 97 =!= 0)
+      .join(holdoutShingles, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = deduped
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
-        val w = Window
-          .partitionBy(col("source"))
-          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
-        val mixed = clean
-          .withColumn("cum_tokens",
-            sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .where(col("cum_tokens") <= TokenBudget)
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+    val mixed = clean
+      .withColumn("cum_tokens",
+        sum(col("n_tokens").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("cum_tokens") <= TokenBudget)
 
-        mixed
-          .withColumn(
-            "bucket",
-            (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-              .cast("long") % 10).cast("int"))
-          .select(
-            col("doc_id"), col("source"), col("lang"),
-            col("n_tokens"), col("cum_tokens"), col("bucket"),
-            when(col("bucket") < 8, "train")
-              .when(col("bucket") === 8, "val")
-              .otherwise("test").as("split"))
+    mixed
+      .withColumn(
+        "bucket",
+        (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 10).cast("int"))
+      .select(
+        col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("cum_tokens"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
   }
 
   /** The composed-chain oracle — shared by q290 and its staged twin
