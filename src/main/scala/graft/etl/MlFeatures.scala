@@ -24,8 +24,15 @@ object MlFeatures {
     * reference stubs it to 0.0 at :152; here dim_weather is real, so
     * it's condition-derived).
     *
+    * Inputs are the pipeline's MAINTAINED daily-grain aggregates
+    * (`agg_daily_sales`, `agg_inventory_daily` — see
+    * [[SilverToGold.aggDailySales]]), not the event-grain facts: at
+    * 100 TB the feature rebuild reads days×products×stores rows, never
+    * the raw fact, and the aggregates themselves are kept current with
+    * per-date dynamic partition overwrite.
+    *
     * Join shapes, in 100 TB order: the daily aggregate AND the
-    * inventory aggregate are both fact-grain (product, store, date) —
+    * inventory aggregate are both daily-grain (product, store, date) —
     * they shuffle-join on their shared keys (AQE may still pick a
     * broadcast at small scale, but nothing forces it). Promotions and
     * weather are date-keyed and grow with history, so they carry no
@@ -36,19 +43,16 @@ object MlFeatures {
     * the daily rows; windows are all partitioned by business key.
     */
   def productDemand(
-      factSales: DataFrame,
+      aggDailySales: DataFrame,
       factPromotions: DataFrame,
-      factInventory: DataFrame,
+      aggInventoryDaily: DataFrame,
       dimPricing: DataFrame,
       dimCalendar: DataFrame,
       dimWeather: DataFrame
   ): DataFrame = {
-    val daily = factSales
-      .groupBy(col("product_id"), col("store_id"), col("date"))
-      .agg(
-        sum(col("quantity")).as("daily_units"),
-        sum(col("gross_amount")).cast(Schemas.Money).as("daily_revenue")
-      )
+    val daily = aggDailySales
+      .select(col("product_id"), col("store_id"), col("date"),
+        col("daily_units"), col("daily_revenue"))
     val w = Window
       .partitionBy(col("product_id"), col("store_id"))
       .orderBy(col("date"))
@@ -75,12 +79,9 @@ object MlFeatures {
         max(col("promo_type")).as("marketing_campaign"),
         max(col("discount_percentage")).as("promo_discount_pct")
       )
-    val invByDay = factInventory
-      .groupBy(col("product_id"), col("store_id"), col("date"))
-      .agg(
-        avg(col("closing_stock")).cast("double").as("inventory_level"),
-        avg(col("waste_ratio")).cast("double").as("waste_ratio")
-      )
+    val invByDay = aggInventoryDaily
+      .select(col("product_id"), col("store_id"), col("date"),
+        col("inventory_level"), col("waste_ratio"))
     val currentPrice = dimPricing
       .where(col("is_current_record"))
       .select(col("product_id"), col("avg_price").as("price"))

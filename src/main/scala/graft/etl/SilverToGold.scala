@@ -124,25 +124,58 @@ object SilverToGold {
     }
   }
 
-  /** dim_customer: partial-column upsert — last_visit_date refreshes,
-    * first_seen et al stay (silver_to_gold.py:241-287, M3).
+  /** Maintained compact aggregate: per-(customer, date) visit counts from
+    * silver sales. Grain includes `date`, so a partition-scoped recompute
+    * of a day is exact even when late events land in an old partition —
+    * the property that lets the pipeline maintain it with dynamic
+    * partition overwrite instead of re-scanning event-grain history.
     */
-  def dimCustomer(silverSales: DataFrame, dim: Option[DataFrame]): DataFrame = {
-    val observed = silverSales
+  def aggCustomerDaily(silverSales: DataFrame): DataFrame =
+    silverSales
+      .groupBy(col("customer_id"), col("date"))
+      .agg(count(lit(1)).as("visit_count"))
+
+  /** Maintained compact aggregate: per-(product, store, date) units and
+    * revenue from fact_sales — the single daily-grain table both the
+    * demand features and the promotion lift read, so neither ever scans
+    * the event-grain fact again. Per-date exact (grain includes `date`).
+    */
+  def aggDailySales(factSales: DataFrame): DataFrame =
+    factSales
+      .groupBy(col("product_id"), col("store_id"), col("date"))
+      .agg(
+        sum(col("quantity")).as("daily_units"),
+        sum(col("gross_amount")).cast(Schemas.Money).as("daily_revenue")
+      )
+
+  /** Maintained compact aggregate: per-(product, store, date) inventory
+    * level and waste ratio from fact_inventory. Per-date exact.
+    */
+  def aggInventoryDaily(factInventory: DataFrame): DataFrame =
+    factInventory
+      .groupBy(col("product_id"), col("store_id"), col("date"))
+      .agg(
+        avg(col("closing_stock")).cast("double").as("inventory_level"),
+        avg(col("waste_ratio")).cast("double").as("waste_ratio")
+      )
+
+  /** dim_customer (silver_to_gold.py:241-287, M3) re-aggregated from the
+    * maintained [[aggCustomerDaily]] state: first/last visit and total
+    * visits decompose exactly over per-day counts (min/max/sum), so the
+    * dim is a pure function of the compact aggregate — no event-grain
+    * scan, and an incremental build is hash-identical to a from-scratch
+    * rebuild. (The reference's partial-column upsert keeps a stale
+    * first_visit_date when a late event predates it; min over the
+    * aggregate is the evident intent.)
+    */
+  def dimCustomer(aggCustomerDaily: DataFrame): DataFrame =
+    aggCustomerDaily
       .groupBy(col("customer_id"))
       .agg(
         min(col("date")).as("first_visit_date"),
         max(col("date")).as("last_visit_date"),
-        count(lit(1)).as("visit_count")
+        sum(col("visit_count")).as("visit_count")
       )
-    dim match {
-      case None    => observed
-      case Some(d) =>
-        // refresh last_visit_date/visit_count; keep first_visit_date
-        MergeInto.upsertColumns(d, observed, Seq("customer_id"),
-          Seq("last_visit_date", "visit_count"))
-    }
-  }
 
   /** dim_equipment seeded from the producer catalog — fills the declared-
     * but-unwritten dim the ML features read (SURVEY.md §2.13).
@@ -194,15 +227,17 @@ object SilverToGold {
     * with one broadcast range-join against daily sales. The reference
     * declares sales_lift_percentage but never populates it (no job
     * writes fact_promotions at all, SURVEY.md §2.13).
+    *
+    * `dailyUnits` is (product_id, date, units) — derived from the
+    * maintained [[aggDailySales]] table, NOT the event-grain fact, so
+    * the per-cycle rebuild of this promo-grain table reads a
+    * days×products-bounded input.
     */
   def factPromotions(
       bronzePromotions: DataFrame,
-      factSales: DataFrame,
+      dailyUnits: DataFrame,
       asOf: java.sql.Date
   ): DataFrame = {
-    val dailyUnits = factSales
-      .groupBy(col("product_id"), col("date"))
-      .agg(sum(col("quantity")).as("units"))
     val overall = dailyUnits
       .groupBy(col("product_id"))
       .agg(avg(col("units")).as("overall_avg_units"))

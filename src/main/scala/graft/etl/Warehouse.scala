@@ -223,6 +223,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Drop a table: catalog entry (if any) and data files. Used for
+    * consumed state tables (e.g. the gold-pending-dates ledger after a
+    * gold build absorbs it).
+    */
+  def drop(layer: String, table: String): Unit = {
+    dropCatalogEntry(layer, table)
+    val target = new Path(path(layer, table))
+    fs(target).delete(target, true)
+  }
+
   /** Load-or-empty with the given schema (first pipeline run). */
   def loadOr(layer: String, table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(layer, table)) load(layer, table)

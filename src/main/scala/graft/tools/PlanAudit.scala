@@ -1057,13 +1057,13 @@ object PlanAudit {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val d = to_date(lit("2025-06-01"))
-      val factSales = Seq((1, 1, 5L, java.math.BigDecimal.valueOf(10)))
-        .toDF("product_id", "store_id", "quantity", "gross_amount").withColumn("date", d)
+      val dailySales = Seq((1, 1, 5L, java.math.BigDecimal.valueOf(10)))
+        .toDF("product_id", "store_id", "daily_units", "daily_revenue").withColumn("date", d)
       val factPromos = Seq((1, "SUMMER", 10.0))
         .toDF("product_id", "promo_type", "discount_percentage")
         .withColumn("start_date", d).withColumn("end_date", d)
-      val factInv = Seq((1, 1, 100L, 0.05))
-        .toDF("product_id", "store_id", "closing_stock", "waste_ratio").withColumn("date", d)
+      val invDaily = Seq((1, 1, 100.0, 0.05))
+        .toDF("product_id", "store_id", "inventory_level", "waste_ratio").withColumn("date", d)
       val dimPricing = Seq((1, true, java.math.BigDecimal.valueOf(3)))
         .toDF("product_id", "is_current_record", "avg_price")
       val dimCalendar = Seq(("Sunday", false, Option.empty[String], "Summer"))
@@ -1071,7 +1071,7 @@ object PlanAudit {
       val dimWeather = Seq((1, "sunny"))
         .toDF("store_id", "weather_condition").withColumn("date", d)
       val df = graft.etl.MlFeatures.productDemand(
-        factSales, factPromos, factInv, dimPricing, dimCalendar, dimWeather)
+        dailySales, factPromos, invDaily, dimPricing, dimCalendar, dimWeather)
       df.collect()
       // AQE's toString repeats the tree under "== Initial Plan ==" —
       // count join nodes only in the final section
