@@ -248,57 +248,100 @@ object RecommenderQueries extends QueryModule {
         ${halfStepR4Sql("r1", "rat", "w1", "i", "u")},
         ${halfStepR4Sql("w2", "rat", "r1", "u", "i")}"""
 
-  private lazy val rawQueries: Map[String, QueryDef] = Map(
+  // ------------------------------------------------------------------
+  // SERVING — the candidate-generation + scoring shapes shared by the
+  // refit queries (q233/q237/q257/q258) and their staged-model twins
+  // (q311-q314). Parameterized only by rank and the factor frames, so
+  // staged ≡ refit is a property of WHERE the factors come from, never
+  // of the serve plan.
 
-    // ----------------------------------------------------------------
-    // ALS TRAINING — three alternating half-steps (q0 → u1 → q1 → u2)
-    // over the purchase matrix; output is the user factor table. Per
-    // half-step the ratings shuffle ONCE on the join key and the
-    // solved state is entity-grain — at 100 TB the ratings pass
-    // dominates and factor state stays a rounding error next to it.
-    "q232_als_train" -> QueryDef(
-      fn = (s, d) =>
-        trainedUserFactors(s, d)
-          .select(col("u").as("custkey"),
-            round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2")),
-      oracle = Some(s"""
-        WITH $trainCtesSql
-        SELECT u AS custkey, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
-        FROM u2""")
-    ),
+  /** Train the full three-half-step schedule and return
+    * (user factors, item factors) — the item side is the second
+    * half-step's output, the candidate-scoring state q233/q257 use.
+    */
+  private def trainFactors(rat: DataFrame, rank4: Boolean): (DataFrame, DataFrame) =
+    if (rank4) {
+      val r0 = initItemFactorsR4(rat)
+      val w1 = halfStepR4(rat, r0, "u", "i")
+      val r1 = halfStepR4(rat, w1, "i", "u")
+      (halfStepR4(rat, r1, "u", "i"), r1)
+    } else {
+      val q0 = initItemFactors(rat)
+      val u1 = halfStep(rat, q0, "u", "i")
+      val q1 = halfStep(rat, u1, "i", "u")
+      (halfStep(rat, q1, "u", "i"), q1)
+    }
 
-    // ----------------------------------------------------------------
-    // TOP-3 RECOMMENDATIONS — the candidate-generation + scoring shape
-    // every production recommender serves with: a BOUNDED candidate
-    // set (the 50 most-rated items — broadcastable at any corpus
-    // size), already-purchased pairs removed by a keyed anti-join on
-    // (u, i), dot-product scoring against the trained factors, top-3
-    // per user from a window over ≤50 candidate rows. The full-
-    // catalog argmax that ALS papers benchmark is deliberately NOT the
-    // shape here — users × catalog is the cross join that never ships;
-    // candidates bound the fanout the way bands bound dedup.
-    "q233_als_recommend" -> QueryDef(
-      fn = (s, d) => {
-        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
-        val q0  = initItemFactors(rat)
-        val u1  = halfStep(rat, q0, "u", "i")
-        val q1  = halfStep(rat, u1, "i", "u")
-        val u2  = halfStep(rat, q1, "u", "i")
-        val pop = rat.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("i").asc).limit(50)
-          .join(q1, "i")
-          .select(col("i"), col("f1").as("g1"), col("f2").as("g2"))
-        val cands = u2.crossJoin(broadcast(pop))
-          .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
-          .withColumn("score", col("f1") * col("g1") + col("f2") * col("g2"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-        cands.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("u").as("custkey"), col("rank"),
-            col("i").as("partkey"), round(col("score"), 6).as("score"))
-      },
-      oracle = Some(s"""
+  /** STAGED MODEL: train once, persist both factor tables as warehouse
+    * model tables (the q291 β-table pattern at entity grain), and return
+    * the factors READ BACK from the staged tables — localCheckpoint'ed
+    * (the q302 lifetime pattern) so the temp warehouse can be deleted
+    * before the serve plan materializes. Parquet round-trips IEEE
+    * doubles exactly, so staged serve is bit-identical to refit serve
+    * and gates against the refit oracles VERBATIM — the hash match is
+    * the staging proof. At 100 TB this is the production recommender
+    * shape: factors are entity-grain tables (users ≫ driver state, so
+    * unlike β they stage as DATA, never collect), trained nightly and
+    * served many times with zero half-step jobs per request.
+    */
+  private def stagedFactors(
+      s: SparkSession, rat: DataFrame, rank4: Boolean, tag: String): (DataFrame, DataFrame) = {
+    val whRoot =
+      java.nio.file.Files.createTempDirectory(s"graft_${tag}_wh_").toString
+    try {
+      val wh = new graft.etl.Warehouse(s, whRoot)
+      val (users, items) = trainFactors(rat, rank4)
+      wh.overwrite(users, "gold", "model_als_user_factors")
+      wh.overwrite(items, "gold", "model_als_item_factors")
+      (wh.load("gold", "model_als_user_factors").localCheckpoint(true),
+        wh.load("gold", "model_als_item_factors").localCheckpoint(true))
+    } finally graft.Staging.deleteRecursively(
+      java.nio.file.Paths.get(whRoot))
+  }
+
+  /** Top-3 recommendations from given factors: bounded candidate set
+    * (50 most-rated items, broadcast), purchased pairs anti-joined,
+    * rank-r dot product, per-user top-3 window over ≤50 rows.
+    */
+  private def recommendTop3(
+      rat: DataFrame, userF: DataFrame, itemF: DataFrame, rank: Int): DataFrame = {
+    val pop = rat.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("i").asc).limit(50)
+      .join(itemF, "i")
+      .select(col("i") +: (1 to rank).map(t => col(s"f$t").as(s"g$t")): _*)
+    val score = (1 to rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+    userF.crossJoin(broadcast(pop))
+      .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("u").as("custkey"), col("rank"),
+        col("i").as("partkey"), round(col("score"), 6).as("score"))
+  }
+
+  /** Holdout hit flags from given factors: top-3 over the bounded
+    * candidates (train purchases excluded), checked per held-out user.
+    */
+  private def evalHits(
+      tr: DataFrame, te: DataFrame,
+      userF: DataFrame, itemF: DataFrame, rank: Int): DataFrame = {
+    val recs = recommendTop3(tr, userF, itemF, rank)
+      .select(col("custkey").as("u"), col("partkey").as("i"))
+    val testUsers = te.select(col("u")).distinct()
+      .join(userF.select(col("u")), Seq("u"), "left_semi")
+    val hits = recs.join(te, Seq("u", "i"), "left_semi")
+      .select(col("u")).distinct().withColumn("h", lit(1))
+    testUsers.join(hits, Seq("u"), "left")
+      .select(col("u").as("custkey"),
+        coalesce(col("h"), lit(0)).as("hit"))
+  }
+
+  /** Shared oracles: each refit query and its staged twin gate against
+    * the SAME text — the hash match is the staged ≡ refit proof.
+    */
+  private lazy val recommendOracle: Option[String] = Some(s"""
         WITH $trainCtesSql,
         pop AS MATERIALIZED (
           SELECT i, f1 AS g1, f2 AS g2 FROM (
@@ -315,50 +358,8 @@ object RecommenderQueries extends QueryModule {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
                 ORDER BY score DESC, i ASC) AS rank FROM cands)
         WHERE rank <= 3""")
-    ),
 
-    // ----------------------------------------------------------------
-    // HOLDOUT EVALUATION — the train/eval split every model query
-    // needs before it ships (the q209-backtest discipline applied to
-    // the recommender): (u, i) pairs with (u + i) % 5 = 0 are held
-    // out, ALS trains on the rest, and each held-out user's top-3
-    // recommendations (from the bounded candidate set, train
-    // purchases excluded) are checked against their held-out items.
-    // Output is the per-user hit flag — the row-grain gate covers the
-    // split, the training, the candidate generation, and the ranking
-    // at once. Same plan shapes as q232/q233; the extra work is two
-    // keyed semi-joins at holdout grain.
-    "q237_als_eval" -> QueryDef(
-      fn = (s, d) => {
-        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
-        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
-        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
-        val te = rat.where(isTest).select(col("u"), col("i"))
-        val q0 = initItemFactors(tr)
-        val u1 = halfStep(tr, q0, "u", "i")
-        val q1 = halfStep(tr, u1, "i", "u")
-        val u2 = halfStep(tr, q1, "u", "i")
-        val pop = tr.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("i").asc).limit(50)
-          .join(q1, "i")
-          .select(col("i"), col("f1").as("g1"), col("f2").as("g2"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-        val recs = u2.crossJoin(broadcast(pop))
-          .join(tr.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
-          .withColumn("score", col("f1") * col("g1") + col("f2") * col("g2"))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("u"), col("i"))
-        val testUsers = te.select(col("u")).distinct()
-          .join(u2.select(col("u")), Seq("u"), "left_semi")
-        val hits = recs.join(te, Seq("u", "i"), "left_semi")
-          .select(col("u")).distinct().withColumn("h", lit(1))
-        testUsers.join(hits, Seq("u"), "left")
-          .select(col("u").as("custkey"),
-            coalesce(col("h"), lit(0)).as("hit"))
-      },
-      oracle = Some(s"""
+  private lazy val evalOracle: Option[String] = Some(s"""
         WITH $ratingsSql,
         tr AS MATERIALIZED (SELECT * FROM rat WHERE (u + i) % 5 <> 0),
         te AS MATERIALIZED (SELECT u, i FROM rat WHERE (u + i) % 5 = 0),
@@ -390,57 +391,10 @@ object RecommenderQueries extends QueryModule {
         SELECT tu.u AS custkey,
                CAST(CASE WHEN hits.u IS NULL THEN 0 ELSE 1 END AS INTEGER) AS hit
         FROM tu LEFT JOIN hits ON hits.u = tu.u""")
-    ),
 
-    // ----------------------------------------------------------------
-    // RANK-4 ALS TRAINING — q232's schedule with the generated-
-    // elimination solver in place of the 2×2 Cramer closed form. Same
-    // scale shape: per half-step the ratings shuffle once, the moment
-    // aggregate carries 14 decimals per entity (r(r+3)/2 — quadratic
-    // in rank, constant in rows), and the solve is a projection over
-    // the reduced frame. The oracle replays the identical generated op
-    // sequence per half-step as level-batched CTE chains.
-    "q256_als_train_r4" -> QueryDef(
-      fn = (s, d) =>
-        trainedUserFactorsR4(graft.CacheLeases.lease(ratings(s, d).persist()))
-          .select(col("u").as("custkey") +:
-            (1 to Rank).map(t => round(col(s"f$t"), 6).as(s"f$t")): _*),
-      oracle = Some(s"""
-        WITH $trainR4CtesSql
-        SELECT u AS custkey,
-               ${(1 to Rank).map(t => s"ROUND(f$t, 6) AS f$t").mkString(", ")}
-        FROM w2""")
-    ),
-
-    // ----------------------------------------------------------------
-    // RANK-4 TOP-3 RECOMMENDATIONS — q233's bounded-candidate shape
-    // (50 most-rated items broadcast, purchased pairs anti-joined,
-    // top-3 window over ≤50 rows) scored with the rank-4 dot product.
-    "q257_als_recommend_r4" -> QueryDef(
-      fn = (s, d) => {
-        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
-        val r0 = initItemFactorsR4(rat)
-        val w1 = halfStepR4(rat, r0, "u", "i")
-        val r1 = halfStepR4(rat, w1, "i", "u")
-        val w2 = halfStepR4(rat, r1, "u", "i")
-        val pop = rat.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("i").asc).limit(50)
-          .join(r1, "i")
-          .select(col("i") +: (1 to Rank).map(t => col(s"f$t").as(s"g$t")): _*)
-        val score = (1 to Rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
-        val cands = w2.crossJoin(broadcast(pop))
-          .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
-          .withColumn("score", score)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-        cands.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("u").as("custkey"), col("rank"),
-            col("i").as("partkey"), round(col("score"), 6).as("score"))
-      },
-      oracle = {
-        val dot = (1 to Rank).map(t => s"w2.f$t * pop.g$t").mkString(" + ")
-        Some(s"""
+  private lazy val recommendR4Oracle: Option[String] = {
+    val dot = (1 to Rank).map(t => s"w2.f$t * pop.g$t").mkString(" + ")
+    Some(s"""
         WITH $trainR4CtesSql,
         pop AS MATERIALIZED (
           SELECT i, ${(1 to Rank).map(t => s"f$t AS g$t").mkString(", ")} FROM (
@@ -457,47 +411,11 @@ object RecommenderQueries extends QueryModule {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
                 ORDER BY score DESC, i ASC) AS rank FROM cands)
         WHERE rank <= 3""")
-      }
-    ),
+  }
 
-    // ----------------------------------------------------------------
-    // RANK-4 HOLDOUT EVALUATION — q237's split/train/rank/hit gate at
-    // rank 4; the per-user hit flag covers the elimination solver, the
-    // candidate generation, and the ranking end to end.
-    "q258_als_eval_r4" -> QueryDef(
-      fn = (s, d) => {
-        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
-        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
-        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
-        val te = rat.where(isTest).select(col("u"), col("i"))
-        val r0 = initItemFactorsR4(tr)
-        val w1 = halfStepR4(tr, r0, "u", "i")
-        val r1 = halfStepR4(tr, w1, "i", "u")
-        val w2 = halfStepR4(tr, r1, "u", "i")
-        val pop = tr.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("i").asc).limit(50)
-          .join(r1, "i")
-          .select(col("i") +: (1 to Rank).map(t => col(s"f$t").as(s"g$t")): _*)
-        val score = (1 to Rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-        val recs = w2.crossJoin(broadcast(pop))
-          .join(tr.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
-          .withColumn("score", score)
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("u"), col("i"))
-        val testUsers = te.select(col("u")).distinct()
-          .join(w2.select(col("u")), Seq("u"), "left_semi")
-        val hits = recs.join(te, Seq("u", "i"), "left_semi")
-          .select(col("u")).distinct().withColumn("h", lit(1))
-        testUsers.join(hits, Seq("u"), "left")
-          .select(col("u").as("custkey"),
-            coalesce(col("h"), lit(0)).as("hit"))
-      },
-      oracle = {
-        val dot = (1 to Rank).map(t => s"v2.f$t * pop.g$t").mkString(" + ")
-        Some(s"""
+  private lazy val evalR4Oracle: Option[String] = {
+    val dot = (1 to Rank).map(t => s"v2.f$t * pop.g$t").mkString(" + ")
+    Some(s"""
         WITH $ratingsSql,
         tr AS MATERIALIZED (SELECT * FROM rat WHERE (u + i) % 5 <> 0),
         te AS MATERIALIZED (SELECT u, i FROM rat WHERE (u + i) % 5 = 0),
@@ -531,7 +449,183 @@ object RecommenderQueries extends QueryModule {
         SELECT tu.u AS custkey,
                CAST(CASE WHEN hits.u IS NULL THEN 0 ELSE 1 END AS INTEGER) AS hit
         FROM tu LEFT JOIN hits ON hits.u = tu.u""")
-      }
+  }
+
+  private lazy val rawQueries: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------
+    // ALS TRAINING — three alternating half-steps (q0 → u1 → q1 → u2)
+    // over the purchase matrix; output is the user factor table. Per
+    // half-step the ratings shuffle ONCE on the join key and the
+    // solved state is entity-grain — at 100 TB the ratings pass
+    // dominates and factor state stays a rounding error next to it.
+    "q232_als_train" -> QueryDef(
+      fn = (s, d) =>
+        trainedUserFactors(s, d)
+          .select(col("u").as("custkey"),
+            round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2")),
+      oracle = Some(s"""
+        WITH $trainCtesSql
+        SELECT u AS custkey, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
+        FROM u2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // TOP-3 RECOMMENDATIONS — the candidate-generation + scoring shape
+    // every production recommender serves with: a BOUNDED candidate
+    // set (the 50 most-rated items — broadcastable at any corpus
+    // size), already-purchased pairs removed by a keyed anti-join on
+    // (u, i), dot-product scoring against the trained factors, top-3
+    // per user from a window over ≤50 candidate rows. The full-
+    // catalog argmax that ALS papers benchmark is deliberately NOT the
+    // shape here — users × catalog is the cross join that never ships;
+    // candidates bound the fanout the way bands bound dedup.
+    "q233_als_recommend" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val (u2, q1) = trainFactors(rat, rank4 = false)
+        recommendTop3(rat, u2, q1, rank = 2)
+      },
+      oracle = recommendOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // HOLDOUT EVALUATION — the train/eval split every model query
+    // needs before it ships (the q209-backtest discipline applied to
+    // the recommender): (u, i) pairs with (u + i) % 5 = 0 are held
+    // out, ALS trains on the rest, and each held-out user's top-3
+    // recommendations (from the bounded candidate set, train
+    // purchases excluded) are checked against their held-out items.
+    // Output is the per-user hit flag — the row-grain gate covers the
+    // split, the training, the candidate generation, and the ranking
+    // at once. Same plan shapes as q232/q233; the extra work is two
+    // keyed semi-joins at holdout grain.
+    "q237_als_eval" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val (u2, q1) = trainFactors(tr, rank4 = false)
+        evalHits(tr, te, u2, q1, rank = 2)
+      },
+      oracle = evalOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 ALS TRAINING — q232's schedule with the generated-
+    // elimination solver in place of the 2×2 Cramer closed form. Same
+    // scale shape: per half-step the ratings shuffle once, the moment
+    // aggregate carries 14 decimals per entity (r(r+3)/2 — quadratic
+    // in rank, constant in rows), and the solve is a projection over
+    // the reduced frame. The oracle replays the identical generated op
+    // sequence per half-step as level-batched CTE chains.
+    "q256_als_train_r4" -> QueryDef(
+      fn = (s, d) =>
+        trainedUserFactorsR4(graft.CacheLeases.lease(ratings(s, d).persist()))
+          .select(col("u").as("custkey") +:
+            (1 to Rank).map(t => round(col(s"f$t"), 6).as(s"f$t")): _*),
+      oracle = Some(s"""
+        WITH $trainR4CtesSql
+        SELECT u AS custkey,
+               ${(1 to Rank).map(t => s"ROUND(f$t, 6) AS f$t").mkString(", ")}
+        FROM w2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 TOP-3 RECOMMENDATIONS — q233's bounded-candidate shape
+    // (50 most-rated items broadcast, purchased pairs anti-joined,
+    // top-3 window over ≤50 rows) scored with the rank-4 dot product.
+    "q257_als_recommend_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val (w2, r1) = trainFactors(rat, rank4 = true)
+        recommendTop3(rat, w2, r1, rank = Rank)
+      },
+      oracle = recommendR4Oracle
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 HOLDOUT EVALUATION — q237's split/train/rank/hit gate at
+    // rank 4; the per-user hit flag covers the elimination solver, the
+    // candidate generation, and the ranking end to end.
+    "q258_als_eval_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val (w2, r1) = trainFactors(tr, rank4 = true)
+        evalHits(tr, te, w2, r1, rank = Rank)
+      },
+      oracle = evalR4Oracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STAGED-MODEL RECOMMEND — q233's production form (the q291 staging
+    // discipline at entity grain): TRAIN ONCE, persist user+item factor
+    // tables as warehouse model tables, and SERVE FROM THE TABLES — the
+    // returned plan reads staged factors plus the purchase history,
+    // with ZERO half-step jobs (plan-audited: no decimal moment
+    // aggregates). Factors are entity-grain — they stage as data and
+    // never collect to the driver, unlike the β/node-table models.
+    // Parquet round-trips doubles exactly, so staged serve gates
+    // against q233's oracle VERBATIM.
+    "q311_als_staged_recommend" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val (uf, itf) = stagedFactors(s, rat, rank4 = false, tag = "q311")
+        recommendTop3(rat, uf, itf, rank = 2)
+      },
+      oracle = recommendOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // STAGED-MODEL EVAL — q237's holdout gate served from the staged
+    // factor tables: the hit flags prove the staged tables carry the
+    // complete model (split → train → stage → serve → check), and the
+    // serve plan runs zero fit jobs.
+    "q312_als_staged_eval" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val (uf, itf) = stagedFactors(s, tr, rank4 = false, tag = "q312")
+        evalHits(tr, te, uf, itf, rank = 2)
+      },
+      oracle = evalOracle
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 STAGED RECOMMEND — the heaviest refit chain in the bench
+    // (three rank-4 half-steps re-run per q257 request) reduced to its
+    // production cost: one staged-table read + the bounded-candidate
+    // serve. This is where staging pays at 100 TB — recommenders are
+    // train-once/serve-many, and every serve re-shuffling the ratings
+    // through the moment aggregates was the r12 verdict's #1 shuffle
+    // line.
+    "q313_als_staged_recommend_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val (uf, itf) = stagedFactors(s, rat, rank4 = true, tag = "q313")
+        recommendTop3(rat, uf, itf, rank = Rank)
+      },
+      oracle = recommendR4Oracle
+    ),
+
+    // ----------------------------------------------------------------
+    // RANK-4 STAGED EVAL — q258's gate from staged rank-4 factors.
+    "q314_als_staged_eval_r4" -> QueryDef(
+      fn = (s, d) => {
+        val rat = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isTest = pmod(col("u") + col("i"), lit(5)) === 0
+        val tr = graft.CacheLeases.lease(rat.where(!isTest).persist())
+        val te = rat.where(isTest).select(col("u"), col("i"))
+        val (uf, itf) = stagedFactors(s, tr, rank4 = true, tag = "q314")
+        evalHits(tr, te, uf, itf, rank = Rank)
+      },
+      oracle = evalR4Oracle
     )
   )
 }

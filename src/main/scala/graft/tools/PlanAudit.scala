@@ -880,6 +880,30 @@ object PlanAudit {
       mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct"),
       minWindowPartCols = 1),
+    // STAGED ALS recommend (rank 2/4): after train-once/stage runs
+    // eagerly, the returned SERVE plan reads the staged factor tables
+    // and the purchase history only — same bounded-candidate shape as
+    // the refit twins, and crucially no half-step machinery (no moment
+    // aggregate aliases: s11/s_0_0 in the plan would mean serve
+    // re-derived the factors)
+    Audit("q311_als_staged_recommend",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition", "s11#", "s12#"),
+      minWindowPartCols = 1),
+    Audit("q313_als_staged_recommend_r4",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition", "s_0_0#", "s_0_1#"),
+      minWindowPartCols = 1),
+    // STAGED ALS eval (rank 2/4): q237/q258's hit-flag shape served from
+    // the staged tables — zero moment aggregates in the returned plan
+    Audit("q312_als_staged_eval",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "s11#", "s12#"),
+      minWindowPartCols = 1),
+    Audit("q314_als_staged_eval_r4",
+      mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "s_0_0#", "s_0_1#"),
+      minWindowPartCols = 1),
     // Kaplan-Meier: the corpus collapses to customer grain then to
     // (segment, duration-day) grain in map-side-combined aggregates;
     // the at-risk window and the per-segment product fold
