@@ -105,9 +105,29 @@ object SimilarityQueries extends QueryModule {
     if (side.count() <= maxRows) broadcast(side) else side.hint("shuffle_hash")
   }
 
-  /** The seeded (vec_id < 16) centroid relation. */
-  private def seededCentroids(e: DataFrame): DataFrame = e
-    .where(col("vec_id") < 16)
+  /** Auto-B seed count for the production ANN pairing (q77/q82/q95):
+    * the q300 rule B = ceil(n / 32) applied to the SEEDED codebook —
+    * one count over the indexable corpus keeps the expected inverted-
+    * list length at ~32, so candidate volume stays LINEAR in n (the
+    * fixed-B build is the measured quadratic counter-example, kept as
+    * q45). At the gated corpora (n = 500) B = 16 — byte-identical to
+    * the historical hand-tuned build. Division by a power of two is
+    * IEEE-exact on both engines.
+    */
+  private def autoSeedCount(e: DataFrame): Long =
+    math.ceil(e.count().toDouble / AutoListLen).toLong
+
+  /** Oracle CTE mirroring [[autoSeedCount]] (expects CTE `e`). */
+  private def bcfgSql: String = s"""
+        bcfg AS (
+          SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $AutoListLen) AS BIGINT) AS b
+          FROM e)"""
+
+  /** The seeded (vec_id < b) centroid relation — b = 16 for the
+    * hand-tuned consumers, [[autoSeedCount]] for the production pairing.
+    */
+  private def seededCentroids(e: DataFrame, b: Long = 16L): DataFrame = e
+    .where(col("vec_id") < b)
     .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
 
   /** Nearest-seeded-centroid assignment, ONE implementation for its
@@ -152,8 +172,20 @@ object SimilarityQueries extends QueryModule {
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
             FROM scored) WHERE r = 1)"""
 
-  private def seededTopK(e: DataFrame, k: Int): DataFrame = {
-    val centroids = seededCentroids(e)
+  private def seededTopK(e: DataFrame, k: Int, b: Long = 16L): DataFrame = {
+    val centroids = seededCentroids(e, b)
+    // bounded top-k typed aggregator, NOT collect_list+sort+slice: the
+    // list formulation's partial state is B structs per vector, so once
+    // the codebook auto-sizes (B ∝ n) the assignment shuffle grows n²/32
+    // — re-measured ×100 at the ×10 ScaleTrend corpus. The aggregator's
+    // buffer is capped at k entries per group per mapper (shuffle
+    // O(k·n) at any B); (score desc, id asc) insertion order matches
+    // the oracle's ROW_NUMBER ordering exactly, and primitive double
+    // comparisons sidestep the -0.0 struct-sort edge. The n×B dot
+    // products stay a MAP-side compute cost (the IVF assignment price;
+    // hierarchical assignment would cut it, out of scope here).
+    val topk = udaf(graft.operators.TopKAggregator.topK(k),
+      org.apache.spark.sql.Encoders.product[graft.operators.TopKAggregator.Scored])
     e.crossJoin(broadcast(centroids))
       .withColumn(
         "csim",
@@ -163,16 +195,15 @@ object SimilarityQueries extends QueryModule {
       .agg(
         first(col("embedding")).as("embedding"),
         first(col("nrm")).as("nrm"),
-        slice(
-          array_sort(collect_list(struct(col("csim"), col("cid"))), byCsimDescCidAsc),
-          1, k
-        ).as("topk")
-      )
+        topk(col("cid").cast("long"), col("csim")).as("raw"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("transform(raw, x -> struct(x.score AS csim, CAST(x.id AS INT) AS cid))")
+          .as("topk"))
   }
 
   /** The n_probe=2 default (q77/q82). */
-  private def seededTop2(e: DataFrame): DataFrame =
-    seededTopK(e, 2).withColumnRenamed("topk", "top2")
+  private def seededTop2(e: DataFrame, b: Long = 16L): DataFrame =
+    seededTopK(e, 2, b).withColumnRenamed("topk", "top2")
 
   /** q41's banded cosine near-dup pair generator — (ida, idb, sim) with
     * sim ≥ 0.4 — shared with q152's semantic dedup survivors.
@@ -1567,12 +1598,18 @@ object SimilarityQueries extends QueryModule {
     // n_probe mechanics; q45 shows the trained-codebook variant.
     // Probing doubles the candidate join fan-in (2 rows per query on
     // the probe side), still one broadcast + one centroid-id shuffle.
+    // The codebook is AUTO-SIZED (B = ⌈n/32⌉, the q300 rule) so list
+    // length — and with it candidate volume per query — stays constant
+    // as the corpus grows; at the gated corpora B = 16, byte-identical
+    // to the historical hand-tuned build. q45 keeps fixed B = 16 as
+    // the documented quadratic counter-example.
     "q77_ann_ivf_multiprobe" -> QueryDef(
       fn = (s, d) => {
         // centroid assignment WITHOUT replicating the embedding through a
         // window — see [[seededTop2]] (this was round 3's suite-max
         // shuffle at ~16x the necessary size)
-        val top2 = seededTop2(normedEmbeddings(s, d))
+        val e = normedEmbeddings(s, d).persist().leased
+        val top2 = seededTop2(e, autoSeedCount(e))
           .persist().leased // index and probes both read the assignment
         val index = top2.select(
           col("top2")(0)("cid").as("cid"),
@@ -1605,8 +1642,9 @@ object SimilarityQueries extends QueryModule {
       oracle = Some(s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0),
-        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+          WHERE $normSqlFrag > 0),$bcfgSql,
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
         scored AS (
           SELECT c.cid, e.vec_id, e.embedding, e.nrm,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1632,13 +1670,17 @@ object SimilarityQueries extends QueryModule {
     // round-4 verdict asked to demonstrate (q77 names n_probe as the
     // knob; this query turns it). Identical plan shape to q77: one
     // broadcast-centroid aggregation-shaped assignment, one centroid-id
-    // shuffle — probing 4 of the 16 lists just quadruples the probe-side
-    // fan-in (candidates ~ n/4 per query), it adds NO new shuffle. The
+    // shuffle — probing 4 of the B lists just quadruples the probe-side
+    // fan-in, it adds NO new shuffle. The codebook auto-sizes with the
+    // q300 rule (B = ⌈n/32⌉; B = 16 at the gated corpora), so the
+    // probed candidate volume per query is ~4·32 rows at ANY corpus
+    // size — the high-recall knob without the quadratic tail. The
     // measured recall@3 vs candidate cost for the whole n_probe sweep
     // (1, 2, 4) is in BASELINE.md and docs/ann.md.
     "q95_ann_ivf_probe4" -> QueryDef(
       fn = (s, d) => {
-        val top4 = seededTopK(normedEmbeddings(s, d), 4)
+        val e = normedEmbeddings(s, d).persist().leased
+        val top4 = seededTopK(e, 4, autoSeedCount(e))
           .persist().leased // index and probes both read the assignment
         val index = top4.select(
           col("topk")(0)("cid").as("cid"),
@@ -1666,8 +1708,9 @@ object SimilarityQueries extends QueryModule {
       oracle = Some(s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0),
-        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+          WHERE $normSqlFrag > 0),$bcfgSql,
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
         scored AS (
           SELECT c.cid, e.vec_id, e.embedding, e.nrm,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1689,27 +1732,35 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
-    // Multi-table sign-LSH (L=8 tables x 4 bits) — the OTHER high-recall
-    // knob the round-4 verdict named: instead of one 8-bit table (q36,
-    // buckets ~ n/256, recall 0.02 on this corpus), eight 4-bit tables
-    // over disjoint coordinate groups (table t signs dims 4t+1..4t+4).
-    // A pair is a candidate if it agrees on ALL 4 signs of ANY table —
-    // P(candidate) = 1-(1-p^4)^8 per pair vs p^8 for q36, the classic
-    // OR-of-ANDs recall amplification. Candidate generation is the
-    // minhash-banding shape: one explode to slim (vec_id, table, bucket)
-    // keys, one self-join on (table, bucket), DISTINCT pairs, then one
-    // exact rerank with embeddings joined back by key — embeddings never
-    // ride through the 8-way explode. Cost is the recall price: ~n/2
-    // candidates per query on THIS near-uniform corpus (documented in
-    // BASELINE.md — on clustered real corpora the same config scans a
-    // far smaller fraction).
+    // Multi-table sign-LSH (L=8 tables × AUTO-SIZED bits) — the OTHER
+    // high-recall knob the round-4 verdict named: instead of one 8-bit
+    // table (q36, buckets ~ n/256, recall 0.02 on this corpus), eight
+    // b-bit tables over disjoint coordinate groups (table t signs dims
+    // t·b+1..t·b+b). A pair is a candidate if it agrees on ALL b signs
+    // of ANY table — P(candidate) = 1-(1-p^b)^8 per pair, the classic
+    // OR-of-ANDs recall amplification. Bits follow the log-n rule:
+    // the smallest b in [4, 8] with 32·2^b ≥ n (integer thresholds, so
+    // both engines agree exactly) — expected bucket occupancy n/2^b
+    // stays ≤ 32 as the corpus grows instead of candidates growing
+    // quadratically; b = 4 at the gated corpora, byte-identical to the
+    // historical hand-tuned build. b saturates at 8 (8 tables × 8 bits
+    // = all 64 sign dims) past n ≈ 8k — beyond that, recall scaling
+    // needs random hyperplanes rather than more axis signs (q36 keeps
+    // the fixed single-table build as the baseline counter-example).
+    // Candidate generation is the minhash-banding shape: one explode to
+    // slim (vec_id, table, bucket) keys, one self-join on (table,
+    // bucket), DISTINCT pairs, then one exact rerank with embeddings
+    // joined back by key — embeddings never ride through the 8-way
+    // explode.
     "q96_ann_lsh_multitable" -> QueryDef(
       fn = (s, d) => {
         val L = 8
-        def tblBucket(t: Int) = (1 to 4)
-          .map(i => when(element_at(col("embedding"), t * 4 + i) >= 0f, 1 << (i - 1)).otherwise(0))
-          .reduce(_ + _)
         val e = normedEmbeddings(s, d).persist().leased
+        val n = e.count()
+        val bits = (4 to 8).find(b => (32L << b) >= n).getOrElse(8)
+        def tblBucket(t: Int) = (1 to bits)
+          .map(i => when(element_at(col("embedding"), t * bits + i) >= 0f, 1 << (i - 1)).otherwise(0))
+          .reduce(_ + _)
         val keys = e.select(
           col("vec_id"),
           explode(array((0 until L).map(t =>
@@ -1742,18 +1793,22 @@ object SimilarityQueries extends QueryModule {
           .select(col("qid"), col("nid"), col("rank"), col("sim"))
       },
       oracle = Some {
-        def tblBucketSql(t: Int) = (1 to 4)
-          .map(i => s"(CASE WHEN embedding[${t * 4 + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-          .mkString(" + ")
-        val keySelects = (0 until 8)
-          .map(t => s"SELECT vec_id, $t AS t, ${tblBucketSql(t)} AS bk FROM e")
-          .mkString("\n          UNION ALL\n          ")
         s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
           WHERE $normSqlFrag > 0),
+        bcfg AS (
+          SELECT CASE WHEN n <= 512 THEN 4 WHEN n <= 1024 THEN 5
+                      WHEN n <= 2048 THEN 6 WHEN n <= 4096 THEN 7
+                      ELSE 8 END AS b
+          FROM (SELECT COUNT(*) AS n FROM e)),
         keys AS (
-          $keySelects),
+          SELECT e.vec_id, t.t AS t,
+                 list_sum(list_transform(range(1, g.b + 1),
+                   i -> CASE WHEN e.embedding[CAST(t.t * g.b + i AS INT)] >= 0
+                             THEN (1 << (i - 1)) ELSE 0 END)) AS bk
+          FROM e CROSS JOIN bcfg g
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
         cand AS (
           SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
           FROM keys a JOIN keys b ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
@@ -1840,10 +1895,15 @@ object SimilarityQueries extends QueryModule {
     // ranked by the full-precision query dotted against the candidate's
     // trained-sub-codebook reconstruction. Every stage is linear: one
     // aggregation-shaped assignment, broadcast codebooks, keyed joins.
+    // The IVF codebook auto-sizes (B = ⌈n/32⌉, the q300 rule; B = 16
+    // at the gated corpora) so probed candidates stay ~2·32 per query
+    // at any n; the PQ sub-codebook stays 16 — it is a quantization-
+    // PRECISION knob (bits per code), not a corpus-size knob.
     "q82_ann_ivf_pq" -> QueryDef(
       fn = (s, d) => {
         val e = normedEmbeddings(s, d).persist().leased // assignment + PQ training share it
-        val top2 = seededTop2(e).persist().leased       // index and probes both read it
+        val top2 = seededTop2(e, autoSeedCount(e))
+          .persist().leased // index and probes both read it
         val index = top2.select(
           col("top2")(0)("cid").as("cid"), col("vec_id").as("nid"))
         val probes = top2.select(
@@ -1871,8 +1931,9 @@ object SimilarityQueries extends QueryModule {
         s"""
         WITH e AS (
           SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
-          WHERE $normSqlFrag > 0),
-        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+          WHERE $normSqlFrag > 0),$bcfgSql,
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
         scored AS (
           SELECT c.cid, e.vec_id, e.embedding,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

@@ -194,15 +194,20 @@ object ScaleTrend {
     // user, so the 10x corpus (10x events across 10x user ids) grows
     // state and updates linearly — never superlinearly
     "q170_stream_transform_state",
-    // ANN (embeddings). Deliberately at FIXED centroid/bucket counts —
-    // these rows measure what happens when the index is NOT rescaled
-    // with the corpus (pair volume n^2/B); the `ivf_b_scaled` row below
-    // is the production configuration (B ∝ n) that restores linearity.
-    // q82 is omitted: it inherits q77's exploded candidate set, so its
-    // 10x point is the same quadratic measurement at higher cost.
+    // ANN (embeddings). q36/q45 stay at FIXED bucket/centroid counts —
+    // the deliberate counter-examples measuring what happens when the
+    // index is NOT rescaled with the corpus (pair volume n^2/B). The
+    // production pairing now auto-sizes (round 13): q77/q95/q82 derive
+    // B = ceil(n/32) (the q300 rule) and q96 derives bits-per-table
+    // from the log-n threshold ladder, so their 10x rows must read
+    // LINEAR — the same signal as the `ivf_auto_b` row, measured on
+    // the real queries. q95/q82 are omitted: they share q77's
+    // auto-sized candidate machinery, so their 10x points repeat the
+    // same measurement at higher cost.
     "q36_ann_sign_lsh",
     "q45_ann_ivf",
     "q77_ann_ivf_multiprobe",
+    "q96_ann_lsh_multitable",
     // batch + streaming over events
     "q40_sessionize_batch",
     "q75_stream_dedup",
