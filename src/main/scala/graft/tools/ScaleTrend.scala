@@ -510,8 +510,11 @@ object ScaleTrend {
     stacked(docs, (d, k) => {
       // copy 0 is the original; later copies suffix every word with a
       // per-copy lowercase tag (survives normalizeText, which only
-      // lowercases + collapses whitespace)
-      val suffix = s"x${('a' + k).toChar}"
+      // lowercases + collapses whitespace). Base-26 two-letter tags so
+      // copies beyond 26 (the ×100 corpus) stay pure lowercase letters
+      // — a non-letter tag char would be stripped by normalizeText and
+      // collide copies back onto the original's shingles.
+      val suffix = s"x${('a' + k / 26).toChar}${('a' + k % 26).toChar}"
       val txt =
         if (k == 0) col("text")
         else concat_ws(" ",
@@ -727,7 +730,7 @@ object ScaleTrend {
     // growth summary: 10x / base per query
     println("[scale] ---- growth (10x / base) ----")
     rows.groupBy(_._1.takeWhile(_ != '(')).toSeq.sortBy(_._1).foreach { case (name, rs) =>
-      (rs.find(_._2 == "base"), rs.find(_._2 == "10x")) match {
+      (rs.find(_._2 == "base"), rs.find(_._2 != "base")) match {
         case (Some(base), Some(big)) =>
           println(f"[scale] $name%-28s wall x${big._3 / base._3}%5.1f  " +
             f"shuffle x${big._4.toDouble / math.max(base._4, 1)}%5.1f")
@@ -744,13 +747,15 @@ object ScaleTrend {
       case "gen" =>
         val sfDir  = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val outDir = args.lift(2).getOrElse("target/scale10x")
-        generate(spark, sfDir, outDir)
+        val copies = args.lift(3).map(_.toInt).getOrElse(10)
+        generate(spark, sfDir, outDir, copies)
       case _ =>
         val sfDir    = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val scaleDir = args.lift(2).getOrElse("target/scale10x")
         val reps     = args.lift(3).map(_.toInt).getOrElse(2)
         val only     = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
-        run(spark, Seq("base" -> sfDir, "10x" -> scaleDir), reps, only)
+        val tag      = args.lift(5).getOrElse("10x")
+        run(spark, Seq("base" -> sfDir, tag -> scaleDir), reps, only)
     }
     spark.stop()
   }
