@@ -72,10 +72,13 @@ object StreamingIngest {
 
   /** S2 — decode a JSON `value` column against an explicit schema and
     * flatten (`from_json` + `select("data.*")`, stream_to_bronze.py:58-60).
+    * `options` passes format knobs through (e.g. a microsecond
+    * timestampFormat — the default JSON format carries millis only).
     */
-  def decode(raw: DataFrame, schema: StructType): DataFrame =
+  def decode(raw: DataFrame, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
     raw
-      .select(from_json(col("value"), schema).as("data"))
+      .select(from_json(col("value"), schema, options).as("data"))
       .select(col("data.*"))
 
   /** S3/T1-T4 — start an append-mode ingest query with watermark,

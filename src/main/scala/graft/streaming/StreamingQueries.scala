@@ -65,6 +65,58 @@ object StreamingQueries extends QueryModule {
   private def eventStream(s: SparkSession, d: String) =
     streamFromDir(s, stageEventsDir(d))
 
+  /** JSON timestamp round-trip options shared by the Kafka wire
+    * fixture's to_json and the q315 decode: the default format carries
+    * MILLIseconds only, and the events corpus has real microsecond
+    * components — the 6-digit format makes the decoded ts byte-equal
+    * to the corpus ts, which the q315 gate then asserts via min/max.
+    */
+  private val jsonTsOpts = Map(
+    "timestampFormat"    -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** Stage the events table as real Kafka record-batch v2 log segments
+    * (one `.log` per topic partition, partitioned by event_id % 3,
+    * values = the same JSON payloads a producer would publish, one
+    * header per record, 256 records per batch). Content-keyed and
+    * marker-guarded like every fixture stager. The driver-side write is
+    * harness-only — production segments come from brokers; what ships
+    * is [[graft.sources.KafkaLog]]'s parse side, which q315 gates.
+    */
+  private def stageKafkaSegments(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
+    val stageDir = graft.Staging.dirFor("graft_kafka_seg", src)
+    val marker = stageDir.resolve("_SEGMENTS_READY")
+    if (!Files.exists(marker)) {
+      val ev = graft.Tables.events(s, d)
+      // bounded fixture collect: the gated corpora are the test scale
+      val rows = ev
+        .select(
+          pmod(col("event_id"), lit(3)).cast("int").as("p"),
+          col("event_id").as("eid"),
+          col("event_id").cast("string").as("k"),
+          to_json(struct(ev.columns.map(col).toSeq: _*), jsonTsOpts).as("v"))
+        .orderBy(col("p"), col("eid"))
+        .collect()
+      rows.groupBy(_.getInt(0)).foreach { case (p, rs) =>
+        val recs = rs.toSeq.map { r =>
+          (r.getLong(1), // record timestamp: the event id (opaque to the gate)
+            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Seq("src" -> "events".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        val bytes = graft.sources.KafkaLog.writeSegment(recs, baseOffset = 0L)
+        val tmp   = stageDir.resolve(s"p$p.log.$nonce")
+        Files.write(tmp, bytes)
+        Files.move(tmp, stageDir.resolve(s"p$p.log"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+      graft.Staging.touchMarker(marker)
+    }
+    stageDir.toString
+  }
+
   /** Staging dir for the left-outer interval join (q79): the corpus
     * symlink PLUS a far-future sentinel click + purchase whose event
     * time drives the joint watermark past every real event, so the
@@ -247,6 +299,63 @@ object StreamingQueries extends QueryModule {
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
                event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // KAFKA WIRE-FORMAT INGEST (S1 made testable offline, the round-12
+    // verdict's #5): the events table replayed as REAL Kafka
+    // record-batch v2 log segments — one .log per topic partition,
+    // CRC32C-verified batches, zigzag varints, a header per record,
+    // JSON payloads — parsed back by graft.sources.KafkaLog and fed to
+    // the SAME from_json decode every SourceProvider feeds
+    // (StreamingIngest.decode's plan with the microsecond ts format).
+    // The gate extends q37's windowed aggregate with per-group min/max
+    // ts against the ORIGINAL parquet corpus: a single truncated
+    // microsecond, flipped payload byte, or lost record anywhere in
+    // the wire round-trip hash-mismatches. Plan shape at scale: one
+    // task per segment file (binaryFile's split unit — a broker
+    // partition's segment), the batch walk confined to the pure parser
+    // at the flatMap boundary (the JpegCodec discipline), then the
+    // ordinary decode + windowed aggregate. Torn/corrupt batch
+    // semantics are spec-covered in KafkaLogSpec.
+    "q315_kafka_wire_ingest" -> QueryDef(
+      fn = (s, d) => {
+        val ev     = graft.Tables.events(s, d)
+        val schema = ev.schema
+        val segDir = stageKafkaSegments(s, d)
+        import s.implicits._
+        val values = s.read.format("binaryFile")
+          .load(s"$segDir/*.log")
+          .select(col("content"))
+          .as[Array[Byte]]
+          .flatMap { bytes =>
+            val parsed = graft.sources.KafkaLog.parseSegment(bytes)
+            require(parsed.corruptSkipped == 0 && parsed.tornTailBytes == 0,
+              s"corrupt fixture segment: batches=${parsed.batches} " +
+                s"corrupt=${parsed.corruptSkipped} torn=${parsed.tornTailBytes}")
+            parsed.records.map(r =>
+              new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          .toDF("value")
+        val flat = graft.streaming.StreamingIngest.decode(values, schema, jsonTsOpts)
+        flat
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total"),
+            min(col("ts")).as("ts_min"),
+            max(col("ts")).as("ts_max"))
+          .select(
+            col("window.start").as("day_start"),
+            col("event_type"), col("n"), col("total"),
+            col("ts_min"), col("ts_max"))
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max
         FROM events GROUP BY 1, 2""")
     ),
 

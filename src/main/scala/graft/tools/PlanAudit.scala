@@ -904,6 +904,13 @@ object PlanAudit {
       mustContain = Seq("BroadcastNestedLoopJoin", "LeftAnti", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct", "s_0_0#", "s_0_1#"),
       minWindowPartCols = 1),
+    // Kafka wire ingest: one map pass (binaryFile scan → parser flatMap
+    // → from_json) into the windowed aggregate — no join, no window
+    // function, nothing that couldn't run one-task-per-broker-segment
+    Audit("q315_kafka_wire_ingest",
+      mustContain = Seq("HashAggregate", "from_json"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window",
+        "BroadcastHashJoin")),
     // Kaplan-Meier: the corpus collapses to customer grain then to
     // (segment, duration-day) grain in map-side-combined aggregates;
     // the at-risk window and the per-segment product fold
