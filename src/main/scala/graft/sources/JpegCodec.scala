@@ -762,6 +762,65 @@ object JpegCodec {
     }
   }
 
+  /** Planted-variant id offset for [[jpegVariantTable]]. */
+  val VariantOffset = 1000000L
+
+  /** Variant corpus for the EMBEDDING-space image dedup (q316): every
+    * document's q261-geometry grayscale JPEG, PLUS — for doc_id % 5 ==
+    * 0 — a planted 2× RE-RENDER (id = doc_id + [[VariantOffset]],
+    * pixel(x, y) = base(x/2, y/2), so dims double while content is the
+    * same). The (w, h, phash) dedup grain q145/q195/q261 use
+    * structurally MISSES these (dims differ), which is exactly the gap
+    * the grid-mean feature closes. All payloads are well-formed —
+    * quarantine is q261's gate, not this one's.
+    */
+  def jpegVariantTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].flatMap { id =>
+      val w = 8 * (2 + id % 3).toInt
+      val h = 8 * (1 + id % 2).toInt
+      def tile(tx: Int, ty: Int) = ((id * 5 + 7L * tx + 11L * ty) % 256).toInt
+      val base = encodeJpegGray(w, h, tile)
+      val out  = Seq(MediaRecord(id, base, "image/jpeg", base.length.toLong))
+      if (id % 5 == 0) {
+        val up = encodeJpegGray(2 * w, 2 * h, (tx, ty) => tile(tx / 2, ty / 2))
+        out :+ MediaRecord(id + VariantOffset, up, "image/jpeg", up.length.toLong)
+      } else out
+    }
+  }
+
+  final case class JpegFeatures(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long], embedding: Option[Array[Float]])
+
+  /** Decode → dims-invariant grid-mean feature vector (q268's decode
+    * path feeding [[Multimodal.gridMeansFromPixels]]) — the per-image
+    * "embedding" extraction pass of the media near-dup pipeline. Same
+    * codec-boundary discipline as [[jpegAHash]].
+    */
+  def jpegGridFeatures(media: Dataset[MediaRecord]): Dataset[JpegFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val (w, h, gray) = parseJpegGray(m.content)
+          val px = new Array[Int](gray.length)
+          var i = 0
+          while (i < px.length) {
+            val g = gray(i)
+            px(i) = (g << 16) | (g << 8) | g
+            i += 1
+          }
+          JpegFeatures(m.doc_id, "ok", Some(w.toLong), Some(h.toLong),
+            Some(Multimodal.gridMeansFromPixels(w, h, px)))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            JpegFeatures(m.doc_id, "quarantined", None, None, None)
+        }
+      }
+    }
+  }
+
   final case class JpegHashed(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long], phash: Option[Int])

@@ -380,6 +380,35 @@ object Multimodal extends QueryModule {
     hash
   }
 
+  /** Grid-mean feature kernel over decoded pixels: the 8 aHash grid
+    * cells' MEAN luminances as a float vector — the dims-invariant
+    * "embedding" the q316 image near-dup rides. Means (not the aHash's
+    * above/below-average BITS) survive re-rendering exactly: a k×
+    * pixel-duplication upscale scales every cell's sum and count by k²,
+    * and (k²·bs)/(k²·bn) is bit-equal to bs/bn in IEEE arithmetic, so a
+    * re-render's feature vector is IDENTICAL while its (w, h, phash)
+    * key — the q145/q261 dedup grain — structurally differs. Double
+    * means narrow to FLOAT (the q45/q86 cross-engine discipline).
+    */
+  private[sources] def gridMeansFromPixels(w: Int, h: Int, px: Array[Int]): Array[Float] = {
+    val bs = new Array[Long](8)
+    val bn = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p   = px(y * w + x)
+        val lum = ((p >> 16) & 0xff).toLong + 2L * ((p >> 8) & 0xff) + (p & 0xff)
+        val bi  = (y * 2 / h) * 4 + (x * 4 / w)
+        bs(bi) += lum
+        bn(bi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(8)(i => (bs(i).toDouble / bn(i)).toFloat)
+  }
+
   // ------------------------------------------------------------------
   // PNG (8-bit truecolor RGB, non-interlaced) — encode + parse in pure
   // JVM: java.util.zip Deflater/Inflater for the zlib stream, CRC32 for
@@ -1235,6 +1264,133 @@ object Multimodal extends QueryModule {
                CAST(NULL AS INTEGER) AS phash,
                CAST(NULL AS BIGINT) AS cb_sum, CAST(NULL AS BIGINT) AS cr_sum
         FROM documents WHERE doc_id % 37 = 0"""),
+    ),
+
+    // EMBEDDING-SPACE IMAGE NEAR-DUP (q268 decode → q300 auto-B index →
+    // q152 survivor selection, composed for media): every image decodes
+    // to a dims-invariant grid-mean FEATURE vector; candidates come
+    // from an auto-sized seeded IVF (B = ⌈n/32⌉ — one corpus count,
+    // never all-pairs); exact cosine ≥ threshold edges feed the same
+    // star-contraction components as the text/semantic dedup; keeper =
+    // component minimum. The corpus plants 2× RE-RENDERS for every 5th
+    // doc — same content, doubled dims — which the (w, h, phash) grain
+    // of q145/q195/q261 structurally MISSES and this pipeline catches
+    // with recall 1.0 (ImageEmbedDedupSpec floors it at both sfs; the
+    // re-render's grid means are bit-equal, see gridMeansFromPixels).
+    // Crop-robust matching needs a learned semantic embedding (no
+    // semantic content in the synthetic tile corpus to crop-match) —
+    // the pipeline from decode to survivors is identical when one is
+    // swapped in at the feature column. Scale: decode map pass, one
+    // bounded-top-1 assignment aggregate (no n×B window), ~list-length
+    // candidate fanout per image, log-diameter CC.
+    "q316_image_embed_dedup" -> QueryDef(
+      fn = (s, d) => {
+        graft.plans.VectorFunctions.register(s)
+        val top1 = udaf(graft.operators.TopKAggregator.topK(1),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopKAggregator.Scored])
+        val feats = JpegCodec.jpegGridFeatures(JpegCodec.jpegVariantTable(s, d)).toDF()
+          .where(col("status") === "ok")
+          .select(col("doc_id"),
+            col("embedding"),
+            sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("nrm"))
+          .where(col("nrm") > 0)
+          .localCheckpoint(true) // decode once: seeds, assignment, rerank all read it
+        val b = math.ceil(feats.count().toDouble / 32.0).toLong
+        val seeds = feats.where(col("doc_id") < b)
+          .select(col("doc_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val assigned = feats
+          .crossJoin(broadcast(seeds))
+          .withColumn("csim",
+            call_function("vec_dot", col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .groupBy(col("doc_id"))
+          .agg(
+            first(col("embedding")).as("embedding"),
+            first(col("nrm")).as("nrm"),
+            top1(col("cid"), col("csim")).as("raw"))
+          .select(col("doc_id"), col("embedding"), col("nrm"),
+            element_at(col("raw"), 1).getField("id").as("cid"))
+        val aSide = assigned.select(col("cid"), col("doc_id").as("ida"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val bSide = assigned.select(col("cid"), col("doc_id").as("idb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = aSide.join(bSide, "cid")
+          .where(col("ida") < col("idb"))
+          .withColumn("sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+          .where(col("sim") >= 0.999999)
+          .select(col("ida"), col("idb"))
+        val labels = graft.functions.DedupQueries
+          .connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+        feats.select(col("doc_id"))
+          .join(broadcast(labels), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            when(col("label").isNull, "singleton")
+              .when(col("label") === col("doc_id"), "keeper")
+              .otherwise("dropped").as("status"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE geo AS (
+          SELECT doc_id AS img_id, doc_id AS src, 1 AS scale,
+                 8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id, 2,
+                 16 * (2 + doc_id % 3), 16 * (1 + doc_id % 2)
+          FROM documents WHERE doc_id % 5 = 0),
+        xs AS (SELECT img_id, src, scale, w, h, unnest(range(0, w)) AS x FROM geo),
+        pxg AS (SELECT img_id, src, scale, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        lums AS (
+          SELECT img_id, (y * 2 // h) * 4 + (x * 4 // w) AS bi,
+                 4 * ((src * 5 + 7 * ((x // scale) // 8) + 11 * ((y // scale) // 8)) % 256) AS lum
+          FROM pxg),
+        fm AS (
+          SELECT img_id, bi,
+                 CAST(CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS REAL) AS m
+          FROM lums GROUP BY img_id, bi),
+        e AS (
+          SELECT img_id AS vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+          FROM (SELECT img_id, list(m ORDER BY bi) AS embedding FROM fm GROUP BY img_id)
+          WHERE sqrt(list_sum(list_transform(embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) > 0),
+        bcfg AS (
+          SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 32.0) AS BIGINT) AS b FROM e),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
+        scored AS (
+          SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.ce),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * c.cn) DESC,
+                   c.cid ASC) AS r
+          FROM e CROSS JOIN c),
+        asg AS (SELECT cid, vec_id, embedding, nrm FROM scored WHERE r = 1),
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm)
+                >= 0.999999),
+        und AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION ALL
+          SELECT idb AS a, ida AS b FROM pairs),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        labels AS (
+          SELECT a AS vec_id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+        SELECT e.vec_id AS doc_id,
+               CASE WHEN l.label IS NULL THEN 'singleton'
+                    WHEN l.label = e.vec_id THEN 'keeper'
+                    ELSE 'dropped' END AS status,
+               COALESCE(l.label, e.vec_id) AS cluster_id
+        FROM e LEFT JOIN labels l ON l.vec_id = e.vec_id"""),
     ),
 
     // AUDIO NEAR-DUP via energy fingerprint — q145's audio twin: an

@@ -911,6 +911,15 @@ object PlanAudit {
       mustContain = Seq("HashAggregate", "from_json"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window",
         "BroadcastHashJoin")),
+    // embedding-space image dedup: the eager stages (decode checkpoint,
+    // bounded-top-1 assignment, CC contraction) run before the returned
+    // plan, which is the checkpoint scan + the broadcast label join —
+    // never an all-pairs shape. (The label subtree's final CC pass may
+    // keep a keyed sort-merge join — node-grain, legitimate — so SMJ is
+    // not banned here.)
+    Audit("q316_image_embed_dedup",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "Window")),
     // Kaplan-Meier: the corpus collapses to customer grain then to
     // (segment, duration-day) grain in map-side-combined aggregates;
     // the at-risk window and the per-segment product fold
