@@ -75,32 +75,53 @@ object QuantileSketchQueries extends QueryModule {
       .select(col("seg"), col("__rk_rn").as("rk"), col("h"), col("key"),
         col("v"), col("__rk_n").as("n"))
 
-  /** Merge one slice's sketch into the stored state tables: the slice
+  /** Merge one slice's sketch into the stored state table: the slice
     * sketches ALONE (bottom-K + a count per seg), then the stored rows
     * re-rank over the O(K × 2)-per-seg union and counts add — shared
     * by the batch-maintained (q302) and streaming (q304) twins.
+    *
+    * Write-back consolidation (the r12 verdict's q302 wall item): ONE
+    * kernel pass per slice — the rank kernel already carries the
+    * per-seg slice count (`__rk_n` → `n`), so the batch count needs no
+    * second slice scan — and ONE state table per cycle: the running
+    * per-seg total rides as a constant `n` column on the bottom-K rows
+    * instead of a separate counts table, halving the tiny-parquet
+    * round-trips that dominated the wall (the data is O(K) per seg
+    * either way).
     */
   private def mergeSketchBatch(wh: graft.etl.Warehouse, slice: DataFrame): Unit = {
-    val bs = sketchRows(slice)
-      .select(col("seg"), col("h"), col("key"), col("v"))
-    val bn = slice.groupBy(col("seg")).agg(count(lit(1)).as("n"))
-    val (rows, counts) =
-      if (wh.exists("gold", "mv_qsketch_rows")) {
-        val w = Window.partitionBy(col("seg"))
-          .orderBy(col("h").asc, col("key").asc)
-        // the merge frame is O(K × 2) per seg — the bounded-state
-        // window, not a fact-grain sort
-        val merged = wh.load("gold", "mv_qsketch_rows")
-          .unionByName(bs)
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= K)
-          .select(col("seg"), col("h"), col("key"), col("v"))
-        val mc = wh.load("gold", "mv_qsketch_counts").unionByName(bn)
-          .groupBy(col("seg")).agg(sum(col("n")).as("n"))
-        (merged, mc)
-      } else (bs, bn)
-    wh.overwrite(rows, "gold", "mv_qsketch_rows")
-    wh.overwrite(counts, "gold", "mv_qsketch_counts")
+    val sk = sketchRows(slice).persist()
+    try {
+      val state =
+        if (!wh.exists("gold", "mv_qsketch_rows"))
+          sk.select(col("seg"), col("h"), col("key"), col("v"),
+            col("n").cast("long").as("n"))
+        else {
+          val stored = wh.load("gold", "mv_qsketch_rows")
+          // per-seg totals: the stored n is constant per seg, the batch
+          // n likewise — full outer so a seg seen by only one side keeps
+          // its count
+          val totals = stored.select(col("seg"), col("n")).distinct()
+            .withColumnRenamed("n", "n_old")
+            .join(sk.select(col("seg"), col("n").as("n_new")).distinct(),
+              Seq("seg"), "full_outer")
+            .select(col("seg"),
+              (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+                .cast("long").as("n"))
+          val w = Window.partitionBy(col("seg"))
+            .orderBy(col("h").asc, col("key").asc)
+          // the merge frame is O(K × 2) per seg — the bounded-state
+          // window, not a fact-grain sort
+          stored.drop("n")
+            .unionByName(sk.select(col("seg"), col("h"), col("key"), col("v")))
+            .withColumn("rk", row_number().over(w))
+            .where(col("rk") <= K)
+            .drop("rk")
+            .join(broadcast(totals), "seg")
+            .select(col("seg"), col("h"), col("key"), col("v"), col("n"))
+        }
+      wh.overwrite(state, "gold", "mv_qsketch_rows")
+    } finally sk.unpersist(false)
   }
 
   /** The stored state read back in q301's gate shape. */
@@ -109,8 +130,6 @@ object QuantileSketchQueries extends QueryModule {
       .orderBy(col("h").asc, col("key").asc)
     wh.load("gold", "mv_qsketch_rows")
       .withColumn("rk", row_number().over(w))
-      .join(wh.load("gold", "mv_qsketch_counts")
-        .select(col("seg"), col("n").cast("long").as("n")), "seg")
       .select(col("seg"), col("rk").cast("long").as("rk"), col("h"),
         col("key"), col("v"), col("n"))
   }
@@ -158,7 +177,10 @@ object QuantileSketchQueries extends QueryModule {
           java.nio.file.Files.createTempDirectory("graft_q302_wh_").toString
         try {
           val wh = new graft.etl.Warehouse(s, whRoot)
-          val all = base(s, d)
+          // persisted once: all four slice filters ride the cached
+          // orders⋈customer relation instead of re-running the join
+          // per batch (the other half of the r12 q302 wall)
+          val all = graft.CacheLeases.lease(base(s, d).persist())
           for (b <- 0 until 4)
             mergeSketchBatch(wh, all.where(col("key") % 4 === b))
           sketchState(wh).localCheckpoint(true)
