@@ -141,6 +141,8 @@ class IncrementalGoldSpec extends AnyFunSuite {
         // bytes written this cycle are batch-proportional, not history-sized
         val freshBytes = fresh.map(a).sum.toDouble
         val totalBytes = a.values.sum.toDouble
+        info(f"$l/$t cycle-2 wrote ${freshBytes / 1024}%.1f KiB = " +
+          f"${100 * freshBytes / totalBytes}%.1f%% of the table (1 new date over 14 old)")
         assert(freshBytes / totalBytes < 0.5,
           f"$l/$t cycle-2 bytes ${freshBytes / totalBytes}%.2f of table — not batch-proportional")
       } else {
