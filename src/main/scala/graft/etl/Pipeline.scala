@@ -186,20 +186,45 @@ final class Pipeline(wh: Warehouse) {
         } else wh.overwrite(batch, "silver", name)
         wh.append(StatusLedger.markProcessed(batch, keyCol), "silver", ledgerPath)
         recordPendingDates(name, batchDates)
+        // maintained quality state: per-date (decimal score sum, count)
+        // from the just-rewritten sales partitions, so the quality gate
+        // reads O(days) aggregate rows instead of full-scanning silver
+        // every cycle. Per-date exact (recomputed from the whole
+        // partition), deterministic (decimal accumulation).
+        if (name == "sales_events") {
+          val rewritten = wh.load("silver", name)
+            .where(col("date").isin(batchDates: _*))
+          wh.overwrite(
+            rewritten.groupBy(col("date")).agg(
+              sum(col("data_quality_score")
+                .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("score_sum"),
+              count(lit(1)).as("n")),
+            "silver", "agg_quality_daily")
+        }
       }
     } finally batch.unpersist(false)
   }
 
   /** G3 — quality gate: average silver quality score must clear the
     * threshold before gold builds (bakery_batch_etl.py:54-62; threshold
-    * 80 in the reference, configurable here).
+    * 80 in the reference, configurable here). Reads the maintained
+    * per-date (score_sum, n) aggregate — O(days) rows, exact weighted
+    * average — instead of full-scanning silver each cycle; warehouses
+    * predating the aggregate fall back to the scan once (the next
+    * bronzeToSilver cycle establishes the state).
     */
   def qualityGate(threshold: Double = 50.0): Double = {
-    val avgScore = wh
-      .load("silver", "sales_events")
-      .agg(avg(col("data_quality_score")))
-      .first()
-      .getDouble(0)
+    val avgScore =
+      if (wh.exists("silver", "agg_quality_daily"))
+        wh.load("silver", "agg_quality_daily")
+          .agg((sum(col("score_sum")) / sum(col("n"))).cast("double"))
+          .first()
+          .getDouble(0)
+      else
+        wh.load("silver", "sales_events")
+          .agg(avg(col("data_quality_score")))
+          .first()
+          .getDouble(0)
     require(avgScore >= threshold,
       f"quality gate failed: avg sales quality $avgScore%.1f < $threshold%.1f")
     avgScore

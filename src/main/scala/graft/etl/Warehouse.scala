@@ -252,15 +252,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Small-file compaction — the operational chore a streaming warehouse
     * cannot skip at 100 TB: every micro-batch appends a file per
     * partition, and scan planning/open cost degrades with file COUNT
-    * long before bytes matter. Rewrites each date partition into
-    * ceil(partitionBytes / targetBytes) files (so a day that has grown
-    * past the target splits, a day of micro-batch dust collapses to
-    * one); the per-partition file budget rides a broadcast dim and a
-    * deterministic row-hash bucket, and the swap is the dynamic-
-    * partition-overwrite commit — readers never observe a partial
-    * partition. Non-partitioned tables coalesce to one budget for the
-    * whole snapshot through the stage-and-swap path. Returns
-    * (filesBefore, filesAfter).
+    * long before bytes matter.
+    *
+    * PARTITION-SCOPED: only date partitions that actually need work are
+    * rewritten — a partition is "needy" when it holds more files than
+    * its byte budget warrants (micro-batch dust) or a file that outgrew
+    * the target by 50% (split for scan parallelism). Healthy partitions
+    * are never touched, so a maintenance cycle over a 100 TB table
+    * costs O(fragmented partitions), not O(history) — the same property
+    * the incremental gold build has (a full-table rewrite per 2-hour
+    * cycle was this method's round-13 scale bug). Needy partitions
+    * rewrite into ceil(partitionBytes / targetBytes) files via the
+    * deterministic maxRecordsPerFile budget, and the swap is the
+    * dynamic-partition-overwrite commit — readers never observe a
+    * partial partition. Non-partitioned tables still coalesce whole
+    * through the stage-and-swap path (they are snapshots, rewritten by
+    * their writers anyway). Returns (filesBefore, filesAfter).
     */
   def compact(layer: String, table: String, targetBytes: Long = 128L << 20): (Long, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -272,27 +279,49 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val target = new Path(path(layer, table))
     val before = parquetFiles(target)
     val df = load(layer, table)
-    // rows-per-file budget from the table's own measured density; the
-    // writer's maxRecordsPerFile split is deterministic (ceil(rows /
-    // budget) files per partition dir) where a hash-repartition file
-    // count is at the mercy of AQE coalescing and bucket collisions
-    val totalBytes = before.map(_.getLen).sum
-    val totalRows = math.max(1L, df.count())
-    val avgRowBytes = math.max(1L, totalBytes / totalRows)
-    val maxRecords = math.max(1L, targetBytes / avgRowBytes)
-    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
-    try {
-      if (df.columns.contains("date"))
-        // one task per day (AQE may merge small days into one task —
-        // harmless: the writer still splits by partition dir), then the
-        // record budget splits any day that outgrew the target
-        overwrite(df.repartition(col("date")), layer, table)
-      else
-        overwrite(df.coalesce(1), layer, table)
-    } finally prev match {
+
+    def setBudget(bytes: Long, rows: Long): Option[Option[String]] = {
+      // rows-per-file budget from measured density; the writer's
+      // maxRecordsPerFile split is deterministic (ceil(rows / budget)
+      // files per partition dir) where a hash-repartition file count is
+      // at the mercy of AQE coalescing and bucket collisions
+      val avgRowBytes = math.max(1L, bytes / math.max(1L, rows))
+      val maxRecords  = math.max(1L, targetBytes / avgRowBytes)
+      val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+      Some(prev)
+    }
+    def restoreBudget(prev: Option[Option[String]]): Unit = prev.foreach {
       case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
       case None    => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
+    if (df.columns.contains("date")) {
+      val byPart = before.groupBy(_.getPath.getParent.getName)
+      val needyDates = byPart.iterator.flatMap { case (dir, fs) =>
+        val bytes = fs.map(_.getLen).sum
+        val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        val needy = fs.size > ideal || fs.exists(_.getLen > targetBytes + targetBytes / 2)
+        if (!needy) None
+        else
+          // skip non-date dirs (hive null-partition etc.) rather than guess
+          scala.util.Try(java.sql.Date.valueOf(dir.stripPrefix("date="))).toOption
+      }.toSeq
+      if (needyDates.nonEmpty) {
+        val needyDirs  = needyDates.map(d => s"date=$d").toSet
+        val needyBytes = byPart.collect { case (dir, fs) if needyDirs(dir) => fs.map(_.getLen).sum }.sum
+        val sub        = df.where(col("date").isin(needyDates: _*))
+        val prev       = setBudget(needyBytes, sub.count())
+        // one task per needy day (AQE may merge small days — harmless:
+        // the writer still splits by partition dir); dynamic partition
+        // overwrite swaps ONLY these partitions
+        try overwrite(sub.repartition(col("date")), layer, table)
+        finally restoreBudget(prev)
+      }
+    } else {
+      val prev = setBudget(before.map(_.getLen).sum, df.count())
+      try overwrite(df.coalesce(1), layer, table)
+      finally restoreBudget(prev)
     }
     (before.size.toLong, parquetFiles(target).size.toLong)
   }

@@ -50,6 +50,44 @@ class CompactionSpec extends AnyFunSuite {
     assert(wh.load("bronze", "big").count() === 20000L)
   }
 
+  test("compaction is partition-scoped: healthy days untouched, re-run is a no-op") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    // day 1: one healthy file; day 2: 6 dust files
+    wh.append((0 until 50).map(i => (i, "2024-03-01", i * 1.0))
+      .toDF("id", "date_s", "v")
+      .select(col("id"), col("date_s").cast("date").as("date"), col("v"))
+      .repartition(1), "bronze", "mixed")
+    (0 until 6).foreach { b =>
+      wh.append((0 until 10).map(i => (b * 100 + i, "2024-03-02", i * 1.0))
+        .toDF("id", "date_s", "v")
+        .select(col("id"), col("date_s").cast("date").as("date"), col("v"))
+        .repartition(1), "bronze", "mixed")
+    }
+    def listing(day: String): Map[String, Long] = {
+      val dir = new java.io.File(wh.path("bronze", "mixed") + s"/date=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val healthyBefore = listing("2024-03-01")
+    val expect = wh.load("bronze", "mixed").collect().map(_.toString).sorted
+
+    val (before, after) = wh.compact("bronze", "mixed", targetBytes = 1L << 30)
+    assert(before === 7L && after === 2L, s"$before -> $after")
+    // the healthy day's files survive byte-for-byte — never rewritten
+    assert(listing("2024-03-01") === healthyBefore,
+      "healthy partition was rewritten by a scoped compaction")
+    assert(listing("2024-03-02").size === 1)
+    assert(wh.load("bronze", "mixed").collect().map(_.toString).sorted === expect)
+
+    // second run: nothing fragmented -> zero writes anywhere
+    val allBefore = listing("2024-03-01") ++ listing("2024-03-02")
+    val (b2, a2) = wh.compact("bronze", "mixed", targetBytes = 1L << 30)
+    assert(b2 === 2L && a2 === 2L)
+    assert(listing("2024-03-01") ++ listing("2024-03-02") === allBefore,
+      "no-op maintenance cycle wrote files")
+  }
+
   test("non-partitioned compaction coalesces through stage-and-swap") {
     import spark.implicits._
     val wh = new Warehouse(spark, freshRoot())

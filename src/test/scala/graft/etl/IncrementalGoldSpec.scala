@@ -152,6 +152,28 @@ class IncrementalGoldSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate reads the maintained daily aggregate, equal to the full scan") {
+    val wh = freshWarehouse()
+    val p  = new Pipeline(wh)
+    p.initBronze(nSales = 500, nInventory = 100, nEquipment = 100, nFeedback = 50)
+    p.bronzeToSilver()
+    assert(wh.exists("silver", "agg_quality_daily"),
+      "bronzeToSilver must maintain the per-date quality aggregate")
+    val fromAgg = p.qualityGate()
+    val fullScan = wh.load("silver", "sales_events")
+      .agg(avg(col("data_quality_score"))).first().getDouble(0)
+    assert(math.abs(fromAgg - fullScan) < 1e-9,
+      s"aggregate gate $fromAgg != full-scan $fullScan")
+    // a second cycle's late batch into the same dates keeps it exact
+    p.appendBronzeSales(Generators.salesEvents(spark, 200, days = 3,
+      baseTs = "2025-06-03 00:00:00", idOffset = 5000000L))
+    p.bronzeToSilver()
+    val fromAgg2 = p.qualityGate()
+    val fullScan2 = wh.load("silver", "sales_events")
+      .agg(avg(col("data_quality_score"))).first().getDouble(0)
+    assert(math.abs(fromAgg2 - fullScan2) < 1e-9)
+  }
+
   test("pending-dates ledger is consumed by the gold build and survives a stage gap") {
     val wh = freshWarehouse()
     val p  = new Pipeline(wh)
