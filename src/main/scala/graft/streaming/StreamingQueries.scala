@@ -83,32 +83,43 @@ object StreamingQueries extends QueryModule {
     * harness-only — production segments come from brokers; what ships
     * is [[graft.sources.KafkaLog]]'s parse side, which q315 gates.
     */
-  private def stageKafkaSegments(s: SparkSession, d: String): String = {
+  /** One v2 segment's bytes per topic partition (event_id % 3), records
+    * ordered by event_id within the partition — the shared fixture
+    * builder behind the intact (q315) and damaged (q317) stagers.
+    */
+  private def kafkaSegmentBytes(s: SparkSession, d: String): Map[Int, Array[Byte]] = {
+    val ev = graft.Tables.events(s, d)
+    // bounded fixture collect: the gated corpora are the test scale
+    val rows = ev
+      .select(
+        pmod(col("event_id"), lit(3)).cast("int").as("p"),
+        col("event_id").as("eid"),
+        col("event_id").cast("string").as("k"),
+        to_json(struct(ev.columns.map(col).toSeq: _*), jsonTsOpts).as("v"))
+      .orderBy(col("p"), col("eid"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (p, rs) =>
+      val recs = rs.toSeq.map { r =>
+        (r.getLong(1), // record timestamp: the event id (opaque to the gate)
+          r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          Seq("src" -> "events".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      p -> graft.sources.KafkaLog.writeSegment(recs, baseOffset = 0L)
+    }
+  }
+
+  private def stageSegmentFiles(
+      s: SparkSession, d: String, prefix: String,
+      mutate: (Int, Array[Byte]) => Array[Byte]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val stageDir = graft.Staging.dirFor("graft_kafka_seg", src)
+    val stageDir = graft.Staging.dirFor(prefix, src)
     val marker = stageDir.resolve("_SEGMENTS_READY")
     if (!Files.exists(marker)) {
-      val ev = graft.Tables.events(s, d)
-      // bounded fixture collect: the gated corpora are the test scale
-      val rows = ev
-        .select(
-          pmod(col("event_id"), lit(3)).cast("int").as("p"),
-          col("event_id").as("eid"),
-          col("event_id").cast("string").as("k"),
-          to_json(struct(ev.columns.map(col).toSeq: _*), jsonTsOpts).as("v"))
-        .orderBy(col("p"), col("eid"))
-        .collect()
-      rows.groupBy(_.getInt(0)).foreach { case (p, rs) =>
-        val recs = rs.toSeq.map { r =>
-          (r.getLong(1), // record timestamp: the event id (opaque to the gate)
-            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            Seq("src" -> "events".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }
-        val bytes = graft.sources.KafkaLog.writeSegment(recs, baseOffset = 0L)
-        val tmp   = stageDir.resolve(s"p$p.log.$nonce")
-        Files.write(tmp, bytes)
+      kafkaSegmentBytes(s, d).foreach { case (p, bytes) =>
+        val tmp = stageDir.resolve(s"p$p.log.$nonce")
+        Files.write(tmp, mutate(p, bytes))
         Files.move(tmp, stageDir.resolve(s"p$p.log"),
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       }
@@ -116,6 +127,53 @@ object StreamingQueries extends QueryModule {
     }
     stageDir.toString
   }
+
+  private def stageKafkaSegments(s: SparkSession, d: String): String =
+    stageSegmentFiles(s, d, "graft_kafka_seg", (_, b) => b)
+
+  /** q317's fixture: p0 intact; p1's SECOND batch CRC-corrupted (one
+    * payload byte flipped past its 61-byte header — framing intact, so
+    * the parser skips exactly that batch and resumes); p2 torn 17 bytes
+    * into its second batch (a crashed producer's partial write — the
+    * walk stops, batch 0 survives). Batches are 256 records in
+    * event_id order, so the lost record sets are exact rank windows
+    * the oracle replays.
+    */
+  private def stageKafkaDamagedSegments(s: SparkSession, d: String): String =
+    stageSegmentFiles(s, d, "graft_kafka_dmg", { (p, bytes) =>
+      val b0len = 12 + java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
+      p match {
+        case 1 =>
+          require(bytes.length > b0len + 70, "fixture too small for the CRC flip")
+          val c = bytes.clone()
+          c(b0len + 70) = (c(b0len + 70) ^ 0x1).toByte
+          c
+        case 2 =>
+          require(bytes.length > b0len + 17, "fixture too small to tear")
+          java.util.Arrays.copyOf(bytes, b0len + 17)
+        case _ => bytes
+      }
+    })
+
+  /** Parsed segment values → decode → the q37-shaped windowed aggregate
+    * with per-group min/max ts — shared by q315 (intact) and q317
+    * (recovery), so the two gates differ ONLY in which records survive
+    * the wire.
+    */
+  private def kafkaDecodeAgg(
+      values: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    graft.streaming.StreamingIngest.decode(values, schema, jsonTsOpts)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+      .select(
+        col("window.start").as("day_start"),
+        col("event_type"), col("n"), col("total"),
+        col("ts_min"), col("ts_max"))
 
   /** Staging dir for the left-outer interval join (q79): the corpus
     * symlink PLUS a far-future sentinel click + purchase whose event
@@ -338,18 +396,7 @@ object StreamingQueries extends QueryModule {
               new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
           }
           .toDF("value")
-        val flat = graft.streaming.StreamingIngest.decode(values, schema, jsonTsOpts)
-        flat
-          .groupBy(window(col("ts"), "1 day"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("total"),
-            min(col("ts")).as("ts_min"),
-            max(col("ts")).as("ts_max"))
-          .select(
-            col("window.start").as("day_start"),
-            col("event_type"), col("n"), col("total"),
-            col("ts_min"), col("ts_max"))
+        kafkaDecodeAgg(values, schema)
       },
       oracle = Some("""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
@@ -357,6 +404,54 @@ object StreamingQueries extends QueryModule {
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
                MIN(ts) AS ts_min, MAX(ts) AS ts_max
         FROM events GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
+    // KAFKA LOG RECOVERY (broker-crash semantics as a VALUE-LEVEL gate):
+    // q315's corpus with partition 1's second batch CRC-corrupted and
+    // partition 2 torn mid-way through its second batch. The parser
+    // must skip EXACTLY the corrupt batch and resume (p1 loses ranks
+    // 257..512 of its event order, later batches survive) and stop at
+    // the torn tail (p2 keeps only ranks 1..256) — the oracle replays
+    // those precise rank windows over the original corpus, so a parser
+    // that resumed at the wrong offset, dropped a trailing batch, or
+    // mis-framed the corrupt one hash-mismatches at record grain.
+    // This is the recovery behavior a 100 TB ingest needs when a
+    // broker segment arrives damaged: quarantine the BATCH, not the
+    // partition, and never trust bytes past a torn frame.
+    "q317_kafka_wire_recovery" -> QueryDef(
+      fn = (s, d) => {
+        val ev     = graft.Tables.events(s, d)
+        val schema = ev.schema
+        val segDir = stageKafkaDamagedSegments(s, d)
+        import s.implicits._
+        val values = s.read.format("binaryFile")
+          .load(s"$segDir/*.log")
+          .select(col("content"))
+          .as[Array[Byte]]
+          .flatMap { bytes =>
+            graft.sources.KafkaLog.parseSegment(bytes).records.map(r =>
+              new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          .toDF("value")
+        kafkaDecodeAgg(values, schema)
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT *, event_id % 3 AS p,
+                 ROW_NUMBER() OVER (PARTITION BY event_id % 3
+                   ORDER BY event_id) AS rk
+          FROM events),
+        surv AS (
+          SELECT * FROM ranked
+          WHERE (p = 0)
+             OR (p = 1 AND (rk <= 256 OR rk > 512))
+             OR (p = 2 AND rk <= 256))
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max
+        FROM surv GROUP BY 1, 2""")
     ),
 
     // ----------------------------------------------------------------

@@ -911,6 +911,12 @@ object PlanAudit {
       mustContain = Seq("HashAggregate", "from_json"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window",
         "BroadcastHashJoin")),
+    // recovery twin: same single map pass — batch-skip/torn-stop logic
+    // lives inside the parser, it must not add plan machinery
+    Audit("q317_kafka_wire_recovery",
+      mustContain = Seq("HashAggregate", "from_json"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window",
+        "BroadcastHashJoin")),
     // embedding-space image dedup: the eager stages (decode checkpoint,
     // bounded-top-1 assignment, CC contraction) run before the returned
     // plan, which is the checkpoint scan + the broadcast label join —
