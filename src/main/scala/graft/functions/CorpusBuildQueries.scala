@@ -1271,6 +1271,71 @@ object CorpusBuildQueries extends QueryModule {
         SELECT lang, n_tokens, share,
                CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens
         FROM ranked""")
+    ),
+
+    // ----------------------------------------------------------------
+    // TEMPERATURE SAMPLING, REALIZED PER DOCUMENT — q164 computes the
+    // τ-weighted QUOTAS (w_s = n_s^τ, τ = 1/2 because sqrt is
+    // IEEE-exact cross-engine where pow is libm-1-ulp); this operator
+    // actually DRAWS the corpus: each source gets an acceptance rate
+    // r_s = min(1, quota_s / tokens_s) and each document a
+    // deterministic 48-bit salted hash, accepted iff h < r_s·2^48 —
+    // the standard down-weight-the-head-domain mix every LLM corpus
+    // build runs (upsampling past r = 1 is epoch repetition, q160's
+    // job, not this one's). Deterministic end to end: integer token
+    // sums, one sorted O(#sources) weight fold, double arithmetic in
+    // a pinned operation order, md5 thresholds — so the ROW-GRAIN
+    // accept/reject decisions themselves are the hash-matched gate.
+    // Scale: one corpus scan for token counts, a source-grain
+    // broadcast of the rates, one map-side accept projection — no
+    // row-grain shuffle beyond the (source) aggregate.
+    "q318_temperature_sample" -> QueryDef(
+      fn = (s, d) => {
+        val Budget = 60000L
+        val docs = graft.CacheLeases.lease(
+          documents(s, d)
+            .select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+            .persist())
+        val bySrc = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("tok"))
+        val totals = bySrc.agg(
+          expr("aggregate(sort_array(collect_list(struct(source, tok))), CAST(0 AS DOUBLE)," +
+            " (acc, x) -> acc + sqrt(CAST(x.tok AS DOUBLE)))").as("sum_w"))
+        val rates = bySrc.crossJoin(broadcast(totals))
+          .withColumn("share", sqrt(col("tok").cast("double")) / col("sum_w"))
+          .withColumn("rate",
+            least(lit(1.0),
+              col("share") * lit(Budget.toDouble) / col("tok").cast("double")))
+          .select(col("source"), col("rate"))
+        docs.join(broadcast(rates), "source")
+          .withColumn("h",
+            conv(substring(md5(concat(lit("ts:"), col("doc_id").cast("string"))), 1, 12),
+              16, 10).cast("long"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (col("h").cast("double") < col("rate") * lit(281474976710656.0))
+              .as("accepted"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(${TextQueries.tokenCountSql} AS BIGINT) AS n_tokens
+          FROM (${TextQueries.normSql})),
+        bysrc AS (
+          SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok
+          FROM docs GROUP BY source),
+        totals AS (
+          SELECT list_sum(list_transform(
+                   list(sqrt(CAST(tok AS DOUBLE)) ORDER BY source), x -> x)) AS sum_w
+          FROM bysrc),
+        rates AS (
+          SELECT source,
+                 LEAST(1.0, sqrt(CAST(tok AS DOUBLE)) / sum_w
+                   * 60000.0 / CAST(tok AS DOUBLE)) AS rate
+          FROM bysrc, totals)
+        SELECT d.doc_id, d.source, d.n_tokens,
+               CAST(CAST('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS DOUBLE) < r.rate * 281474976710656.0 AS accepted
+        FROM docs d JOIN rates r ON r.source = d.source""")
     )
   )
 }

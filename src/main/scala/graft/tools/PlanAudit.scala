@@ -917,6 +917,13 @@ object PlanAudit {
       mustContain = Seq("HashAggregate", "from_json"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window",
         "BroadcastHashJoin")),
+    // temperature sampling: one corpus scan to source-grain token sums,
+    // a broadcast of the O(#sources) rate table back onto the corpus,
+    // and a map-side accept projection — no row-grain shuffle join, no
+    // window anywhere
+    Audit("q318_temperature_sample",
+      mustContain = Seq("BroadcastHashJoin", "partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window")),
     // embedding-space image dedup: the eager stages (decode checkpoint,
     // bounded-top-1 assignment, CC contraction) run before the returned
     // plan, which is the checkpoint scan + the broadcast label join —
