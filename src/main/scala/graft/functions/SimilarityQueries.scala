@@ -1555,6 +1555,111 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // CONTRASTIVE TRIPLET MINING (anchor, positive, HARD negative) —
+    // the training-data op an embedding-model finetune runs over the
+    // corpus: positives are q41's banded near-dup pairs (best partner
+    // per anchor by cosine), hard negatives are the highest-cosine
+    // SAME-IVF-LIST candidate BELOW the near-dup threshold — close
+    // enough to be informative, provably not a duplicate. The negative
+    // pool rides the auto-sized production index (B = ⌈n/32⌉), so
+    // per-anchor candidates stay ~list-length at any corpus size, and
+    // both argmaxes are bounded top-1 aggregates (k structs per group
+    // per mapper — the q77 shuffle discipline), never a window over
+    // exploded candidates. Deterministic end to end (banded candidate
+    // generation, IEEE-exact cosine, id tie-breaks), so the emitted
+    // triplets themselves are the hash-matched gate.
+    "q319_triplet_mining" -> QueryDef(
+      fn = (s, d) => {
+        val top1 = udaf(graft.operators.TopKAggregator.topK(1),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopKAggregator.Scored])
+        def best(cands: DataFrame, idAs: String, simAs: String): DataFrame =
+          cands.groupBy(col("anchor"))
+            .agg(top1(col("cand").cast("long"), col("sim")).as("raw"))
+            .select(col("anchor"),
+              element_at(col("raw"), 1).getField("id").as(idAs),
+              element_at(col("raw"), 1).getField("score").as(simAs))
+        val pairs = cosineNeardupPairs(s, d)
+        val bestPos = best(
+          pairs.select(col("ida").as("anchor"), col("idb").as("cand"), col("sim"))
+            .unionByName(
+              pairs.select(col("idb").as("anchor"), col("ida").as("cand"), col("sim"))),
+          "pos_id", "sim_pos")
+        val e   = normedEmbeddings(s, d).persist().leased
+        val asg = seededTopK(e, 1, autoSeedCount(e))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("topk")(0)("cid").as("cid"))
+          .persist().leased // both sides of the in-list join read it
+        val negCands = asg
+          .select(col("cid"), col("vec_id").as("anchor"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(pinBySize(asg.select(col("cid"), col("vec_id").as("cand"),
+            col("embedding").as("eb"), col("nrm").as("nb"))), "cid")
+          .where(col("anchor") =!= col("cand"))
+          .withColumn("sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+          .where(col("sim") < 0.4)
+        bestPos.join(best(negCands, "neg_id", "sim_neg"), "anchor")
+          .select(col("anchor"), col("pos_id"), col("sim_pos"),
+            col("neg_id"), col("sim_neg"))
+      },
+      oracle = Some {
+        val bandSelects = (0 until 4)
+          .map { b =>
+            val keySql = (1 to 8)
+              .map(i => s"(CASE WHEN embedding[${b * 8 + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+              .mkString(" + ")
+            s"SELECT vec_id, $b AS band, $keySql AS band_key FROM e"
+          }
+          .mkString(" UNION ALL ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        bands AS ($bandSelects),
+        bcand AS (
+          SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+          FROM bands x
+          JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                      AND x.vec_id < y.vec_id),
+        pairs AS (
+          SELECT ida, idb, $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM bcand
+          JOIN e a ON a.vec_id = ida
+          JOIN e b ON b.vec_id = idb
+          WHERE $dotSqlFrag / (a.nrm * b.nrm) >= 0.4),
+        und AS (
+          SELECT ida AS anchor, idb AS cand, sim FROM pairs
+          UNION ALL
+          SELECT idb AS anchor, ida AS cand, sim FROM pairs),
+        bestpos AS (
+          SELECT anchor, cand AS pos_id, sim AS sim_pos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY sim DESC, cand ASC) AS r FROM und) WHERE r = 1),$bcfgSql,
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
+        scored AS (
+          SELECT c.cid, e.vec_id, e.embedding, e.nrm,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.ce),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * c.cn) DESC,
+                   c.cid ASC) AS r
+          FROM e CROSS JOIN c),
+        asg AS (SELECT cid, vec_id, embedding, nrm FROM scored WHERE r = 1),
+        negc AS (
+          SELECT a.vec_id AS anchor, b.vec_id AS cand,
+                 $dotSqlFrag / (a.nrm * b.nrm) AS sim
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          WHERE $dotSqlFrag / (a.nrm * b.nrm) < 0.4),
+        bestneg AS (
+          SELECT anchor, cand AS neg_id, sim AS sim_neg FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY sim DESC, cand ASC) AS r FROM negc) WHERE r = 1)
+        SELECT p.anchor, p.pos_id, p.sim_pos, n.neg_id, n.sim_neg
+        FROM bestpos p JOIN bestneg n ON n.anchor = p.anchor"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // IVF ANN with a TRAINED codebook: seeded k-means (deterministic
     // init = the 16 lowest vec_ids, 2 Lloyd iterations over a
     // deterministic 25% sample — the standard IVF recipe — cosine

@@ -924,6 +924,12 @@ object PlanAudit {
     Audit("q318_temperature_sample",
       mustContain = Seq("BroadcastHashJoin", "partial_sum"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // triplet mining: banded positives + in-list negatives, both
+    // argmaxes as bounded top-1 aggregates — a Window here means a
+    // candidate explosion shuffled whole; no all-pairs anywhere
+    Audit("q319_triplet_mining",
+      mustContain = Seq("vec_dot", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "Window")),
     // embedding-space image dedup: the eager stages (decode checkpoint,
     // bounded-top-1 assignment, CC contraction) run before the returned
     // plan, which is the checkpoint scan + the broadcast label join —
