@@ -1336,6 +1336,58 @@ object CorpusBuildQueries extends QueryModule {
                CAST(CAST('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 12)
                  AS BIGINT) AS DOUBLE) < r.rate * 281474976710656.0 AS accepted
         FROM docs d JOIN rates r ON r.source = d.source""")
+    ),
+
+    // ----------------------------------------------------------------
+    // OVERLAPPING WINDOW CHUNKING — the third member of the sequence-
+    // shaping family (q142 PACKS short docs into fixed budgets, q157
+    // cuts content-defined chunks; this cuts the FIXED-STRIDE
+    // OVERLAPPING windows RAG indexing and long-doc pretraining use):
+    // window = 32 tokens, stride = 24, so consecutive chunks share an
+    // 8-token overlap and no token is ever dropped (the last window is
+    // short rather than skipped; a doc shorter than one window is one
+    // chunk). Output is chunk-grain with an md5 content fingerprint —
+    // the downstream chunk-dedup join key — so the gate pins the exact
+    // window boundaries, not just counts. Scale: one generate-shaped
+    // projection per doc (chunk count = ⌈max(1, n−overlap) / stride⌉,
+    // linear in tokens), zero shuffles beyond the scan.
+    "q320_overlap_chunking" -> QueryDef(
+      fn = (s, d) => {
+        val W = 32
+        val S = 24
+        documents(s, d)
+          .select(col("doc_id"),
+            split(TextFunctions.normalizeText(col("text")), " ").as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr(
+              s"""transform(
+                 |  sequence(0, CAST(greatest(0, ceil((greatest(CAST(n AS DOUBLE), $W.0) - $W.0) / $S.0)) AS INT)),
+                 |  i -> struct(
+                 |    i * $S AS start_tok,
+                 |    size(slice(w, i * $S + 1, $W)) AS n_tokens,
+                 |    md5(concat_ws(' ', slice(w, i * $S + 1, $W))) AS chunk_md5))"""
+                .stripMargin)).as(Seq("chunk_id", "c")))
+          .select(col("doc_id"), col("chunk_id"),
+            col("c.start_tok").as("start_tok"),
+            col("c.n_tokens").as("n_tokens"),
+            col("c.chunk_md5").as("chunk_md5"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id, string_split(t, ' ') AS w
+          FROM (${TextQueries.normSql})),
+        sized AS (SELECT doc_id, w, len(w) AS n FROM docs),
+        chunks AS (
+          SELECT doc_id, n, w,
+                 unnest(range(0,
+                   CAST(CEIL((GREATEST(CAST(n AS DOUBLE), 32.0) - 32.0) / 24.0) AS BIGINT) + 1)) AS chunk_id
+          FROM sized)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(chunk_id * 24 AS INTEGER) AS start_tok,
+               CAST(len(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INTEGER) AS n_tokens,
+               md5(list_aggregate(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), 'string_agg', ' ')) AS chunk_md5
+        FROM chunks""")
     )
   )
 }

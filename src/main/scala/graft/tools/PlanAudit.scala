@@ -930,6 +930,13 @@ object PlanAudit {
     Audit("q319_triplet_mining",
       mustContain = Seq("vec_dot", "ObjectHashAggregate"),
       mustNotContain = Seq("CartesianProduct", "Window")),
+    // overlap chunking: one generate-shaped projection per doc — no
+    // shuffle machinery at all (any Exchange means the per-doc window
+    // arithmetic regressed into a join or aggregation)
+    Audit("q320_overlap_chunking",
+      mustContain = Seq("Generate"),
+      mustNotContain = Seq("Exchange", "CartesianProduct", "SortMergeJoin",
+        "Window", "HashAggregate")),
     // embedding-space image dedup: the eager stages (decode checkpoint,
     // bounded-top-1 assignment, CC contraction) run before the returned
     // plan, which is the checkpoint scan + the broadcast label join —
