@@ -615,6 +615,53 @@ object RecommenderQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // MAINTAINED FACTOR STATE — the warm refresh that completes the
+    // maintained-state matrix for the recommender (index/forecast/
+    // centroid/KM/regression/NB/quantile-sketch all have maintained
+    // twins; factor tables were the gap): item factors train once on
+    // the historical ratings and STAGE as a warehouse table; when a
+    // new ratings slice arrives ((u + i) % 4 == 0 — new users AND new
+    // interactions for existing users), the refresh runs ONE user-side
+    // half-step over the full ratings against the FROZEN staged item
+    // factors — the standard fold-in/warm-refresh every production
+    // recommender runs nightly between full retrains. Cost: one
+    // ratings shuffle + an entity-grain solve, zero item-side jobs.
+    // The oracle recomputes the same math from scratch, so the hash
+    // match proves the refresh used only stored state + the ratings.
+    "q321_als_factor_refresh" -> QueryDef(
+      fn = (s, d) => {
+        val rat   = graft.CacheLeases.lease(ratings(s, d).persist())
+        val isNew = pmod(col("u") + col("i"), lit(4)) === 0
+        val tr    = graft.CacheLeases.lease(rat.where(!isNew).persist())
+        val whRoot =
+          java.nio.file.Files.createTempDirectory("graft_q321_wh_").toString
+        try {
+          val wh = new graft.etl.Warehouse(s, whRoot)
+          val q0 = initItemFactors(tr)
+          val u1 = halfStep(tr, q0, "u", "i")
+          val q1 = halfStep(tr, u1, "i", "u")
+          wh.overwrite(q1, "gold", "model_als_item_factors")
+          val itf = wh.load("gold", "model_als_item_factors").localCheckpoint(true)
+          halfStep(rat, itf, "u", "i")
+            .select(col("u").as("custkey"),
+              round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"))
+        } finally graft.Staging.deleteRecursively(
+          java.nio.file.Paths.get(whRoot))
+      },
+      oracle = Some(s"""
+        WITH $ratingsSql,
+        tr AS MATERIALIZED (SELECT * FROM rat WHERE (u + i) % 4 <> 0),
+        q0t AS MATERIALIZED (
+          SELECT i, 1.0 AS f1, CAST((i % 7) + 1 AS DOUBLE) / 8.0 AS f2
+          FROM (SELECT DISTINCT i FROM tr)),
+        ${halfStepSql("v1", "tr", "q0t", "u", "i")},
+        ${halfStepSql("p1", "tr", "v1", "i", "u")},
+        ${halfStepSql("uref", "rat", "p1", "u", "i")}
+        SELECT u AS custkey, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
+        FROM uref""")
+    ),
+
+    // ----------------------------------------------------------------
     // RANK-4 STAGED EVAL — q258's gate from staged rank-4 factors.
     "q314_als_staged_eval_r4" -> QueryDef(
       fn = (s, d) => {

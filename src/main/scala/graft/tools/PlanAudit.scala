@@ -937,6 +937,15 @@ object PlanAudit {
       mustContain = Seq("Generate"),
       mustNotContain = Seq("Exchange", "CartesianProduct", "SortMergeJoin",
         "Window", "HashAggregate")),
+    // ALS warm refresh: the single half-step runs EAGERLY (halfStep
+    // localCheckpoints its entity-grain output), so the returned plan
+    // must be exactly the checkpoint scan + rounding projection —
+    // any join/aggregate/window here means the refresh re-derived
+    // state lazily per read
+    Audit("q321_als_factor_refresh",
+      mustContain = Seq("ExistingRDD"),
+      mustNotContain = Seq("CartesianProduct", "Window", "HashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin")),
     // embedding-space image dedup: the eager stages (decode checkpoint,
     // bounded-top-1 assignment, CC contraction) run before the returned
     // plan, which is the checkpoint scan + the broadcast label join —
