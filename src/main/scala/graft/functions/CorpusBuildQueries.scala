@@ -1388,6 +1388,80 @@ object CorpusBuildQueries extends QueryModule {
                CAST(len(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INTEGER) AS n_tokens,
                md5(list_aggregate(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), 'string_agg', ' ')) AS chunk_md5
         FROM chunks""")
+    ),
+
+    // ----------------------------------------------------------------
+    // CHUNK-GRAIN CROSS-DOCUMENT DEDUP — q320's windows pushed through
+    // the exact-dedup grain: a chunk is a duplicate when the SAME
+    // 32-token window (by content fingerprint) appears in an EARLIER
+    // document (or earlier in the same one) — the window-level overlap
+    // doc-grain exact dedup (q31) structurally misses (two docs sharing
+    // half their text hash differently as wholes) and span mining
+    // (q153) reports but doesn't score. Output is the per-document
+    // CONTAMINATION REPORT a curation pipeline gates on: chunk counts,
+    // duplicated-chunk counts, and the duplicate fraction that feeds a
+    // keep/drop threshold. Keeper-per-fingerprint = lowest (doc_id,
+    // chunk_id) — one (md5)-keyed aggregate, map-side combined; at
+    // 100 TB this is the exact-substring pass every corpus build runs
+    // (fingerprints shuffle, text never does).
+    "q322_chunk_dedup_report" -> QueryDef(
+      fn = (s, d) => {
+        val W = 32
+        val S = 24
+        val chunks = graft.CacheLeases.lease(
+          documents(s, d)
+            .select(col("doc_id"),
+              split(TextFunctions.normalizeText(col("text")), " ").as("w"))
+            .select(col("doc_id"), size(col("w")).as("n"), col("w"))
+            .select(col("doc_id"),
+              posexplode(expr(
+                s"""transform(
+                   |  sequence(0, CAST(greatest(0, ceil((greatest(CAST(n AS DOUBLE), $W.0) - $W.0) / $S.0)) AS INT)),
+                   |  i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))"""
+                  .stripMargin)).as(Seq("chunk_id", "chunk_md5")))
+            .persist())
+        // keeper = lowest (doc_id, chunk_id), packed into one BIGINT
+        // (chunk_id < 2^20 at any document length) so the argmin is a
+        // plain integer MIN on both engines
+        val keyed = chunks.withColumn("ck",
+          col("doc_id") * lit(1048576L) + col("chunk_id"))
+        val keepers = keyed
+          .groupBy(col("chunk_md5"))
+          .agg(min(col("ck")).as("keep_ck"))
+        keyed.join(keepers, "chunk_md5")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("ck") =!= col("keep_ck"), 1L).otherwise(0L))
+              .as("dup_chunks"))
+          .withColumn("dup_fraction",
+            col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id, string_split(t, ' ') AS w
+          FROM (${TextQueries.normSql})),
+        sized AS (SELECT doc_id, w, len(w) AS n FROM docs),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(range(0,
+                   CAST(CEIL((GREATEST(CAST(n AS DOUBLE), 32.0) - 32.0) / 24.0) AS BIGINT) + 1)) AS chunk_id,
+                 w
+          FROM sized),
+        hashed AS (
+          SELECT doc_id, doc_id * 1048576 + chunk_id AS ck,
+                 md5(list_aggregate(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                   'string_agg', ' ')) AS chunk_md5
+          FROM chunks),
+        keepers AS (
+          SELECT chunk_md5, CAST(MIN(ck) AS BIGINT) AS keep_ck
+          FROM hashed GROUP BY chunk_md5)
+        SELECT h.doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN h.ck <> k.keep_ck THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               CAST(SUM(CASE WHEN h.ck <> k.keep_ck THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS dup_fraction
+        FROM hashed h JOIN keepers k ON k.chunk_md5 = h.chunk_md5
+        GROUP BY h.doc_id""")
     )
   )
 }

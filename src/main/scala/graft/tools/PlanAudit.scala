@@ -937,6 +937,12 @@ object PlanAudit {
       mustContain = Seq("Generate"),
       mustNotContain = Seq("Exchange", "CartesianProduct", "SortMergeJoin",
         "Window", "HashAggregate")),
+    // chunk dedup report: fingerprints shuffle (md5-keyed argmin +
+    // doc-grain rollup), text and word arrays never do — no window,
+    // no all-pairs
+    Audit("q322_chunk_dedup_report",
+      mustContain = Seq("partial_min", "Generate"),
+      mustNotContain = Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
     // ALS warm refresh: the single half-step runs EAGERLY (halfStep
     // localCheckpoints its entity-grain output), so the returned plan
     // must be exactly the checkpoint scan + rounding projection —
