@@ -190,12 +190,18 @@ final class Pipeline(wh: Warehouse) {
         // from the just-rewritten sales partitions, so the quality gate
         // reads O(days) aggregate rows instead of full-scanning silver
         // every cycle. Per-date exact (recomputed from the whole
-        // partition), deterministic (decimal accumulation).
+        // partition), deterministic (decimal accumulation). First cycle
+        // on a warehouse PREDATING the aggregate backfills from ALL
+        // silver dates (one full scan) — seeding from the batch alone
+        // would permanently exclude historical dates from the gate's
+        // average once the table exists.
         if (name == "sales_events") {
-          val rewritten = wh.load("silver", name)
-            .where(col("date").isin(batchDates: _*))
+          val silverAll = wh.load("silver", name)
+          val scope =
+            if (!wh.exists("silver", "agg_quality_daily")) silverAll
+            else silverAll.where(col("date").isin(batchDates: _*))
           wh.overwrite(
-            rewritten.groupBy(col("date")).agg(
+            scope.groupBy(col("date")).agg(
               sum(col("data_quality_score")
                 .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("score_sum"),
               count(lit(1)).as("n")),
@@ -211,7 +217,8 @@ final class Pipeline(wh: Warehouse) {
     * per-date (score_sum, n) aggregate — O(days) rows, exact weighted
     * average — instead of full-scanning silver each cycle; warehouses
     * predating the aggregate fall back to the scan once (the next
-    * bronzeToSilver cycle establishes the state).
+    * bronzeToSilver cycle BACKFILLS the state from all silver dates,
+    * so the gate's average always covers full history).
     */
   def qualityGate(threshold: Double = 50.0): Double = {
     val avgScore =
@@ -301,8 +308,14 @@ final class Pipeline(wh: Warehouse) {
           }
         (cur, delta) match {
           case (None, Nil)          => None
-          case (None, ds)           =>
-            Some((ds.minBy(_.getTime).toString, ds.maxBy(_.getTime).toString))
+          case (None, _)            =>
+            // no existing spine to extend (warehouse predating the
+            // incremental build, or a dropped calendar): the delta's
+            // dates may under-span silver history, so fall back to the
+            // full-path silver min/max scan rather than silently
+            // shrinking dim_calendar vs full-rebuild semantics
+            val r = silverSales.agg(min(col("date")), max(col("date"))).first()
+            Some((r.getDate(0).toString, r.getDate(1).toString))
           case (Some((lo, hi)), ds) =>
             val nlo = (ds :+ lo).minBy(_.getTime)
             val nhi = (ds :+ hi).maxBy(_.getTime)
@@ -360,7 +373,14 @@ final class Pipeline(wh: Warehouse) {
 
       wh.overwrite(MlFeatures.productDemand(
           wh.load("gold", "agg_daily_sales"), wh.load("gold", "fact_promotions"),
-          wh.load("gold", "agg_inventory_daily"), wh.load("gold", "dim_pricing"),
+          // degrade like the dim_weather fallback below: a warehouse
+          // whose inventory domain never produced a cycle gets an
+          // empty daily-grain frame, not a missing-path crash
+          if (wh.exists("gold", "agg_inventory_daily"))
+            wh.load("gold", "agg_inventory_daily")
+          else SilverToGold.aggInventoryDaily(SilverToGold.factInventory(
+            BronzeToSilver.inventory(Generators.inventoryUpdates(spark, 0)))),
+          wh.load("gold", "dim_pricing"),
           wh.load("gold", "dim_calendar"),
           if (wh.exists("gold", "dim_weather")) wh.load("gold", "dim_weather")
           else SilverToGold.dimWeather(

@@ -38,7 +38,14 @@ import java.util.zip.CRC32C
   * declared length runs past the buffer is a TORN TAIL (counted, not
   * parsed — a crashed producer's partial write); a batch whose CRC32C
   * mismatches is COUNTED AND SKIPPED (its length header still frames
-  * it, so parsing resumes at the next batch).
+  * it, so parsing resumes at the next batch). The same quarantine rule
+  * covers two classes a CRC cannot: an unsupported magic byte (magic
+  * sits BEFORE the crc field, outside CRC coverage — a single flipped
+  * header bit must not abort the segment walk) and a batch whose
+  * attributes declare compression (bits 0-2 ≠ 0 — this decoder has no
+  * codecs, and walking a gzip/snappy record block as plaintext varints
+  * would yield garbage records under an INTACT CRC, the one corruption
+  * class the checksum cannot see).
   */
 object KafkaLog {
 
@@ -173,16 +180,26 @@ object KafkaLog {
         val batchEnd = b.position() + batchLength
         b.getInt // partitionLeaderEpoch
         val magic = b.get()
-        require(magic == 2, s"unsupported record-batch magic $magic (only v2)")
+        if (magic != 2) {
+          // magic is outside CRC coverage: quarantine like a CRC
+          // mismatch (batchLength still frames the batch) rather than
+          // aborting the whole segment walk on one flipped header bit
+          corrupt += 1
+          b.position(batchEnd)
+        } else {
         val storedCrc = b.getInt & 0xffffffffL
         val postPos   = b.position()
         val crc = new CRC32C
         crc.update(bytes, postPos, batchEnd - postPos)
-        if (crc.getValue != storedCrc) {
+        // attributes bits 0-2 = compression codec; a compressed batch
+        // (gzip/snappy/lz4/zstd) carries an INTACT CRC but an opaque
+        // record block — skipping whole beats mis-parsing compressed
+        // bytes as varint records
+        if (crc.getValue != storedCrc || (b.getShort(postPos) & 0x07) != 0) {
           corrupt += 1
           b.position(batchEnd) // length header still frames the batch
         } else {
-          b.getShort // attributes (0: uncompressed — all this writer emits)
+          b.getShort // attributes (0: uncompressed — guarded above)
           b.getInt   // lastOffsetDelta
           val baseTs = b.getLong
           b.getLong  // maxTimestamp
@@ -217,6 +234,7 @@ object KafkaLog {
           }
           batches += 1
           b.position(batchEnd)
+        }
         }
       }
     }

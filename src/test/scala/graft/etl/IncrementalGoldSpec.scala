@@ -174,6 +174,67 @@ class IncrementalGoldSpec extends AnyFunSuite {
     assert(math.abs(fromAgg2 - fullScan2) < 1e-9)
   }
 
+  test("warehouse predating the quality aggregate backfills ALL silver dates") {
+    val wh = freshWarehouse()
+    val p  = new Pipeline(wh)
+    p.initBronze(nSales = 500, nInventory = 100, nEquipment = 100, nFeedback = 50)
+    p.bronzeToSilver()
+    // simulate a warehouse built before agg_quality_daily existed
+    wh.drop("silver", "agg_quality_daily")
+    // next cycle's batch touches ONLY a new July date; historical June
+    // dates must still enter the re-established aggregate
+    p.appendBronzeSales(Generators.salesEvents(spark, 100, days = 1,
+      baseTs = "2025-07-10 00:00:00", idOffset = 7000000L))
+    p.bronzeToSilver()
+    val fromAgg = p.qualityGate()
+    val fullScan = wh.load("silver", "sales_events")
+      .agg(avg(col("data_quality_score"))).first().getDouble(0)
+    assert(math.abs(fromAgg - fullScan) < 1e-9,
+      s"backfilled gate $fromAgg != full-scan $fullScan — historical dates excluded")
+    val aggDates = wh.load("silver", "agg_quality_daily").count()
+    val silverDates = wh.load("silver", "sales_events")
+      .select(col("date")).distinct().count()
+    assert(aggDates === silverDates, "aggregate must cover every silver date")
+  }
+
+  test("dropped calendar spine rebuilds from silver history, not the delta") {
+    val wh = freshWarehouse()
+    val p  = new Pipeline(wh)
+    p.initBronze(nSales = 500, nInventory = 100, nEquipment = 100, nFeedback = 50)
+    p.bronzeToSilver()
+    p.silverToGoldIncremental(java.sql.Date.valueOf("2025-06-20"))
+    wh.drop("gold", "dim_calendar")
+    // delta = one July date; the rebuilt spine must still span June history
+    p.appendBronzeSales(Generators.salesEvents(spark, 100, days = 1,
+      baseTs = "2025-07-10 00:00:00", idOffset = 7100000L))
+    p.bronzeToSilver()
+    p.silverToGoldIncremental(java.sql.Date.valueOf("2025-07-11"))
+    val silverBounds = wh.load("silver", "sales_events")
+      .agg(min(col("date")), max(col("date"))).first()
+    val calBounds = wh.load("gold", "dim_calendar")
+      .agg(min(col("date")), max(col("date"))).first()
+    assert(calBounds.getDate(0) === silverBounds.getDate(0),
+      "rebuilt spine must start at silver history's min date")
+    assert(calBounds.getDate(1).getTime >= silverBounds.getDate(1).getTime)
+  }
+
+  test("feature stage degrades when the inventory domain never produced a cycle") {
+    val wh = freshWarehouse()
+    val p  = new Pipeline(wh)
+    p.initBronze(nSales = 500, nInventory = 100, nEquipment = 100, nFeedback = 50)
+    p.bronzeToSilver()
+    p.silverToGoldIncremental(java.sql.Date.valueOf("2025-06-20"))
+    // warehouse whose sales domain has run but whose inventory aggregate
+    // is gone; the next sales-only cycle must not crash the feature build
+    wh.drop("gold", "agg_inventory_daily")
+    p.appendBronzeSales(Generators.salesEvents(spark, 100, days = 1,
+      baseTs = "2025-07-10 00:00:00", idOffset = 7200000L))
+    p.bronzeToSilver()
+    p.silverToGoldIncremental(java.sql.Date.valueOf("2025-07-11"))
+    assert(wh.exists("gold", "product_demand_features"))
+    assert(wh.load("gold", "product_demand_features").count() > 0)
+  }
+
   test("pending-dates ledger is consumed by the gold build and survives a stage gap") {
     val wh = freshWarehouse()
     val p  = new Pipeline(wh)

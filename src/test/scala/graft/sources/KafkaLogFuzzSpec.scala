@@ -79,4 +79,45 @@ class KafkaLogFuzzSpec extends AnyFunSuite {
         s"flip at $pos/$bit leaked records from the corrupt batch")
     }
   }
+
+  test("compressed-flagged batch with an INTACT CRC cannot leak records") {
+    val recs = (0 until 20).map(i =>
+      (i.toLong * 7, s"key-$i".getBytes(UTF_8), s"value-$i".getBytes(UTF_8), Seq.empty))
+    val bytes = KafkaLog.writeSegment(recs, baseOffset = 0L, maxPerBatch = 10)
+    val b0len = 12 + java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
+    // flag every codec id (1 gzip, 2 snappy, 3 lz4, 4 zstd, and the
+    // reserved 5-7) in batch 0's attributes (byte 22 = low byte of the
+    // int16 at offset 21), then RECOMPUTE the CRC so the checksum is
+    // valid — this is exactly what a real compressing producer writes
+    for (codec <- 1 to 7) {
+      val dmg = bytes.clone()
+      dmg(22) = codec.toByte
+      val crc = new java.util.zip.CRC32C
+      crc.update(dmg, 21, b0len - 21)
+      java.nio.ByteBuffer.wrap(dmg, 17, 4).putInt(crc.getValue.toInt)
+      val parsed = KafkaLog.parseSegment(dmg)
+      assert(parsed.corruptSkipped == 1 && parsed.batches == 1,
+        s"codec $codec: compressed batch not quarantined")
+      assert(parsed.records.size == 10 && parsed.records.forall(_.offset >= 10),
+        s"codec $codec: leaked garbage records from the compressed batch")
+      assert(parsed.tornTailBytes == 0)
+    }
+  }
+
+  test("flipped magic byte quarantines the batch, never aborts the segment walk") {
+    val recs = (0 until 20).map(i =>
+      (i.toLong * 7, null, s"value-$i".getBytes(UTF_8), Seq.empty))
+    val bytes = KafkaLog.writeSegment(recs, baseOffset = 0L, maxPerBatch = 10)
+    // magic sits at offset 16, BEFORE the crc field — outside CRC
+    // coverage, so only the quarantine rule can catch it
+    for (bit <- Seq(0x01, 0x04, 0x80)) {
+      val dmg = bytes.clone()
+      dmg(16) = (dmg(16) ^ bit).toByte
+      val parsed = KafkaLog.parseSegment(dmg) // must not throw
+      assert(parsed.corruptSkipped == 1 && parsed.batches == 1,
+        s"magic flip $bit: batch not quarantined")
+      assert(parsed.records.size == 10 && parsed.records.forall(_.offset >= 10),
+        s"magic flip $bit: leaked records from the bad-magic batch")
+    }
+  }
 }
