@@ -2104,6 +2104,111 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // IVF+PQ with an EXACT-RERANK REFINE stage — the production
+    // completion of q82 (the FAISS IVFPQ-then-refine deployment
+    // pattern, faiss IndexRefineFlat over an IndexIVFPQ). q82 ranks
+    // candidates by the lossy 8-byte ADC code END TO END, so its
+    // recall@3 decays as the fraction-held candidate set grows (0.104
+    // at n = 2000 → 0.054 at n = 20000 measured: quantization noise
+    // across more candidates drowns the top-3, even though the
+    // candidates themselves still CONTAIN the true neighbors — q77 on
+    // the same lists reads 0.44/0.63). The refine stage bounds that
+    // noise: keep the PQ-ranked top R = max(16, 4·n_probe) per query
+    // (a BOUNDED typed aggregate — R rows per query cross the shuffle,
+    // never the candidate set), then rescore only those R with exact
+    // full-precision cosine. R rides the same corpus count as B and
+    // n_probe, so the refine fraction (R / (np·32) = 1/8 once the auto
+    // rule engages) and with it the recall recovery is size-invariant;
+    // the exact rerank costs R = O(n_probe) dots per query — a
+    // rounding error next to the n/8 ADC scans the shortlist already
+    // paid. Recall@3 measured 0.33 at n = 2000 / 0.53 at n = 20000
+    // (vs q82's 0.104 / 0.054) — most of q77's exact-scored level
+    // recovered while the rerank-side joins carry R ids per query,
+    // not the candidate set.
+    "q323_ann_ivf_pq_refine" -> QueryDef(
+      fn = (s, d) => {
+        val e = normedEmbeddings(s, d).persist().leased
+        val bC = autoSeedCount(e)
+        val np = autoNProbe(bC, 2, 8)
+        val rK = math.max(16, 4 * np)
+        val topk = seededTopK(e, np, bC).persist().leased
+        val index = topk.select(
+          col("topk")(0)("cid").as("cid"), col("vec_id").as("nid"))
+        val probes = topk.select(
+          explode(col("topk.cid")).as("cid"),
+          col("vec_id").as("qid"), col("embedding").as("ea"))
+        val recon = pqRecon(e)
+        val short = udaf(graft.operators.TopKAggregator.topK(rK),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopKAggregator.Scored])
+        val shortlist = probes
+          .join(index, "cid")
+          .where(col("qid") =!= col("nid"))
+          .join(recon, "nid")
+          .withColumn("adot", call_function("vec_dot", col("ea"), col("rec")))
+          .groupBy(col("qid"))
+          .agg(short(col("nid"), col("adot")).as("raw"))
+          .select(col("qid"), explode(expr("transform(raw, x -> x.id)")).as("nid"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        shortlist
+          // corpus-sized rerank sides: the q77 deterministic size gate
+          .join(pinBySize(e.select(
+            col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))), "qid")
+          .join(pinBySize(e.select(
+            col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))), "nid")
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some {
+        val dotEC =
+          "list_sum(list_transform(list_zip(e.embedding, c.ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        val dotQR =
+          "list_sum(list_transform(list_zip(p.ea, r.rec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        val dotAB =
+          "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),$bcfgSql,${npcfgSql(2, 8)},
+        rcfg AS (SELECT GREATEST(16, 4 * np) AS rk FROM npcfg),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+              WHERE vec_id < (SELECT b FROM bcfg)),
+        scored AS (
+          SELECT c.cid, e.vec_id, e.embedding,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   $dotEC / (e.nrm * c.cn) DESC, c.cid ASC) AS r
+          FROM e CROSS JOIN c),
+        idx AS (SELECT cid, vec_id AS nid FROM scored WHERE r = 1),
+        probes AS (SELECT cid, vec_id AS qid, embedding AS ea FROM scored
+                   WHERE r <= (SELECT np FROM npcfg)),
+        $pqOracleCtes,
+        cand AS (
+          SELECT p.qid, i.nid, $dotQR AS adot
+          FROM probes p
+          JOIN idx i ON p.cid = i.cid AND p.qid <> i.nid
+          JOIN recon r ON r.nid = i.nid),
+        short AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, nid ASC) AS rr
+            FROM cand) WHERE rr <= (SELECT rk FROM rcfg)),
+        pairs AS (
+          SELECT s.qid, s.nid, $dotAB / (a.nrm * b.nrm) AS sim
+          FROM short s
+          JOIN e a ON a.vec_id = s.qid
+          JOIN e b ON b.vec_id = s.nid)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Embedding centering: subtract the corpus per-dimension mean — the
     // standard pre-indexing normalization (centers the sign-LSH
     // hyperplanes, debiases cosine). Means are decimal-exact then

@@ -137,6 +137,13 @@ object PlanAudit {
     Audit("q82_ann_ivf_pq",
       mustContain = Seq("vec_dot", "ObjectHashAggregate"),
       mustNotContain = Seq("CartesianProduct")),
+    // the refine stage keeps q82's shapes and adds ONE bounded typed
+    // aggregate (the PQ-ranked shortlist: R rows per query cross the
+    // shuffle, never the candidate set) before the exact rerank — no
+    // window over exploded candidates, no all-pairs
+    Audit("q323_ann_ivf_pq_refine",
+      mustContain = Seq("vec_dot", "ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct")),
     // n_probe=4 keeps q77's aggregation-shaped assignment — raising the
     // probe count must not reintroduce the windowed-replication shuffle
     Audit("q95_ann_ivf_probe4",

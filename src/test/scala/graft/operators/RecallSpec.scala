@@ -75,6 +75,57 @@ class RecallSpec extends AnyFunSuite {
       s"q96 recall ${recalls("q96_ann_lsh_multitable")}")
   }
 
+  test("PQ refine sits between raw PQ and exact-scored multi-probe (sandwich)") {
+    requireCorpus()
+    // dominance by construction, asserted exactly: any true neighbor in
+    // q82's PQ top-3 is inside q323's top-R shortlist (R >= 16 > 3) and
+    // the exact rerank cannot demote a true corpus top-3 below rank 3
+    // within the shortlist, so q323 >= q82; q77 reranks ALL candidates
+    // exactly while q323 only reranks the PQ top-R subset, so q77 >= q323
+    assert(recalls("q323_ann_ivf_pq_refine") >= recalls("q82_ann_ivf_pq"),
+      s"refine ${recalls("q323_ann_ivf_pq_refine")} < raw PQ ${recalls("q82_ann_ivf_pq")}")
+    assert(recalls("q77_ann_ivf_multiprobe") >= recalls("q323_ann_ivf_pq_refine"),
+      s"exact-scored ${recalls("q77_ann_ivf_multiprobe")} < refine ${recalls("q323_ann_ivf_pq_refine")}")
+    assert(recalls("q323_ann_ivf_pq_refine") >= 0.19,
+      s"q323 recall ${recalls("q323_ann_ivf_pq_refine")}") // measured 0.2507
+  }
+
+  test("auto-n_probe holds recall at the corpus size where the sizing constants change (sf0.1)") {
+    // THE round-13 verdict gate: at n = 2000 auto-B reads B = 63 and the
+    // scanned-fraction rule reads np = 8 (q77/q82/q323) / 16 (q95) —
+    // constants the sf0.001 corpus never exercises. Under round 13's
+    // fixed np the same corpus measured q77 0.199 / q95 0.292 / q82
+    // 0.084 (BASELINE.md "Recall at sf0.1 under auto-sizing"); the
+    // fraction rule reads 0.4372 / 0.6173 / 0.1042, with the refine
+    // stage at 0.3258. Floors sit ~20% under measured — except q95's,
+    // which IS the 0.5 production bar the round-4 verdict set (measured
+    // 0.6173, and 0.7997 at the 20k ScaleTrend corpus: rule-held, not
+    // corpus luck). q82 keeps its quantization-noise-bounded floor and
+    // its role as the no-refine reference point.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).isDirectory, s"recall corpus absent: $sf01")
+    val at01 = Seq("q77_ann_ivf_multiprobe", "q95_ann_ivf_probe4",
+      "q82_ann_ivf_pq", "q323_ann_ivf_pq_refine").map { v =>
+      val r = Recall.recallAt3(spark, sf01, v)
+      spark.catalog.clearCache()
+      v -> r
+    }.toMap
+    assert(at01("q77_ann_ivf_multiprobe") >= 0.35,
+      s"q77 sf0.1 recall ${at01("q77_ann_ivf_multiprobe")}")
+    assert(at01("q95_ann_ivf_probe4") >= 0.5,
+      s"q95 sf0.1 recall ${at01("q95_ann_ivf_probe4")} below the production bar")
+    assert(at01("q82_ann_ivf_pq") >= 0.08,
+      s"q82 sf0.1 recall ${at01("q82_ann_ivf_pq")}")
+    assert(at01("q323_ann_ivf_pq_refine") >= 0.26,
+      s"q323 sf0.1 recall ${at01("q323_ann_ivf_pq_refine")}")
+    // the fraction rule's defining property, asserted on measured values:
+    // recall at the LARGER corpus is NOT below the small-corpus floor
+    // (fixed np measurably violated this: 0.34 -> 0.199)
+    assert(at01("q77_ann_ivf_multiprobe") >= 0.22 &&
+      at01("q95_ann_ivf_probe4") >= 0.38,
+      "auto-n_probe failed to hold the sf0.001 floors at sf0.1")
+  }
+
   test("filtered ANN clears its floor against the exact-same-label baseline") {
     requireCorpus()
     // measured 0.160 at sf0.001: single-probe assignment at fixed B=16
