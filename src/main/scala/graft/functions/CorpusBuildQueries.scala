@@ -187,6 +187,46 @@ object CorpusBuildQueries extends QueryModule {
     * and q309 (staged model), so the two differ ONLY in where β comes
     * from.
     */
+  /** CHUNK-GRAIN EXACT-DEDUP GATE over a (doc_id, text) relation: the
+    * doc_ids whose q320-grain 32-token windows are MAJORITY duplicates
+    * of windows seen in earlier documents (dup_chunks·2 > n_chunks —
+    * integer compare, exact on both engines; keeper per fingerprint =
+    * lowest packed (doc_id, chunk_id) BIGINT). Two documents sharing
+    * half their text pass the whole-doc hash AND can slip the minhash
+    * bands (a long original plus a short excerpt has low Jaccard over
+    * shingles), but their shared windows fingerprint identically —
+    * this is the exact-substring pass every production corpus build
+    * runs between doc-grain dedup and decontamination. Cost is one
+    * fingerprint aggregate: the md5 windows shuffle, text never moves.
+    */
+  private[graft] def chunkDupDrops(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = 32
+    val S = 24
+    val chunkKeyed = docs
+      .select(col("doc_id"),
+        split(TextFunctions.normalizeText(col("text")), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"), col("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(greatest(0, ceil((greatest(CAST(n AS DOUBLE), $W.0) - $W.0) / $S.0)) AS INT)),
+             |  i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))"""
+            .stripMargin)).as(Seq("chunk_id", "chunk_md5")))
+      .withColumn("ck", col("doc_id") * lit(1048576L) + col("chunk_id"))
+    val chunkKeepers = chunkKeyed
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("ck")).as("keep_ck"))
+    chunkKeyed.join(chunkKeepers, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ck") =!= col("keep_ck"), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .where(col("dup_chunks") * 2 > col("n_chunks"))
+      .select(col("doc_id"))
+  }
+
   private def classifiedBuild(
       s: org.apache.spark.sql.SparkSession, d: String,
       eta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -218,6 +258,14 @@ object CorpusBuildQueries extends QueryModule {
       .select(col("doc_id"))
     val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
 
+    // CHUNK-GRAIN EXACT-DEDUP GATE (round 14) — q322's report consumed
+    // as a drop stage between doc-grain dedup and decontamination: see
+    // [[chunkDupDrops]].
+    val chunkDropped = chunkDupDrops(
+      documents(s, d)
+        .join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val chunkDeduped = deduped.join(chunkDropped, Seq("doc_id"), "left_anti")
+
     val holdoutShingles = sh
       .where(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()
@@ -225,7 +273,7 @@ object CorpusBuildQueries extends QueryModule {
       .where(col("doc_id") % 97 =!= 0)
       .join(holdoutShingles, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
-    val clean = deduped
+    val clean = chunkDeduped
       .where(col("doc_id") % 97 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
@@ -299,6 +347,34 @@ object CorpusBuildQueries extends QueryModule {
         deduped AS (
           SELECT * FROM qpass
           WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        cdocs AS MATERIALIZED (
+          SELECT n.doc_id, string_split(n.t, ' ') AS w
+          FROM (${TextQueries.normSql}) n
+          JOIN deduped dd ON dd.doc_id = n.doc_id),
+        csized AS (SELECT doc_id, w, len(w) AS n FROM cdocs),
+        cchunks AS (
+          SELECT doc_id,
+                 unnest(range(0,
+                   CAST(CEIL((GREATEST(CAST(n AS DOUBLE), 32.0) - 32.0) / 24.0) AS BIGINT) + 1)) AS chunk_id,
+                 w
+          FROM csized),
+        chashed AS MATERIALIZED (
+          SELECT doc_id, doc_id * 1048576 + chunk_id AS ck,
+                 md5(list_aggregate(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                   'string_agg', ' ')) AS chunk_md5
+          FROM cchunks),
+        ckeep AS (
+          SELECT chunk_md5, MIN(ck) AS keep_ck FROM chashed GROUP BY chunk_md5),
+        cdrop AS (
+          SELECT doc_id FROM (
+            SELECT h.doc_id, COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN h.ck <> k.keep_ck THEN 1 ELSE 0 END) AS dup_chunks
+            FROM chashed h JOIN ckeep k ON k.chunk_md5 = h.chunk_md5
+            GROUP BY h.doc_id)
+          WHERE dup_chunks * 2 > n_chunks),
+        cdeduped AS (
+          SELECT * FROM deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
         holdout_sh AS (
           SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 97 = 0),
         contaminated AS (
@@ -306,7 +382,7 @@ object CorpusBuildQueries extends QueryModule {
           WHERE doc_id % 97 <> 0
             AND shingle IN (SELECT shingle FROM holdout_sh)),
         clean AS (
-          SELECT * FROM deduped
+          SELECT * FROM cdeduped
           WHERE doc_id % 97 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
         mixed AS (

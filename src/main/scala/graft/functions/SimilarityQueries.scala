@@ -1972,6 +1972,116 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // RANDOM-HYPERPLANE LSH — the q96 continuation past n ≈ 8k, where
+    // the axis-sign ladder saturates (8 tables × 8 bits = all 64 sign
+    // dims, measured ×26.5 shuffle at ×10 once the cap binds). Each
+    // bit is the sign of ⟨x, h⟩ for a SEEDED Rademacher hyperplane
+    // h ∈ {±1}^64 — md5-derived digits, so DuckDB reproduces every
+    // hyperplane from the same seed strings and the Spark side embeds
+    // them as array<float> literals (one vec_dot per bit; the
+    // sequential-double accumulation both engines share makes the sign
+    // bit-identical). Because every bit mixes ALL 64 dims, the number
+    // of independent bits is unbounded by the dimension: the occupancy
+    // ladder b = min{4..16 : 32·2^b ≥ n} keeps expected bucket size
+    // ≤ 32 to n ≈ 2M where the axis ladder stops at 8 bits / n ≈ 8k —
+    // candidates stay linear in n at corpus sizes where q96 has gone
+    // quadratic, with the SAME OR-of-ANDs recall amplification
+    // (8 tables). Candidate shape is q96's verbatim: explode to slim
+    // (vec_id, t, bk) keys, self-join on (t, bk), DISTINCT pairs, one
+    // exact rerank with embeddings joined back by key.
+    "q324_ann_lsh_hyperplane" -> QueryDef(
+      fn = (s, d) => {
+        val L = 8
+        val e = normedEmbeddings(s, d).persist().leased
+        val n = e.count()
+        val bits = (4 to 16).find(b => (32L << b) >= n).getOrElse(16)
+        def hyperplane(t: Int, bb: Int): Column = {
+          val hex = graft.Digest.md5Hex(s"hp:$t:$bb:0", 32) +
+            graft.Digest.md5Hex(s"hp:$t:$bb:1", 32)
+          array((0 until 64).map(i =>
+            lit(if (hex.charAt(i) < '8') 1f else -1f)): _*)
+        }
+        def tblBucket(t: Int) = (0 until bits)
+          .map(bb => when(
+            call_function("vec_dot", col("embedding"), hyperplane(t, bb)) >= 0d,
+            1 << bb).otherwise(0))
+          .reduce(_ + _)
+        val keys = e.select(
+          col("vec_id"),
+          explode(array((0 until L).map(t =>
+            struct(lit(t).as("t"), tblBucket(t).as("bk"))): _*)).as("tb"))
+          .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+        val cand = keys.as("a")
+          .join(pinBySize(keys.as("b")),
+            col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+          .distinct()
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+        cand
+          .join(pinBySize(
+            e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))), "qid")
+          .join(pinBySize(
+            e.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("nrm").as("nb"))), "nid")
+          .withColumn(
+            "sim",
+            call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          )
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      },
+      oracle = Some {
+        // sign(t, bb, i): hex digit i of md5('hp:t:bb:0')∥md5('hp:t:bb:1')
+        // < '8' → +1 else −1 — '0'..'7' < '8' < '9' < 'a'..'f' makes the
+        // string compare the 1-bit threshold on both engines
+        val projSql =
+          """list_sum(list_transform(range(1, 65),
+            |  i -> (CASE WHEN substr(
+            |          CASE WHEN i <= 32
+            |            THEN md5('hp:' || CAST(t.t AS VARCHAR) || ':' || CAST(bb AS VARCHAR) || ':0')
+            |            ELSE md5('hp:' || CAST(t.t AS VARCHAR) || ':' || CAST(bb AS VARCHAR) || ':1')
+            |          END,
+            |          CAST(CASE WHEN i <= 32 THEN i ELSE i - 32 END AS INT), 1) < '8'
+            |        THEN 1.0 ELSE -1.0 END)
+            |       * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))""".stripMargin
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $normSqlFrag AS nrm FROM embeddings
+          WHERE $normSqlFrag > 0),
+        bcfg AS (
+          SELECT CASE WHEN n <= 512 THEN 4 WHEN n <= 1024 THEN 5
+                      WHEN n <= 2048 THEN 6 WHEN n <= 4096 THEN 7
+                      WHEN n <= 8192 THEN 8 WHEN n <= 16384 THEN 9
+                      WHEN n <= 32768 THEN 10 WHEN n <= 65536 THEN 11
+                      WHEN n <= 131072 THEN 12 WHEN n <= 262144 THEN 13
+                      WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
+                      ELSE 16 END AS b
+          FROM (SELECT COUNT(*) AS n FROM e)),
+        keys AS (
+          SELECT e.vec_id, t.t AS t,
+                 list_sum(list_transform(range(0, g.b),
+                   bb -> CASE WHEN $projSql >= 0 THEN (1 << bb) ELSE 0 END)) AS bk
+          FROM e CROSS JOIN bcfg g
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+          FROM keys a JOIN keys b ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+        pairs AS (
+          SELECT c.qid, c.nid,
+                 list_sum(list_transform(list_zip(qa.embedding, nb.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qa.nrm * nb.nrm) AS sim
+          FROM cand c
+          JOIN e qa ON qa.vec_id = c.qid
+          JOIN e nb ON nb.vec_id = c.nid)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3"""
+      }
+    ),
+
+    // ----------------------------------------------------------------
     // Product quantization (PQ): 64 dims split into 8 subspaces of 8,
     // each sub-vector encoded as its nearest of 16 TRAINED sub-centroids
     // (euclidean, tie -> lowest code) — an 8-byte code per vector, the

@@ -455,6 +455,81 @@ object StreamingQueries extends QueryModule {
     ),
 
     // ----------------------------------------------------------------
+    // KAFKA SEGMENTS THROUGH A REAL MICRO-BATCH STREAM — what S1 looks
+    // like in production: a file-source stream over the broker's
+    // segment directory (binaryFile is a FileFormat, so readStream
+    // tails it like any file source), the batch walk confined to the
+    // pure parser at each micro-batch's flatMap boundary, feeding the
+    // q37-shape windowed aggregate. maxFilesPerTrigger=1 makes each
+    // broker segment its OWN planned micro-batch — and the fixture is
+    // q317's DAMAGED corpus, so recovery happens MID-STREAM: the
+    // micro-batch holding partition 1 quarantines its CRC-corrupt
+    // batch and the STREAM CONTINUES into partition 2's torn segment
+    // (require(batches >= 3) proves the per-segment batching was
+    // real). Gated against q317's oracle verbatim — the streaming
+    // plan's final complete-mode table must equal the batch twin's
+    // aggregate over the surviving rank windows, the q315-style
+    // equivalence but through writeStream. At 100 TB this is the
+    // landing-zone ingest shape: segments arrive continuously, each
+    // is one task's sequential parse, state is the windowed aggregate
+    // only.
+    "q325_kafka_stream_segments" -> QueryDef(
+      fn = (s, d) => {
+        val ev     = graft.Tables.events(s, d)
+        val schema = ev.schema
+        val segDir = stageKafkaDamagedSegments(s, d)
+        import s.implicits._
+        val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+        val values = s.readStream.format("binaryFile")
+          .schema(binarySchema)
+          .option("maxFilesPerTrigger", 1)
+          .load(s"$segDir/*.log")
+          .select(col("content"))
+          .as[Array[Byte]]
+          .flatMap { bytes =>
+            graft.sources.KafkaLog.parseSegment(bytes).records.map(r =>
+              new String(r.value, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          .toDF("value")
+        val agg  = kafkaDecodeAgg(values, schema)
+        val sink = "q325_out"
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .start()
+        try {
+          q.processAllAvailable()
+          val fed = q.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 3,
+            s"expected >= 3 per-segment micro-batches, saw $fed — " +
+              "maxFilesPerTrigger did not split the segment directory")
+        } finally q.stop()
+        s.table(sink)
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT *, event_id % 3 AS p,
+                 ROW_NUMBER() OVER (PARTITION BY event_id % 3
+                   ORDER BY event_id) AS rk
+          FROM events),
+        surv AS (
+          SELECT * FROM ranked
+          WHERE (p = 0)
+             OR (p = 1 AND (rk <= 256 OR rk > 512))
+             OR (p = 2 AND rk <= 256))
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max
+        FROM surv GROUP BY 1, 2""")
+    ),
+
+    // ----------------------------------------------------------------
     // Trigger.AvailableNow — the PRODUCTION drain trigger: process all
     // data available at start (honoring source rate limits —
     // maxFilesPerTrigger=1 over the 4-way split makes this 4 real

@@ -155,6 +155,13 @@ object PlanAudit {
     Audit("q96_ann_lsh_multitable",
       mustContain = Seq("vec_dot"),
       mustNotContain = Seq("CartesianProduct", "SinglePartition")),
+    // random-hyperplane LSH: q96's candidate shape (slim key explode +
+    // (t, bk) self-join + DISTINCT + keyed rerank) with the buckets
+    // computed by seeded-hyperplane vec_dots — same plan discipline:
+    // keyed joins only, embeddings never ride the 8-way explode
+    Audit("q324_ann_lsh_hyperplane",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("CartesianProduct", "SinglePartition")),
     // corr/slope from decimal moment sums: one map-side-combined hash
     // aggregate, shuffle = 5 decimals + count per group; a window or
     // full-table rank anywhere means the formulation regressed

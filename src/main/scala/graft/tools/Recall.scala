@@ -23,7 +23,8 @@ object Recall {
     "q82_ann_ivf_pq",
     "q95_ann_ivf_probe4",
     "q96_ann_lsh_multitable",
-    "q323_ann_ivf_pq_refine"
+    "q323_ann_ivf_pq_refine",
+    "q324_ann_lsh_hyperplane"
   )
 
   /** recall@3 of `name` vs the exact q35 baseline at `sfDir`. */

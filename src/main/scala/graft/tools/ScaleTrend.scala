@@ -215,6 +215,12 @@ object ScaleTrend {
     "q77_ann_ivf_multiprobe",
     "q323_ann_ivf_pq_refine",
     "q96_ann_lsh_multitable",
+    // round-14 random-hyperplane LSH: the q96 continuation past the
+    // 64-axis saturation — the occupancy ladder keeps expected bucket
+    // size ≤ 32 with md5-seeded Rademacher bits, so the candidate
+    // self-join must track ~linearly at the 10x step where q96's
+    // capped 8-bit tables measured ×26.5
+    "q324_ann_lsh_hyperplane",
     // batch + streaming over events
     "q40_sessionize_batch",
     "q75_stream_dedup",
