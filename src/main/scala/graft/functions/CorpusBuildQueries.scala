@@ -201,6 +201,7 @@ object CorpusBuildQueries extends QueryModule {
     */
   private[graft] def chunkDupDrops(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val W = 32
     val S = 24
     val chunkKeyed = docs
@@ -214,10 +215,17 @@ object CorpusBuildQueries extends QueryModule {
              |  i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))"""
             .stripMargin)).as(Seq("chunk_id", "chunk_md5")))
       .withColumn("ck", col("doc_id") * lit(1048576L) + col("chunk_id"))
-    val chunkKeepers = chunkKeyed
-      .groupBy(col("chunk_md5"))
-      .agg(min(col("ck")).as("keep_ck"))
-    chunkKeyed.join(chunkKeepers, "chunk_md5")
+    // keeper resolution as a window-min over the fingerprint groups
+    // (round 14, guide §2.4): the original groupBy(chunk_md5) + join
+    // back shuffled the SAME fingerprint frame twice AND re-computed
+    // the normalize+split+md5 generator for each side (the subtree is
+    // too hot to materialize for a one-shot pass). One partition-only
+    // window needs ONE exchange and one compute; the dropped doc set
+    // is identical — keeper = min packed (doc_id, chunk_id) per
+    // fingerprint either way.
+    val wMin = Window.partitionBy(col("chunk_md5"))
+    chunkKeyed
+      .withColumn("keep_ck", min(col("ck")).over(wMin))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -235,11 +243,15 @@ object CorpusBuildQueries extends QueryModule {
     val toks = documents(s, d).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
     val scored = eta.join(toks, Seq("doc_id"))
+    // same fan-out cut as `deduped` below: shQ, losers and deduped all
+    // re-ran the score+rank-select subtree before round 14 (n/5 narrow
+    // rows, KB-scale)
     val qualityPass = graft.operators.RankSelect
       .withGroupRanks(scored, "source", "eta", tieBreak = Seq("doc_id"))
       .where(expr("__rk_rn > (4 * __rk_n) div 5"))
       .select(col("doc_id"), col("source"), col("lang"),
         col("eta"), col("n_tokens"))
+      .localCheckpoint(true)
 
     // stages 2-5 — q140's chain over the classifier-selected set;
     // the dedup keeper ranks on η (the model's quality) instead of
@@ -256,7 +268,16 @@ object CorpusBuildQueries extends QueryModule {
           Window.partitionBy(col("label")).orderBy(col("eta").desc, col("doc_id").asc)))
       .where(col("r") > 1)
       .select(col("doc_id"))
+    // materialize the doc-grain survivor set ONCE before it fans out
+    // (round 14, guide §2.4/§3.3): the chunk gate, the anti-join and
+    // the mix stage all consume `deduped`, and without the cut the
+    // classifier-score + rank-select + minhash-dedup subtree re-ran
+    // per consumer (the committed before-plan repeats it under 604
+    // Exchanges — plans/r14/q309_corpus_build_staged_before.txt). The
+    // frame is ~n/5 narrow rows (ids + scalars, never text), so the
+    // checkpoint is KB-scale at any corpus size.
     val deduped = qualityPass.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     // CHUNK-GRAIN EXACT-DEDUP GATE (round 14) — q322's report consumed
     // as a drop stage between doc-grain dedup and decontamination: see
