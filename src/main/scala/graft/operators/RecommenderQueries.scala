@@ -52,15 +52,42 @@ object RecommenderQueries extends QueryModule {
       .select(col("i"), lit(1.0).as("f1"),
         ((col("i") % 7 + 1).cast("double") / lit(8.0)).as("f2"))
 
+  /** Cached copies of the ratings hash-partitioned by EACH solve key
+    * (round 14, guide §2.4): a half-step is join → groupBy(solveKey),
+    * and with the ratings in their (u, i)-grain build partitioning the
+    * aggregate's partial state barely collapses (ratings per user are
+    * spread over every partition, so ~one 14-decimal buffer per ROW
+    * crossed the exchange — measured 30-67 MB per half-step, 160 MB
+    * per rank-4 train). Partitioned by the solve key, the broadcast
+    * join preserves the layout and the aggregate needs NO exchange at
+    * all — the single-phase hash agg also does ~40% fewer decimal adds
+    * than partial+merge. Partition count pins defaultParallelism
+    * (explicit, so AQE cannot coalesce the cached copy to one core);
+    * decimal sums are order-independent, so the layout cannot change a
+    * value. This is Zhou et al.'s ALS block layout: ratings stored
+    * twice, once by user and once by item, each half-step reading its
+    * own copy.
+    */
+  private def keyedCopies(rat: DataFrame): (DataFrame, DataFrame) = {
+    val p = rat.sparkSession.sparkContext.defaultParallelism
+    (graft.CacheLeases.lease(rat.repartition(p, col("u")).persist()),
+      graft.CacheLeases.lease(rat.repartition(p, col("i")).persist()))
+  }
+
   /** One ALS half-step: solve `solveKey`'s factors given the fixed
     * `fixedKey` factors. Join ratings to the fixed side, aggregate the
     * 5 normal-equation moments per solved entity, ridge-solve 2×2
     * closed form. Output is entity-grain, localCheckpoint'ed.
+    * The fixed side is entity-grain (≪ ratings) — broadcast it
+    * explicitly so the join can never flip to SMJ and re-shuffle the
+    * solve-key-partitioned ratings (the halfStepR4 rationale; decimal
+    * moment sums are order-independent, so the hint cannot change
+    * values).
     */
   private def halfStep(
       rat: DataFrame, fixed: DataFrame,
       solveKey: String, fixedKey: String): DataFrame = {
-    val m = rat.join(fixed, fixedKey)
+    val m = rat.join(broadcast(fixed), fixedKey)
       .groupBy(col(solveKey))
       .agg(
         sum((col("f1") * col("f1")).cast(dt)).as("s11"),
@@ -118,10 +145,11 @@ object RecommenderQueries extends QueryModule {
   /** Shared train chain: q0 → u1 → q1 → u2 (three half-steps). */
   private def trainedUserFactors(s: SparkSession, d: String): DataFrame = {
     val rat = graft.CacheLeases.lease(ratings(s, d).persist())
-    val q0  = initItemFactors(rat)
-    val u1  = halfStep(rat, q0, "u", "i")
-    val q1  = halfStep(rat, u1, "i", "u")
-    halfStep(rat, q1, "u", "i")
+    val (ratU, ratI) = keyedCopies(rat)
+    val q0  = initItemFactors(ratI)
+    val u1  = halfStep(ratU, q0, "u", "i")
+    val q1  = halfStep(ratI, u1, "i", "u")
+    halfStep(ratU, q1, "u", "i")
   }
 
   private val trainCtesSql: String = s"""$ratingsSql,
@@ -236,10 +264,11 @@ object RecommenderQueries extends QueryModule {
     * the q232 schedule at rank 4).
     */
   private def trainedUserFactorsR4(rat: DataFrame): DataFrame = {
-    val r0 = initItemFactorsR4(rat)
-    val w1 = halfStepR4(rat, r0, "u", "i")
-    val r1 = halfStepR4(rat, w1, "i", "u")
-    halfStepR4(rat, r1, "u", "i")
+    val (ratU, ratI) = keyedCopies(rat)
+    val r0 = initItemFactorsR4(ratI)
+    val w1 = halfStepR4(ratU, r0, "u", "i")
+    val r1 = halfStepR4(ratI, w1, "i", "u")
+    halfStepR4(ratU, r1, "u", "i")
   }
 
   private val trainR4CtesSql: String = s"""$ratingsSql,
@@ -259,18 +288,20 @@ object RecommenderQueries extends QueryModule {
     * (user factors, item factors) — the item side is the second
     * half-step's output, the candidate-scoring state q233/q257 use.
     */
-  private def trainFactors(rat: DataFrame, rank4: Boolean): (DataFrame, DataFrame) =
+  private def trainFactors(rat: DataFrame, rank4: Boolean): (DataFrame, DataFrame) = {
+    val (ratU, ratI) = keyedCopies(rat)
     if (rank4) {
-      val r0 = initItemFactorsR4(rat)
-      val w1 = halfStepR4(rat, r0, "u", "i")
-      val r1 = halfStepR4(rat, w1, "i", "u")
-      (halfStepR4(rat, r1, "u", "i"), r1)
+      val r0 = initItemFactorsR4(ratI)
+      val w1 = halfStepR4(ratU, r0, "u", "i")
+      val r1 = halfStepR4(ratI, w1, "i", "u")
+      (halfStepR4(ratU, r1, "u", "i"), r1)
     } else {
-      val q0 = initItemFactors(rat)
-      val u1 = halfStep(rat, q0, "u", "i")
-      val q1 = halfStep(rat, u1, "i", "u")
-      (halfStep(rat, q1, "u", "i"), q1)
+      val q0 = initItemFactors(ratI)
+      val u1 = halfStep(ratU, q0, "u", "i")
+      val q1 = halfStep(ratI, u1, "i", "u")
+      (halfStep(ratU, q1, "u", "i"), q1)
     }
+  }
 
   /** STAGED MODEL as a CONTENT-KEYED FIXTURE: train once PER CORPUS
     * (not per request), persist both factor tables as parquet model
@@ -332,8 +363,29 @@ object RecommenderQueries extends QueryModule {
     val score = (1 to rank).map(t => col(s"f$t") * col(s"g$t")).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-    userF.crossJoin(broadcast(pop))
-      .join(rat.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+    // round 14, guide §2.4/§3.1: the candidate frame (users × 50 wide
+    // factor rows) used to be SMJ-shuffled by (u, i) for the purchased
+    // anti-join and AGAIN by u for the top-3 window (~30-45 MB of the
+    // serve bytes). Shuffle the SMALL things instead: hash the slim
+    // (u, i) purchased pairs into a count-gated broadcast (the q77
+    // pinBySize rule — explicit under the row cap, shuffled hash join
+    // above it, so the plan stays deterministic and degrades correctly
+    // at cluster scale), and pre-partition the entity-grain factor
+    // frame by u so the broadcast joins preserve exactly the layout
+    // the window needs — the wide candidates now never cross a wire.
+    val p = rat.sparkSession.sparkContext.defaultParallelism
+    val purchased = {
+      val slim = rat.select(col("u"), col("i"))
+      // the 250k pin cap guards WIDE embedding rows; this relation is
+      // two longs per row (~25 MB hashed at 1M rows), so the cap can
+      // sit 4x higher before the broadcast build cost matters — at
+      // cluster-scale rating counts the shuffled-hash arm takes over
+      val maxRows = sys.props.get("graft.pin.broadcast.max.rows")
+        .map(_.toLong).getOrElse(250000L) * 4
+      if (slim.count() <= maxRows) broadcast(slim) else slim.hint("shuffle_hash")
+    }
+    userF.repartition(p, col("u")).crossJoin(broadcast(pop))
+      .join(purchased, Seq("u", "i"), "left_anti")
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
@@ -657,12 +709,14 @@ object RecommenderQueries extends QueryModule {
           java.nio.file.Files.createTempDirectory("graft_q321_wh_").toString
         try {
           val wh = new graft.etl.Warehouse(s, whRoot)
-          val q0 = initItemFactors(tr)
-          val u1 = halfStep(tr, q0, "u", "i")
-          val q1 = halfStep(tr, u1, "i", "u")
+          val (trU, trI) = keyedCopies(tr)
+          val q0 = initItemFactors(trI)
+          val u1 = halfStep(trU, q0, "u", "i")
+          val q1 = halfStep(trI, u1, "i", "u")
           wh.overwrite(q1, "gold", "model_als_item_factors")
           val itf = wh.load("gold", "model_als_item_factors").localCheckpoint(true)
-          halfStep(rat, itf, "u", "i")
+          val p = s.sparkContext.defaultParallelism
+          halfStep(rat.repartition(p, col("u")), itf, "u", "i")
             .select(col("u").as("custkey"),
               round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"))
         } finally graft.Staging.deleteRecursively(

@@ -59,6 +59,19 @@ object TreeQueries extends QueryModule {
 
   /** Observation rows: one row per lineitem with every feature binned
     * and the target; the part dim broadcasts into the scan.
+    *
+    * Repartitioned to the session's parallelism BEFORE the persist
+    * (round 14, guide §2.5/§2.6): the sf0.1 parquet scan yields 3
+    * input splits, so every cached partition — and with it every one
+    * of the 7-30 histogram passes a trainer runs over this frame —
+    * executed on 3 of the 32 local cores (JobProf: 3-task jobs of
+    * 0.5-2.1 s each). One keyed exchange of the slim binned projection
+    * (~deterministic hash on the (k, ln) row key, no round-robin sort)
+    * spreads the cache; the count derives from defaultParallelism, so
+    * it adapts to whatever core count the driver benches at. On a real
+    * cluster the scan already carries >= cores splits and this exchange
+    * is the same "spread the training cache" step every iterative
+    * fitter pays once.
     */
   private def obsRows(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -67,6 +80,7 @@ object TreeQueries extends QueryModule {
         Seq(col("l_quantity").as("y"),
           col("l_orderkey").as("k"), col("l_linenumber").as("ln")) ++
           features.map { case (n, e) => expr(e).as(s"bin_$n") }: _*)
+      .repartition(s.sparkContext.defaultParallelism, col("k"), col("ln"))
 
   /** Long-form (feature, bin, y): the one-generator equivalent of
     * "update all feature histograms in one pass over rows" — the
