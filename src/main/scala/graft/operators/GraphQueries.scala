@@ -38,18 +38,33 @@ object GraphQueries extends QueryModule {
     * its own growth row.
     */
   private[graft] def coSupplyEdgesNormalized(s: SparkSession, d: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    // NOTE (round 14): spreading this frame to defaultParallelism was
+    // measured and REVERTED — each part's supplier clique repeats the
+    // same (src, dst) pairs across parts, so the pair aggregate's
+    // map-side collapse improves with FEWER, larger partitions (58.8 MB
+    // of partial rows on the AQE-coalesced splits vs 178 MB at 32) —
+    // the guide §2.2 block-growth effect in miniature
     val ps = lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-    ps.as("a")
+    val ew = ps.as("a")
       .join(ps.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
       .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .withColumn("wout",
-        sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // out-weight totals via a src-grain aggregate + broadcast join back
+    // (round 14, guide §2.3): the window formulation re-shuffled the
+    // FULL edge list by src to attach one number per src; the grouped
+    // sums are node-grain and broadcast for free. Integer SUM per src
+    // is identical either way. The result then partitions by dst — the
+    // layout every PageRank iteration's contribution aggregate needs —
+    // so the per-iteration shuffle disappears (see pagerankIterate).
+    val outSums = ew.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    ew.join(broadcast(outSums), "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout").cast("double")).as("nw"))
+      .repartition(p, col("dst"))
   }
 
   /** `iters` bulk-synchronous PageRank steps from `r0` over a prepared
@@ -64,8 +79,12 @@ object GraphQueries extends QueryModule {
       r0: DataFrame,
       iters: Int): DataFrame = {
     def step(rank: DataFrame): DataFrame = {
+      // rank is node-grain (tiny at any corpus size next to the edge
+      // list) — broadcast it explicitly so the dst-partitioned edge
+      // table is never re-shuffled and the groupBy(dst) below reuses
+      // the build layout with no exchange (round 14, guide §2.4/§3.1)
       val contrib = en
-        .join(rank, col("node") === col("src"))
+        .join(broadcast(rank), col("node") === col("src"))
         .select(col("dst"), col("src"), (col("r") * col("nw")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("cs"))
