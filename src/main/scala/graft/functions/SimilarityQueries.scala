@@ -864,9 +864,15 @@ object SimilarityQueries extends QueryModule {
     "q35_cosine_topk" -> QueryDef(
       fn = (s, d) => {
         VectorFunctions.register(s)
+        // partition the query side by vec_id before the persist (round
+        // 14, guide §2.6): the sf0.1 embeddings scan is one split, so
+        // the whole n² scoring pass ran as ONE 3 s task; spread, the
+        // broadcast-nested-loop streams 32 ways AND the top-3 window
+        // (partitioned by qid = vec_id) reuses the layout exchange-free
         val e = embeddings(s, d)
           .withColumn("nrm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
           .where(col("nrm") > 0)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .persist().leased // both sides of the pair join reuse the norms
         gateBruteForce("q35_cosine_topk", e.count())
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))

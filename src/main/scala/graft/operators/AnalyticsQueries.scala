@@ -342,10 +342,17 @@ object AnalyticsQueries extends QueryModule {
     // B); point mean rides the same decimal sums.
     "q174_bootstrap_ci" -> QueryDef(
       fn = (s, d) => {
+        // spread the slim joined projection BEFORE the ×B replicate
+        // explode (round 14, guide §2.6): the sf0.1 orders scan is one
+        // split, so the whole md5-draw + threshold pipeline ran as ONE
+        // 5 s task; one keyed exchange of (seg, rid, y) buys full
+        // parallelism for the B-fold expansion. Deterministic hash
+        // partitioning; the (seg, b) decimal sums are order-independent.
         val j = orders(s, d)
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("rid"),
             col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("y"))
+          .repartition(s.sparkContext.defaultParallelism, col("rid"))
         val wCase = BootThresholds.zipWithIndex.foldRight(lit(BootThresholds.length)) {
           case ((t, k), acc) => when(col("h") < lit(t), lit(k)).otherwise(acc)
         }

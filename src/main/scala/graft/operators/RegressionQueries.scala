@@ -503,7 +503,14 @@ object RegressionQueries extends QueryModule {
     "q222_ols_gauss_d4" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // spread the fact scan before the 26-decimal-column moment
+        // aggregate (round 14, guide §2.6): the sf0.1 scan is 3 row
+        // groups, so the whole pass ran on 3 of 32 cores (5.7 s task
+        // sum on 3 tasks); one keyed exchange buys full parallelism
+        // and the decimal sums are order-independent
         val rows = lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism,
+            col("l_orderkey"), col("l_linenumber"))
           .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
           .select(col("p_brand").as("brand"),
             lit(1.0).as("x0"), col("l_discount").as("x1"),
