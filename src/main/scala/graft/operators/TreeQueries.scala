@@ -73,14 +73,21 @@ object TreeQueries extends QueryModule {
     * is the same "spread the training cache" step every iterative
     * fitter pays once.
     */
-  private def obsRows(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  private def obsRows(
+      s: SparkSession, d: String, spread: Boolean = true): DataFrame = {
+    val base = lineitem(s, d)
       .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
       .select(
         Seq(col("l_quantity").as("y"),
           col("l_orderkey").as("k"), col("l_linenumber").as("ln")) ++
           features.map { case (n, e) => expr(e).as(s"bin_$n") }: _*)
-      .repartition(s.sparkContext.defaultParallelism, col("k"), col("ln"))
+    // single-pass consumers (one histogram, or a map-only scoring
+    // projection) skip the spread: for them the exchange costs more
+    // bytes than the one pass saves (measured on q223/q236, round 14)
+    if (spread)
+      base.repartition(s.sparkContext.defaultParallelism, col("k"), col("ln"))
+    else base
+  }
 
   /** Long-form (feature, bin, y): the one-generator equivalent of
     * "update all feature histograms in one pass over rows" — the
@@ -893,7 +900,7 @@ object TreeQueries extends QueryModule {
     // with its gain, ranked across features. The window operators
     // only ever see the few-hundred-row reduced frame.
     "q223_tree_split" -> QueryDef(
-      fn = (s, d) => splitFromHistogram(histogram(obsRows(s, d))),
+      fn = (s, d) => splitFromHistogram(histogram(obsRows(s, d, spread = false))),
       oracle = rawQ223Oracle
     ),
 
@@ -914,7 +921,7 @@ object TreeQueries extends QueryModule {
         val whRoot = java.nio.file.Files.createTempDirectory("graft_q236_wh_").toString
         try {
           val wh = new graft.etl.Warehouse(s, whRoot)
-          val rows = obsRows(s, d)
+          val rows = obsRows(s, d, spread = false)
           for (b <- 0 until 4) {
             val batch = histogram(rows.where(col("k") % 4 === b))
             val merged =
@@ -1093,7 +1100,7 @@ object TreeQueries extends QueryModule {
               .otherwise(
                 when(col(s"bin_${t.gf}") <= t.gthr, lit(t.glv)).otherwise(lit(t.grv)))
         }
-        obsRows(s, d).select(
+        obsRows(s, d, spread = false).select(
           col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
           round(pred, 6).as("pred"),
           round(col("y") - pred, 6).as("resid"))
@@ -1146,7 +1153,7 @@ object TreeQueries extends QueryModule {
               when(bin(m("root")) <= m("root").getAs[Int]("thr"), leaf(m("left")))
                 .otherwise(leaf(m("right")))
           }
-          obsRows(s, d).select(
+          obsRows(s, d, spread = false).select(
             col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
             round(pred, 6).as("pred"),
             round(col("y") - pred, 6).as("resid"))
@@ -1163,7 +1170,7 @@ object TreeQueries extends QueryModule {
           acc + lit(LearningRate) *
             when(col(s"bin_${st.feature}") <= st.thr, lit(st.lv)).otherwise(lit(st.rv))
         }
-        obsRows(s, d).select(
+        obsRows(s, d, spread = false).select(
           col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
           round(pred, 6).as("pred"),
           round(col("y") - pred, 6).as("resid"))
